@@ -1,0 +1,180 @@
+"""SCD Type-2 dimension upsert (SURVEY §2.9 M1/M4; reference dynamic_upsert.py:110-152).
+
+Reference pipeline (one Redshift transaction, generated from column dicts):
+  (a) stage ``SELECT DISTINCT <cols>`` of the source into dim_<t>_staging
+      with LoadDate = current_date            (dynamic_upsert.py:120-122)
+  (b) expire: ``UPDATE dim SET EndDate = current_date - INTERVAL '1 day'
+      WHERE <key> IN (SELECT <key> FROM source) AND EndDate = '9999-12-31'``
+                                              (dynamic_upsert.py:128-131)
+  (c) insert every staged row as a new current version with
+      StartDate = LoadDate, EndDate = '9999-12-31'
+                                              (dynamic_upsert.py:137-139)
+
+This is the NAIVE variant — no change detection: every run re-versions
+every key present in the source, changed or not. ``mode="reference"``
+reproduces that exactly; ``mode="delta"`` is the scale extension that
+versions only genuinely changed rows (left-anti on the compared
+columns), cutting dim growth from O(runs x source) to O(changes).
+
+Spark realization: the three statements collapse into one pure
+DataFrame -> DataFrame expression with a single terminal write — the
+transaction bracket (M5) becomes write-last atomicity, and Spark's lazy
+evaluation removes the physical staging table (S4/S7) entirely.
+
+Scale posture: the source-key set is broadcast into the expire step
+(dims are small next to facts; for a billion-row dim swap the broadcast
+for a shuffle semi-join by passing broadcast_keys=False). Surrogate-key
+assignment offers ``key_mode="hash"`` (xxhash64 — fully parallel,
+deterministic, non-contiguous) for huge dims, and
+``key_mode="rownum"`` (max+row_number — contiguous like the
+reference's IDENTITY, single-partition window, fine for dim-sized data).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..schemas import CURRENT_ROW_SENTINEL, SCD2_END, SCD2_START
+from ..functions.datefns import run_date_col
+
+
+def _sentinel() -> F.Column:
+    return F.lit(CURRENT_ROW_SENTINEL).cast("date")
+
+
+def stage_source(
+    source: DataFrame,
+    columns: Sequence[str],
+    run_date: dt.date | str | None = None,
+) -> DataFrame:
+    """(a) ``SELECT DISTINCT <cols>`` + LoadDate audit column.
+
+    Reference: dynamic_upsert.py:120-122 with the staging DDL's
+    ``LoadDate DATE DEFAULT current_date`` (dynamic_upsert.py:22-26);
+    run_date is injectable for determinism (F10).
+    """
+    return source.select(*columns).distinct().withColumn(
+        "LoadDate", run_date_col(run_date)
+    )
+
+
+def expire_current_rows(
+    dim: DataFrame,
+    source_keys: DataFrame,
+    business_key: str,
+    run_date: dt.date | str | None = None,
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """(b)/M4: close out current rows whose key re-appears in the source.
+
+    ``UPDATE ... SET EndDate = run_date - 1 WHERE key IN (source) AND
+    EndDate = '9999-12-31'`` (dynamic_upsert.py:128-131). Spark has no
+    in-place UPDATE, so: mark keys via a (broadcast) join, rewrite
+    EndDate with when/otherwise, and let the caller overwrite the dim.
+    Keys present in dim but absent from source are NOT touched (the
+    IN-subquery semantics, P7/J3).
+    """
+    keys = source_keys.select(business_key).distinct().withColumn(
+        "_in_source", F.lit(True)
+    )
+    if broadcast_keys:
+        keys = F.broadcast(keys)
+    is_current = F.col(SCD2_END) == _sentinel()
+    return (
+        dim.join(keys, on=business_key, how="left")
+        .withColumn(
+            SCD2_END,
+            F.when(
+                is_current & F.col("_in_source").isNotNull(),
+                F.date_sub(run_date_col(run_date), 1),
+            ).otherwise(F.col(SCD2_END)),
+        )
+        .drop("_in_source")
+    )
+
+
+def assign_surrogate_keys(
+    staged: DataFrame,
+    dim: DataFrame | None,
+    business_key: str,
+    surrogate_key: str,
+    key_mode: str = "rownum",
+) -> DataFrame:
+    """Surrogate keys for new versions (the IDENTITY(1,1) analog,
+    dynamic_upsert.py:17-19).
+
+    rownum: max(existing)+row_number over business-key order —
+    contiguous + deterministic (oracle-reproducible); the ordered window
+    is single-partition, acceptable at dimension scale only.
+    hash: xxhash64(business_key, StartDate) — fully parallel and
+    deterministic for 100TB-scale dims, but non-contiguous.
+    """
+    if key_mode == "hash":
+        key = F.xxhash64(F.col(business_key), F.col(SCD2_START))
+        return staged.withColumn(surrogate_key, key)
+    w = Window.orderBy(business_key)
+    base = F.lit(0)
+    if dim is not None:
+        max_key = dim.agg(
+            F.coalesce(F.max(surrogate_key), F.lit(0)).alias("_max_key")
+        )
+        staged = staged.crossJoin(F.broadcast(max_key))
+        base = F.col("_max_key")
+    return staged.withColumn(
+        surrogate_key, (base + F.row_number().over(w)).cast("long")
+    ).drop("_max_key")
+
+
+def scd2_upsert(
+    dim: DataFrame | None,
+    source: DataFrame,
+    business_key: str,
+    columns: Sequence[str],
+    surrogate_key: str,
+    run_date: dt.date | str | None = None,
+    mode: str = "reference",
+    key_mode: str = "rownum",
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """M1: full SCD-2 upsert — returns the new dim table contents.
+
+    dim may be None/empty for the initial load. Output columns:
+    [surrogate_key, *columns, StartDate, EndDate].
+
+    mode="reference": naive semantics — every source key is expired and
+    re-versioned each run (dynamic_upsert.py:128-139), byte-for-byte the
+    reference behavior.
+    mode="delta": expire/re-version only rows whose compared columns
+    changed (left-anti join of staged vs current dim rows) — the scale
+    extension (SURVEY §7.4).
+    """
+    out_cols = [surrogate_key, *columns, SCD2_START, SCD2_END]
+    staged = stage_source(source, columns, run_date)
+
+    if mode == "delta" and dim is not None:
+        current = dim.filter(F.col(SCD2_END) == _sentinel()).select(*columns)
+        staged = staged.join(current, on=list(columns), how="left_anti")
+
+    if dim is None:
+        new_rows = (
+            assign_surrogate_keys(staged, None, business_key, surrogate_key, key_mode)
+            .withColumn(SCD2_START, F.col("LoadDate"))
+            .withColumn(SCD2_END, _sentinel())
+        )
+        return new_rows.select(*out_cols)
+
+    expired = expire_current_rows(
+        dim, staged, business_key, run_date, broadcast_keys
+    ).select(*out_cols)
+    new_rows = (
+        assign_surrogate_keys(staged, dim, business_key, surrogate_key, key_mode)
+        # column-positional LoadDate -> StartDate (dynamic_upsert.py:137-139)
+        .withColumn(SCD2_START, F.col("LoadDate"))
+        .withColumn(SCD2_END, _sentinel())
+        .select(*out_cols)
+    )
+    return expired.unionByName(new_rows)

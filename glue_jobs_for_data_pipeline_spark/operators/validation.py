@@ -1,0 +1,96 @@
+"""Data-quality / validation operators (SURVEY §2.10, V1-V4).
+
+Reference semantics (validate_data.py:36-87): after each CSV load, run a
+NOT-NULL check per column and a PK-uniqueness check; raise (aborting the
+workflow) on any violation.
+
+Physical divergence, same answers: the reference issues N+1 sequential
+full scans per table (one COUNT(*) per column at validate_data.py:68-76
+plus one GROUP BY at :78-86). Here the null checks collapse into ONE
+pass of conditional aggregation — at 100 TB that is the difference
+between N+1 table scans and a single scan with a tiny agg, and Catalyst
+still prunes the scan to exactly the checked columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ValidationError(Exception):
+    """Raised on data-quality violation; aborts the pipeline (V4).
+
+    Mirrors the reference raising inside validate_data (validate_data.py:74,85),
+    which fails the Glue job and halts the workflow.
+    """
+
+
+def null_counts(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """V1: per-column NULL counts in one scan.
+
+    Reference: one ``SELECT COUNT(*) FROM t WHERE c IS NULL`` per column
+    (validate_data.py:68-76). Single-pass conditional aggregation gives
+    identical counts with one scan.
+    """
+    cols = columns or df.columns
+    return df.agg(
+        *[F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(c) for c in cols]
+    )
+
+
+def pk_duplicates(df: DataFrame, pk: str) -> DataFrame:
+    """V2: business keys that appear more than once.
+
+    Reference: ``SELECT pk, COUNT(*) FROM t GROUP BY pk HAVING COUNT(*) > 1``
+    (validate_data.py:78-86). Hash aggregation with map-side partial agg;
+    shuffles only the (already reduced) per-key counts.
+    """
+    return (
+        df.groupBy(pk)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def validation_report(df: DataFrame, table: str, pk: str) -> DataFrame:
+    """V4 (reporting form): one row per check with its violation count.
+
+    Columns: table_name, check_name, violation_count — the relational
+    rendering of the reference's raise-on-violation gate so the result is
+    oracle-checkable as a query.
+    """
+    nulls = null_counts(df)
+    # melt the single row of per-column null counts into (check, count) rows
+    stack_expr = ", ".join(f"'not_null_{c}', `{c}`" for c in nulls.columns)
+    null_rows = nulls.selectExpr(
+        f"stack({len(nulls.columns)}, {stack_expr}) AS (check_name, violation_count)"
+    )
+    dup_rows = pk_duplicates(df, pk).agg(
+        F.lit(f"pk_unique_{pk}").alias("check_name"),
+        F.count(F.lit(1)).cast("long").alias("violation_count"),
+    )
+    return (
+        null_rows.unionByName(dup_rows)
+        .select(
+            F.lit(table).alias("table_name"),
+            "check_name",
+            F.col("violation_count").cast("long").alias("violation_count"),
+        )
+    )
+
+
+def validate_or_raise(df: DataFrame, table: str, pk: str) -> None:
+    """V4: the load-then-validate gate (validate_data.py:148-171).
+
+    Single action: collects the (tiny) report and raises ValidationError
+    listing every failed check, aborting the pipeline like the reference.
+    """
+    failed = [
+        (r["check_name"], r["violation_count"])
+        for r in validation_report(df, table, pk).collect()
+        if r["violation_count"] > 0
+    ]
+    if failed:
+        detail = ", ".join(f"{name}={n}" for name, n in failed)
+        raise ValidationError(f"validation failed for {table}: {detail}")

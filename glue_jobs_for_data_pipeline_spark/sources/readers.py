@@ -1,0 +1,71 @@
+"""Sources and sinks (SURVEY §2.1).
+
+S1  CSV bulk load with explicit schema + header skip
+    (reference: validate_data.py:138-146 — Redshift COPY ... CSV IGNOREHEADER 1)
+S2  truncate-and-load -> write mode("overwrite")   (validate_data.py:139)
+S3  table scan -> spark.read.parquet               (populate_fact.py:111)
+S6  INSERT INTO ... SELECT -> write mode("append") (dynamic_upsert.py:120-122)
+
+Scale notes: explicit schemas (no inferSchema pass over 100 TB), parquet
+as the canonical storage (columnar, predicate pushdown + column pruning
+reach the scan), writers take ``partition_by`` so big tables land
+partitioned by their pruning key (e.g. fact by date).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """S1: schema-first CSV bulk load (COPY ... DELIMITER ',' IGNOREHEADER 1)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S3: scan one driver testdata parquet table."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 variant for the events fixture: its parquet stores
+    TIMESTAMP(NANOS) which Spark's vectorized reader rejects. Read nanos
+    as long (legacy conf) and truncate to microsecond timestamps with
+    integer division (``div`` — a double division would lose precision at
+    ~1.7e18 ns). DuckDB's CAST(ts AS TIMESTAMP) truncates identically.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def write_overwrite(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+) -> None:
+    """S2: truncate-and-load full refresh (TRUNCATE + COPY)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_append(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+    """S6: INSERT INTO ... SELECT append."""
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -1,0 +1,125 @@
+"""Local differential checker: run every queries() entry against its
+oracle_sql() in DuckDB and compare row count, sorted column names, and
+order-insensitive canonicalized values — a strict local mirror of the
+driver's correctness gate.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def canon(v):
+    """Canonicalize a value for cross-engine comparison."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v.normalize())
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def rows_canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from glue_jobs_for_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures, n_checked, n_rows_only = 0, 0, 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: spark raised {type(ex).__name__}: {ex}")
+            failures += 1
+            continue
+        if name not in oracles:
+            n_rows_only += 1
+            print(f"rows  {name}: {len(srows)} rows (no oracle — rows-only check)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb raised {type(ex).__name__}: {ex}")
+            failures += 1
+            continue
+        n_checked += 1
+        status, notes = "ok   ", []
+        if len(srows) != len(orows):
+            status, _ = "FAIL ", notes.append(
+                f"rowcount spark={len(srows)} duckdb={len(orows)}"
+            )
+        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
+            status, _ = "FAIL ", notes.append(
+                f"schema spark={sorted(scols)} duckdb={sorted(ocols)}"
+            )
+        if status == "ok   ":
+            sc = rows_canon([c.lower() for c in scols], [tuple(r) for r in srows])
+            oc = rows_canon([c.lower() for c in ocols], orows)
+            if sc != oc:
+                status = "FAIL "
+                diff = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
+                notes.append(f"values differ; first diffs: {diff}")
+        if status != "ok   ":
+            failures += 1
+        print(
+            f"{status}{name}: {len(srows)} rows  [{time.time() - t0:.1f}s]"
+            + ("  " + "; ".join(notes) if notes else "")
+        )
+
+    print(
+        f"\n{n_checked} oracle-checked, {n_rows_only} rows-only, "
+        f"{failures} FAILURES"
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
