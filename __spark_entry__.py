@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from glue_jobs_for_data_pipeline_spark.plans.catalog import ORACLE, QUERIES
+from glue_jobs_for_data_pipeline_spark.plans import catalog_ext  # noqa: F401  (registers x_* queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,311 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each picked for a different scale/recall point:
+
+- exact_dedup            hash-groupBy on content fingerprint; the 100 TB
+                         path shuffles 16-byte md5 keys, never documents.
+- ngram_jaccard_pairs    exact Jaccard over word shingles via a
+                         shingle-inverted-index self-join (no LSH error,
+                         O(sum of posting-list^2) — for moderate corpora
+                         or as the verify stage after LSH).
+- minhash_lsh_pairs      MinHash signatures + banded LSH bucketing: the
+                         standard sublinear near-dup candidate generator.
+- simhash_pairs          64-bit SimHash + 16-bit band bucketing for
+                         hamming-distance near-dups.
+- embedding_dup_pairs    cosine near-duplicates over an embedding column.
+
+All deterministic: hash families are fixed-seed xxhash64 / affine
+permutations, so candidate sets reproduce run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import content_fingerprint, tokens
+from ..functions.vectors import cosine
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id representative per distinct text.
+
+    groupBy(text) would shuffle whole documents; grouping by the md5
+    content fingerprint shuffles 16 bytes per row and scales to 100 TB.
+    min(id) makes the survivor deterministic.
+    """
+    return (
+        df.withColumn("_fp", content_fingerprint(F.col(text_col)))
+        .groupBy("_fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "n_copies")
+    )
+
+
+# --------------------------------------------------------------------------
+# Word-shingle helpers
+# --------------------------------------------------------------------------
+
+
+def shingles(text_col: str, k: int = 3) -> F.Column:
+    """Distinct word k-grams as strings (the Jaccard universe)."""
+    w = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0)) ),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+    )
+    # guard degenerate docs shorter than k words: sequence(0,0) yields one
+    # (possibly short) gram, which is still a deterministic universe
+    return F.array_distinct(grams)
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Exploded (id, shingle) posting list."""
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("shingle")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard via inverted-index self-join
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Pairs (doc_a < doc_b) with shingle-Jaccard >= threshold.
+
+    Inverted index self-join: explode shingles, join on shingle (only
+    co-occurring pairs materialize), count intersections, then
+    |A u B| = |A| + |B| - |A n B|. The shuffle key is the shingle — a hot
+    shingle (stopword gram) blows up the posting list; production path
+    drops shingles with document frequency above a cap (df_cap), which
+    also removes the quadratic worst case.
+    """
+    posts = doc_shingles(df, id_col, text_col, k)
+    sizes = posts.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = posts.select(F.col("doc").alias("doc_a"), "shingle")
+    b = posts.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sz_a), "doc_a")
+        .join(F.broadcast(sz_b), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + banded LSH
+# --------------------------------------------------------------------------
+
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def _minhash_cols(num_hashes: int) -> list[F.Column]:
+    """num_hashes affine permutations h_i(x) = (a_i*x + b_i) mod (2^31-1)
+    over the xxhash64 shingle hash folded to 31 bits. a_i/b_i derive from
+    fixed mixing constants so signatures reproduce across runs. With
+    a,x < 2^31 the product stays < 2^62 — no long overflow."""
+    x = F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_P))
+    cols = []
+    for i in range(num_hashes):
+        a = (2654435761 * (i + 1) + 1) % MINHASH_P  # Knuth multiplicative mix
+        b = (40503 * (i + 7) * 65537) % MINHASH_P
+        if a == 0:
+            a = 1
+        h = F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_P))
+        cols.append(F.min(h).alias(f"h{i}"))
+    return cols
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, k: int = 3
+) -> DataFrame:
+    """One row per doc: the num_hashes MinHash signature (long columns).
+
+    Single explode + one hash-aggregate: the shuffle carries (doc,
+    64 longs), never the shingles themselves.
+    """
+    posts = doc_shingles(df, id_col, text_col, k)
+    return posts.groupBy("doc").agg(*_minhash_cols(num_hashes))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >=1 LSH band bucket, with the
+    estimated Jaccard (fraction of matching minhashes).
+
+    rows_per_band = num_hashes/bands; P(candidate) = 1-(1-j^r)^b — the
+    classic S-curve. Bucket join is an equi-join on (band_idx, band_hash):
+    co-located, no cross product outside buckets.
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k).cache()
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(*[F.col(f"h{j * r + i}") for i in range(r)]).alias("bh"),
+            )
+            for j in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        "doc", F.explode(band_cols).alias("b")
+    ).select("doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    left = buckets.select(F.col("doc").alias("doc_a"), "band", "bh")
+    right = buckets.select(F.col("doc").alias("doc_b"), "band", "bh")
+    cand = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sig_a = sigs.select(
+        F.col("doc").alias("doc_a"), F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig_a")
+    )
+    sig_b = sigs.select(
+        F.col("doc").alias("doc_b"), F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig_b")
+    )
+    return (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            ).cast("double")
+            / F.lit(float(num_hashes)),
+        )
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc: sign of the per-bit sum of +-1 votes from
+    each distinct token's xxhash64. One explode + one aggregate; the
+    64 bit-sums fold into a single long via shiftleft/sum."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("th", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("doc").agg(*votes)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR==OR
+    return agg.select("doc", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into 4 16-bit chunks; any pair
+    within hamming 3 must agree on >=1 chunk -> equi-join per chunk,
+    exact hamming verify via bit_count(xor)."""
+    sigs = simhash_signatures(df, id_col, text_col).cache()
+    chunks = sigs.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk"),
+                        F.shiftright("simhash", j * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ch"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ch").alias("ch"))
+    left = chunks.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a"), "chunk", "ch"
+    )
+    right = chunks.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("sim_b"), "chunk", "ch"
+    )
+    return (
+        left.join(right, ["chunk", "ch"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+
+def embedding_dup_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Pairs with cosine >= threshold. Brute-force O(n^2) self-join — exact,
+    fine to ~10^4 vectors; the scale path buckets by LSH first
+    (similarity.hyperplane_lsh_buckets) and only verifies within buckets."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

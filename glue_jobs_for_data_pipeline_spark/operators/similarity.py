@@ -1,0 +1,150 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two tiers (BASELINE north-star: similarity search at 100 TB):
+
+- brute_force_topk: exact cosine top-k via broadcast cross join — the
+  correctness baseline and the right tool when |queries| is small
+  (queries broadcast; the corpus streams map-side, no shuffle until the
+  tiny per-query top-k).
+- hyperplane-LSH tier: deterministic random-hyperplane signatures bucket
+  the corpus; candidates = signature collisions (multi-table), verified
+  by exact cosine. Sublinear probe cost; recall tunable by
+  (n_tables, n_bits). An IVF variant would replace the signature with a
+  nearest-centroid id — same plumbing.
+
+Determinism: hyperplane weights come from xxhash64(table, plane, dim)
+mapped to +-[0,1), so every run and every engine derives the same
+buckets (no RNG state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Broadcast the (small) query set against the corpus: map-side cosine,
+    then a per-query window top-k. Ties break on neighbor id so ranks
+    are total and reproducible. Self-matches are excluded.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_tables: int = 8,
+    n_bits: int = 8,
+) -> DataFrame:
+    """ANN top-k: hyperplane-LSH candidate generation + exact re-rank.
+
+    Each vector gets n_tables bucket signatures; query/corpus collide on
+    (table, signature); candidates are exact-cosine re-ranked per query.
+    Probe cost ~ corpus/2^n_bits per table instead of the full corpus.
+    """
+    corpus_sig = _with_signatures(corpus, id_col, vec_col, n_tables, n_bits).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        "table",
+        "sig",
+    )
+    query_sig = _with_signatures(queries, id_col, vec_col, n_tables, n_bits).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "table", "sig"
+    )
+    cand = (
+        F.broadcast(query_sig)
+        .join(corpus_sig, ["table", "sig"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def _with_signatures(
+    df: DataFrame, id_col: str, vec_col: str, n_tables: int, n_bits: int
+) -> DataFrame:
+    """Explode each vector into n_tables (table, signature) rows.
+
+    Signature bit j = sign of the projection onto deterministic plane
+    (table, j). Projections use posexplode to pair each component with
+    its per-dimension weight, then a single groupBy re-aggregates — all
+    JVM-side, one shuffle of (id, table, bit-projections).
+    """
+    dim = len(df.select(vec_col).first()[0])
+    planes = [
+        [[_hp_weight_val(t, j, d) for d in range(dim)] for j in range(n_bits)]
+        for t in range(n_tables)
+    ]
+    rows = []
+    for t in range(n_tables):
+        bits = []
+        for j in range(n_bits):
+            w = planes[t][j]
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(x) for x in w]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        sig = bits[0]
+        for bcol in bits[1:]:
+            sig = sig + bcol
+        rows.append(F.struct(F.lit(t).alias("table"), sig.alias("sig")))
+    return df.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*rows)).alias("ts")
+    ).select(id_col, vec_col, F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig"))
+
+
+def _hp_weight_val(table: int, plane: int, dim: int) -> float:
+    """Python-side deterministic hyperplane weight in [-1,1) — a splitmix64
+    style integer mix (no RNG object, reproducible everywhere)."""
+    z = (table * 0x9E3779B97F4A7C15 + plane * 0xBF58476D1CE4E5B9 + dim * 0x94D049BB133111EB + 0x2545F4914F6CDD1D) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    z = z ^ (z >> 31)
+    return (z % 2_000_003) / 1_000_001.5 - 1.0

@@ -39,21 +39,25 @@ def null_counts(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     )
 
 
-def pk_duplicates(df: DataFrame, pk: str) -> DataFrame:
+def pk_duplicates(df: DataFrame, pk: str | list[str]) -> DataFrame:
     """V2: business keys that appear more than once.
 
     Reference: ``SELECT pk, COUNT(*) FROM t GROUP BY pk HAVING COUNT(*) > 1``
-    (validate_data.py:78-86). Hash aggregation with map-side partial agg;
+    (validate_data.py:78-86; pk = first column of the table dict,
+    validate_data.py:63). Generalized to composite keys for tables whose
+    real grain is multi-column (e.g. orderdetails = (OrderID, ProductID),
+    FIXTURES.md §A1). Hash aggregation with map-side partial agg;
     shuffles only the (already reduced) per-key counts.
     """
+    keys = [pk] if isinstance(pk, str) else list(pk)
     return (
-        df.groupBy(pk)
+        df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("dup_count"))
         .filter(F.col("dup_count") > 1)
     )
 
 
-def validation_report(df: DataFrame, table: str, pk: str) -> DataFrame:
+def validation_report(df: DataFrame, table: str, pk: str | list[str]) -> DataFrame:
     """V4 (reporting form): one row per check with its violation count.
 
     Columns: table_name, check_name, violation_count — the relational
@@ -66,8 +70,9 @@ def validation_report(df: DataFrame, table: str, pk: str) -> DataFrame:
     null_rows = nulls.selectExpr(
         f"stack({len(nulls.columns)}, {stack_expr}) AS (check_name, violation_count)"
     )
+    pk_label = pk if isinstance(pk, str) else "_".join(pk)
     dup_rows = pk_duplicates(df, pk).agg(
-        F.lit(f"pk_unique_{pk}").alias("check_name"),
+        F.lit(f"pk_unique_{pk_label}").alias("check_name"),
         F.count(F.lit(1)).cast("long").alias("violation_count"),
     )
     return (
@@ -80,7 +85,7 @@ def validation_report(df: DataFrame, table: str, pk: str) -> DataFrame:
     )
 
 
-def validate_or_raise(df: DataFrame, table: str, pk: str) -> None:
+def validate_or_raise(df: DataFrame, table: str, pk: str | list[str]) -> None:
     """V4: the load-then-validate gate (validate_data.py:148-171).
 
     Single action: collects the (tiny) report and raises ValidationError

@@ -1,0 +1,336 @@
+"""Extension catalog: training-data pipeline operators (dedup, similarity
+search, text analysis, multimodal plumbing, streaming) as queries()
+entries, oracle-checked wherever ANSI SQL can express the semantics.
+
+Registered into the same QUERIES/ORACLE dicts as the reference-parity
+catalog. Keys are prefixed x_*.
+
+Oracle notes (all verified empirically against DuckDB 1.0):
+- higher-order folds (aggregate/list_reduce), per-row double arithmetic
+  and sequential dot products are bit-identical across engines;
+- minhash/simhash/LSH use Spark's xxhash64 (not available in DuckDB) ->
+  rows-only driver check; their statistical correctness is covered by
+  property tests in tests/ instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+from ..operators import dedup, multimodal, similarity
+from ..sources.readers import load_table
+from ..streaming.events import run_stream_to_batch, sessionize_stateful
+from .catalog import _q
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+_STOP = tx.STOPWORDS_EN[0].split()
+_SQL_TOKENS = r"string_split_regex(trim({x}), '\s+')"
+_SQL_STOPHITS = (
+    "len(list_filter(" + _SQL_TOKENS.format(x="lower({x})") + ", t -> t IN ({lst})))"
+)
+
+
+def _sql_in_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+_X_TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       len({_SQL_TOKENS.format(x='text')}) AS n_tokens,
+       len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}')) AS n_bpeish,
+       length(text) AS n_chars,
+       length(regexp_replace(text, '[^.,;:!?''\"()\\-]', '', 'g'))
+         / greatest(length(text), 1) AS punct_ratio
+FROM documents
+"""
+
+
+@_q("x_text_stats", _X_TEXT_STATS_SQL)
+def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + size stats, all codegen'd JVM expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.token_count(t).alias("n_tokens"),
+        tx.bpeish_token_count(t).alias("n_bpeish"),
+        tx.char_count(t).alias("n_chars"),
+        tx.punct_ratio(t).alias("punct_ratio"),
+    )
+
+
+_X_QUALITY_SQL = f"""
+SELECT doc_id,
+  0.4 * least(len({_SQL_TOKENS.format(x='text')}) / 100.0, 1.0)
++ 0.3 * (1.0 - least(
+    (length(regexp_replace(text, '[^.,;:!?''\"()\\-]', '', 'g'))
+     / greatest(length(text), 1)) * 5, 1.0))
++ 0.3 * least(({_SQL_STOPHITS.format(x='text', lst=_sql_in_list(_STOP))}
+     / greatest(len({_SQL_TOKENS.format(x='text')}), 1)) * 4, 1.0)
+  AS quality
+FROM documents
+"""
+
+
+@_q("x_text_quality", _X_QUALITY_SQL)
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length/punctuation/stopword heuristics)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+
+
+def _lang_case_sql() -> str:
+    score = {
+        lang: _SQL_STOPHITS.format(x="text", lst=_sql_in_list(words.split()))
+        for lang, words in tx.LANG_STOPWORDS.items()
+    }
+    whens = []
+    for lang in tx.LANG_ORDER:
+        others = " , ".join(score[o] for o in tx.LANG_ORDER if o != lang)
+        whens.append(
+            f"WHEN {score[lang]} > 0 AND {score[lang]} >= greatest({others}) "
+            f"THEN '{lang}'"
+        )
+    return (
+        "SELECT doc_id, CASE "
+        "WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 THEN 'zh' "
+        + " ".join(whens)
+        + " ELSE 'und' END AS lang_pred FROM documents"
+    )
+
+
+@_q("x_text_lang_id", _lang_case_sql())
+def x_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: CJK codepoint detection + stopword argmax."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.lang_id(F.col("text")).alias("lang_pred"))
+
+
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_X_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5({_NORM_SQL}) AS content_fp,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(regexp_extract_all({_NORM_SQL}, '.'),
+                          c -> CAST(ascii(c) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
+FROM documents
+"""
+
+
+@_q("x_text_fingerprint", _X_FINGERPRINT_SQL)
+def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of normalized text + polynomial rolling
+    hash (both engine-portable, verified bit-equal)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.content_fingerprint(F.col("text")).alias("content_fp"),
+        tx.rolling_hash(F.col("text")).alias("rolling_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "x_dedup_exact",
+    f"SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents "
+    f"GROUP BY md5({_NORM_SQL})",
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via 16-byte fingerprint groupBy (shuffles hashes, not
+    documents)."""
+    return dedup.exact_dedup(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+_X_JACCARD_SQL = r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+posts AS (
+  SELECT doc_id AS doc,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - 3, 0) + 2),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM w),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM posts GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+  FROM posts a JOIN posts b USING (shingle)
+  WHERE a.doc < b.doc GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter,
+       CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.008
+"""
+
+
+@_q("x_dedup_ngram_jaccard", _X_JACCARD_SQL)
+def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard via shingle inverted-index self-join.
+    (Low threshold: the synthetic corpus has no planted near-dups; the
+    operator and its exact arithmetic are what's under test.)"""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3,
+        threshold=0.008,
+    )
+
+
+@_q("x_dedup_minhash_lsh")  # xxhash64-based -> no SQL oracle; rows-only
+def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16-band LSH candidate pairs with estimated Jaccard.
+    Deterministic fixed-seed hash family; statistical accuracy is
+    property-tested against exact Jaccard in tests/test_dedup.py."""
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@_q("x_dedup_simhash")  # xxhash64-based -> rows-only
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs (hamming <= 12 over token sets)."""
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=12
+    )
+
+
+_X_EMB_DUP_SQL = """
+SELECT * FROM (
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  list_sum(list_transform(range(1, 65),
+    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(range(1, 65),
+       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+   * sqrt(list_sum(list_transform(range(1, 65),
+       i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+  AS cos
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+) WHERE cos >= 0.4
+"""
+
+
+@_q("x_dedup_embedding_cosine", _X_EMB_DUP_SQL)
+def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force exact tier; cosine is
+    bit-identical to the SQL fold). Threshold 0.4 — the fixture has no
+    planted near-dups (max off-diagonal cosine ~0.51)."""
+    return dedup.embedding_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.4,
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+_X_TOPK_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_sum(list_transform(range(1, 65),
+      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, 65),
+         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, 65),
+         i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+    AS cos
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
+
+
+@_q("x_sim_bruteforce_topk", _X_TOPK_SQL)
+def x_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 10 query vectors: broadcast queries, map-side
+    scoring, per-query window top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=10
+    )
+
+
+@_q("x_sim_lsh_topk")  # candidate set depends on hyperplane family -> rows-only
+def x_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via deterministic hyperplane LSH + exact re-rank; recall
+    vs brute force is asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=10, n_tables=8, n_bits=8
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "x_mm_decode_metadata",
+    "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+    "octet_length(encode(text)) % 640 + 1 AS width, "
+    "octet_length(encode(text)) % 480 + 1 AS height, "
+    "'FAKE' AS format FROM documents",
+)
+def x_mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + Arrow-batched mapInPandas decode stage (decode
+    itself is a deterministic stub — container has no media libs)."""
+    d = multimodal.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.decode_media(d)
+
+
+@_q(
+    "x_mm_frame_sample",
+    "SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, "
+    "CAST(f * 100 AS INTEGER) AS byte_offset FROM "
+    "(SELECT doc_id, unnest(range(octet_length(encode(text)) // 100 + 1)) AS f "
+    "FROM documents)",
+)
+def x_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out: one row per sampled frame via sequence +
+    posexplode (pure built-ins)."""
+    d = multimodal.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(d)
+
+
+# --------------------------------------------------------------------------
+# Streaming
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "x_stream_window_agg",
+    "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, "
+    "event_type, COUNT(*) AS n_events, "
+    "SUM(CAST(value AS DECIMAL(18,2))) AS total_value "
+    "FROM events GROUP BY 1, 2",
+)
+def x_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation driven to
+    completion over the events fixture (memory sink, complete mode);
+    result equals the batch windowed aggregate, which the oracle states."""
+    return run_stream_to_batch(spark, sf_dir)
+
+
+@_q("x_stream_sessionize")  # stateful streaming -> rows-only
+def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: applyInPandasWithState sessionization
+    (30-min gap) over the event stream."""
+    return sessionize_stateful(spark, sf_dir)

@@ -1,0 +1,141 @@
+"""Config-driven pipeline runner (SURVEY §2.12) — the Glue-workflow analog.
+
+Reference control plane: a Glue workflow passes run properties
+(table_name, bucket, key) between three jobs — validate_data ->
+dynamic_upsert (per dimension table) -> populate_fact, with
+datespopulation as one-time setup (get_workflow_params copies at
+dynamic_upsert.py:35-58, populate_fact.py:15-38, validate_data.py:90-113).
+
+Here the control plane is one ``PipelineContext`` dict-like dataclass and
+``Pipeline.run`` sequences the same steps inside a single SparkSession:
+
+    validate sources (V4 gate, aborts on violation)
+      -> SCD-2 upsert each dimension (M1)
+      -> generate dim_dates (M3)
+      -> populate fact (M2)
+      -> single terminal write per table (M5 write-last atomicity)
+
+Scale posture: every transform stays lazy until its one terminal write;
+the fact output partitions by OrderDateKey so downstream scans prune by
+date; dims are written unpartitioned (they are small and broadcast).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dates_dim import generate_dim_dates
+from ..operators.fact import build_staging_fact, populate_fact
+from ..operators.scd2 import scd2_upsert
+from ..operators.validation import validate_or_raise, validation_report
+from ..sources.readers import write_overwrite
+
+
+@dataclass
+class DimSpec:
+    """One dimension-backed source table (the reference's
+    dimensional_columns entry, dynamic_upsert.py:16-20)."""
+
+    name: str
+    business_key: str
+    columns: tuple[str, ...]
+    surrogate_key: str
+
+
+@dataclass
+class PipelineContext:
+    """The workflow-run-properties analog."""
+
+    sf_dir: str
+    warehouse_dir: str
+    run_date: dt.date
+    dates_start: dt.date
+    dates_days: int
+    scd2_mode: str = "reference"
+    results: dict[str, DataFrame] = field(default_factory=dict)
+
+
+class Pipeline:
+    """validate -> upsert dims -> dates -> fact, write-last per table."""
+
+    def __init__(
+        self,
+        sources: dict[str, Callable[[SparkSession, str], DataFrame]],
+        dims: list[DimSpec],
+        fact_orders_source: str = "orders",
+        fact_details_source: str = "orderdetails",
+        source_pks: dict[str, list[str]] | None = None,
+        lenient_sources: set[str] | None = None,
+    ) -> None:
+        self.sources = sources
+        self.dims = dims
+        self.fact_orders_source = fact_orders_source
+        self.fact_details_source = fact_details_source
+        # per-table PK override for composite grains; default mirrors the
+        # reference's first-column rule (validate_data.py:63)
+        self.source_pks = source_pks or {}
+        # violation policy: default = abort (the reference's behavior,
+        # validate_data.py:74,85); lenient tables record the violation
+        # report and continue — the pragmatic mode for web-scale corpora
+        # where upstream dup rows are expected, not exceptional.
+        self.lenient_sources = lenient_sources or set()
+
+    def run(self, spark: SparkSession, ctx: PipelineContext) -> dict[str, DataFrame]:
+        # Step 1: ingest + validate every source (validate_data.py:148-171).
+        loaded: dict[str, DataFrame] = {}
+        for name, loader in self.sources.items():
+            df = loader(spark, ctx.sf_dir)
+            pk = self.source_pks.get(name, df.columns[0])
+            if name in self.lenient_sources:
+                report = validation_report(df, name, pk)
+                ctx.results[f"validation_{name}"] = report
+            else:
+                validate_or_raise(df, name, pk)
+            loaded[name] = df
+
+        # Step 2: SCD-2 upsert each dimension (dynamic_upsert.py:110-152).
+        for spec in self.dims:
+            dim = scd2_upsert(
+                None,
+                loaded[spec.name],
+                spec.business_key,
+                list(spec.columns),
+                spec.surrogate_key,
+                run_date=ctx.run_date,
+                mode=ctx.scd2_mode,
+            )
+            path = f"{ctx.warehouse_dir}/dim_{spec.name}"
+            write_overwrite(dim, path)
+            ctx.results[f"dim_{spec.name}"] = spark.read.parquet(path)
+
+        # Step 3: one-time calendar dimension (datespopulation.py).
+        dim_dates = generate_dim_dates(spark, ctx.dates_start, ctx.dates_days)
+        dates_path = f"{ctx.warehouse_dir}/dim_dates"
+        write_overwrite(dim_dates, dates_path)
+        ctx.results["dim_dates"] = spark.read.parquet(dates_path)
+
+        # Step 4: fact population (populate_fact.py:89-136); runs after the
+        # last source ingest, like the table_name=='orderdetails' dispatch.
+        staging = build_staging_fact(
+            loaded[self.fact_orders_source], loaded[self.fact_details_source]
+        )
+        fact = populate_fact(
+            staging,
+            ctx.results["dim_customers"],
+            ctx.results["dim_stores"],
+            ctx.results["dim_products"],
+            ctx.results["dim_dates"],
+        )
+        fact_path = f"{ctx.warehouse_dir}/fact_orders"
+        # Partitioned by date key so downstream date-range scans prune files;
+        # repartition first so each date lands in one task -> one file per
+        # partition instead of (tasks x dates) small files.
+        write_overwrite(
+            fact.repartition("OrderDateKey"), fact_path, partition_by=("OrderDateKey",)
+        )
+        ctx.results["fact_orders"] = spark.read.parquet(fact_path)
+        return ctx.results

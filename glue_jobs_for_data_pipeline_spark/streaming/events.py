@@ -1,0 +1,206 @@
+"""Structured Streaming surface over the events fixture (SURVEY §7.5 —
+an extension; the reference is batch-only).
+
+The same validation/aggregation kernels used in batch run here over
+``readStream``: tumbling-window aggregates with (optionally) watermarked
+late-data handling, plus an ``applyInPandasWithState`` sessionizer as
+the custom-stateful-operator example.
+
+Local harness: parquet source + memory sink + processAllAvailable()
+drives the stream to completion synchronously (the pattern from the
+public Spark docs); on a cluster the source becomes Kafka/files and the
+sink a table — the query graph is unchanged.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.readers import load_events
+
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see load_events)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the nanos->us normalization
+    identical to the batch reader.
+
+    The parquet streaming source requires a directory; the fixture is a
+    single file, so it is exposed through a symlink dir (testdata itself
+    stays untouched).
+    """
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream_dir = f"/tmp/spark_graft_io/stream_events_{sf_dir.replace('/', '_')}"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = f"{stream_dir}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .format("parquet")
+        .load(stream_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts + exact decimal sums per event_type.
+
+    Decimal-cast before SUM keeps the aggregate exact (and
+    oracle-comparable); window start/end surface as plain timestamps.
+    """
+    return (
+        events.groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    query_name: str = "events_window_agg",
+) -> DataFrame:
+    """Drive the windowed aggregation over all available input and return
+    the final result as a batch DataFrame (memory sink, complete mode)."""
+    agg = windowed_event_agg(read_events_stream(spark, sf_dir), window)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # materialize before the in-memory sink table goes away
+    out = spark.table(query_name)
+    out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
+def watermarked_event_agg(events: DataFrame) -> DataFrame:
+    """Append-mode variant with a 10-minute watermark: late rows beyond
+    the watermark are dropped, windows emit once finalized. (Append mode
+    only emits closed windows, so the trailing window stays pending —
+    correct streaming semantics, checked as rows-only.)"""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def sessionize_stateful(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization via
+    applyInPandasWithState (sessions split on >gap_minutes idle).
+
+    Demonstrates the arbitrary-state API shape; emitted rows are the
+    sessions closed by end-of-input timeout.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        rows = []
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        ts_us.sort()
+        if state.exists:
+            start, last, n = state.get
+        elif ts_us:
+            start, last, n = ts_us[0], ts_us[0], 0
+        else:
+            start, last, n = 0, 0, 0
+        for t in ts_us:
+            if n and t - last > gap_us:
+                rows.append((key[0], start, last, n))
+                start, n = t, 0
+            last = t
+            n += 1
+        state.update((start, last, n))
+        if state.hasTimedOut and n:
+            rows.append((key[0], start, last, n))
+            state.remove()
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in rows],
+                    "session_start": [pd.Timestamp(r[1], unit="us") for r in rows],
+                    "session_end": [pd.Timestamp(r[2], unit="us") for r in rows],
+                    "n_events": [r[3] for r in rows],
+                }
+            )
+
+    events = read_events_stream(spark, sf_dir)
+    sessions = (
+        events.withWatermark("ts", "1 minute")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, SESSION_SCHEMA, _STATE_SCHEMA, "append", "EventTimeTimeout"
+        )
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("sessions_out")
+    return spark.createDataFrame(out.collect(), out.schema)
