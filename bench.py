@@ -1,0 +1,72 @@
+"""Headline benchmark: runs representative queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized through the noop sink (full computation, no
+driver-side collect bottleneck). The set spans the engine's load-bearing
+paths: the broadcast star join (M2), SCD-2 upsert (M1), single-pass
+validation (V1/V2), hash aggregation, exact + LSH dedup, similarity
+top-k, text kernels, and the streaming window aggregate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from glue_jobs_for_data_pipeline_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "m2_j2_fact_population",
+    "m1_scd2_upsert",
+    "v1_null_counts",
+    "v2_pk_duplicates",
+    "a2_groupby_count",
+    "j1_inner_equijoin",
+    "m3_dim_dates",
+    "x_dedup_exact",
+    "x_dedup_minhash_lsh",
+    "x_sim_bruteforce_topk",
+    "x_text_fingerprint",
+    "x_stream_window_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as e
+
+    spark = get_spark("bench")
+    # JVM/codegen warmup outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    qs = e.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -114,7 +114,10 @@ def assign_surrogate_keys(
     deterministic for 100TB-scale dims, but non-contiguous.
     """
     if key_mode == "hash":
-        key = F.xxhash64(F.col(business_key), F.col(SCD2_START))
+        # staged carries the run date as LoadDate at this point (it becomes
+        # StartDate downstream, dynamic_upsert.py:137-139 column-positional)
+        version_date = "LoadDate" if "LoadDate" in staged.columns else SCD2_START
+        key = F.xxhash64(F.col(business_key), F.col(version_date))
         return staged.withColumn(surrogate_key, key)
     w = Window.orderBy(business_key)
     base = F.lit(0)

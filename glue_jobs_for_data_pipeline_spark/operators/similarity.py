@@ -65,14 +65,18 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_tables: int = 8,
-    n_bits: int = 8,
+    n_tables: int = 16,
+    n_bits: int = 4,
 ) -> DataFrame:
     """ANN top-k: hyperplane-LSH candidate generation + exact re-rank.
 
     Each vector gets n_tables bucket signatures; query/corpus collide on
     (table, signature); candidates are exact-cosine re-ranked per query.
     Probe cost ~ corpus/2^n_bits per table instead of the full corpus.
+
+    Defaults (16 tables x 4 bits) target weakly-similar corpora (random
+    embeddings, top-10 cosine ~0.4 -> measured recall ~0.9); corpora with
+    true near-dups (cosine >0.8) can raise n_bits for sharper buckets.
     """
     corpus_sig = _with_signatures(corpus, id_col, vec_col, n_tables, n_bits).select(
         F.col(id_col).alias("neighbor_id"),

@@ -272,9 +272,7 @@ def x_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via deterministic hyperplane LSH + exact re-rank; recall
     vs brute force is asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=10, n_tables=8, n_bits=8
-    )
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,83 @@
+"""Dedup operator tests: exact semantics on hand-built docs, estimator
+accuracy for the hash families the SQL oracle can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from glue_jobs_for_data_pipeline_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    other = "completely different words with nothing shared at all here now ok"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0 (whitespace-normalized)
+        (2, "  " + base + " "),  # exact dup modulo normalization
+        (3, near),  # near dup of 0
+        (4, other),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r["n_copies"] for r in dedup.exact_dedup(docs, "doc_id", "text").collect()}
+    assert out == {0: 3, 3: 1, 4: 1}  # min-id survivor, 3 copies collapse
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    # identical docs: jaccard exactly 1.0
+    assert got[(0, 1)] == 1.0 and got[(0, 2)] == 1.0 and got[(1, 2)] == 1.0
+    # near dup: differs in last word -> 2 of 11 trigrams differ
+    assert (0, 3) in got and 0.6 < got[(0, 3)] < 1.0
+    # unrelated doc shares nothing above threshold
+    assert not any(4 in p for p in got)
+
+
+def test_minhash_tracks_exact_jaccard(docs):
+    mh = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16)
+    est = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in mh.collect()}
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.0).collect()
+    }
+    # exact dups must be candidates with estimate 1.0
+    assert est[(0, 1)] == 1.0 and est[(0, 2)] == 1.0
+    # near dup found, estimate within 0.25 of exact (64 hashes -> se ~0.06)
+    assert (0, 3) in est
+    assert abs(est[(0, 3)] - exact[(0, 3)]) < 0.25
+
+
+def test_simhash_identical_zero_distance(docs):
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(0, 1)] == 0 and got[(0, 2)] == 0
+    assert (0, 4) not in got  # unrelated doc not within radius
+
+
+def test_simhash_near_dup_closer_than_unrelated(docs):
+    # For 13-token docs a 1-token change flips many low-margin bits, so
+    # compare distances at a wide radius instead of expecting <=3.
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=40)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+    assert (0, 3) in got
+    if (0, 4) in got:
+        assert got[(0, 3)] < got[(0, 4)]
+
+
+def test_embedding_cosine_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),  # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dedup.embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.95)
+    got = [(r["id_a"], r["id_b"]) for r in out.collect()]
+    assert got == [(0, 1)]

@@ -1,0 +1,75 @@
+"""End-to-end pipeline run at sf0.001 (the Glue-workflow analog, §2.12)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from glue_jobs_for_data_pipeline_spark.operators.validation import ValidationError
+from glue_jobs_for_data_pipeline_spark.plans import tpch_fixtures as fx
+from glue_jobs_for_data_pipeline_spark.plans.pipeline import (
+    DimSpec,
+    Pipeline,
+    PipelineContext,
+)
+
+WAREHOUSE = "/tmp/spark_graft_io/test_warehouse"
+
+
+def _pipeline(**kw):
+    return Pipeline(
+        sources={
+            "customers": fx.ref_customers,
+            "products": fx.ref_products,
+            "stores": fx.ref_stores,
+            "orders": fx.ref_orders,
+            "orderdetails": fx.ref_orderdetails,
+        },
+        dims=[
+            DimSpec("customers", "CustomerID", fx.CUSTOMER_COLS, "CustomerKey"),
+            DimSpec("products", "ProductID", fx.PRODUCT_COLS, "ProductKey"),
+            DimSpec("stores", "StoreID", fx.STORE_COLS, "StoreKey"),
+        ],
+        source_pks={"orderdetails": ["OrderID", "ProductID", "StoreID"]},
+        **kw,
+    )
+
+
+def test_pipeline_end_to_end(spark, sf_dir):
+    shutil.rmtree(WAREHOUSE, ignore_errors=True)
+    ctx = PipelineContext(
+        sf_dir=sf_dir,
+        warehouse_dir=WAREHOUSE,
+        run_date=fx.INITIAL_LOAD_DATE,
+        dates_start=fx.DATES_START,
+        dates_days=fx.DATES_DAYS,
+    )
+    res = _pipeline(lenient_sources={"orderdetails"}).run(spark, ctx)
+    assert res["fact_orders"].count() > 0
+    assert res["dim_dates"].count() == fx.DATES_DAYS
+    # every fact FK resolves against a current dim row
+    fact = res["fact_orders"]
+    dimc = res["dim_customers"]
+    unresolved = fact.join(
+        dimc.select("CustomerKey"), "CustomerKey", "left_anti"
+    ).count()
+    assert unresolved == 0
+    # violation report was recorded for the lenient source
+    report = {
+        r["check_name"]: r["violation_count"]
+        for r in res["validation_orderdetails"].collect()
+    }
+    assert "pk_unique_OrderID_ProductID_StoreID" in report
+
+
+def test_pipeline_strict_mode_aborts(spark, sf_dir):
+    ctx = PipelineContext(
+        sf_dir=sf_dir,
+        warehouse_dir=WAREHOUSE + "_strict",
+        run_date=fx.INITIAL_LOAD_DATE,
+        dates_start=fx.DATES_START,
+        dates_days=2,
+    )
+    with pytest.raises(ValidationError):
+        _pipeline().run(spark, ctx)

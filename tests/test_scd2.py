@@ -1,0 +1,133 @@
+"""SCD-2 upsert semantics (SURVEY §2.9 M1, §7.4) — the reference's naive
+expire-and-reversion behavior plus the delta extension, on the FIXTURES
+§A3 edge-case matrix: new key, unchanged key, changed key, absent key.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from glue_jobs_for_data_pipeline_spark.operators.scd2 import scd2_upsert
+
+COLS = ["CustomerID", "Name"]
+D0 = dt.date(2024, 1, 1)
+D1 = dt.date(2024, 6, 1)
+SENTINEL = dt.date(9999, 12, 31)
+
+
+@pytest.fixture(scope="module")
+def initial(spark):
+    src = spark.createDataFrame(
+        [(1, "ann"), (2, "bob"), (3, "cyd")], "CustomerID int, Name string"
+    )
+    return scd2_upsert(None, src, "CustomerID", COLS, "CustomerKey", run_date=D0)
+
+
+def _by_key(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["CustomerID"], []).append(r)
+    return out
+
+
+def test_initial_load(initial):
+    rows = initial.collect()
+    assert len(rows) == 3
+    assert all(r["StartDate"] == D0 and r["EndDate"] == SENTINEL for r in rows)
+    # surrogate keys contiguous + ordered by business key
+    assert [r["CustomerKey"] for r in sorted(rows, key=lambda r: r["CustomerID"])] == [
+        1,
+        2,
+        3,
+    ]
+
+
+def test_naive_upsert_reference_semantics(spark, initial):
+    # batch: 2 unchanged, 3 changed, 4 new; 1 absent
+    batch = spark.createDataFrame(
+        [(2, "bob"), (3, "cyd2"), (4, "dee")], "CustomerID int, Name string"
+    )
+    out = scd2_upsert(
+        initial, batch, "CustomerID", COLS, "CustomerKey", run_date=D1
+    ).collect()
+    k = _by_key(out)
+    # absent key 1: untouched current row (the IN-subquery only expires
+    # keys present in the source, dynamic_upsert.py:130)
+    assert len(k[1]) == 1 and k[1][0]["EndDate"] == SENTINEL
+    # unchanged key 2: naive mode STILL expires + re-versions it
+    v2 = sorted(k[2], key=lambda r: r["StartDate"])
+    assert len(v2) == 2
+    assert v2[0]["EndDate"] == D1 - dt.timedelta(days=1)
+    assert v2[1]["StartDate"] == D1 and v2[1]["EndDate"] == SENTINEL
+    # changed key 3: expired old, new current version with new value
+    v3 = sorted(k[3], key=lambda r: r["StartDate"])
+    assert v3[0]["Name"] == "cyd" and v3[0]["EndDate"] == D1 - dt.timedelta(days=1)
+    assert v3[1]["Name"] == "cyd2" and v3[1]["EndDate"] == SENTINEL
+    # new key 4: one current row
+    assert len(k[4]) == 1 and k[4][0]["StartDate"] == D1
+    # exactly one current row per key present
+    current = [r for r in out if r["EndDate"] == SENTINEL]
+    assert sorted(r["CustomerID"] for r in current) == [1, 2, 3, 4]
+    # surrogate keys unique and continue past the existing max
+    keys = [r["CustomerKey"] for r in out]
+    assert len(set(keys)) == len(keys)
+    assert {r["CustomerKey"] for r in out if r["StartDate"] == D1} == {4, 5, 6}
+
+
+def test_delta_mode_skips_unchanged(spark, initial):
+    batch = spark.createDataFrame(
+        [(2, "bob"), (3, "cyd2")], "CustomerID int, Name string"
+    )
+    out = scd2_upsert(
+        initial, batch, "CustomerID", COLS, "CustomerKey", run_date=D1, mode="delta"
+    ).collect()
+    k = _by_key(out)
+    # unchanged key 2 keeps its single original current row
+    assert len(k[2]) == 1 and k[2][0]["EndDate"] == SENTINEL
+    # changed key 3 is versioned
+    assert len(k[3]) == 2
+
+
+def test_hash_key_mode(spark, initial):
+    batch = spark.createDataFrame([(9, "zed")], "CustomerID int, Name string")
+    out = scd2_upsert(
+        initial, batch, "CustomerID", COLS, "CustomerKey", run_date=D1,
+        key_mode="hash",
+    )
+    new = out.filter(F.col("CustomerID") == 9).collect()[0]
+    assert new["CustomerKey"] is not None
+    # deterministic across runs
+    again = scd2_upsert(
+        initial, batch, "CustomerID", COLS, "CustomerKey", run_date=D1,
+        key_mode="hash",
+    ).filter(F.col("CustomerID") == 9).collect()[0]
+    assert again["CustomerKey"] == new["CustomerKey"]
+
+
+def test_upsert_sequence_invariants(spark):
+    """Property-style: after any sequence of naive upserts, exactly one
+    current row per ever-seen key, and validity intervals never overlap."""
+    dim = None
+    batches = [
+        [(1, "a"), (2, "b")],
+        [(2, "b"), (3, "c")],
+        [(1, "a2"), (3, "c"), (4, "d")],
+    ]
+    dates = [dt.date(2024, 1, 1), dt.date(2024, 2, 1), dt.date(2024, 3, 1)]
+    for rows, d in zip(batches, dates):
+        src = spark.createDataFrame(rows, "CustomerID int, Name string")
+        dim = scd2_upsert(dim, src, "CustomerID", COLS, "CustomerKey", run_date=d)
+        dim = spark.createDataFrame(dim.collect(), dim.schema)  # pin state
+    out = dim.collect()
+    k = _by_key(out)
+    for key, versions in k.items():
+        current = [r for r in versions if r["EndDate"] == SENTINEL]
+        assert len(current) == 1, f"key {key}"
+        ordered = sorted(versions, key=lambda r: r["StartDate"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert a["EndDate"] < b["StartDate"] or a["EndDate"] <= b["StartDate"]
+        for r in versions:
+            assert r["StartDate"] <= r["EndDate"]

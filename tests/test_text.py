@@ -1,0 +1,69 @@
+"""Text kernels: counts, quality, language ID on real sentences,
+fingerprint stability."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from glue_jobs_for_data_pipeline_spark.functions import text as tx
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        (0, "The cat sat on the mat, and it was happy."),
+        (1, "Der Hund lief zu den Kindern und ist nicht müde."),
+        (2, "Le chat est sur la table et les enfants sont là."),
+        (3, "El perro y el gato están en la casa."),
+        (4, "这是一个中文句子。"),
+        (5, "xyzzy plugh qwerty"),  # no stopwords anywhere
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _col(df, expr, alias="v"):
+    return {r["doc_id"]: r[alias] for r in df.select("doc_id", expr.alias(alias)).collect()}
+
+
+def test_token_counts(df):
+    counts = _col(df, tx.token_count(F.col("text")))
+    assert counts[0] == 10
+    assert counts[5] == 3
+
+
+def test_bpeish_counts_splits_punct(df):
+    counts = _col(df, tx.bpeish_token_count(F.col("text")))
+    assert counts[0] == 12  # 10 words + comma + period
+
+
+def test_lang_id(df):
+    langs = _col(df, tx.lang_id(F.col("text")))
+    assert langs[0] == "en"
+    assert langs[1] == "de"
+    assert langs[2] == "fr"
+    assert langs[3] == "es"
+    assert langs[4] == "zh"
+    assert langs[5] == "und"
+
+
+def test_quality_score_ranges(df):
+    q = _col(df, tx.quality_score(F.col("text")))
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+    # prose with stopwords outscores keyboard mash of same length
+    assert q[0] > q[5]
+
+
+def test_fingerprints_normalize_whitespace_and_case(spark):
+    rows = [(0, "Hello  World"), (1, "hello world"), (2, "hello worlds")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {
+        r["doc_id"]: (r["c"], r["r"])
+        for r in df.select(
+            "doc_id",
+            tx.content_fingerprint(F.col("text")).alias("c"),
+            tx.rolling_hash(F.col("text")).alias("r"),
+        ).collect()
+    }
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
