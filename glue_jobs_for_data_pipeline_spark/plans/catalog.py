@@ -639,6 +639,65 @@ def m1_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_M1_DELTA_SQL = """
+WITH src0 AS ({src}),
+init_src AS (SELECT * FROM src0 WHERE CustomerID % 3 <> 0),
+dim0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY CustomerID) AS CustomerKey,
+         CustomerID, Name, NationKey, AcctBal, MktSegment,
+         DATE '1995-01-01' AS StartDate, DATE '9999-12-31' AS EndDate
+  FROM init_src),
+batch AS (
+  SELECT CustomerID,
+         CASE WHEN CustomerID % 4 = 0 THEN Name || ' v2' ELSE Name END AS Name,
+         NationKey, AcctBal, MktSegment
+  FROM src0 WHERE CustomerID % 2 = 0),
+current0 AS (
+  SELECT CustomerID, Name, NationKey, AcctBal, MktSegment
+  FROM dim0 WHERE EndDate = DATE '9999-12-31'),
+staged AS (SELECT * FROM batch EXCEPT SELECT * FROM current0),
+expired AS (
+  SELECT CustomerKey, CustomerID, Name, NationKey, AcctBal, MktSegment, StartDate,
+         CASE WHEN EndDate = DATE '9999-12-31'
+                   AND CustomerID IN (SELECT CustomerID FROM staged)
+              THEN DATE '1995-06-01' - 1 ELSE EndDate END AS EndDate
+  FROM dim0),
+mx AS (SELECT COUNT(*) AS mk FROM dim0),
+new_rows AS (
+  SELECT mk + ROW_NUMBER() OVER (ORDER BY CustomerID) AS CustomerKey,
+         CustomerID, Name, NationKey, AcctBal, MktSegment,
+         DATE '1995-06-01' AS StartDate, DATE '9999-12-31' AS EndDate
+  FROM staged, mx)
+SELECT * FROM expired UNION ALL SELECT * FROM new_rows
+""".format(src=fx.SQL_CUSTOMERS)
+
+
+@_q("m1b_scd2_delta_upsert", _M1_DELTA_SQL)
+def m1b_scd2_delta_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 extension (SURVEY §7.4): change-detecting SCD-2 — only rows whose
+    compared columns actually changed are expired/re-versioned (left-anti
+    join of staged vs current), cutting dim growth from O(runs x source)
+    to O(changes). Batch edits Name only for CustomerID % 4 == 0, so
+    unchanged re-ingested keys are skipped (unlike naive m1)."""
+    src = fx.ref_customers(spark, sf_dir)
+    cols = list(fx.CUSTOMER_COLS)
+    init = src.filter(F.col("CustomerID") % 3 != 0)
+    dim0 = scd2_upsert(
+        None, init, "CustomerID", cols, "CustomerKey",
+        run_date=fx.INITIAL_LOAD_DATE,
+    )
+    batch = src.filter(F.col("CustomerID") % 2 == 0).withColumn(
+        "Name",
+        F.when(
+            F.col("CustomerID") % 4 == 0, F.concat(F.col("Name"), F.lit(" v2"))
+        ).otherwise(F.col("Name")),
+    )
+    return scd2_upsert(
+        dim0, batch, "CustomerID", cols, "CustomerKey",
+        run_date=fx.SECOND_BATCH_DATE, mode="delta",
+    )
+
+
 _M4_SQL = """
 WITH src0 AS ({src}),
 init_src AS (SELECT * FROM src0 WHERE CustomerID % 3 <> 0),

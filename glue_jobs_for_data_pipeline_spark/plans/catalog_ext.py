@@ -64,17 +64,15 @@ def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_X_QUALITY_SQL = f"""
-SELECT doc_id,
+_QUALITY_EXPR = f"""(
   0.4 * least(len({_SQL_TOKENS.format(x='text')}) / 100.0, 1.0)
 + 0.3 * (1.0 - least(
     (length(regexp_replace(text, '[^.,;:!?''\"()\\-]', '', 'g'))
      / greatest(length(text), 1)) * 5, 1.0))
 + 0.3 * least(({_SQL_STOPHITS.format(x='text', lst=_sql_in_list(_STOP))}
-     / greatest(len({_SQL_TOKENS.format(x='text')}), 1)) * 4, 1.0)
-  AS quality
-FROM documents
-"""
+     / greatest(len({_SQL_TOKENS.format(x='text')}), 1)) * 4, 1.0))"""
+
+_X_QUALITY_SQL = f"SELECT doc_id, {_QUALITY_EXPR} AS quality FROM documents"
 
 
 @_q("x_text_quality", _X_QUALITY_SQL)
@@ -84,7 +82,7 @@ def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
 
 
-def _lang_case_sql() -> str:
+def _lang_case_expr() -> str:
     score = {
         lang: _SQL_STOPHITS.format(x="text", lst=_sql_in_list(words.split()))
         for lang, words in tx.LANG_STOPWORDS.items()
@@ -97,14 +95,13 @@ def _lang_case_sql() -> str:
             f"THEN '{lang}'"
         )
     return (
-        "SELECT doc_id, CASE "
-        "WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 THEN 'zh' "
+        "CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 THEN 'zh' "
         + " ".join(whens)
-        + " ELSE 'und' END AS lang_pred FROM documents"
+        + " ELSE 'und' END"
     )
 
 
-@_q("x_text_lang_id", _lang_case_sql())
+@_q("x_text_lang_id", f"SELECT doc_id, {_lang_case_expr()} AS lang_pred FROM documents")
 def x_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: CJK codepoint detection + stopword argmax."""
     d = load_table(spark, sf_dir, "documents")
@@ -332,3 +329,42 @@ def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: applyInPandasWithState sessionization
     (30-min gap) over the event stream."""
     return sessionize_stateful(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Composed corpus preparation (the end-to-end LLM data-pipeline flow)
+# --------------------------------------------------------------------------
+
+_X_CORPUS_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         {_lang_case_expr()} AS lang_pred,
+         {_QUALITY_EXPR} AS quality,
+         len({_SQL_TOKENS.format(x='text')}) AS n_tokens,
+         md5({_NORM_SQL}) AS fp
+  FROM documents),
+filtered AS (
+  SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.3),
+survivors AS (
+  SELECT fp, MIN(doc_id) AS doc_id FROM filtered GROUP BY fp)
+SELECT f.doc_id, f.n_tokens, f.quality
+FROM survivors s JOIN filtered f ON f.doc_id = s.doc_id
+"""
+
+
+@_q("x_corpus_prep", _X_CORPUS_SQL)
+def x_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus prep: lang gate + quality gate + exact dedup in one
+    declarative plan (single scan + one 16-byte-key shuffle)."""
+    from ..operators.corpus import prepare_corpus
+
+    return prepare_corpus(load_table(spark, sf_dir, "documents"))
+
+
+@_q("x_corpus_prep_neardup")  # adds MinHash-LSH stage -> rows-only
+def x_corpus_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep plus MinHash near-dup removal (est Jaccard >= 0.8,
+    lower doc id survives)."""
+    from ..operators.corpus import prepare_corpus_neardup
+
+    return prepare_corpus_neardup(load_table(spark, sf_dir, "documents"))
