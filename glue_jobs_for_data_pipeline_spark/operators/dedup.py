@@ -20,6 +20,8 @@ permutations, so candidate sets reproduce run-to-run.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -126,33 +128,62 @@ def ngram_jaccard_pairs(
 MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
 
 
-def _minhash_cols(num_hashes: int) -> list[F.Column]:
-    """num_hashes affine permutations h_i(x) = (a_i*x + b_i) mod (2^31-1)
-    over the xxhash64 shingle hash folded to 31 bits. a_i/b_i derive from
-    fixed mixing constants so signatures reproduce across runs. With
-    a,x < 2^31 the product stays < 2^62 — no long overflow."""
-    x = F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_P))
-    cols = []
-    for i in range(num_hashes):
-        a = (2654435761 * (i + 1) + 1) % MINHASH_P  # Knuth multiplicative mix
-        b = (40503 * (i + 7) * 65537) % MINHASH_P
-        if a == 0:
-            a = 1
-        h = F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_P))
-        cols.append(F.min(h).alias(f"h{i}"))
-    return cols
+def _affine(i: int) -> tuple[int, int]:
+    """Fixed-seed affine permutation constants for hash i (reproducible
+    across runs; a,x < 2^31 keeps a*x+b < 2^62 — no long overflow)."""
+    a = (2654435761 * (i + 1) + 1) % MINHASH_P  # Knuth multiplicative mix
+    b = (40503 * (i + 7) * 65537) % MINHASH_P
+    return (a or 1, b)
+
+
+def _perm(a: int, b: int):
+    # factory keeps the lambda single-arg (a 2-arg lambda would be read
+    # as (element, index) by the higher-order functions)
+    return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_P))
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, k: int = 3
 ) -> DataFrame:
-    """One row per doc: the num_hashes MinHash signature (long columns).
+    """One row per doc: (doc, sig array<long>) MinHash signature.
 
-    Single explode + one hash-aggregate: the shuffle carries (doc,
-    64 longs), never the shingles themselves.
+    Two-stage, shuffle-free: shingle xxhash64 runs JVM-side in one
+    projection; the num_hashes affine-permutation minima run in a
+    vectorized Arrow Pandas UDF (one numpy broadcast
+    ``(A @ x + B) % p -> min`` per document batch). Chosen over pure
+    higher-order functions deliberately: Spark HOFs are interpreted
+    (no codegen), so 64x array_min(transform(...)) per row is ~10x
+    slower than the numpy batch — this is the documented
+    "vectorized-UDF-when-built-ins-can't" path, and it pipelines with
+    the scan (no explode, no shuffle) at any scale.
     """
-    posts = doc_shingles(df, id_col, text_col, k)
-    return posts.groupBy("doc").agg(*_minhash_cols(num_hashes))
+    from pyspark.sql.types import ArrayType, LongType
+
+    ab = [_affine(i) for i in range(num_hashes)]
+    A = np.array([a for a, _ in ab], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in ab], dtype=np.int64)[:, None]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig_udf(sh: pd.Series) -> pd.Series:
+        empty = [int(MINHASH_P)] * num_hashes
+        out = []
+        for arr in sh:
+            x = np.asarray(arr, dtype=np.int64)
+            if x.size == 0:
+                out.append(empty)
+            else:
+                # a, x < 2^31 -> a*x+b < 2^62: no int64 overflow
+                out.append(((A * x[None, :] + B) % MINHASH_P).min(axis=1).tolist())
+        return pd.Series(out)
+
+    hashed = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            shingles(text_col, k),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_P)),
+        ).alias("_sh"),
+    )
+    return hashed.select("doc", sig_udf("_sh").alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -176,7 +207,7 @@ def minhash_lsh_pairs(
         *[
             F.struct(
                 F.lit(j).alias("band"),
-                F.xxhash64(*[F.col(f"h{j * r + i}") for i in range(r)]).alias("bh"),
+                F.xxhash64(*[F.col("sig")[j * r + i] for i in range(r)]).alias("bh"),
             )
             for j in range(bands)
         ]
@@ -192,12 +223,8 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sig_a = sigs.select(
-        F.col("doc").alias("doc_a"), F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig_a")
-    )
-    sig_b = sigs.select(
-        F.col("doc").alias("doc_b"), F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig_b")
-    )
+    sig_a = sigs.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
     return (
         cand.join(sig_a, "doc_a")
         .join(sig_b, "doc_b")
@@ -220,31 +247,49 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 
 
+def _vote_array(th: F.Column) -> F.Column:
+    """±1 vote per bit of a token hash."""
+    return F.array(
+        *[
+            F.when(
+                F.shiftright(th, i).bitwiseAND(F.lit(1)) == 1, F.lit(1).cast("long")
+            ).otherwise(F.lit(-1).cast("long"))
+            for i in range(64)
+        ]
+    )
+
+
+# bit weights for reassembling the signature; bit 63 is long-min in two's
+# complement (disjoint bits, so plain addition reconstructs the word)
+_BIT_WEIGHTS = [1 << i for i in range(63)] + [-(1 << 63)]
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per doc: sign of the per-bit sum of +-1 votes from
-    each distinct token's xxhash64. One explode + one aggregate; the
-    64 bit-sums fold into a single long via shiftleft/sum."""
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
-    ).withColumn("th", F.xxhash64("tok"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"v{i}")
-        for i in range(64)
-    ]
-    agg = toks.groupBy("doc").agg(*votes)
-    sim = None
-    for i in range(64):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
-        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR==OR
-    return agg.select("doc", sim.alias("simhash"))
+    each distinct token's xxhash64.
+
+    Fully per-row (no explode, no shuffle): an aggregate() fold over the
+    token-hash array accumulates the 64 vote counters as an array column,
+    then the sign bits fold back into one long. Pipelines with the scan —
+    the whole signature stage is a single projection at 100 TB.
+    """
+    tok_hashes = F.transform(
+        F.array_distinct(tokens(F.col(text_col))), lambda t: F.xxhash64(t)
+    )
+    votes = F.aggregate(
+        tok_hashes,
+        F.array(*[F.lit(0).cast("long")] * 64),
+        lambda acc, th: F.zip_with(acc, _vote_array(th), lambda a, b: a + b),
+    )
+    weights = F.array(*[F.lit(w).cast("long") for w in _BIT_WEIGHTS])
+    sim = F.aggregate(
+        F.zip_with(
+            votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col).alias("doc"), sim.alias("simhash"))
 
 
 def simhash_pairs(
