@@ -144,6 +144,87 @@ def _with_signatures(
     ).select(id_col, vec_col, F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig"))
 
 
+def assign_ivf_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its n_probe nearest centroids by cosine.
+
+    Centroids are broadcast (there are k of them); assignment is a
+    map-side scored join + per-vector top-n_probe window. Output:
+    (id, vec, cell, cell_rank).
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col("cell"), F.col(vec_col).alias("_cvec")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("cell"))
+    return (
+        vectors.select(id_col, vec_col)
+        .crossJoin(c)
+        .withColumn("_csim", cosine(F.col(vec_col), F.col("_cvec")))
+        .withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select(id_col, vec_col, "cell", "cell_rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ANN top-k via IVF (inverted-file) cells: the scale path the LSH
+    variant trades against.
+
+    Centroids: the first n_cells corpus vectors by id — deterministic and
+    free (a k-means refinement would slot in here; the partition/probe
+    plumbing is identical). Corpus vectors live in their 1 nearest cell;
+    queries probe their n_probe nearest cells; candidates re-rank by
+    exact cosine. Probe cost ~= n_probe/n_cells of the corpus.
+    """
+    centroids = F.broadcast(
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(id_col))
+            .alias("cell"),
+            F.col(vec_col),
+        )
+    )
+    corpus_cells = assign_ivf_cells(corpus, centroids, id_col, vec_col, 1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
+    )
+    query_cells = assign_ivf_cells(queries, centroids, id_col, vec_col, n_probe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cell"
+    )
+    cand = (
+        F.broadcast(query_cells)
+        .join(corpus_cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def _hp_weight_val(table: int, plane: int, dim: int) -> float:
     """Python-side deterministic hyperplane weight in [-1,1) — a splitmix64
     style integer mix (no RNG object, reproducible everywhere)."""

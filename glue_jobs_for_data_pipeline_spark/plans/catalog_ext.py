@@ -272,6 +272,92 @@ def x_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
 
 
+@_q("x_sim_ivf_topk")  # centroid choice is an impl detail -> rows-only
+def x_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via IVF cells (16 cells, 4 probes) + exact re-rank;
+    recall vs brute force asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+
+
+# --------------------------------------------------------------------------
+# General OLAP aggregation patterns (beyond the reference's surface)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "x_olap_q1_style",
+    "SELECT l_returnflag, l_linestatus, "
+    "SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, "
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price, "
+    "COUNT(*) AS cnt, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty "
+    "FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def x_olap_q1_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation: filtered scan -> grouped exact decimal
+    sums + derived average (partial agg map-side; only per-group partials
+    shuffle — the canonical 100 TB reporting query shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return agg.withColumn(
+        "avg_qty", F.col("sum_qty").cast("double") / F.col("cnt")
+    )
+
+
+@_q(
+    "x_olap_topk_per_group",
+    "SELECT * FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, "
+    "ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3",
+)
+def x_olap_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via partitioned window — the partitioned window
+    shuffles once on the group key and never materializes a global sort."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@_q(
+    "x_olap_rollup",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, "
+    "SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty "
+    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+)
+def x_olap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotal rollup (grouping sets) with exact decimal sums."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------

@@ -35,6 +35,18 @@ def test_lsh_recall_floor(spark, sf_dir):
     assert recall >= 0.7, f"LSH recall {recall} below floor"
 
 
+def test_ivf_recall_floor(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    approx = similarity.ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 4/16 probe fraction on weakly-clustered random data: modest floor
+    assert recall >= 0.3, f"IVF recall {recall} below floor"
+
+
 def test_lsh_deterministic(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
     q = emb.filter(F.col("vec_id") < 2)
