@@ -358,6 +358,21 @@ def x_olap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "x_skew_salted_agg",
+    "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag",
+)
+def x_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a 3-value hot key — result
+    identical to plain GROUP BY (the oracle states it), but the heavy
+    phase spreads each hot key across 16 reducers instead of 3."""
+    from ..operators.skew import salted_count
+
+    return salted_count(
+        load_table(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_orderkey"
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------
