@@ -359,6 +359,104 @@ def x_olap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_olap_left_outer_join",
+    "SELECT c.c_custkey, o.o_orderkey FROM customer c "
+    "LEFT JOIN orders o ON o.o_custkey = c.c_custkey",
+)
+def x_olap_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers without orders (null keys)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+    )
+    return c.join(o, "c_custkey", "left").select("c_custkey", "o_orderkey")
+
+
+@_q(
+    "x_olap_anti_join",
+    "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+    "(SELECT o_custkey FROM orders "
+    " WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) = 1995)",
+)
+def x_olap_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no orders in 1995."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year(F.col("o_orderdate").cast("date")) == 1995)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+@_q(
+    "x_olap_set_ops",
+    "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+    "INTERSECT SELECT o_custkey FROM orders "
+    "UNION SELECT c_custkey FROM customer WHERE c_custkey < 10 "
+    "EXCEPT SELECT c_custkey FROM customer WHERE c_custkey % 100 = 7",
+)
+def x_olap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / UNION (distinct) / EXCEPT set algebra on key sets,
+    mirroring ANSI precedence (INTERSECT binds tighter; UNION/EXCEPT
+    left-to-right)."""
+    cust = load_table(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ordered = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    small = cust.filter(F.col("c_custkey") < 10).select("c_custkey")
+    lucky = cust.filter(F.col("c_custkey") % 100 == 7).select("c_custkey")
+    return building.intersect(ordered).union(small).distinct().exceptAll(
+        lucky.distinct()
+    )
+
+
+@_q(
+    "x_olap_analytic_window",
+    "SELECT o_custkey, o_orderkey, "
+    "RANK() OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rk, "
+    "LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_order, "
+    "LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS next_order "
+    "FROM orders",
+)
+def x_olap_analytic_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/lag/lead analytic windows per customer order history."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), F.col("o_orderkey")
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rk"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
+
+
+@_q(
+    "x_olap_pivot",
+    "SELECT o_orderpriority, "
+    "COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F, "
+    "COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O, "
+    "COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P "
+    "FROM orders GROUP BY o_orderpriority",
+)
+def x_olap_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts by status (explicit value list keeps the output
+    schema static — required for any oracle and for stable plans)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@_q(
     "x_skew_salted_agg",
     "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag",
 )
