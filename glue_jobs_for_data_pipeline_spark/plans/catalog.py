@@ -339,8 +339,7 @@ def a4_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "w1_row_number",
-    "SELECT n_nationkey, n_name, ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn "
-    "FROM nation",
+    "SELECT n_nationkey, n_name, CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) AS INTEGER) AS rn FROM nation",
 )
 def w1_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: ROW_NUMBER() OVER (ORDER BY ...) (datespopulation.py:21).

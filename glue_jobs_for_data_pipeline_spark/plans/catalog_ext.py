@@ -41,9 +41,9 @@ def _sql_in_list(words: list[str]) -> str:
 
 _X_TEXT_STATS_SQL = f"""
 SELECT doc_id,
-       len({_SQL_TOKENS.format(x='text')}) AS n_tokens,
-       len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}')) AS n_bpeish,
-       length(text) AS n_chars,
+       CAST(len({_SQL_TOKENS.format(x='text')}) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}')) AS INTEGER) AS n_bpeish,
+       CAST(length(text) AS INTEGER) AS n_chars,
        length(regexp_replace(text, '[^.,;:!?''\"()\\-]', '', 'g'))
          / greatest(length(text), 1) AS punct_ratio
 FROM documents
@@ -317,8 +317,8 @@ def x_olap_q1_style(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "x_olap_topk_per_group",
     "SELECT * FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, "
-    "ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
-    "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3",
+    "CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn FROM orders) WHERE rn <= 3",
 )
 def x_olap_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K per group via partitioned window — the partitioned window
@@ -415,7 +415,7 @@ def x_olap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "x_olap_analytic_window",
     "SELECT o_custkey, o_orderkey, "
-    "RANK() OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rk, "
+    "CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS INTEGER) AS rk, "
     "LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_order, "
     "LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS next_order "
     "FROM orders",
@@ -478,9 +478,9 @@ def x_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "x_mm_decode_metadata",
-    "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
-    "octet_length(encode(text)) % 640 + 1 AS width, "
-    "octet_length(encode(text)) % 480 + 1 AS height, "
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, "
+    "CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width, "
+    "CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height, "
     "'FAKE' AS format FROM documents",
 )
 def x_mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,7 +539,7 @@ WITH scored AS (
   SELECT doc_id,
          {_lang_case_expr()} AS lang_pred,
          {_QUALITY_EXPR} AS quality,
-         len({_SQL_TOKENS.format(x='text')}) AS n_tokens,
+         CAST(len({_SQL_TOKENS.format(x='text')}) AS INTEGER) AS n_tokens,
          md5({_NORM_SQL}) AS fp
   FROM documents),
 filtered AS (
