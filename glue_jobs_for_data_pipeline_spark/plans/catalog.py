@@ -124,6 +124,30 @@ def s6_insert_select_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation.unionByName(nation)
 
 
+@_q("s1b_json_roundtrip", "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def s1b_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 variant: schema-first JSON-lines source (no inference pass)."""
+    from ..sources.readers import read_json_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = "/tmp/spark_graft_io/s1b_nation_json"
+    nation.write.mode("overwrite").json(path)
+    return read_json_table(spark, path, nation.schema).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@_q("s1c_orc_roundtrip", "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def s1c_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 variant: ORC source/sink (columnar alternative to parquet)."""
+    from ..sources.readers import read_orc_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = "/tmp/spark_graft_io/s1c_nation_orc"
+    nation.write.mode("overwrite").orc(path)
+    return read_orc_table(spark, path)
+
+
 @_q("s8_row_generator", "SELECT CAST(range AS BIGINT) AS id FROM range(731)")
 def s8_row_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8: N rows from nothing. Reference abuses a system-table scan + LIMIT

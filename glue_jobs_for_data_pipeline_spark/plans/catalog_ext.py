@@ -530,6 +530,28 @@ def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_stateful(spark, sf_dir)
 
 
+@_q("x_stream_watermark_append")  # append emits only watermark-closed windows
+def x_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked append-mode windowed aggregation: late rows beyond the
+    10-min watermark drop, and only finalized windows emit (the trailing
+    window stays pending by design -> rows-only check)."""
+    from ..streaming.events import read_events_stream, watermarked_event_agg
+
+    agg = watermarked_event_agg(read_events_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("events_wm_append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("events_wm_append")
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
 # --------------------------------------------------------------------------
 # Composed corpus preparation (the end-to-end LLM data-pipeline flow)
 # --------------------------------------------------------------------------

@@ -42,6 +42,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # catalog tables (bucketing demos) land outside the repo tree
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_io/warehouse_catalog")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -41,6 +41,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def read_json_table(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Schema-first JSON lines read (no inference pass — at 100 TB an
+    inferSchema scan doubles the read)."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar with predicate pushdown, like parquet."""
+    return spark.read.orc(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by a join key.
+
+    Two tables bucketed the same way co-locate their join: Catalyst
+    drops both shuffle Exchanges from the sort-merge join — at 100 TB
+    this converts the recurring join cost into a one-time write cost.
+    Requires a catalog table (saveAsTable), not a bare path.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table_name)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 variant for the events fixture: its parquet stores
     TIMESTAMP(NANOS) which Spark's vectorized reader rejects. Read nanos
