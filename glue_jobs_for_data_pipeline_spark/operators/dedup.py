@@ -136,27 +136,23 @@ def _affine(i: int) -> tuple[int, int]:
     return (a or 1, b)
 
 
-def _perm(a: int, b: int):
-    # factory keeps the lambda single-arg (a 2-arg lambda would be read
-    # as (element, index) by the higher-order functions)
-    return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_P))
-
-
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, k: int = 3
 ) -> DataFrame:
     """One row per doc: (doc, sig array<long>) MinHash signature.
 
-    Two-stage, shuffle-free: shingle xxhash64 runs JVM-side in one
-    projection; the num_hashes affine-permutation minima run in a
-    vectorized Arrow Pandas UDF (one numpy broadcast
-    ``(A @ x + B) % p -> min`` per document batch). Chosen over pure
-    higher-order functions deliberately: Spark HOFs are interpreted
-    (no codegen), so 64x array_min(transform(...)) per row is ~10x
-    slower than the numpy batch — this is the documented
-    "vectorized-UDF-when-built-ins-can't" path, and it pipelines with
-    the scan (no explode, no shuffle) at any scale.
+    Single shuffle-free Arrow Pandas UDF stage: tokenize -> distinct
+    word k-shingles -> crc32 shingle hash -> numpy broadcast
+    ``(A*x + B) % p -> min`` per batch. Chosen over built-in
+    expressions deliberately: Spark higher-order functions are
+    interpreted (no codegen), so both the shingle construction and the
+    64 permutation minima are faster as one vectorized Python batch —
+    the documented "vectorized-UDF-when-built-ins-can't" path. The
+    stage pipelines with the scan (no explode, no shuffle) at any
+    scale; crc32 is deterministic across runs and processes.
     """
+    import zlib
+
     from pyspark.sql.types import ArrayType, LongType
 
     ab = [_affine(i) for i in range(num_hashes)]
@@ -164,26 +160,30 @@ def minhash_signatures(
     B = np.array([b for _, b in ab], dtype=np.int64)[:, None]
 
     @F.pandas_udf(ArrayType(LongType()))
-    def sig_udf(sh: pd.Series) -> pd.Series:
+    def sig_udf(texts: pd.Series) -> pd.Series:
         empty = [int(MINHASH_P)] * num_hashes
         out = []
-        for arr in sh:
-            x = np.asarray(arr, dtype=np.int64)
-            if x.size == 0:
-                out.append(empty)
+        for text in texts:
+            toks = text.split()
+            if len(toks) >= k:
+                grams = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
             else:
-                # a, x < 2^31 -> a*x+b < 2^62: no int64 overflow
-                out.append(((A * x[None, :] + B) % MINHASH_P).min(axis=1).tolist())
+                grams = {" ".join(toks)}
+            if not grams:
+                out.append(empty)
+                continue
+            x = np.fromiter(
+                (zlib.crc32(g.encode()) % MINHASH_P for g in grams),
+                dtype=np.int64,
+                count=len(grams),
+            )
+            # a, x < 2^31 -> a*x+b < 2^62: no int64 overflow
+            out.append(((A * x[None, :] + B) % MINHASH_P).min(axis=1).tolist())
         return pd.Series(out)
 
-    hashed = df.select(
-        F.col(id_col).alias("doc"),
-        F.transform(
-            shingles(text_col, k),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_P)),
-        ).alias("_sh"),
+    return df.select(
+        F.col(id_col).alias("doc"), sig_udf(F.col(text_col)).alias("sig")
     )
-    return hashed.select("doc", sig_udf("_sh").alias("sig"))
 
 
 def minhash_lsh_pairs(
