@@ -23,8 +23,59 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["m2_j2_fact_population"](spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate consumed exactly the FIRST 50 keys of
+# queries() in round 1, leaving 24 extension queries unchecked. Registration
+# order is therefore the coverage knob: the 46 reference-parity entries must
+# stay in the window (they are re-verified every round), the remaining slots
+# go to the highest-value extensions that have a DuckDB oracle but no driver
+# row yet, already-driver-proven entries (x_text_*, green in r01) move to the
+# back of the oracle-checked block, and rows-only entries go last (their
+# weaker check loses the least by being cut off).
+_EXT_PRIORITY = [
+    "x_dedup_exact",
+    "x_dedup_ngram_jaccard",
+    "x_olap_q1_style",
+    "x_corpus_prep",
+    "x_stream_window_agg",
+    "x_olap_topk_per_group",
+    "x_olap_rollup",
+    "x_olap_left_outer_join",
+    "x_olap_anti_join",
+    "x_olap_set_ops",
+    "x_olap_analytic_window",
+    "x_olap_pivot",
+    "x_skew_salted_agg",
+    "x_sim_bruteforce_topk",
+    "x_dedup_embedding_cosine",
+    "x_mm_decode_metadata",
+    "x_mm_frame_sample",
+]
+_EXT_PROVEN_R01 = [
+    "x_text_stats",
+    "x_text_quality",
+    "x_text_lang_id",
+    "x_text_fingerprint",
+]
+
+
+def _ordered_keys() -> list[str]:
+    parity = [k for k in QUERIES if not k.startswith("x_")]
+    rows_only = [k for k in QUERIES if k not in ORACLE]
+    placed = set(parity) | set(_EXT_PRIORITY) | set(_EXT_PROVEN_R01) | set(rows_only)
+    other_oracle = [k for k in QUERIES if k not in placed]
+    ordered = (
+        parity
+        + [k for k in _EXT_PRIORITY if k in QUERIES and k not in rows_only]
+        + other_oracle
+        + [k for k in _EXT_PROVEN_R01 if k in QUERIES]
+        + rows_only
+    )
+    assert sorted(ordered) == sorted(QUERIES), "ordering dropped/duplicated keys"
+    return ordered
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {k: QUERIES[k] for k in _ordered_keys()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -31,9 +31,12 @@ BENCH_QUERIES = [
     "m3_dim_dates",
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
+    "x_dedup_ngram_jaccard",
     "x_sim_bruteforce_topk",
     "x_text_fingerprint",
     "x_stream_window_agg",
+    "x_olap_q1_style",
+    "x_corpus_prep",
 ]
 
 
@@ -57,12 +60,15 @@ def main() -> None:
             ).save()
         except Exception:  # noqa: BLE001 — warmup must never fail the bench
             pass
+    from glue_jobs_for_data_pipeline_spark.operators.dedup import release_caches
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        release_caches()  # dedup signature caches are per-query scratch
 
     print(
         json.dumps(

@@ -22,14 +22,17 @@ from ..functions.text import (
     quality_score,
     token_count,
 )
+from ..sources.readers import spread
 from .dedup import minhash_lsh_pairs
 
 
 def score_documents(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
+    """Scoring is the CPU-heavy stage (regex + stopword folds per doc);
+    spread() keeps it parallel even off a single-row-group source."""
     t = F.col(text_col)
-    return docs.select(
+    return spread(docs).select(
         id_col,
         text_col,
         lang_id(t).alias("lang_pred"),

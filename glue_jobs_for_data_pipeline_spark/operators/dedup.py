@@ -27,6 +27,26 @@ from pyspark.sql import functions as F
 
 from ..functions.text import content_fingerprint, tokens
 from ..functions.vectors import cosine
+from ..sources.readers import spread
+
+# DataFrames cached by operators in this module (the MinHash signature
+# stage feeds three consumers). Long-lived sessions that run dedup plans
+# repeatedly (bench loops, oracle sweeps) should call release_caches()
+# after materializing each result; otherwise old blocks linger until
+# Spark's storage-memory LRU evicts them.
+_CACHED: list[DataFrame] = []
+
+
+def _cached(df: DataFrame) -> DataFrame:
+    df = df.cache()
+    _CACHED.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every DataFrame cached by this module's operators."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
 
 # --------------------------------------------------------------------------
 # Exact dedup
@@ -38,10 +58,11 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     groupBy(text) would shuffle whole documents; grouping by the md5
     content fingerprint shuffles 16 bytes per row and scales to 100 TB.
-    min(id) makes the survivor deterministic.
+    min(id) makes the survivor deterministic. spread() parallelizes the
+    fingerprint stage when the source arrives coarser than the cluster.
     """
     return (
-        df.withColumn("_fp", content_fingerprint(F.col(text_col)))
+        spread(df).withColumn("_fp", content_fingerprint(F.col(text_col)))
         .groupBy("_fp")
         .agg(
             F.min(id_col).alias(id_col),
@@ -57,15 +78,21 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(text_col: str, k: int = 3) -> F.Column:
-    """Distinct word k-grams as strings (the Jaccard universe)."""
+    """Distinct word k-grams as strings (the Jaccard universe).
+
+    Docs shorter than k words have an EMPTY shingle universe (they drop
+    out of the pair space entirely) — the one convention both engines can
+    state exactly; emitting a single short gram instead diverged from the
+    SQL oracle, whose out-of-range w[i+k] indexing yields NULL.
+    """
     w = tokens(F.col(text_col))
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0)) ),
+        F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
     )
-    # guard degenerate docs shorter than k words: sequence(0,0) yields one
-    # (possibly short) gram, which is still a deterministic universe
-    return F.array_distinct(grams)
+    return F.when(F.size(w) >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
@@ -86,17 +113,41 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Pairs (doc_a < doc_b) with shingle-Jaccard >= threshold.
 
     Inverted index self-join: explode shingles, join on shingle (only
     co-occurring pairs materialize), count intersections, then
     |A u B| = |A| + |B| - |A n B|. The shuffle key is the shingle — a hot
-    shingle (stopword gram) blows up the posting list; production path
-    drops shingles with document frequency above a cap (df_cap), which
-    also removes the quadratic worst case.
+    shingle (stopword gram appearing in d docs) contributes d^2 joined
+    rows, the quadratic worst case at corpus scale. ``df_cap`` bounds it:
+    shingles with document frequency > df_cap are dropped from the
+    UNIVERSE (both intersection and sizes), so jaccard stays an exact
+    Jaccard over the rare-shingle universe and the join fan-out per
+    shingle is <= df_cap^2. The hot set is found with a map-side-combined
+    groupBy (only per-shingle partial counts shuffle) and is SMALL by the
+    heavy-tail argument — at most total_postings/df_cap distinct shingles
+    can exceed the cap — so it broadcasts, and the posting list itself is
+    filtered by a broadcast LEFT ANTI join with no extra shuffle of the
+    posts. Always set df_cap in production (e.g. 1000); None = uncapped.
     """
-    posts = doc_shingles(df, id_col, text_col, k)
+    posts = doc_shingles(spread(df), id_col, text_col, k)
+    if df_cap is not None:
+        hot = (
+            posts.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > df_cap)
+            .select("shingle")
+        )
+        # explicit shingle repartition: the filtered posting list is an
+        # exchange both self-join branches reuse (ReusedExchange), so the
+        # explode + anti-join run once, not once per consumer. A window
+        # count over shingle would instead pile each hot shingle's
+        # postings onto one partition — the exact skew the cap removes.
+        posts = posts.join(F.broadcast(hot), "shingle", "left_anti").repartition(
+            "shingle"
+        )
     sizes = posts.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = posts.select(F.col("doc").alias("doc_a"), "shingle")
     b = posts.select(F.col("doc").alias("doc_b"), "shingle")
@@ -164,6 +215,9 @@ def minhash_signatures(
         empty = [int(MINHASH_P)] * num_hashes
         out = []
         for text in texts:
+            if text is None:  # null-safe like the built-in kernels
+                out.append(empty)
+                continue
             toks = text.split()
             if len(toks) >= k:
                 grams = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
@@ -181,7 +235,7 @@ def minhash_signatures(
             out.append(((A * x[None, :] + B) % MINHASH_P).min(axis=1).tolist())
         return pd.Series(out)
 
-    return df.select(
+    return spread(df).select(
         F.col(id_col).alias("doc"), sig_udf(F.col(text_col)).alias("sig")
     )
 
@@ -202,7 +256,9 @@ def minhash_lsh_pairs(
     co-located, no cross product outside buckets.
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k).cache()
+    # cached: the Arrow-UDF signature stage feeds the band explode AND the
+    # two verify joins (release via release_caches())
+    sigs = _cached(minhash_signatures(df, id_col, text_col, num_hashes, k))
     band_cols = F.array(
         *[
             F.struct(
@@ -289,7 +345,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return df.select(F.col(id_col).alias("doc"), sim.alias("simhash"))
+    return spread(df).select(F.col(id_col).alias("doc"), sim.alias("simhash"))
 
 
 def simhash_pairs(
@@ -299,8 +355,12 @@ def simhash_pairs(
 
     Pigeonhole banding: split 64 bits into 4 16-bit chunks; any pair
     within hamming 3 must agree on >=1 chunk -> equi-join per chunk,
-    exact hamming verify via bit_count(xor)."""
-    sigs = simhash_signatures(df, id_col, text_col).cache()
+    exact hamming verify via bit_count(xor).
+
+    No cache: the signature stage is pure codegen'd built-ins (a
+    projection over the scan), so recomputing it on the join's second
+    branch is cheaper than holding cached blocks for the session."""
+    sigs = simhash_signatures(df, id_col, text_col)
     chunks = sigs.select(
         "doc",
         "simhash",
@@ -343,14 +403,60 @@ def simhash_pairs(
 def embedding_dup_pairs(
     emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:
-    """Pairs with cosine >= threshold. Brute-force O(n^2) self-join — exact,
-    fine to ~10^4 vectors; the scale path buckets by LSH first
-    (similarity.hyperplane_lsh_buckets) and only verifies within buckets."""
+    """Pairs with cosine >= threshold. Brute-force O(n^2) self-join — the
+    exact VERIFICATION tier, fine to ~10^4 vectors; the scale path is
+    embedding_dup_pairs_lsh below (hyperplane buckets first, exact cosine
+    only within buckets)."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def embedding_dup_pairs_lsh(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    n_tables: int = 16,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Scale path for embedding near-dup: hyperplane-LSH bucket the corpus,
+    generate candidate pairs ONLY within (table, signature) buckets, then
+    verify candidates with exact cosine.
+
+    Per table the corpus splits into ~2^n_bits buckets, so the self-join
+    fan-out is sum-of-bucket-size^2 per table instead of n^2 overall —
+    sublinear candidate generation with recall governed by the
+    (n_tables, n_bits) S-curve, exactly like MinHash-LSH for text. Two
+    vectors at cosine c collide in one table with probability
+    (1 - arccos(c)/pi)^n_bits; 16 tables x 8 bits keeps recall ~1.0 for
+    true near-dups (c >= 0.9) while pruning unrelated pairs aggressively.
+    Verification cosine is the same exact kernel as the brute tier, so
+    precision is exact; only recall is approximate.
+    """
+    from .similarity import _with_signatures
+
+    sig = _with_signatures(emb, id_col, vec_col, n_tables, n_bits, dim)
+    left = sig.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "table", "sig"
+    )
+    right = sig.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "table", "sig"
+    )
+    cand = (
+        left.join(right, ["table", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "vec_a", "id_b", "vec_b")
+        .dropDuplicates(["id_a", "id_b"])  # a pair may collide in many tables
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

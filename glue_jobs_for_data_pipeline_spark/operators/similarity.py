@@ -67,6 +67,7 @@ def lsh_topk(
     k: int = 10,
     n_tables: int = 16,
     n_bits: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k: hyperplane-LSH candidate generation + exact re-rank.
 
@@ -78,13 +79,15 @@ def lsh_topk(
     embeddings, top-10 cosine ~0.4 -> measured recall ~0.9); corpora with
     true near-dups (cosine >0.8) can raise n_bits for sharper buckets.
     """
-    corpus_sig = _with_signatures(corpus, id_col, vec_col, n_tables, n_bits).select(
+    corpus_sig = _with_signatures(
+        corpus, id_col, vec_col, n_tables, n_bits, dim
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         "table",
         "sig",
     )
-    query_sig = _with_signatures(queries, id_col, vec_col, n_tables, n_bits).select(
+    query_sig = _with_signatures(queries, id_col, vec_col, n_tables, n_bits, dim).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "table", "sig"
     )
     cand = (
@@ -106,16 +109,25 @@ def lsh_topk(
 
 
 def _with_signatures(
-    df: DataFrame, id_col: str, vec_col: str, n_tables: int, n_bits: int
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_tables: int,
+    n_bits: int,
+    dim: int | None = None,
 ) -> DataFrame:
     """Explode each vector into n_tables (table, signature) rows.
 
     Signature bit j = sign of the projection onto deterministic plane
-    (table, j). Projections use posexplode to pair each component with
-    its per-dimension weight, then a single groupBy re-aggregates — all
-    JVM-side, one shuffle of (id, table, bit-projections).
+    (table, j) via a zip_with fold — all JVM-side, no shuffle.
+
+    ``dim`` (the embedding width) should be passed by the caller — it is
+    schema knowledge, and the fallback ``.first()`` probe launches a
+    Spark job during PLAN CONSTRUCTION, which serializes with every
+    other job on the driver. The probe exists only for ad-hoc use.
     """
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = [
         [[_hp_weight_val(t, j, d) for d in range(dim)] for j in range(n_bits)]
         for t in range(n_tables)

@@ -63,9 +63,15 @@ def replicated_skew_join(
     to broadcast whole but small per key: salt the big side, replicate the
     small side n_salts times, join on (key, salt). Every salted shard of a
     hot key meets its matching small rows; result equals the plain join.
+
+    The salt hashes ALL of the big side's columns, so it is stable under
+    task retry / recompute (monotonically_increasing_id is not — its value
+    depends on partition layout). Fully duplicate rows share a salt, which
+    only costs spread when one identical row dominates a key.
     """
     big_salted = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)),
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     small_rep = small.select("*", salts)

@@ -506,12 +506,17 @@ def f10_load_date_default(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "f11_decimal_multiply",
     "SELECT l_orderkey, l_linenumber, "
-    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS INTEGER) "
-    "AS total_price FROM lineitem",
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS INTEGER) "
+    "AS DOUBLE) AS total_price FROM lineitem",
 )
 def f11_decimal_multiply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F11: exact DECIMAL multiply (populate_fact.py:110). Full-precision
-    product (no downcast — Spark HALF_UP vs DuckDB rounding differ at .5)."""
+    """F11: exact DECIMAL multiply (populate_fact.py:110). The product is
+    computed in full-precision DECIMAL (no rounding anywhere), then the
+    final value is cast to double ONCE at the output boundary on BOTH
+    engines: Spark's decimal(23,2) vs DuckDB's decimal(22,2) product types
+    hold identical rationals, and exact-decimal -> nearest-double is the
+    same IEEE value in both, so the driver hash canonicalizes identically
+    (round-1 hash_match failed purely on decimal type width)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -519,7 +524,9 @@ def f11_decimal_multiply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("l_extendedprice").cast("decimal(12,2)")
             * F.col("l_quantity").cast("int")
-        ).alias("total_price"),
+        )
+        .cast("double")
+        .alias("total_price"),
     )
 
 
@@ -768,7 +775,8 @@ dim_d AS (SELECT CAST(strftime(CAST(d AS DATE), '%Y%m%d') AS INTEGER) AS DateKey
           FROM generate_series(DATE '1995-01-01', DATE '2001-08-01',
                                INTERVAL 1 DAY) AS t(d))
 SELECT s.OrderID, c.CustomerKey, st.StoreKey, p.ProductKey,
-       s.Quantity, s.UnitPrice, s.TotalPrice, dd.DateKey AS OrderDateKey
+       s.Quantity, CAST(s.UnitPrice AS DOUBLE) AS UnitPrice,
+       CAST(s.TotalPrice AS DOUBLE) AS TotalPrice, dd.DateKey AS OrderDateKey
 FROM staging s
 JOIN dim_c c USING (CustomerID)
 JOIN dim_s st USING (StoreID)
@@ -798,13 +806,21 @@ def _build_dims(spark: SparkSession, sf_dir: str):
 def m2_j2_fact_population(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2+J2: fact population (populate_fact.py:89-136) — staging join with
     derived measures, then the 4-dim broadcast star join resolving
-    business keys to surrogate keys on current rows only."""
+    business keys to surrogate keys on current rows only.
+
+    Measures are computed in exact DECIMAL inside the operator (fact.py)
+    and cast to double ONCE at this output boundary, mirrored in _M2_SQL,
+    so both engines present bit-identical doubles to the driver hash
+    (round-1 failed hash_match on decimal canonicalization alone)."""
     dim_c, dim_s, dim_p = _build_dims(spark, sf_dir)
     dim_dates = generate_dim_dates(spark, fx.DATES_START, fx.DATES_DAYS)
     staging = build_staging_fact(
         fx.ref_orders(spark, sf_dir), fx.ref_orderdetails(spark, sf_dir)
     )
-    return populate_fact(staging, dim_c, dim_s, dim_p, dim_dates)
+    fact = populate_fact(staging, dim_c, dim_s, dim_p, dim_dates)
+    return fact.withColumn(
+        "UnitPrice", F.col("UnitPrice").cast("double")
+    ).withColumn("TotalPrice", F.col("TotalPrice").cast("double"))
 
 
 @_q("m5_transactional_pipeline", _M2_SQL)

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as tx
 from ..operators import dedup, multimodal, similarity
-from ..sources.readers import load_table
+from ..sources.readers import load_table, spread
 from ..streaming.events import run_stream_to_batch, sessionize_stateful
 from .catalog import _q
 
@@ -53,7 +53,7 @@ FROM documents
 @_q("x_text_stats", _X_TEXT_STATS_SQL)
 def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + size stats, all codegen'd JVM expressions."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -78,7 +78,7 @@ _X_QUALITY_SQL = f"SELECT doc_id, {_QUALITY_EXPR} AS quality FROM documents"
 @_q("x_text_quality", _X_QUALITY_SQL)
 def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score (length/punctuation/stopword heuristics)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
 
 
@@ -104,7 +104,7 @@ def _lang_case_expr() -> str:
 @_q("x_text_lang_id", f"SELECT doc_id, {_lang_case_expr()} AS lang_pred FROM documents")
 def x_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: CJK codepoint detection + stopword argmax."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", tx.lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -125,7 +125,7 @@ FROM documents
 def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: md5 of normalized text + polynomial rolling
     hash (both engine-portable, verified bit-equal)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         tx.content_fingerprint(F.col("text")).alias("content_fp"),
@@ -153,12 +153,17 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X_JACCARD_SQL = r"""
 WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-posts AS (
+posts0 AS (
   SELECT doc_id AS doc,
          unnest(list_distinct(list_transform(
            range(1, greatest(len(w) - 3, 0) + 2),
            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
-  FROM w),
+  FROM w WHERE len(w) >= 3),
+posts AS (
+  SELECT doc, shingle FROM (
+    SELECT doc, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+    FROM posts0)
+  WHERE df <= 100),
 sizes AS (SELECT doc, COUNT(*) AS sz FROM posts GROUP BY doc),
 inter AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
@@ -175,12 +180,15 @@ WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.008
 
 @_q("x_dedup_ngram_jaccard", _X_JACCARD_SQL)
 def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-trigram Jaccard via shingle inverted-index self-join.
-    (Low threshold: the synthetic corpus has no planted near-dups; the
-    operator and its exact arithmetic are what's under test.)"""
+    """Exact word-trigram Jaccard via shingle inverted-index self-join,
+    WITH the production document-frequency cap on (df_cap=100): shingles
+    appearing in >100 docs leave the universe, bounding the self-join
+    fan-out at 100^2 per shingle; the oracle states the identical cap as
+    a window count. (Low threshold: the synthetic corpus has no planted
+    trigram near-dups; the operator's exact arithmetic is under test.)"""
     return dedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3,
-        threshold=0.008,
+        threshold=0.008, df_cap=100,
     )
 
 
@@ -222,10 +230,25 @@ WHERE a.vec_id < b.vec_id
 def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute-force exact tier; cosine is
     bit-identical to the SQL fold). Threshold 0.4 — the fixture has no
-    planted near-dups (max off-diagonal cosine ~0.51)."""
+    planted near-dups (max off-diagonal cosine ~0.51). This tier doubles
+    as the verification oracle for x_dedup_embedding_cosine_lsh, the
+    bucketed scale path."""
     return dedup.embedding_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         threshold=0.4,
+    )
+
+
+@_q("x_dedup_embedding_cosine_lsh")  # hyperplane-bucketed -> rows-only
+def x_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: hyperplane-LSH buckets generate
+    candidates (sum-of-bucket^2 per table, not n^2), exact cosine
+    verifies. Recall vs the brute tier asserted in tests/test_dedup.py.
+    n_bits=4 matches the fixture's weak similarities (max cosine ~0.51);
+    corpora with true near-dups raise n_bits for sharper buckets."""
+    return dedup.embedding_dup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.4, dim=64, n_bits=4,
     )
 
 
@@ -267,9 +290,12 @@ def x_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("x_sim_lsh_topk")  # candidate set depends on hyperplane family -> rows-only
 def x_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via deterministic hyperplane LSH + exact re-rank; recall
-    vs brute force is asserted in tests/test_similarity.py."""
+    vs brute force is asserted in tests/test_similarity.py. dim passed
+    from the fixture schema — no driver-side probe job during planning."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+    return similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=10, dim=64
+    )
 
 
 @_q("x_sim_ivf_topk")  # centroid choice is an impl detail -> rows-only

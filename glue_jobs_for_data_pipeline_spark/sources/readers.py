@@ -41,6 +41,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the source is coarser than the
+    cluster's parallelism (e.g. a single-row-group parquet file, which is
+    unsplittable, serializes every downstream CPU-heavy stage onto one
+    task). At scale — many files / row groups — the partition count
+    already exceeds defaultParallelism and this is a no-op, so wide
+    inputs never pay a gratuitous full shuffle. Checking the partition
+    count reads plan metadata; it launches no job.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_json_table(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> DataFrame:

@@ -143,17 +143,38 @@ def sessionize_stateful(
     applyInPandasWithState (sessions split on >gap_minutes idle).
 
     Demonstrates the arbitrary-state API shape; emitted rows are the
-    sessions closed by end-of-input timeout.
+    gap-closed sessions plus open sessions flushed when the event-time
+    timeout fires (timeout timestamp = last event + gap, so the watermark
+    advancing past the gap closes the trailing session per user — the
+    session whose timeout the watermark never passes stays pending, which
+    is correct streaming semantics for an unbounded source).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState
 
     gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1_000
 
     def fn(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
     ) -> Iterator["pd.DataFrame"]:
         rows = []
+        if state.hasTimedOut:
+            # timeout invocation: no new input; flush the open session
+            start, last, n = state.get if state.exists else (0, 0, 0)
+            state.remove()
+            if n:
+                rows.append((key[0], start, last, n))
+            if rows:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [r[0] for r in rows],
+                        "session_start": [pd.Timestamp(r[1], unit="us") for r in rows],
+                        "session_end": [pd.Timestamp(r[2], unit="us") for r in rows],
+                        "n_events": [r[3] for r in rows],
+                    }
+                )
+            return
         ts_us: list[int] = []
         for pdf in pdfs:
             ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
@@ -171,9 +192,9 @@ def sessionize_stateful(
             last = t
             n += 1
         state.update((start, last, n))
-        if state.hasTimedOut and n:
-            rows.append((key[0], start, last, n))
-            state.remove()
+        # arm the event-time timeout: fires once the watermark passes
+        # last-event + gap (GroupState wants milliseconds)
+        state.setTimeoutTimestamp(last // 1000 + gap_ms)
         if rows:
             yield pd.DataFrame(
                 {

@@ -71,6 +71,70 @@ def test_simhash_near_dup_closer_than_unrelated(docs):
         assert got[(0, 3)] < got[(0, 4)]
 
 
+def test_ngram_df_cap_bounds_hot_shingle(spark):
+    """A stopword-gram shared by every doc must leave the universe under
+    df_cap, killing the quadratic join fan-out it would cause."""
+    hot = "the and of"
+    rows = [(i, f"{hot} unique{i} filler{i} words{i} here{i}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.01
+    ).collect()
+    capped = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.01, df_cap=4
+    ).collect()
+    # the hot shingle makes every pair co-occur uncapped: C(8,2)=28 pairs
+    assert len(uncapped) == 28
+    # capped: the only shared shingle has df=8 > 4 -> no pair materializes
+    assert capped == []
+
+
+def test_ngram_short_docs_have_empty_universe(spark):
+    """Docs shorter than k words drop out of the pair space (both engines
+    state this convention — the oracle's w[i+k] indexing would NULL)."""
+    rows = [(0, "two words"), (1, "two words"), (2, "a b c d e"), (3, "a b c d e")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    assert got == {(2, 3)}  # the short-doc pair (0,1) is not in the universe
+
+
+def test_minhash_null_text_is_nullsafe(spark):
+    rows = [(0, "the quick brown fox jumps"), (1, None), (2, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text").collect()
+    assert len(sigs) == 3  # no AttributeError on None; empty sentinel sigs
+    by_doc = {r["doc"]: r["sig"] for r in sigs}
+    assert by_doc[1] == [dedup.MINHASH_P] * 64
+
+
+def test_embedding_lsh_recall_and_exact_precision(spark, sf_dir):
+    """The bucketed scale path must (a) emit only true pairs — verification
+    is exact cosine, so precision is 1.0 by construction — and (b) recover
+    most of the brute-force tier's pairs."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_dup_pairs_lsh(
+            emb, "vec_id", "embedding", threshold=0.4, dim=64, n_bits=4
+        ).collect()
+    }
+    assert lsh <= brute  # exact-verify => no false positives
+    assert brute, "fixture should have pairs at threshold 0.4"
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.8, f"LSH recall {recall} below floor"
+
+
 def test_embedding_cosine_pairs(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),

@@ -33,6 +33,37 @@ def test_stream_equals_batch(spark, sf_dir):
     assert s == b
 
 
+def test_sessionize_timeout_flushes_trailing_session(spark, tmp_path):
+    """A user whose activity ends long before the stream's max event time
+    must have their final session flushed by the event-time timeout (the
+    watermark passes last_event + gap), not silently dropped."""
+    import pandas as pd
+
+    base_ns = 1_700_000_000_000_000_000  # fixed epoch, nanos
+    h = 3_600 * 1_000_000_000
+    rows = [
+        # user 1: two events 5 min apart, then silence
+        (1, base_ns, 1, "click", 1.0, "{}"),
+        (2, base_ns + 300 * 1_000_000_000, 1, "click", 1.0, "{}"),
+        # user 2: a much later event that drives the watermark to +10h
+        (3, base_ns + 10 * h, 2, "click", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tmp_path / "mini_events"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    sessions = sessionize_stateful(spark, str(d), gap_minutes=30).collect()
+    by_user = {s["user_id"]: s for s in sessions}
+    # user 1's only session closed via timeout: both events, 5-min span
+    assert 1 in by_user and by_user[1]["n_events"] == 2
+    span = by_user[1]["session_end"] - by_user[1]["session_start"]
+    assert span.total_seconds() == 300
+    # user 2's trailing session stays pending (watermark never passes it)
+    assert 2 not in by_user
+
+
 def test_sessionize_emits_valid_sessions(spark, sf_dir):
     sessions = sessionize_stateful(spark, sf_dir, gap_minutes=30).collect()
     assert len(sessions) > 0

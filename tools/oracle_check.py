@@ -64,6 +64,8 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    from glue_jobs_for_data_pipeline_spark.operators.dedup import release_caches
+
     qs, oracles = e.queries(), e.oracle_sql()
     failures, n_checked, n_rows_only = 0, 0, 0
     for name, fn in qs.items():
@@ -78,6 +80,8 @@ def main() -> int:
             print(f"FAIL  {name}: spark raised {type(ex).__name__}: {ex}")
             failures += 1
             continue
+        finally:
+            release_caches()  # dedup signature caches are per-query scratch
         if name not in oracles:
             n_rows_only += 1
             print(f"rows  {name}: {len(srows)} rows (no oracle — rows-only check)")
