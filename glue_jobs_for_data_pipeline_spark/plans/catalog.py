@@ -32,6 +32,7 @@ from ..operators.scd2 import scd2_upsert
 from ..operators.validation import null_counts, pk_duplicates, validation_report
 from ..schemas import TESTDATA_TABLES
 from ..sources.readers import load_events, load_table, read_csv_table, write_overwrite
+from ..sources.txn import read_committed, txn_overwrite
 from . import tpch_fixtures as fx
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -825,13 +826,17 @@ def m2_j2_fact_population(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("m5_transactional_pipeline", _M2_SQL)
 def m5_transactional_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M5: the transaction bracket (BEGIN/COMMIT, dynamic_upsert.py:108,151).
+    """M5: the transaction bracket (BEGIN/COMMIT, dynamic_upsert.py:108,151;
+    ROLLBACK dynamic_upsert.py:159-161).
 
-    Spark equivalent: every transform is lazy; the pipeline's only
-    side effect is one terminal overwrite (write-last atomicity), then
-    the committed table is scanned back. Same rows as m2 by construction.
+    Spark equivalent: every transform is lazy; the full new table version
+    lands under a staging directory and an atomic pointer swap publishes
+    it (sources/txn.py) — a crash anywhere before the swap leaves the
+    previously committed version untouched, and readers resolve the
+    pointer so they never see partial data. Same rows as m2 by
+    construction; the committed version is scanned back.
     """
     fact = m2_j2_fact_population(spark, sf_dir)
     path = "/tmp/spark_graft_io/m5_fact_orders"
-    write_overwrite(fact, path)
-    return spark.read.parquet(path)
+    txn_overwrite(fact, path)
+    return read_committed(spark, path)

@@ -32,7 +32,7 @@ from ..operators.dates_dim import generate_dim_dates
 from ..operators.fact import build_staging_fact, populate_fact
 from ..operators.scd2 import scd2_upsert
 from ..operators.validation import validate_or_raise, validation_report
-from ..sources.readers import write_overwrite
+from ..sources.txn import Transaction, read_committed, read_version
 
 
 @dataclass
@@ -97,45 +97,63 @@ class Pipeline:
                 validate_or_raise(df, name, pk)
             loaded[name] = df
 
-        # Step 2: SCD-2 upsert each dimension (dynamic_upsert.py:110-152).
-        for spec in self.dims:
-            dim = scd2_upsert(
-                None,
-                loaded[spec.name],
-                spec.business_key,
-                list(spec.columns),
-                spec.surrogate_key,
-                run_date=ctx.run_date,
-                mode=ctx.scd2_mode,
+        # Steps 2-4 run inside one transaction: every table's new version
+        # is fully staged before ANY pointer publishes, so a failure in
+        # the fact build leaves yesterday's dims AND fact all committed —
+        # the reference's BEGIN..ROLLBACK bracket (dynamic_upsert.py:108,
+        # 159-161), minus its per-table partial-commit window.
+        staged: dict[str, tuple[str, int]] = {}
+        with Transaction() as t:
+            # Step 2: SCD-2 upsert each dimension (dynamic_upsert.py:110-152).
+            staged_dims: dict[str, DataFrame] = {}
+            for spec in self.dims:
+                dim = scd2_upsert(
+                    None,
+                    loaded[spec.name],
+                    spec.business_key,
+                    list(spec.columns),
+                    spec.surrogate_key,
+                    run_date=ctx.run_date,
+                    mode=ctx.scd2_mode,
+                )
+                path = f"{ctx.warehouse_dir}/dim_{spec.name}"
+                v = t.overwrite(dim, path)
+                staged[f"dim_{spec.name}"] = (path, v)
+                # fact build scans the staged parquet (materialized, just
+                # not yet published) instead of recomputing the SCD-2 plan
+                staged_dims[f"dim_{spec.name}"] = read_version(spark, path, v)
+
+            # Step 3: one-time calendar dimension (datespopulation.py).
+            dim_dates = generate_dim_dates(spark, ctx.dates_start, ctx.dates_days)
+            dates_path = f"{ctx.warehouse_dir}/dim_dates"
+            v = t.overwrite(dim_dates, dates_path)
+            staged["dim_dates"] = (dates_path, v)
+            staged_dims["dim_dates"] = read_version(spark, dates_path, v)
+
+            # Step 4: fact population (populate_fact.py:89-136); runs after
+            # the last source ingest (table_name=='orderdetails' dispatch).
+            staging = build_staging_fact(
+                loaded[self.fact_orders_source], loaded[self.fact_details_source]
             )
-            path = f"{ctx.warehouse_dir}/dim_{spec.name}"
-            write_overwrite(dim, path)
-            ctx.results[f"dim_{spec.name}"] = spark.read.parquet(path)
+            fact = populate_fact(
+                staging,
+                staged_dims["dim_customers"],
+                staged_dims["dim_stores"],
+                staged_dims["dim_products"],
+                staged_dims["dim_dates"],
+            )
+            fact_path = f"{ctx.warehouse_dir}/fact_orders"
+            # Partitioned by date key so downstream date-range scans prune
+            # files; repartition first so each date lands in one task ->
+            # one file per partition instead of (tasks x dates) small files.
+            v = t.overwrite(
+                fact.repartition("OrderDateKey"),
+                fact_path,
+                partition_by=("OrderDateKey",),
+            )
+            staged["fact_orders"] = (fact_path, v)
 
-        # Step 3: one-time calendar dimension (datespopulation.py).
-        dim_dates = generate_dim_dates(spark, ctx.dates_start, ctx.dates_days)
-        dates_path = f"{ctx.warehouse_dir}/dim_dates"
-        write_overwrite(dim_dates, dates_path)
-        ctx.results["dim_dates"] = spark.read.parquet(dates_path)
-
-        # Step 4: fact population (populate_fact.py:89-136); runs after the
-        # last source ingest, like the table_name=='orderdetails' dispatch.
-        staging = build_staging_fact(
-            loaded[self.fact_orders_source], loaded[self.fact_details_source]
-        )
-        fact = populate_fact(
-            staging,
-            ctx.results["dim_customers"],
-            ctx.results["dim_stores"],
-            ctx.results["dim_products"],
-            ctx.results["dim_dates"],
-        )
-        fact_path = f"{ctx.warehouse_dir}/fact_orders"
-        # Partitioned by date key so downstream date-range scans prune files;
-        # repartition first so each date lands in one task -> one file per
-        # partition instead of (tasks x dates) small files.
-        write_overwrite(
-            fact.repartition("OrderDateKey"), fact_path, partition_by=("OrderDateKey",)
-        )
-        ctx.results["fact_orders"] = spark.read.parquet(fact_path)
+        # transaction committed: expose the published views
+        for name, (path, _v) in staged.items():
+            ctx.results[name] = read_committed(spark, path)
         return ctx.results

@@ -1,0 +1,190 @@
+"""Atomic commit protocol over plain parquet (SURVEY §7.4): the
+reference's transaction bracket (dynamic_upsert.py:108,151 BEGIN/COMMIT,
+159-161 ROLLBACK on failure) re-expressed for immutable file storage —
+the container has no Delta/Iceberg, and at 100 TB the protocol below is
+exactly the snapshot/pointer core those formats implement.
+
+Layout per table directory:
+
+    <dir>/v=<N>/part-*.parquet   immutable version directories
+    <dir>/_CURRENT               pointer file holding N
+
+Write path: land the FULL new version under ``v=<next>`` (the expensive,
+distributed part — can fail freely), then publish it by atomically
+replacing the pointer file (``os.replace``, a single metadata op).
+Readers resolve ``_CURRENT`` first and scan only that version directory,
+so they never observe a partially-written table; a crash anywhere before
+the pointer swap leaves the committed view untouched (rollback = do
+nothing, plus optional garbage collection of orphaned versions).
+
+``Transaction`` extends this to multi-table pipelines: stage every
+table's new version while the transaction is open, swap ALL pointers
+only after every write has finished. An exception mid-pipeline rolls
+back by deleting the staged (never-published) versions. The vulnerable
+window shrinks from "any time during any write" to "between the first
+and last pointer swap" — pure metadata ops; a true cross-table atomic
+swap needs a catalog with multi-object commit (Delta/Iceberg/HMS), which
+is where this protocol would plug in on a real deployment.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "_CURRENT"
+
+
+def _pointer_path(table_dir: str) -> str:
+    return os.path.join(table_dir, _POINTER)
+
+
+def current_version(table_dir: str) -> int | None:
+    """Committed version of a table, or None if never committed."""
+    try:
+        with open(_pointer_path(table_dir)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _version_dir(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, f"v={version}")
+
+
+def _next_version(table_dir: str) -> int:
+    """Next unused version number (scans v=* dirs so orphaned, uncommitted
+    versions are never reused — a concurrent or crashed writer's staging
+    directory stays out of the way)."""
+    cur = current_version(table_dir) or 0
+    existing = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(table_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    ] if os.path.isdir(table_dir) else []
+    return max([cur, *existing], default=0) + 1
+
+
+def _publish(table_dir: str, version: int) -> None:
+    """Atomically point _CURRENT at ``version`` (write-temp + os.replace,
+    which POSIX guarantees atomic on one filesystem)."""
+    tmp = _pointer_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _pointer_path(table_dir))
+
+
+def stage_version(
+    df: DataFrame, table_dir: str, partition_by: tuple[str, ...] = ()
+) -> int:
+    """Write a full new version WITHOUT publishing it. Returns the staged
+    version number (pass to publish_version / discard_version)."""
+    os.makedirs(table_dir, exist_ok=True)
+    version = _next_version(table_dir)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(_version_dir(table_dir, version))
+    return version
+
+
+def publish_version(table_dir: str, version: int) -> None:
+    _publish(table_dir, version)
+
+
+def discard_version(table_dir: str, version: int) -> None:
+    """Rollback helper: delete a staged (unpublished) version. Refuses to
+    delete the committed version."""
+    if current_version(table_dir) == version:
+        raise ValueError(f"version {version} is committed; vacuum instead")
+    shutil.rmtree(_version_dir(table_dir, version), ignore_errors=True)
+
+
+def txn_overwrite(
+    df: DataFrame, table_dir: str, partition_by: tuple[str, ...] = ()
+) -> int:
+    """Single-table transactional overwrite: stage + publish. The
+    pointer swap is the commit point; everything before it is abortable.
+    """
+    version = stage_version(df, table_dir, partition_by)
+    _publish(table_dir, version)
+    return version
+
+
+def read_version(spark: SparkSession, table_dir: str, version: int) -> DataFrame:
+    """Scan one specific version directory — e.g. a just-staged version a
+    later pipeline step builds on before the transaction publishes."""
+    return spark.read.parquet(_version_dir(table_dir, version))
+
+
+def read_committed(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Scan the committed version only (never staged/partial data)."""
+    version = current_version(table_dir)
+    if version is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    return spark.read.parquet(_version_dir(table_dir, version))
+
+
+def vacuum(table_dir: str, keep: int = 2) -> list[int]:
+    """Remove old version directories, retaining the committed version
+    and up to ``keep - 1`` predecessors (time travel window). Returns the
+    versions removed. Never touches versions NEWER than the pointer
+    (they may be another writer's in-flight staging)."""
+    cur = current_version(table_dir)
+    if cur is None:
+        return []
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(table_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+    keep_set = set(v for v in versions if v <= cur)
+    keep_set = set(sorted(keep_set)[-keep:]) | {v for v in versions if v > cur}
+    removed = []
+    for v in versions:
+        if v not in keep_set:
+            shutil.rmtree(_version_dir(table_dir, v), ignore_errors=True)
+            removed.append(v)
+    return removed
+
+
+class Transaction:
+    """Multi-table write-last bracket.
+
+    >>> with Transaction() as txn:
+    ...     txn.overwrite(dim_df, dim_dir)
+    ...     txn.overwrite(fact_df, fact_dir, partition_by=("OrderDateKey",))
+    ... # all pointers swapped here, only after every write landed
+
+    An exception inside the block deletes every staged version and
+    republishes nothing — the committed view of every table is exactly
+    what it was before the block (the reference's ROLLBACK,
+    dynamic_upsert.py:159-161).
+    """
+
+    def __init__(self) -> None:
+        self._staged: list[tuple[str, int]] = []
+
+    def overwrite(
+        self, df: DataFrame, table_dir: str, partition_by: tuple[str, ...] = ()
+    ) -> int:
+        version = stage_version(df, table_dir, partition_by)
+        self._staged.append((table_dir, version))
+        return version
+
+    def __enter__(self) -> "Transaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is None:
+            for table_dir, version in self._staged:
+                _publish(table_dir, version)
+        else:
+            for table_dir, version in self._staged:
+                discard_version(table_dir, version)
+        self._staged.clear()
+        return False  # propagate the exception after rollback

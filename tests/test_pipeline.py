@@ -63,6 +63,45 @@ def test_pipeline_end_to_end(spark, sf_dir):
     assert "pk_unique_OrderID_ProductID_StoreID" in report
 
 
+def test_pipeline_failure_rolls_back_committed_warehouse(spark, sf_dir):
+    """A run that dies mid-transaction (e.g. in the fact build) must leave
+    every table's committed version exactly as the previous run left it —
+    the reference's ROLLBACK (dynamic_upsert.py:159-161)."""
+    from glue_jobs_for_data_pipeline_spark.sources import txn
+
+    wh = "/tmp/spark_graft_io/test_warehouse_rollback"
+    shutil.rmtree(wh, ignore_errors=True)
+    ctx = PipelineContext(
+        sf_dir=sf_dir, warehouse_dir=wh, run_date=fx.INITIAL_LOAD_DATE,
+        dates_start=fx.DATES_START, dates_days=fx.DATES_DAYS,
+    )
+    p = _pipeline(lenient_sources={"orderdetails"})
+    p.run(spark, ctx)
+    before = {
+        t: txn.current_version(f"{wh}/{t}")
+        for t in ("dim_customers", "dim_dates", "fact_orders")
+    }
+    fact_rows = txn.read_committed(spark, f"{wh}/fact_orders").count()
+
+    # second run dies AFTER the dims staged, before the fact publishes
+    broken = _pipeline(lenient_sources={"orderdetails"})
+    orig = broken.fact_orders_source
+    broken.fact_orders_source = "no_such_source"
+    ctx2 = PipelineContext(
+        sf_dir=sf_dir, warehouse_dir=wh, run_date=fx.SECOND_BATCH_DATE,
+        dates_start=fx.DATES_START, dates_days=fx.DATES_DAYS,
+    )
+    with pytest.raises(KeyError):
+        broken.run(spark, ctx2)
+    after = {
+        t: txn.current_version(f"{wh}/{t}")
+        for t in ("dim_customers", "dim_dates", "fact_orders")
+    }
+    assert after == before  # no pointer moved
+    assert txn.read_committed(spark, f"{wh}/fact_orders").count() == fact_rows
+    broken.fact_orders_source = orig
+
+
 def test_pipeline_strict_mode_aborts(spark, sf_dir):
     ctx = PipelineContext(
         sf_dir=sf_dir,

@@ -1,0 +1,74 @@
+"""Transactional commit protocol: crash-mid-pipeline leaves the committed
+view untouched; successful commits publish atomically."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from glue_jobs_for_data_pipeline_spark.sources import txn
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "fact_orders")
+
+
+def _vals(spark, d):
+    return sorted(r["v"] for r in txn.read_committed(spark, d).collect())
+
+
+def test_overwrite_then_read_committed(spark, tdir):
+    txn.txn_overwrite(spark.range(3).selectExpr("id AS v"), tdir)
+    assert _vals(spark, tdir) == [0, 1, 2]
+    txn.txn_overwrite(spark.range(5, 7).selectExpr("id AS v"), tdir)
+    assert _vals(spark, tdir) == [5, 6]
+    assert txn.current_version(tdir) == 2
+
+
+def test_staged_but_unpublished_is_invisible(spark, tdir):
+    txn.txn_overwrite(spark.range(2).selectExpr("id AS v"), tdir)
+    v = txn.stage_version(spark.range(100, 103).selectExpr("id AS v"), tdir)
+    # a crashed writer: full data on disk, pointer untouched
+    assert os.path.isdir(os.path.join(tdir, f"v={v}"))
+    assert _vals(spark, tdir) == [0, 1]
+    # and the orphan version number is never reused
+    assert txn.stage_version(spark.range(1).selectExpr("id AS v"), tdir) == v + 1
+
+
+def test_transaction_rolls_back_all_tables_on_failure(spark, tmp_path):
+    d1, d2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    txn.txn_overwrite(spark.range(1).selectExpr("id AS v"), d1)
+    txn.txn_overwrite(spark.range(1).selectExpr("id AS v"), d2)
+    with pytest.raises(RuntimeError, match="mid-pipeline"):
+        with txn.Transaction() as t:
+            t.overwrite(spark.range(10, 12).selectExpr("id AS v"), d1)
+            raise RuntimeError("mid-pipeline failure after first write")
+    # committed views of BOTH tables unchanged; staged version removed
+    assert _vals(spark, d1) == [0] and _vals(spark, d2) == [0]
+    assert txn.current_version(d1) == 1
+    assert not os.path.isdir(os.path.join(d1, "v=2"))
+
+
+def test_transaction_commits_all_tables_on_success(spark, tmp_path):
+    d1, d2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    txn.txn_overwrite(spark.range(1).selectExpr("id AS v"), d1)
+    txn.txn_overwrite(spark.range(1).selectExpr("id AS v"), d2)
+    with txn.Transaction() as t:
+        t.overwrite(spark.range(10, 12).selectExpr("id AS v"), d1)
+        t.overwrite(spark.range(20, 23).selectExpr("id AS v"), d2)
+    assert _vals(spark, d1) == [10, 11]
+    assert _vals(spark, d2) == [20, 21, 22]
+
+
+def test_vacuum_keeps_window_and_inflight(spark, tdir):
+    for i in range(4):
+        txn.txn_overwrite(spark.range(i + 1).selectExpr("id AS v"), tdir)
+    staged = txn.stage_version(spark.range(9).selectExpr("id AS v"), tdir)
+    removed = txn.vacuum(tdir, keep=2)
+    assert removed == [1, 2]
+    # committed + predecessor + in-flight staging survive
+    assert txn.current_version(tdir) == 4
+    assert _vals(spark, tdir) == [0, 1, 2, 3]
+    assert os.path.isdir(os.path.join(tdir, f"v={staged}"))
