@@ -1,0 +1,78 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample()`` is seed-dependent AND partition-layout-dependent — the
+same seed yields different rows after a repartition, which breaks
+reproducible corpus builds and makes a differential oracle impossible.
+These operators derive every sampling decision from a cryptographic hash
+of the ROW's own key, so the sample is a pure function of the data:
+stable across runs, partitionings, engines, and cluster sizes, and
+expressible in ANSI SQL for the DuckDB oracle.
+
+The md5-prefix trick: md5 hex digits are uniform, so comparing a k-digit
+prefix against a threshold string samples at threshold/16^k resolution
+(k=4 -> 1/65536 granularity) with zero RNG state. The filter is a plain
+codegen'd predicate — it pushes into the scan and costs one hash per
+row at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_prefix(key: F.Column, digits: int = 4) -> F.Column:
+    return F.substring(F.md5(key.cast("string")), 1, digits)
+
+
+def hash_threshold(rate: float, digits: int = 4) -> str:
+    """Hex threshold string t such that P(md5_prefix < t) ~= rate."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate {rate} outside [0, 1]")
+    return format(int(rate * (16 ** digits)), f"0{digits}x")
+
+
+def sample_by_hash(
+    df: DataFrame, key_col: str, rate: float, digits: int = 4
+) -> DataFrame:
+    """Deterministic Bernoulli(rate) sample keyed on ``key_col``."""
+    return df.filter(
+        _hash_prefix(F.col(key_col), digits) < F.lit(hash_threshold(rate, digits))
+    )
+
+
+def split_by_hash(
+    df: DataFrame,
+    key_col: str,
+    holdout_rate: float = 0.1,
+    split_col: str = "split",
+    digits: int = 4,
+) -> DataFrame:
+    """Stable train/holdout assignment: a row's split never changes as
+    the corpus grows (membership depends only on its own key), which is
+    the property that prevents eval-set contamination across corpus
+    versions."""
+    thr = hash_threshold(holdout_rate, digits)
+    return df.withColumn(
+        split_col,
+        F.when(
+            _hash_prefix(F.col(key_col), digits) < F.lit(thr), F.lit("holdout")
+        ).otherwise(F.lit("train")),
+    )
+
+
+def stratified_fixed_n(
+    df: DataFrame, strata_cols: list[str], key_col: str, n_per_stratum: int
+) -> DataFrame:
+    """Exactly min(n, stratum size) rows per stratum, chosen by hash
+    order — a deterministic balanced subsample (e.g. equal docs per
+    language). One shuffle on the strata key; the per-stratum window
+    never sees more than a stratum's rows."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _hash_prefix(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )

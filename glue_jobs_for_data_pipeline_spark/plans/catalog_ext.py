@@ -531,6 +531,114 @@ def x_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Time-series joins (as-of, banded range) — SURVEY §7 extension set
+# --------------------------------------------------------------------------
+
+_X_ASOF_SQL = """
+WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase')
+SELECT l.user_id, l.event_id, l.ts,
+       r.ts AS matched_ts, r.value AS matched_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+@_q("x_ts_asof_join", _X_ASOF_SQL)
+def x_ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click matched to the user's most recent
+    purchase at-or-before it (tagged-union + one window pass — the
+    inequality never reaches a join operator, so no nested loop at any
+    scale). Oracle: DuckDB's native ASOF LEFT JOIN. value passes through
+    un-aggregated, so doubles hash bit-identically."""
+    from ..operators.timeseries import asof_join_backward
+    from ..sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join_backward(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols={"ts": "matched_ts", "value": "matched_value"},
+    )
+
+
+_X_RANGE_SQL = """
+SELECT e.user_id, e.event_id,
+       CAST(COUNT(*) AS BIGINT) AS n_in_range
+FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'error') e
+JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) x
+  ON x.user_id = e.user_id
+ AND x.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts
+GROUP BY 1, 2
+"""
+
+
+@_q("x_ts_range_join", _X_RANGE_SQL)
+def x_ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: events per user within the 5 minutes before
+    each error. Band width == window, probe explodes into <= 2 bands,
+    events land in exactly one — a plain equi-join on (user, band) with
+    the exact range as a post-filter, vs the nested-loop plan a raw
+    inequality join would get."""
+    from ..operators.timeseries import range_join_count
+    from ..sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    return range_join_count(
+        errors, ev.select("user_id", "ts"), on="user_id",
+        window_seconds=300, count_alias="n_in_range",
+    ).select("user_id", "event_id", "n_in_range")
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling (reproducible corpus builds)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "x_sample_hash",
+    "SELECT doc_id, lang FROM documents "
+    "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'",
+)
+def x_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% Bernoulli sample keyed on doc_id (md5-prefix
+    threshold 0x4000/0x10000). A pure function of the data — stable
+    across runs, partitionings, and engines, unlike df.sample(seed)."""
+    from ..operators.sampling import sample_by_hash
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_by_hash(d, "doc_id", rate=0.25)
+
+
+@_q(
+    "x_sample_stratified",
+    "SELECT doc_id, lang FROM ("
+    "  SELECT doc_id, lang, ROW_NUMBER() OVER ("
+    "    PARTITION BY lang "
+    "    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rn"
+    "  FROM documents) WHERE rn <= 20",
+)
+def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced subsample: exactly 20 docs per language, chosen by hash
+    order (deterministic stratified sampling; one shuffle on the
+    stratum key)."""
+    from ..operators.sampling import stratified_fixed_n
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_fixed_n(d, ["lang"], "doc_id", 20)
+
+
+# --------------------------------------------------------------------------
 # Streaming
 # --------------------------------------------------------------------------
 

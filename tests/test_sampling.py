@@ -1,0 +1,50 @@
+"""Deterministic sampling: stability under repartition, rate accuracy,
+stratum balance, split consistency."""
+
+from __future__ import annotations
+
+import pytest
+
+from glue_jobs_for_data_pipeline_spark.operators import sampling
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(10_000).withColumnRenamed("id", "doc_id")
+
+
+def test_sample_rate_close_to_nominal(spark, ids):
+    n = sampling.sample_by_hash(ids, "doc_id", rate=0.25).count()
+    assert 0.22 < n / 10_000 < 0.28  # binomial(10k, .25): ±3sd ~ ±0.013
+
+
+def test_sample_stable_under_repartition(spark, ids):
+    a = {r["doc_id"] for r in sampling.sample_by_hash(ids, "doc_id", 0.1).collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.sample_by_hash(ids.repartition(17), "doc_id", 0.1).collect()
+    }
+    assert a == b  # df.sample(seed) fails this; hash sampling must not
+
+
+def test_split_is_growth_stable(spark, ids):
+    """A row's split assignment must not change when the corpus grows."""
+    small = sampling.split_by_hash(ids.filter("doc_id < 1000"), "doc_id")
+    big = sampling.split_by_hash(ids, "doc_id")
+    s = {r["doc_id"]: r["split"] for r in small.collect()}
+    b = {r["doc_id"]: r["split"] for r in big.collect() if r["doc_id"] < 1000}
+    assert s == b
+    assert set(s.values()) == {"train", "holdout"}
+
+
+def test_stratified_fixed_n(spark):
+    rows = [(i, "en" if i % 3 else "fr") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.stratified_fixed_n(df, ["lang"], "doc_id", 10).collect()
+    by_lang: dict[str, int] = {}
+    for r in out:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert by_lang == {"en": 10, "fr": 10}
+    # deterministic: same call, same rows
+    again = sampling.stratified_fixed_n(df, ["lang"], "doc_id", 10).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
