@@ -62,13 +62,20 @@ def main() -> None:
             pass
     from glue_jobs_for_data_pipeline_spark.operators.dedup import release_caches
 
+    # Two full passes, min per query: the host shows multi-second noise
+    # spikes on single samples (same query swings 2.4s..15s run-to-run
+    # while neighbors stay flat); min-of-N is the standard estimator for
+    # the engine's actual cost under external interference.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        release_caches()  # dedup signature caches are per-query scratch
+    for _ in range(n_passes):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
+            release_caches()  # dedup signature caches are per-query scratch
 
     print(
         json.dumps(
@@ -78,6 +85,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "passes": n_passes,
+                "estimator": "min",
             }
         )
     )
