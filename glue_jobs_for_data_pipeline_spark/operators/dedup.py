@@ -140,14 +140,18 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") > df_cap)
             .select("shingle")
         )
-        # explicit shingle repartition: the filtered posting list is an
-        # exchange both self-join branches reuse (ReusedExchange), so the
-        # explode + anti-join run once, not once per consumer. A window
-        # count over shingle would instead pile each hot shingle's
-        # postings onto one partition — the exact skew the cap removes.
-        posts = posts.join(F.broadcast(hot), "shingle", "left_anti").repartition(
-            "shingle"
-        )
+        # broadcast anti-join, NOT a window count over shingle: a window
+        # would pile each hot shingle's postings onto one partition — the
+        # exact skew the cap exists to remove.
+        posts = posts.join(F.broadcast(hot), "shingle", "left_anti")
+    # The posting list feeds FOUR consumers (both self-join branches and
+    # both size lookups). Without materialization AQE may broadcast one
+    # join side, so no exchange boundary lines up for reuse and the
+    # explode (+ anti-join) recomputes per consumer (observed: 0
+    # ReusedExchange). Cache it partitioned by the join key — cached
+    # partitioning is visible to the planner, so the self-join reads the
+    # cache with no further shuffle. Released via release_caches().
+    posts = _cached(posts.repartition("shingle"))
     sizes = posts.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = posts.select(F.col("doc").alias("doc_a"), "shingle")
     b = posts.select(F.col("doc").alias("doc_b"), "shingle")
