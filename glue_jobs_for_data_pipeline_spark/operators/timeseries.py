@@ -80,6 +80,50 @@ def asof_join_backward(
     )
 
 
+def sessionize_batch(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization as a pure batch plan: the lag-mark-cumsum
+    idiom. A row starts a new session when it is its key's first event or
+    follows a gap > ``gap_minutes``; the running sum of start-markers is
+    the session id; one groupBy aggregates the bounds.
+
+    Same semantics as streaming.sessionize_stateful, but SQL-expressible
+    (LAG + SUM OVER + GROUP BY) so the differential oracle covers it —
+    and it emits ALL sessions including each key's trailing one, which a
+    correct streaming operator must keep pending. Two shuffles total
+    (key window + group-by on the same key; the second collapses to a
+    local aggregation since partitioning is unchanged).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gap = F.make_dt_interval(mins=F.lit(gap_minutes))
+    marked = events.select(
+        key_col,
+        ts_col,
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (F.col(ts_col) - F.lag(ts_col).over(w) > gap),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_new"),
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = marked.select(
+        key_col,
+        ts_col,
+        F.sum("_new").over(w_run).alias("session_id"),
+    )
+    return sess.groupBy(key_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def range_join_count(
     probe: DataFrame,
     events: DataFrame,

@@ -600,6 +600,86 @@ def x_ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "n_in_range")
 
 
+_X_SESS_BATCH_SQL = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+lagged AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM e),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM lagged),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY 1, 2
+"""
+
+
+@_q("x_ts_sessionize_batch", _X_SESS_BATCH_SQL)
+def x_ts_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) as a batch plan — the
+    lag-mark-cumsum idiom, oracle-checked; semantically the batch twin
+    of x_stream_sessionize (tests assert the streaming operator's
+    emitted sessions agree with these)."""
+    from ..operators.timeseries import sessionize_batch
+    from ..sources.readers import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts")
+    return sessionize_batch(ev, "user_id", "ts", gap_minutes=30)
+
+
+@_q(
+    "x_json_extract",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k "
+    "FROM events",
+)
+def x_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of a JSON props
+    column (get_json_object — JVM-side JSON path, no UDF)."""
+    from ..sources.readers import load_events
+
+    return load_events(spark, sf_dir).select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+    )
+
+
+@_q(
+    "x_olap_count_distinct",
+    "SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust "
+    "FROM orders GROUP BY o_orderpriority",
+)
+def x_olap_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped COUNT(DISTINCT): Spark plans the two-phase expand +
+    partial-distinct aggregation (dedup happens map-side per group before
+    the final shuffle)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"))
+    )
+
+
+@_q("x_olap_approx_distinct")  # HLL sketch — engine-specific; rows-only
+def x_olap_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts (the sketch tier of
+    x_olap_count_distinct): constant memory per group at any scale.
+    Accuracy vs the exact tier asserted in tests/test_timeseries.py."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_cust_approx"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Deterministic sampling (reproducible corpus builds)
 # --------------------------------------------------------------------------

@@ -63,6 +63,85 @@ def test_asof_plan_has_no_nested_loop(spark, trades_quotes):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
+def test_batch_sessions_known_answer(spark):
+    events = spark.createDataFrame(
+        [
+            (1, _ts(0)), (1, _ts(10)), (1, _ts(20)),   # one session
+            (1, _ts(60)),                              # gap 40 > 30 -> new
+            (2, _ts(0)),                               # other user
+        ],
+        "user_id long, ts timestamp",
+    )
+    from glue_jobs_for_data_pipeline_spark.operators.timeseries import (
+        sessionize_batch,
+    )
+
+    out = {
+        (r["user_id"], r["session_id"]): (
+            r["session_start"], r["session_end"], r["n_events"]
+        )
+        for r in sessionize_batch(events, gap_minutes=30).collect()
+    }
+    assert out == {
+        (1, 1): (_ts(0), _ts(20), 3),
+        (1, 2): (_ts(60), _ts(60), 1),
+        (2, 1): (_ts(0), _ts(0), 1),
+    }
+
+
+def test_streaming_sessions_agree_with_batch(spark, sf_dir):
+    """The stateful streaming sessionizer's emitted sessions must be a
+    subset of (and bitwise agree with) the oracle-checked batch
+    sessionization — the sessions it has NOT emitted are exactly the
+    pending trailing ones the watermark never passed."""
+    from glue_jobs_for_data_pipeline_spark.operators.timeseries import (
+        sessionize_batch,
+    )
+    from glue_jobs_for_data_pipeline_spark.sources.readers import load_events
+    from glue_jobs_for_data_pipeline_spark.streaming.events import (
+        sessionize_stateful,
+    )
+
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_batch(
+            load_events(spark, sf_dir).select("user_id", "ts"), gap_minutes=30
+        ).collect()
+    }
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_stateful(spark, sf_dir, gap_minutes=30).collect()
+    }
+    assert streamed, "timeout should flush at least some sessions"
+    assert streamed <= batch
+    # everything missing is a trailing session (latest session per user)
+    last_start = {}
+    for u, s, e, n in batch:
+        last_start[u] = max(last_start.get(u, s), s)
+    for u, s, e, n in batch - streamed:
+        assert s == last_start[u], f"non-trailing session missing for user {u}"
+
+
+def test_approx_distinct_tracks_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.1 * n), (k, n, approx[k])
+
+
 def test_range_join_count_window_edges(spark):
     probe = spark.createDataFrame(
         [(1, 10, _ts(10))], "k long, probe_id long, ts timestamp"
