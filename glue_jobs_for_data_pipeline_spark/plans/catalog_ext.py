@@ -668,6 +668,28 @@ def x_olap_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "x_olap_percentiles",
+    "SELECT l_returnflag, quantile_cont(l_extendedprice, [0.25, 0.5, 0.9]) AS pct "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def x_olap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (linear interpolation — verified
+    bit-identical to DuckDB's quantile_cont, including fractional
+    interpolation positions). Exact percentile sorts within each group;
+    the sketch alternative at extreme scale is approx_percentile
+    (t-digest), same plumbing."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.9))").alias(
+                "pct"
+            )
+        )
+    )
+
+
 @_q("x_olap_approx_distinct")  # HLL sketch — engine-specific; rows-only
 def x_olap_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts (the sketch tier of

@@ -152,6 +152,39 @@ def vacuum(table_dir: str, keep: int = 2) -> list[int]:
     return removed
 
 
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Rewrite the committed version into ~target-sized files and publish
+    the result as a new version (atomic via the pointer swap — readers
+    see either the fragmented or the compacted table, never a mix).
+
+    Incremental appends leave a long tail of small files; at scale the
+    scan cost becomes task-scheduling overhead and footer reads, not
+    bytes. Compaction sizes the output by the CURRENT on-disk bytes
+    (ceil(bytes/target) files), so it needs no sampling pass. Returns
+    the new committed version. Run vacuum() afterwards to reclaim the
+    fragmented version once readers drain.
+    """
+    import math
+
+    version = current_version(table_dir)
+    if version is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    vdir = _version_dir(table_dir, version)
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(vdir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    compacted = spark.read.parquet(vdir).repartition(n_files)
+    return txn_overwrite(compacted, table_dir)
+
+
 class Transaction:
     """Multi-table write-last bracket.
 

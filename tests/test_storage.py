@@ -1,0 +1,45 @@
+"""Storage-layout behaviors the 100 TB posture depends on: partition
+pruning reaches the scan, and filters/projections push into parquet."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from glue_jobs_for_data_pipeline_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def partitioned_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("part") / "orders_by_year")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year(F.col("o_orderdate").cast("date"))
+    )
+    o.repartition("order_year").write.partitionBy("order_year").parquet(d)
+    return d
+
+
+def test_partition_filter_prunes_scan(spark, partitioned_dir):
+    df = spark.read.parquet(partitioned_dir).filter(F.col("order_year") == 1995)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the year predicate must be a PartitionFilter on the scan node, not
+    # a post-scan Filter over all partitions
+    assert "PartitionFilters" in plan
+    assert "order_year" in plan.split("PartitionFilters")[1].split("]")[0]
+    years = {r["order_year"] for r in df.select("order_year").distinct().collect()}
+    assert years == {1995}
+
+
+def test_predicate_and_projection_pushdown(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_quantity" in pushed  # predicate reaches the parquet reader
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # column pruning: only the two selected columns are read
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema

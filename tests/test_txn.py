@@ -62,6 +62,25 @@ def test_transaction_commits_all_tables_on_success(spark, tmp_path):
     assert _vals(spark, d2) == [20, 21, 22]
 
 
+def test_compact_reduces_files_preserves_rows(spark, tdir):
+    # fragment: 64 partitions -> 64 tiny files
+    frag = spark.range(10_000).selectExpr("id AS v").repartition(64)
+    txn.txn_overwrite(frag, tdir)
+    v1 = os.path.join(tdir, "v=1")
+    n_before = sum(f.endswith(".parquet") for f in os.listdir(v1))
+    assert n_before == 64
+    new_v = txn.compact(spark, tdir, target_file_bytes=128 << 20)
+    assert new_v == 2 and txn.current_version(tdir) == 2
+    v2 = os.path.join(tdir, f"v={new_v}")
+    n_after = sum(f.endswith(".parquet") for f in os.listdir(v2))
+    assert n_after == 1  # well under one target-size file
+    assert txn.read_committed(spark, tdir).count() == 10_000
+    # old fragmented version still present until vacuumed
+    assert os.path.isdir(v1)
+    txn.vacuum(tdir, keep=1)
+    assert not os.path.isdir(v1)
+
+
 def test_vacuum_keeps_window_and_inflight(spark, tdir):
     for i in range(4):
         txn.txn_overwrite(spark.range(i + 1).selectExpr("id AS v"), tdir)
