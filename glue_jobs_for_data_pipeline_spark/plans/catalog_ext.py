@@ -600,6 +600,38 @@ def x_ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "n_in_range")
 
 
+_X_LATEST_SQL = """
+SELECT user_id, event_id, ts, value FROM (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC)
+           AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+@_q("x_ingest_latest_by_key", _X_LATEST_SQL)
+def x_ingest_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style ingestion dedup: keep each key's latest record (ties on
+    ts broken by event_id so the survivor is total-ordered). One window
+    shuffle on the key; at scale this is the standard
+    changelog-to-snapshot collapse that precedes an SCD-2 upsert."""
+    from pyspark.sql import Window as W
+
+    from ..sources.readers import load_events
+
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        load_events(spark, sf_dir)
+        .select("user_id", "event_id", "ts", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 _X_SESS_BATCH_SQL = """
 WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
 lagged AS (
@@ -816,6 +848,47 @@ def x_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import prepare_corpus
 
     return prepare_corpus(load_table(spark, sf_dir, "documents"))
+
+
+_X_CORPUS_STATS_SQL = f"""
+WITH scored AS (
+  SELECT {_lang_case_expr()} AS lang_pred,
+         {_QUALITY_EXPR} AS quality,
+         CAST(len({_SQL_TOKENS.format(x='text')}) AS INTEGER) AS n_tokens
+  FROM documents)
+SELECT lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS quality_sum
+FROM scored GROUP BY lang_pred
+"""
+
+
+@_q("x_corpus_stats", _X_CORPUS_STATS_SQL)
+def x_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus report card: docs / total tokens / summed quality per
+    predicted language — the single-scan summary a 100 TB ingest run
+    prints. Quality sums via a fixed-scale decimal cast so the aggregate
+    is order-insensitive (raw double SUM is not cross-engine stable)."""
+    from ..functions.text import lang_id, quality_score, token_count
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    return (
+        d.select(
+            lang_id(t).alias("lang_pred"),
+            quality_score(t).alias("quality"),
+            token_count(t).alias("n_tokens"),
+        )
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("quality").cast("decimal(18,9)"))
+            .cast("decimal(28,9)")
+            .alias("quality_sum"),
+        )
+    )
 
 
 @_q("x_corpus_prep_neardup")  # adds MinHash-LSH stage -> rows-only
