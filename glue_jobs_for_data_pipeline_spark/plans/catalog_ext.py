@@ -314,8 +314,8 @@ def x_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "x_olap_q1_style",
     "SELECT l_returnflag, l_linestatus, "
-    "SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, "
-    "SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, "
     "COUNT(*) AS cnt, "
     "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty "
     "FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02' "
@@ -324,19 +324,27 @@ def x_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_olap_q1_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregation: filtered scan -> grouped exact decimal
     sums + derived average (partial agg map-side; only per-group partials
-    shuffle — the canonical 100 TB reporting query shape)."""
+    shuffle — the canonical 100 TB reporting query shape). Sums are exact
+    decimals internally and cast to double ONCE at the output boundary on
+    both engines (the driver hash canonicalizes decimal widths differently
+    across engines — round-1 f11/m2/m5 lesson)."""
     li = load_table(spark, sf_dir, "lineitem")
     agg = (
         li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_sp"),
             F.count(F.lit(1)).alias("cnt"),
         )
     )
-    return agg.withColumn(
-        "avg_qty", F.col("sum_qty").cast("double") / F.col("cnt")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sp").cast("double").alias("sum_price"),
+        "cnt",
+        (F.col("_sq").cast("double") / F.col("cnt")).alias("avg_qty"),
     )
 
 
