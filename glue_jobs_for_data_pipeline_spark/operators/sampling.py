@@ -26,9 +26,17 @@ def _hash_prefix(key: F.Column, digits: int = 4) -> F.Column:
 
 
 def hash_threshold(rate: float, digits: int = 4) -> str:
-    """Hex threshold string t such that P(md5_prefix < t) ~= rate."""
+    """Hex threshold string t such that P(md5_prefix < t) ~= rate.
+
+    rate >= 1.0 returns the sentinel ``"g"``: every hex prefix compares
+    below it, so the predicate selects all rows. (The naive
+    ``format(16**digits)`` would yield a 5-char string like ``"10000"``
+    that loses lexicographic comparison to most 4-char hex prefixes.)
+    """
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate {rate} outside [0, 1]")
+    if rate >= 1.0:
+        return "g"
     return format(int(rate * (16 ** digits)), f"0{digits}x")
 
 

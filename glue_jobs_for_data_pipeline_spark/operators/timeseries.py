@@ -136,11 +136,16 @@ def range_join_count(
     """For each probe row, count events of the same key with
     ``event_ts`` in ``[probe_ts - window, probe_ts]`` (inclusive both
     ends; a probe row that also exists in ``events`` counts itself).
+    EVERY probe row is returned — a probe with no in-range events gets
+    count 0 (left-join semantics, matching the docstring's "for each
+    probe row" contract).
 
     Banded equi-join: band width == window length, so each probe interval
     overlaps at most 2 bands -> the probe side fans out x2, the event
     side not at all, and each event lands in exactly one band (no double
-    counting). The join is a plain shuffled equi-join on (key, band).
+    counting). The join is a plain shuffled LEFT equi-join on
+    (key, band); out-of-range and unmatched rows contribute 0 via a
+    conditional sum, so zero-match probes survive to the output.
     """
     keys = [on] if isinstance(on, str) else list(on)
     band_us = F.lit(window_seconds * 1_000_000)
@@ -159,9 +164,13 @@ def range_join_count(
         F.floor(e_us / band_us).alias("_band"),
     )
     lo = F.col(probe_ts) - F.make_dt_interval(secs=F.lit(window_seconds))
+    in_range = F.col("_ets").between(lo, F.col(probe_ts))
     return (
-        p2.join(e2, [*keys, "_band"])
-        .filter(F.col("_ets").between(lo, F.col(probe_ts)))
+        p2.join(e2, [*keys, "_band"], "left")
         .groupBy(*keys, *[c for c in probe.columns if c not in keys])
-        .agg(F.count(F.lit(1)).alias(count_alias))
+        .agg(
+            F.sum(F.when(in_range, 1).otherwise(0))
+            .cast("bigint")
+            .alias(count_alias)
+        )
     )

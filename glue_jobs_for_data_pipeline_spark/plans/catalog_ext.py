@@ -578,10 +578,10 @@ def x_ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X_RANGE_SQL = """
 SELECT e.user_id, e.event_id,
-       CAST(COUNT(*) AS BIGINT) AS n_in_range
+       CAST(COUNT(x.ts) AS BIGINT) AS n_in_range
 FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
       FROM events WHERE event_type = 'error') e
-JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) x
+LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) x
   ON x.user_id = e.user_id
  AND x.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts
 GROUP BY 1, 2

@@ -152,10 +152,30 @@ def vacuum(table_dir: str, keep: int = 2) -> list[int]:
     return removed
 
 
+def _detect_partition_cols(vdir: str) -> tuple[str, ...]:
+    """Partition columns of a version directory, inferred from its
+    ``col=value`` subdirectory chain (the on-disk encoding Spark writes
+    for partitionBy)."""
+    cols: list[str] = []
+    cur = vdir
+    while os.path.isdir(cur):
+        subs = [
+            d for d in os.listdir(cur)
+            if "=" in d and os.path.isdir(os.path.join(cur, d))
+            and not d.startswith("v=")
+        ]
+        if not subs:
+            break
+        cols.append(subs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subs[0])
+    return tuple(cols)
+
+
 def compact(
     spark: SparkSession,
     table_dir: str,
     target_file_bytes: int = 128 << 20,
+    partition_by: tuple[str, ...] | None = None,
 ) -> int:
     """Rewrite the committed version into ~target-sized files and publish
     the result as a new version (atomic via the pointer swap — readers
@@ -167,6 +187,12 @@ def compact(
     (ceil(bytes/target) files), so it needs no sampling pass. Returns
     the new committed version. Run vacuum() afterwards to reclaim the
     fragmented version once readers drain.
+
+    A partitioned table (written with ``partition_by``) keeps its layout:
+    partition columns are auto-detected from the ``col=value`` directory
+    chain when ``partition_by`` is None, and the rewrite shuffles on
+    those columns before ``partitionBy`` so pruning survives compaction.
+    Pass ``partition_by=()`` to deliberately flatten the layout.
     """
     import math
 
@@ -174,6 +200,8 @@ def compact(
     if version is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     vdir = _version_dir(table_dir, version)
+    if partition_by is None:
+        partition_by = _detect_partition_cols(vdir)
     total = sum(
         os.path.getsize(os.path.join(root, f))
         for root, _, files in os.walk(vdir)
@@ -181,8 +209,35 @@ def compact(
         if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
-    compacted = spark.read.parquet(vdir).repartition(n_files)
-    return txn_overwrite(compacted, table_dir)
+    df = spark.read.parquet(vdir)
+    if partition_by:
+        # Shuffle on the partition columns so each output task holds few
+        # distinct partition keys -> ~one file per (task, key) instead of
+        # every task writing into every partition directory.
+        compacted = df.repartition(n_files, *partition_by)
+    else:
+        compacted = df.repartition(n_files)
+    return txn_overwrite(compacted, table_dir, partition_by or ())
+
+
+def gc_orphans(table_dir: str) -> list[int]:
+    """Delete version directories NEWER than the committed pointer —
+    debris from writers that crashed after staging but before publishing.
+    Only call when no writer is in flight (orphans are indistinguishable
+    from another writer's active staging directory without a lock
+    service; on a real deployment the catalog's commit protocol owns
+    this). Returns the versions removed."""
+    cur = current_version(table_dir)
+    if cur is None or not os.path.isdir(table_dir):
+        return []
+    removed = []
+    for d in os.listdir(table_dir):
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit():
+            v = int(d.split("=", 1)[1])
+            if v > cur:
+                shutil.rmtree(_version_dir(table_dir, v), ignore_errors=True)
+                removed.append(v)
+    return sorted(removed)
 
 
 class Transaction:
@@ -212,12 +267,39 @@ class Transaction:
     def __enter__(self) -> "Transaction":
         return self
 
+    @property
+    def staged(self) -> list[tuple[str, int]]:
+        """Staged-but-unpublished (table_dir, version) pairs. Non-empty
+        after a partial commit failure: the caller can retry the
+        remaining publishes (``publish_staged()``) or roll them back
+        (``discard_staged()``)."""
+        return list(self._staged)
+
+    def publish_staged(self) -> None:
+        """Retry path after a partial commit failure: publish whatever
+        is still staged, front to back."""
+        while self._staged:
+            table_dir, version = self._staged[0]
+            _publish(table_dir, version)
+            self._staged.pop(0)
+
+    def discard_staged(self) -> None:
+        """Cleanup path after a partial commit failure: delete the
+        staged versions that never published. Already-published tables
+        stay published (a cross-table un-publish would itself be a
+        non-atomic multi-pointer operation)."""
+        for table_dir, version in self._staged:
+            discard_version(table_dir, version)
+        self._staged.clear()
+
     def __exit__(self, exc_type, exc, tb) -> bool:
         if exc_type is None:
-            for table_dir, version in self._staged:
-                _publish(table_dir, version)
+            # Publish front-to-back, consuming the staged list as each
+            # pointer lands: if a publish raises partway, self._staged
+            # still holds exactly the unpublished remainder, so the
+            # caller can publish_staged() (retry) or discard_staged()
+            # instead of losing the handles to a half-committed state.
+            self.publish_staged()
         else:
-            for table_dir, version in self._staged:
-                discard_version(table_dir, version)
-        self._staged.clear()
+            self.discard_staged()
         return False  # propagate the exception after rollback

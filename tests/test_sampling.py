@@ -48,3 +48,16 @@ def test_stratified_fixed_n(spark):
     # deterministic: same call, same rows
     again = sampling.stratified_fixed_n(df, ["lang"], "doc_id", 10).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_sample_rate_one_keeps_everything(spark, ids):
+    """rate=1.0 must select ALL rows (regression: the naive threshold
+    '10000' loses lexicographic comparison to 4-char hex prefixes)."""
+    assert sampling.hash_threshold(1.0) == "g"
+    assert sampling.sample_by_hash(ids, "doc_id", rate=1.0).count() == 10_000
+    splits = sampling.split_by_hash(ids, "doc_id", holdout_rate=1.0)
+    assert splits.filter("split = 'train'").count() == 0
+
+
+def test_sample_rate_zero_keeps_nothing(spark, ids):
+    assert sampling.sample_by_hash(ids, "doc_id", rate=0.0).count() == 0

@@ -174,3 +174,19 @@ def test_range_join_no_double_count_across_bands(spark):
     )
     out = range_join_count(probe, events, on="k", window_seconds=300).collect()
     assert out[0]["n_in_range"] == 2
+
+
+def test_range_join_zero_match_probe_rows_survive(spark):
+    """A probe row with NO in-range events must appear with count 0 —
+    the 'for each probe row' contract (left-join semantics)."""
+    probe = spark.createDataFrame(
+        [(1, 10, _ts(10)), (3, 30, _ts(10))],
+        "k long, probe_id long, ts timestamp",
+    )
+    events = spark.createDataFrame(
+        [(1, _ts(9)), (3, _ts(20))], "k long, ts timestamp"
+    )
+    out = {r["probe_id"]: r["n_in_range"] for r in range_join_count(
+        probe, events, on="k", window_seconds=300
+    ).collect()}
+    assert out == {10: 1, 30: 0}

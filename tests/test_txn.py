@@ -91,3 +91,98 @@ def test_vacuum_keeps_window_and_inflight(spark, tdir):
     assert txn.current_version(tdir) == 4
     assert _vals(spark, tdir) == [0, 1, 2, 3]
     assert os.path.isdir(os.path.join(tdir, f"v={staged}"))
+
+
+def test_compact_preserves_partition_layout(spark, tdir):
+    """Compacting a partitioned table must keep the col=value directory
+    layout (pruning survives) and the committed rows."""
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(300)], "v long, dk int"
+    ).repartition(16)
+    txn.txn_overwrite(df, tdir, partition_by=("dk",))
+    new_v = txn.compact(spark, tdir, target_file_bytes=128 << 20)
+    vdir = os.path.join(tdir, f"v={new_v}")
+    subdirs = sorted(d for d in os.listdir(vdir) if d.startswith("dk="))
+    assert subdirs == ["dk=0", "dk=1", "dk=2"]
+    out = txn.read_committed(spark, tdir)
+    assert out.count() == 300
+    assert sorted(out.columns) == ["dk", "v"]
+    # far fewer files than the 16-way fragmented original
+    n_files = sum(
+        f.endswith(".parquet")
+        for root, _, files in os.walk(vdir) for f in files
+    )
+    assert n_files <= 3
+
+
+def test_transaction_partial_publish_preserves_staged(spark, tmp_path, monkeypatch):
+    """If a publish fails partway through commit, the unpublished
+    remainder must stay staged so the caller can retry or roll back."""
+    d1, d2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    txn.txn_overwrite(spark.range(1).selectExpr("id AS v"), d1)
+    txn.txn_overwrite(spark.range(1).selectExpr("id AS v"), d2)
+
+    real_publish = txn._publish
+    calls = {"n": 0}
+
+    def flaky_publish(table_dir, version):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated pointer-swap failure")
+        real_publish(table_dir, version)
+
+    monkeypatch.setattr(txn, "_publish", flaky_publish)
+    t = txn.Transaction()
+    with pytest.raises(OSError, match="pointer-swap"):
+        with t:
+            t.overwrite(spark.range(10, 12).selectExpr("id AS v"), d1)
+            t.overwrite(spark.range(20, 23).selectExpr("id AS v"), d2)
+    # first table published, second still staged with its handle intact
+    assert _vals(spark, d1) == [10, 11]
+    assert _vals(spark, d2) == [0]
+    assert t.staged == [(d2, 2)]
+    # retry completes the commit
+    monkeypatch.setattr(txn, "_publish", real_publish)
+    t.publish_staged()
+    assert _vals(spark, d2) == [20, 21, 22]
+    assert t.staged == []
+
+
+def test_transaction_partial_publish_discard(spark, tmp_path, monkeypatch):
+    """Alternative recovery: discard the unpublished remainder; the
+    already-published tables stay published."""
+    d1, d2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    txn.txn_overwrite(spark.range(1).selectExpr("id AS v"), d1)
+    txn.txn_overwrite(spark.range(1).selectExpr("id AS v"), d2)
+
+    real_publish = txn._publish
+    calls = {"n": 0}
+
+    def flaky_publish(table_dir, version):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated pointer-swap failure")
+        real_publish(table_dir, version)
+
+    monkeypatch.setattr(txn, "_publish", flaky_publish)
+    t = txn.Transaction()
+    with pytest.raises(OSError):
+        with t:
+            t.overwrite(spark.range(10, 12).selectExpr("id AS v"), d1)
+            t.overwrite(spark.range(20, 23).selectExpr("id AS v"), d2)
+    t.discard_staged()
+    assert _vals(spark, d2) == [0]
+    assert not os.path.isdir(os.path.join(d2, "v=2"))
+    assert t.staged == []
+
+
+def test_gc_orphans_removes_only_newer_than_pointer(spark, tdir):
+    txn.txn_overwrite(spark.range(2).selectExpr("id AS v"), tdir)
+    txn.txn_overwrite(spark.range(3).selectExpr("id AS v"), tdir)
+    orphan = txn.stage_version(spark.range(9).selectExpr("id AS v"), tdir)
+    assert txn.gc_orphans(tdir) == [orphan]
+    assert not os.path.isdir(os.path.join(tdir, f"v={orphan}"))
+    # committed window untouched
+    assert txn.current_version(tdir) == 2
+    assert _vals(spark, tdir) == [0, 1, 2]
+    assert os.path.isdir(os.path.join(tdir, "v=1"))
