@@ -251,6 +251,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     k: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 LSH band bucket, with the
     estimated Jaccard (fraction of matching minhashes).
@@ -258,6 +259,21 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes/bands; P(candidate) = 1-(1-j^r)^b — the
     classic S-curve. Bucket join is an equi-join on (band_idx, band_hash):
     co-located, no cross product outside buckets.
+
+    ``bucket_cap`` is the hot-bucket mitigation for corpus scale: a
+    boilerplate band shared by d docs makes one bucket contribute d^2
+    candidate pairs (10^6 docs -> 10^12 pairs from ONE bucket). Buckets
+    with > bucket_cap docs are dropped before the self-join, bounding
+    per-bucket fan-out at bucket_cap^2. The hot set is found by a
+    map-side-combined groupBy and is small by the heavy-tail argument
+    (at most total_bucket_entries/bucket_cap buckets can exceed the
+    cap), so it broadcasts; the bucket list is then filtered by a
+    broadcast LEFT ANTI join — the same idiom as ngram_jaccard_pairs'
+    df_cap. Docs in a dropped bucket can still pair through their other
+    bands-1 buckets, so recall on true near-dups (which agree on many
+    bands) survives; what's suppressed is exactly the degenerate
+    everyone-matches-everyone boilerplate cluster. Always set it in
+    production (e.g. 1000); None = uncapped.
     """
     r = num_hashes // bands
     # cached: the Arrow-UDF signature stage feeds the band explode AND the
@@ -275,6 +291,18 @@ def minhash_lsh_pairs(
     buckets = sigs.select(
         "doc", F.explode(band_cols).alias("b")
     ).select("doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    if bucket_cap is not None:
+        hot = (
+            buckets.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > bucket_cap)
+            .select("band", "bh")
+        )
+        buckets = buckets.join(F.broadcast(hot), ["band", "bh"], "left_anti")
+        # The capped bucket list feeds both self-join branches; cache it
+        # partitioned on the join key so the anti-join runs once and the
+        # self-join reads co-located cache blocks with no extra shuffle.
+        buckets = _cached(buckets.repartition("band", "bh"))
     left = buckets.select(F.col("doc").alias("doc_a"), "band", "bh")
     right = buckets.select(F.col("doc").alias("doc_b"), "band", "bh")
     cand = (

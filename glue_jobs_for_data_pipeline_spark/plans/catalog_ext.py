@@ -194,11 +194,17 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("x_dedup_minhash_lsh")  # xxhash64-based -> no SQL oracle; rows-only
 def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) + 16-band LSH candidate pairs with estimated Jaccard.
-    Deterministic fixed-seed hash family; statistical accuracy is
-    property-tested against exact Jaccard in tests/test_dedup.py."""
+    """MinHash(64) + 16-band LSH candidate pairs with estimated Jaccard,
+    WITH the production hot-bucket cap on (bucket_cap=1000): a
+    boilerplate band bucket shared by d docs would contribute d^2
+    candidate pairs, so buckets above the cap are dropped before the
+    self-join (broadcast anti-join; true near-dups still pair through
+    their other bands). Deterministic fixed-seed hash family;
+    statistical accuracy is property-tested against exact Jaccard in
+    tests/test_dedup.py."""
     return dedup.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        bucket_cap=1000,
     )
 
 

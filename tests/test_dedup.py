@@ -145,3 +145,29 @@ def test_embedding_cosine_pairs(spark):
     out = dedup.embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.95)
     got = [(r["id_a"], r["id_b"]) for r in out.collect()]
     assert got == [(0, 1)]
+
+
+def test_minhash_bucket_cap_bounds_boilerplate(spark):
+    """A boilerplate cluster (many identical docs) must not explode the
+    candidate set when bucket_cap is on, and true near-dups that live
+    outside the hot buckets must still be found."""
+    boiler = "click here to subscribe to our newsletter terms apply see site"
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    rows = [(i, boiler) for i in range(60)] + [(100, base), (101, near)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    dedup.release_caches()
+    capped = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", bucket_cap=20
+    ).collect()
+    dedup.release_caches()
+
+    # uncapped: the 60-doc cluster alone yields 60*59/2 = 1770 pairs
+    assert len(uncapped) == 1771
+    # capped: every boilerplate bucket exceeds the cap and is dropped;
+    # only the true near-dup pair (bucket size 2) remains
+    got = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in capped}
+    assert (100, 101) in got and got[(100, 101)] > 0.5
+    assert len(capped) == 1
