@@ -524,8 +524,10 @@ def x_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "'FAKE' AS format FROM documents",
 )
 def x_mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload + Arrow-batched mapInPandas decode stage (decode
-    itself is a deterministic stub — container has no media libs)."""
+    """Binary payload + Arrow-batched mapInPandas decode stage. The
+    decode is real for PNG/JPEG/GIF (header parse, tests cover actual
+    image bytes); the fixture's text-byte payloads are not images, so
+    they take the deterministic fallback the oracle states."""
     d = multimodal.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return multimodal.decode_media(d)
 
