@@ -32,7 +32,7 @@ from ..operators.dates_dim import generate_dim_dates
 from ..operators.fact import build_staging_fact, populate_fact
 from ..operators.scd2 import scd2_upsert
 from ..operators.validation import validate_or_raise, validation_report
-from ..sources.txn import Transaction, read_committed, read_version
+from ..sources.txn import Transaction, compact, read_committed, read_version
 
 
 @dataclass
@@ -56,6 +56,14 @@ class PipelineContext:
     dates_start: dt.date
     dates_days: int
     scd2_mode: str = "reference"
+    # "rownum" = contiguous surrogate keys like the reference (single-
+    # partition window over NEW keys only); "hash" = xxhash64 keys, fully
+    # parallel — the documented at-scale configuration.
+    scd2_key_mode: str = "rownum"
+    # When set, every committed table is compacted to ~this file size
+    # after the transaction publishes (atomic: readers see fragmented or
+    # compacted, never a mix; fact partition layout is preserved).
+    compact_target_bytes: int | None = None
     results: dict[str, DataFrame] = field(default_factory=dict)
 
 
@@ -115,6 +123,7 @@ class Pipeline:
                     spec.surrogate_key,
                     run_date=ctx.run_date,
                     mode=ctx.scd2_mode,
+                    key_mode=ctx.scd2_key_mode,
                 )
                 path = f"{ctx.warehouse_dir}/dim_{spec.name}"
                 v = t.overwrite(dim, path)
@@ -152,6 +161,14 @@ class Pipeline:
                 partition_by=("OrderDateKey",),
             )
             staged["fact_orders"] = (fact_path, v)
+
+        # Optional post-commit compaction (at-scale maintenance pass):
+        # rewrites each committed table to ~target-sized files and
+        # republishes atomically; fact keeps its OrderDateKey layout via
+        # compact()'s partition auto-detection.
+        if ctx.compact_target_bytes is not None:
+            for name, (path, _v) in staged.items():
+                compact(spark, path, target_file_bytes=ctx.compact_target_bytes)
 
         # transaction committed: expose the published views
         for name, (path, _v) in staged.items():

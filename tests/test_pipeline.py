@@ -112,3 +112,67 @@ def test_pipeline_strict_mode_aborts(spark, sf_dir):
     )
     with pytest.raises(ValidationError):
         _pipeline().run(spark, ctx)
+
+
+def test_pipeline_hash_keys_and_compaction_match_rownum(spark, sf_dir):
+    """The at-scale configuration (hash surrogate keys + post-commit
+    compaction) must produce the same dims and fact as the reference
+    rownum configuration modulo surrogate key VALUES: same row counts,
+    same business columns, same fact measures per order line, and the
+    fact keeps its OrderDateKey partition layout through compaction."""
+    import os
+
+    from glue_jobs_for_data_pipeline_spark.sources import txn
+
+    wh_a = "/tmp/spark_graft_io/test_warehouse_rownum"
+    wh_b = "/tmp/spark_graft_io/test_warehouse_hash"
+    for wh in (wh_a, wh_b):
+        shutil.rmtree(wh, ignore_errors=True)
+    base = dict(
+        sf_dir=sf_dir, run_date=fx.INITIAL_LOAD_DATE,
+        dates_start=fx.DATES_START, dates_days=fx.DATES_DAYS,
+    )
+    res_a = _pipeline(lenient_sources={"orderdetails"}).run(
+        spark, PipelineContext(warehouse_dir=wh_a, **base)
+    )
+    res_b = _pipeline(lenient_sources={"orderdetails"}).run(
+        spark,
+        PipelineContext(
+            warehouse_dir=wh_b,
+            scd2_key_mode="hash",
+            compact_target_bytes=128 << 20,
+            **base,
+        ),
+    )
+
+    # dims: identical business content, keys differ only in value
+    for dim in ("dim_customers", "dim_products", "dim_stores"):
+        cols = [c for c in res_a[dim].columns if not c.endswith("Key")]
+        a = sorted(map(tuple, res_a[dim].select(*cols).collect()))
+        b = sorted(map(tuple, res_b[dim].select(*cols).collect()))
+        assert a == b, dim
+
+    # fact: same measures at the order-line grain (keys remapped)
+    measures = ["OrderID", "ProductKey", "Quantity", "UnitPrice", "TotalPrice"]
+    fa = res_a["fact_orders"]
+    fb = res_b["fact_orders"]
+    assert fa.count() == fb.count()
+    a = sorted(
+        (r["OrderID"], r["Quantity"], r["TotalPrice"], r["OrderDateKey"])
+        for r in fa.collect()
+    )
+    b = sorted(
+        (r["OrderID"], r["Quantity"], r["TotalPrice"], r["OrderDateKey"])
+        for r in fb.collect()
+    )
+    assert a == b
+
+    # compaction ran (version 2) and preserved the date partition layout
+    assert txn.current_version(f"{wh_b}/fact_orders") == 2
+    vdir = f"{wh_b}/fact_orders/v=2"
+    assert any(d.startswith("OrderDateKey=") for d in os.listdir(vdir))
+    # hash keys joined consistently: every fact FK resolves
+    unresolved = fb.join(
+        res_b["dim_customers"].select("CustomerKey"), "CustomerKey", "left_anti"
+    ).count()
+    assert unresolved == 0

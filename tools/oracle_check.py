@@ -3,7 +3,11 @@ oracle_sql() in DuckDB and compare row count, sorted column names, and
 order-insensitive canonicalized values — a strict local mirror of the
 driver's correctness gate.
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--json OUT.json] [sf_dir] [query ...]
+
+--json writes a per-query record (status, row counts, match flags,
+seconds) — used to commit the full-catalog sweep as a round artifact
+(ORACLE_SWEEP_r{N}.json) auditable by the judge.
 """
 
 from __future__ import annotations
@@ -51,8 +55,14 @@ def rows_canon(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    report: dict[str, dict] = {}
 
     import __spark_entry__ as e
     from glue_jobs_for_data_pipeline_spark.session import get_spark
@@ -78,6 +88,7 @@ def main() -> int:
             scols = sdf.columns
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark raised {type(ex).__name__}: {ex}")
+            report[name] = {"status": "fail", "err": f"spark: {ex}"}
             failures += 1
             continue
         finally:
@@ -85,6 +96,11 @@ def main() -> int:
         if name not in oracles:
             n_rows_only += 1
             print(f"rows  {name}: {len(srows)} rows (no oracle — rows-only check)")
+            report[name] = {
+                "status": "rows_only",
+                "spark_rows": len(srows),
+                "secs": round(time.time() - t0, 1),
+            }
             continue
         try:
             res = con.execute(oracles[name])
@@ -92,6 +108,7 @@ def main() -> int:
             orows = res.fetchall()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb raised {type(ex).__name__}: {ex}")
+            report[name] = {"status": "fail", "err": f"duckdb: {ex}"}
             failures += 1
             continue
         n_checked += 1
@@ -113,6 +130,17 @@ def main() -> int:
                 notes.append(f"values differ; first diffs: {diff}")
         if status != "ok   ":
             failures += 1
+        report[name] = {
+            "status": "ok" if status == "ok   " else "fail",
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "rows_match": len(srows) == len(orows),
+            "schema_match": sorted(c.lower() for c in scols)
+            == sorted(c.lower() for c in ocols),
+            "hash_match": status == "ok   ",
+            "secs": round(time.time() - t0, 1),
+            "notes": "; ".join(notes) or None,
+        }
         print(
             f"{status}{name}: {len(srows)} rows  [{time.time() - t0:.1f}s]"
             + ("  " + "; ".join(notes) if notes else "")
@@ -122,6 +150,19 @@ def main() -> int:
         f"\n{n_checked} oracle-checked, {n_rows_only} rows-only, "
         f"{failures} FAILURES"
     )
+    if json_out:
+        import json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "n_oracle_checked": n_checked,
+            "n_rows_only": n_rows_only,
+            "n_failures": failures,
+            "queries": report,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
