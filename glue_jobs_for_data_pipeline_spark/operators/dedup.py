@@ -114,6 +114,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     df_cap: int | None = None,
+    posts_partitions: int | None = None,
 ) -> DataFrame:
     """Pairs (doc_a < doc_b) with shingle-Jaccard >= threshold.
 
@@ -131,6 +132,20 @@ def ngram_jaccard_pairs(
     can exceed the cap — so it broadcasts, and the posting list itself is
     filtered by a broadcast LEFT ANTI join with no extra shuffle of the
     posts. Always set df_cap in production (e.g. 1000); None = uncapped.
+
+    ``posts_partitions`` sizes the cached posting list's partitioning
+    explicitly (None inherits spark.sql.shuffle.partitions). The cache
+    pins its layout, so AQE never re-coalesces it: size it to
+    postings-bytes / ~64 MB. Undersized partitioning costs parallelism;
+    oversized costs a fixed per-task overhead on every one of the four
+    cache consumers — at sf0.1 (260k postings) dropping 32 -> 8
+    partitions cut the query ~30%.
+
+    (A grouped-posting-ARRAY formulation — sort each shingle's doc list
+    and emit C(d,2) pairs via array HOFs, moving the doc_a<doc_b filter
+    before pair materialization — was measured ~40% SLOWER here: the
+    interpreted HOF lost more than the codegen'd self-join's 2x row
+    overcount cost.)
     """
     posts = doc_shingles(spread(df), id_col, text_col, k)
     if df_cap is not None:
@@ -151,7 +166,10 @@ def ngram_jaccard_pairs(
     # ReusedExchange). Cache it partitioned by the join key — cached
     # partitioning is visible to the planner, so the self-join reads the
     # cache with no further shuffle. Released via release_caches().
-    posts = _cached(posts.repartition("shingle"))
+    if posts_partitions is not None:
+        posts = _cached(posts.repartition(posts_partitions, "shingle"))
+    else:
+        posts = _cached(posts.repartition("shingle"))
     sizes = posts.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = posts.select(F.col("doc").alias("doc_a"), "shingle")
     b = posts.select(F.col("doc").alias("doc_b"), "shingle")

@@ -185,10 +185,12 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     appearing in >100 docs leave the universe, bounding the self-join
     fan-out at 100^2 per shingle; the oracle states the identical cap as
     a window count. (Low threshold: the synthetic corpus has no planted
-    trigram near-dups; the operator's exact arithmetic is under test.)"""
+    trigram near-dups; the operator's exact arithmetic is under test.)
+    posts_partitions sized for the test SFs' ~hundreds-of-KB capped
+    posting list (at production scale: postings-bytes / ~64 MB)."""
     return dedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3,
-        threshold=0.008, df_cap=100,
+        threshold=0.008, df_cap=100, posts_partitions=8,
     )
 
 
