@@ -316,11 +316,14 @@ def minhash_lsh_pairs(
             .filter(F.col("_n") > bucket_cap)
             .select("band", "bh")
         )
+        # Broadcast anti-join on each self-join branch. NOT cached: the
+        # bucket list derives from the already-cached signature stage by
+        # a projection + explode, so each branch re-derives it for less
+        # than a second materialization would cost (measured at sf0.1:
+        # caching the capped list added ~1s of pinned-32-partition
+        # overhead; the hot-set groupBy itself is map-side combined and
+        # shuffles only per-bucket partial counts).
         buckets = buckets.join(F.broadcast(hot), ["band", "bh"], "left_anti")
-        # The capped bucket list feeds both self-join branches; cache it
-        # partitioned on the join key so the anti-join runs once and the
-        # self-join reads co-located cache blocks with no extra shuffle.
-        buckets = _cached(buckets.repartition("band", "bh"))
     left = buckets.select(F.col("doc").alias("doc_a"), "band", "bh")
     right = buckets.select(F.col("doc").alias("doc_b"), "band", "bh")
     cand = (
