@@ -35,6 +35,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # ORACLE_SWEEP_r{N}.json. Update _WINDOW_FIRST each round from the
 # still-unchecked set in CORRECTNESS_r{N}.json.
 _WINDOW_FIRST = [
+    # new in r03 — first driver check
+    "x_text_pii_redact",
+    "x_dedup_substring_spans",
+    "x_stream_dedup",
+    "x_emb_centroid_elements",
+    "x_text_vocab_topk",
     # modules modified after their last driver check
     "x_sim_lsh_topk",
     "x_sim_ivf_topk",

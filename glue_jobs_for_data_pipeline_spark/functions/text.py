@@ -146,3 +146,31 @@ def rolling_hash(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * ROLLING_BASE + c.cast("long")) % ROLLING_MOD,
     )
+
+
+# --- PII scrubbing --------------------------------------------------------
+#
+# Patterns are deliberately restricted to the Java-regex ∩ RE2 common
+# subset (no lookahead/lookbehind, ASCII classes, \b boundaries) so the
+# SAME pattern string runs in Spark (Java) and the DuckDB oracle (RE2)
+# with identical matches. Redaction order is fixed (email -> IPv4 ->
+# phone) and replacement tokens contain no digits, so the chain composes
+# identically in both engines.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d().\s-]{7,14}\d"
+
+
+def pii_count(text: Column, pattern: str) -> Column:
+    """Match count for one PII pattern (codegen'd regexp_extract_all)."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4 addresses, and phone-like digit runs with
+    typed placeholder tokens. Pure regexp_replace chain — pipelines with
+    the scan, no UDF, linear at any corpus size."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")

@@ -513,3 +513,62 @@ def embedding_dup_pairs_lsh(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact shared-substring spans (training-data contamination signal)
+# --------------------------------------------------------------------------
+
+
+def shared_window_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-doc exact-substring duplication signal: for each document,
+    how many of its distinct k-token windows appear in >= ``min_df``
+    documents (itself included), plus the duplicated fraction.
+
+    This is the grouped-window approximation of exact substring dedup
+    (the "duplicated 50-token span" family): a long verbatim overlap
+    between two docs shows up as a run of shared windows, so
+    ``dup_ratio`` ranks verbatim-contaminated docs without suffix
+    arrays. Docs shorter than k tokens have no windows and drop out —
+    same convention as the Jaccard universe.
+
+    Scale shape: one explode (distinct windows per doc), a map-side-
+    combined groupBy for window document-frequency, and a shuffled
+    semi-join of postings against the duplicated-window set. Unlike
+    pair generation there is NO quadratic term: a boilerplate window in
+    d docs contributes d posting rows, not d^2 pairs, so no cap is
+    needed for correctness of cost — the output stays one row per doc.
+    """
+    posts = doc_shingles(spread(df), id_col, text_col, k).withColumnRenamed(
+        "shingle", "win"
+    )
+    sizes = posts.groupBy("doc").agg(F.count(F.lit(1)).alias("n_windows"))
+    dup = (
+        posts.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("win")
+    )
+    shared = (
+        posts.join(dup, "win")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        sizes.join(shared, "doc", "left")
+        .select(
+            F.col("doc"),
+            "n_windows",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            (
+                F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
+                / F.col("n_windows").cast("double")
+            ).alias("dup_ratio"),
+        )
+    )

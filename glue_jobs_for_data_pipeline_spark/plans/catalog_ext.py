@@ -133,6 +133,38 @@ def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X_PII_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{tx.PII_EMAIL}')) AS INTEGER)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{tx.PII_IPV4}')) AS INTEGER)
+         AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{tx.PII_EMAIL}', '<EMAIL>', 'g'),
+           '{tx.PII_IPV4}', '<IP>', 'g'),
+         '{tx.PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM documents
+"""
+
+
+@_q("x_text_pii_redact", _X_PII_SQL)
+def x_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: count + redact emails / IPv4
+    / phone-like digit runs with a pure regexp_replace chain (codegen'd,
+    scan-pipelined). Patterns live in the Java-regex ∩ RE2 subset so the
+    identical strings run in both engines; redaction order fixed and
+    placeholders digit-free so the chain composes identically."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.pii_count(t, tx.PII_EMAIL).alias("n_emails"),
+        tx.pii_count(t, tx.PII_IPV4).alias("n_ips"),
+        tx.redact_pii(t).alias("redacted"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
@@ -210,11 +242,111 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X_SPANS_SQL = r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+posts AS (
+  SELECT doc_id AS doc,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - 8, 0) + 2),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+             || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+         ))) AS win
+  FROM w WHERE len(w) >= 8),
+sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_windows FROM posts GROUP BY doc),
+dup AS (SELECT win FROM posts GROUP BY win HAVING COUNT(*) >= 2),
+shared AS (
+  SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM posts JOIN dup USING (win) GROUP BY doc)
+SELECT s.doc, s.n_windows,
+       COALESCE(sh.n_shared, 0) AS n_shared,
+       CAST(COALESCE(sh.n_shared, 0) AS DOUBLE)
+         / CAST(s.n_windows AS DOUBLE) AS dup_ratio
+FROM sizes s LEFT JOIN shared sh ON sh.doc = s.doc
+"""
+
+
+@_q("x_dedup_substring_spans", _X_SPANS_SQL)
+def x_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-substring signal: per doc, the count and fraction of
+    its distinct 8-token windows appearing in >=2 docs — the grouped-
+    window approximation of exact substring dedup (verbatim overlaps
+    show up as runs of shared windows). Linear in postings: a window in
+    d docs costs d posting rows, never d^2 pairs."""
+    return dedup.shared_window_spans(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=8
+    )
+
+
 @_q("x_dedup_simhash")  # xxhash64-based -> rows-only
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup pairs (hamming <= 12 over token sets)."""
     return dedup.simhash_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=12
+    )
+
+
+_X_CENTROID_SQL = """
+SELECT label, CAST(i - 1 AS INTEGER) AS idx,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000000)
+                     AS BIGINT)) AS DOUBLE)
+         / (1000000000.0 * COUNT(*)) AS centroid_val
+FROM embeddings, range(1, 65) t(i)
+GROUP BY 1, 2
+"""
+
+
+@_q("x_emb_centroid_elements", _X_CENTROID_SQL)
+def x_emb_centroid_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids at the element grain — the IVF
+    coarse-quantizer init / k-means update step as one grouped agg.
+    posexplode fans each vector into 64 (label, idx, val) rows; values
+    are floor-quantized to 1e-9 and summed as exact BIGINTs (floor has
+    no rounding-mode ties, unlike decimal casts where Spark HALF_UP vs
+    DuckDB HALF_EVEN diverge on doubles' terminating decimal
+    expansions), with ONE double division at the output boundary. One
+    shuffle of 64 x n_vectors tiny rows; map-side combine reduces to
+    n_labels x 64 x n_partitions partials."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("idx", "val"))
+        .groupBy("label", "idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (
+                F.sum(
+                    F.floor(F.col("val").cast("double") * 1_000_000_000).cast("long")
+                ).cast("double")
+                / (F.lit(1_000_000_000.0) * F.count(F.lit(1)))
+            ).alias("centroid_val"),
+        )
+    )
+
+
+_X_VOCAB_SQL = r"""
+SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS freq
+FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+      FROM documents)
+GROUP BY t
+ORDER BY freq DESC, token ASC
+LIMIT 100
+"""
+
+
+@_q("x_text_vocab_topk", _X_VOCAB_SQL)
+def x_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 tokens by frequency (Zipf head /
+    stopword discovery). Deterministic under ties via the (freq DESC,
+    token ASC) total order, so LIMIT picks the same rows in both
+    engines. Explode + map-side-combined count; the global top-k is a
+    single reduced sort over distinct tokens, not corpus rows."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        d.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(100)
     )
 
 
@@ -814,6 +946,34 @@ def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: applyInPandasWithState sessionization
     (30-min gap) over the event stream."""
     return sessionize_stateful(spark, sf_dir)
+
+
+@_q("x_stream_dedup")  # stateful streaming -> rows-only
+def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup over an at-least-once source: the event
+    stream unioned with itself (every event delivered twice) collapses
+    back to one row per event_id via dropDuplicatesWithinWatermark —
+    state bounded by the watermark horizon, not keys-ever-seen.
+    Statistical/equivalence checks in tests/test_streaming.py (output
+    matches batch DISTINCT on event_id)."""
+    from ..streaming.events import dedup_stream, read_events_stream
+
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    deduped = dedup_stream(doubled).select("event_id", "user_id", "event_type")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("events_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("events_dedup")
+    return spark.createDataFrame(out.collect(), out.schema)
 
 
 @_q("x_stream_watermark_append")  # append emits only watermark-closed windows

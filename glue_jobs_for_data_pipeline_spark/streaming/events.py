@@ -225,3 +225,23 @@ def sessionize_stateful(
         q.stop()
     out = spark.table("sessions_out")
     return spark.createDataFrame(out.collect(), out.schema)
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, dropping
+    re-deliveries that arrive within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` bounds state by TIME (keys expire
+    once the watermark passes their first-seen event time) instead of
+    keeping every key forever like plain dropDuplicates — the only
+    state contract that survives an unbounded stream: state size ~
+    keys-per-watermark-window, not keys-ever-seen. This is the
+    streaming twin of exact_dedup for at-least-once sources (Kafka
+    re-delivery, replayed batches)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -171,3 +171,23 @@ def test_minhash_bucket_cap_bounds_boilerplate(spark):
     got = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in capped}
     assert (100, 101) in got and got[(100, 101)] > 0.5
     assert len(capped) == 1
+
+
+def test_shared_window_spans_flags_verbatim_overlap(spark):
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "intro words here " + span + " closing remarks now"),
+        (2, span + " totally different tail content follows here"),
+        (3, "unique document with completely original content throughout all of it"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc"]: r
+        for r in dedup.shared_window_spans(docs, "doc_id", "text", k=8).collect()
+    }
+    # the 10-token shared span yields 3 shared 8-token windows
+    assert out[1]["n_shared"] == 3 and out[2]["n_shared"] == 3
+    assert out[3]["n_shared"] == 0 and out[3]["dup_ratio"] == 0.0
+    assert 0 < out[1]["dup_ratio"] < 1
+    # every doc with >= 8 tokens appears exactly once
+    assert set(out) == {1, 2, 3}

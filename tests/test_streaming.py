@@ -78,3 +78,31 @@ def test_sessionize_emits_valid_sessions(spark, sf_dir):
         ss.sort(key=lambda s: s["session_start"])
         for a, b in zip(ss, ss[1:]):
             assert a["session_end"] < b["session_start"], f"user {user} overlap"
+
+
+def test_stream_dedup_collapses_redelivery(spark, sf_dir):
+    """A doubled (at-least-once) stream must dedup back to exactly the
+    batch-distinct set of event ids."""
+    from glue_jobs_for_data_pipeline_spark.streaming.events import (
+        dedup_stream,
+        read_events_stream,
+    )
+
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    q = (
+        dedup_stream(doubled)
+        .select("event_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_dedup").count()
+    expect = load_events(spark, sf_dir).select("event_id").distinct().count()
+    assert got == expect

@@ -67,3 +67,27 @@ def test_fingerprints_normalize_whitespace_and_case(spark):
     }
     assert fp[0] == fp[1]
     assert fp[0] != fp[2]
+
+
+def test_pii_redaction_and_counts(spark):
+    rows = [
+        (1, "contact me at jane.doe+spam@example.co.uk or on 192.168.1.100 ok"),
+        (2, "call +1 (555) 123-4567 tomorrow"),
+        (3, "no pii here just words and the year 2026"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            tx.pii_count(F.col("text"), tx.PII_EMAIL).alias("n_emails"),
+            tx.pii_count(F.col("text"), tx.PII_IPV4).alias("n_ips"),
+            tx.redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert out[1]["n_emails"] == 1 and out[1]["n_ips"] == 1
+    assert "<EMAIL>" in out[1]["red"] and "<IP>" in out[1]["red"]
+    assert "jane.doe" not in out[1]["red"] and "192.168" not in out[1]["red"]
+    assert "<PHONE>" in out[2]["red"] and "555" not in out[2]["red"]
+    # clean text unchanged (short digit runs like years stay)
+    assert out[3]["red"] == rows[2][1]
