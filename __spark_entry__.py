@@ -41,6 +41,8 @@ _WINDOW_FIRST = [
     "x_stream_dedup",
     "x_emb_centroid_elements",
     "x_text_vocab_topk",
+    "x_text_chunking",
+    "x_emb_quantize_int8",
     # modules modified after their last driver check
     "x_sim_lsh_topk",
     "x_sim_ivf_topk",

@@ -21,6 +21,7 @@ from ..functions.text import (
     lang_id,
     quality_score,
     token_count,
+    tokens,
 )
 from ..sources.readers import spread
 from .dedup import minhash_lsh_pairs
@@ -76,3 +77,48 @@ def prepare_corpus_neardup(
     )
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return base.join(losers, id_col, "left_anti")
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping ~chunk_tokens-token windows —
+    the context-length prep step of a training pipeline (long docs
+    become multiple training rows; the overlap preserves cross-boundary
+    context).
+
+    Pure built-ins: token array once per doc, chunk start offsets via
+    sequence(0, n-1, stride), posexplode to (chunk_idx, start), slice +
+    concat_ws per chunk. No UDF, no shuffle — the fan-out pipelines
+    with the scan and Catalyst prunes untouched columns. Trailing
+    chunks shorter than chunk_tokens are kept (they carry the document
+    tail); a doc shorter than one chunk yields exactly one chunk.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            w.alias("_w"),
+            F.posexplode(starts).alias("chunk_idx", "_start"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.concat_ws(
+                " ", F.slice("_w", F.col("_start") + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.size(F.slice("_w", F.col("_start") + 1, chunk_tokens)).alias(
+                "n_tokens"
+            ),
+        )
+    )

@@ -1076,3 +1076,79 @@ def x_corpus_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import prepare_corpus_neardup
 
     return prepare_corpus_neardup(load_table(spark, sf_dir, "documents"))
+
+
+_X_CHUNK_SQL = r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+starts AS (
+  SELECT doc_id, w, unnest(range(1, greatest(len(w), 1) + 1, 112)) AS s
+  FROM w)
+SELECT doc_id,
+       CAST((s - 1) / 112 AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(w, s, s + 127), ' ') AS chunk_text,
+       CAST(len(list_slice(w, s, s + 127)) AS INTEGER) AS n_tokens
+FROM starts
+"""
+
+
+@_q("x_text_chunking", _X_CHUNK_SQL)
+def x_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 128-token chunks, 16-token overlap
+    (stride 112). Pure built-ins — token array once per doc, offsets
+    via sequence + posexplode, slice + concat_ws per chunk; the fan-out
+    pipelines with the scan (no UDF, no shuffle)."""
+    from ..operators.corpus import chunk_documents
+
+    return chunk_documents(
+        spread(load_table(spark, sf_dir, "documents")),
+        "doc_id", "text", chunk_tokens=128, overlap=16,
+    ).select(
+        "doc_id", "chunk_idx", "chunk_text",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )
+
+
+_X_QUANT_SQL = """
+WITH mm AS (
+  SELECT vec_id,
+         embedding,
+         CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+         CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx
+  FROM embeddings)
+SELECT vec_id, mn, mx,
+       CASE WHEN mx = mn
+            THEN list_transform(embedding, v -> 0)
+            ELSE list_transform(embedding,
+                   v -> CAST(FLOOR(((CAST(v AS DOUBLE) - mn) * 255.0)
+                                   / (mx - mn)) AS INTEGER))
+       END AS q
+FROM mm
+"""
+
+
+@_q("x_emb_quantize_int8", _X_QUANT_SQL)
+def x_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector min/max int8-range quantization (the storage-compression
+    step before ANN indexing: 64 floats -> 64 bytes + 2 doubles). All
+    array built-ins, zero shuffle. floor() quantization, not round():
+    floor has no rounding-mode ties, so Spark and DuckDB agree bit-exactly
+    on every code (both engines evaluate ((v-mn)*255)/(mx-mn) in IEEE
+    double in the same operation order)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    withmm = e.select("vec_id", "embedding", mn.alias("mn"), mx.alias("mx"))
+    q = F.when(
+        F.col("mx") == F.col("mn"),
+        F.transform(F.col("embedding"), lambda v: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(
+                ((v.cast("double") - F.col("mn")) * F.lit(255.0))
+                / (F.col("mx") - F.col("mn"))
+            ).cast("int"),
+        )
+    )
+    return withmm.select("vec_id", "mn", "mx", q.alias("q"))

@@ -91,3 +91,38 @@ def test_pii_redaction_and_counts(spark):
     assert "<PHONE>" in out[2]["red"] and "555" not in out[2]["red"]
     # clean text unchanged (short digit runs like years stay)
     assert out[3]["red"] == rows[2][1]
+
+
+def test_chunk_documents_boundaries(spark):
+    from glue_jobs_for_data_pipeline_spark.operators.corpus import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(300))  # 300 tokens
+    df = spark.createDataFrame([(1, text), (2, "short doc")], "doc_id long, text string")
+    out = sorted(
+        chunk_documents(df, chunk_tokens=128, overlap=16).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    one = [r for r in out if r["doc_id"] == 1]
+    # stride 112: starts 0,112,224 -> 3 chunks of 128,128,76 tokens
+    assert [r["n_tokens"] for r in one] == [128, 128, 76]
+    assert one[0]["chunk_text"].split()[0] == "t0"
+    assert one[1]["chunk_text"].split()[0] == "t112"
+    # overlap: chunk 0's last 16 tokens == chunk 1's first 16
+    assert one[0]["chunk_text"].split()[-16:] == one[1]["chunk_text"].split()[:16]
+    # short doc -> exactly one whole-doc chunk
+    two = [r for r in out if r["doc_id"] == 2]
+    assert len(two) == 1 and two[0]["chunk_text"] == "short doc"
+
+
+def test_quantize_int8_codes_in_range(spark):
+    from glue_jobs_for_data_pipeline_spark.plans.catalog_ext import (
+        x_emb_quantize_int8,
+    )
+
+    out = x_emb_quantize_int8(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    for r in out[:50]:
+        assert all(0 <= c <= 255 for c in r["q"])
+        assert r["mn"] <= r["mx"]
+        # min maps to code 0; max maps to 255 (floor((mx-mn)*255/(mx-mn)))
+        assert 0 in r["q"] and 255 in r["q"]
