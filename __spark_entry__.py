@@ -43,6 +43,7 @@ _WINDOW_FIRST = [
     "x_text_vocab_topk",
     "x_text_chunking",
     "x_emb_quantize_int8",
+    "x_sim_ivf_kmeans_topk",
     # modules modified after their last driver check
     "x_sim_lsh_topk",
     "x_sim_ivf_topk",

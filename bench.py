@@ -37,6 +37,12 @@ BENCH_QUERIES = [
     "x_stream_window_agg",
     "x_olap_q1_style",
     "x_corpus_prep",
+    # r03 additions: PII scrub + chunking (map-only passes), substring
+    # spans (linear posting pipeline), int8 quantization (array kernel)
+    "x_text_pii_redact",
+    "x_text_chunking",
+    "x_dedup_substring_spans",
+    "x_emb_quantize_int8",
 ]
 
 

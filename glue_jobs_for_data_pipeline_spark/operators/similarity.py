@@ -245,3 +245,109 @@ def _hp_weight_val(table: int, plane: int, dim: int) -> float:
     z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
     z = z ^ (z >> 31)
     return (z % 2_000_003) / 1_000_001.5 - 1.0
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_iters: int = 5,
+) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding column — the IVF
+    coarse quantizer the naive first-n-vectors init approximates.
+
+    Iteration = one broadcast-assign pass (map-side nearest centroid by
+    cosine, no shuffle of vectors beyond the elementwise-mean groupBy)
+    + one elementwise-mean update (posexplode -> map-side-combined
+    avg per (cell, dim) -> k x dim tiny rows). Centroids collect to the
+    driver between iterations — k x dim doubles, the same contract as
+    any production k-means (MLlib does exactly this); corpus vectors
+    never leave the executors. Init is deterministic: the n_cells
+    lowest xxhash64(id) vectors, a seedless uniform sample.
+
+    Returns a (cell, <vec_col>) centroid DataFrame for
+    assign_ivf_cells / ivf_topk.
+    """
+    spark = corpus.sparkSession
+    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"]
+
+    init = (
+        corpus.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_cells)
+        .select(F.col(vec_col))
+        .collect()
+    )
+    centroids = [
+        (i + 1, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
+    ]
+
+    for _ in range(n_iters):
+        cdf = spark.createDataFrame(
+            centroids, f"cell int, {vec_col} array<double>"
+        )
+        assigned = assign_ivf_cells(corpus, cdf, id_col, vec_col, 1)
+        means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("idx", "val"))
+            .groupBy("cell", "idx")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "m"))),
+                    lambda s: s["m"],
+                ).alias("vec")
+            )
+            .collect()
+        )
+        updated = {r["cell"]: [float(x) for x in r["vec"]] for r in means}
+        # empty cells keep their previous centroid
+        centroids = [
+            (cell, updated.get(cell, vec)) for cell, vec in centroids
+        ]
+        assert all(len(v) == dim for _, v in centroids)
+
+    return F.broadcast(
+        spark.createDataFrame(centroids, f"cell int, {vec_col} array<double>")
+    )
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 3,
+) -> DataFrame:
+    """IVF ANN top-k with k-means-refined cells: tighter cells than the
+    first-n init -> better recall at the same n_probe. Same probe
+    plumbing as ivf_topk; at 10^9+ vectors, fit the centroids on a
+    sample (kmeans_fit over corpus.sample(...)) — the assign/probe
+    stages are unchanged."""
+    centroids = kmeans_fit(corpus, id_col, vec_col, n_cells, n_iters)
+    corpus_cells = assign_ivf_cells(corpus, centroids, id_col, vec_col, 1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
+    )
+    query_cells = assign_ivf_cells(queries, centroids, id_col, vec_col, n_probe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cell"
+    )
+    cand = (
+        F.broadcast(query_cells)
+        .join(corpus_cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -350,6 +350,20 @@ def x_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("x_sim_ivf_kmeans_topk")  # iterative algorithm -> rows-only
+def x_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with distributed Lloyd k-means cells (3 iterations):
+    the genuinely iterative, non-SQL-expressible component — broadcast
+    assign + elementwise-mean update per pass, only k x dim centroid
+    doubles ever reach the driver. Recall vs the exact tier asserted in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_kmeans_topk(
+        emb, queries, k=10, n_cells=8, n_probe=4, n_iters=3
+    )
+
+
 _X_EMB_DUP_SQL = """
 SELECT * FROM (
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -53,3 +53,49 @@ def test_lsh_deterministic(spark, sf_dir):
     r1 = sorted(map(tuple, similarity.lsh_topk(emb, q, k=5).collect()))
     r2 = sorted(map(tuple, similarity.lsh_topk(emb, q, k=5).collect()))
     assert r1 == r2
+
+
+def test_kmeans_recovers_blobs(spark):
+    """Three well-separated blobs: after Lloyd iterations every blob
+    maps to exactly one cell and the cells are distinct."""
+    import math
+
+    def blob(center, n, spread_idx):
+        rows = []
+        for i in range(n):
+            v = list(center)
+            v[(spread_idx + i) % len(v)] += 0.01 * (i + 1)
+            rows.append((spread_idx * 100 + i, [float(x) for x in v]))
+        return rows
+
+    rows = (
+        blob([10.0, 0.0, 0.0, 0.0], 20, 0)
+        + blob([0.0, 10.0, 0.0, 0.0], 20, 1)
+        + blob([0.0, 0.0, 10.0, 0.0], 20, 2)
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = similarity.kmeans_fit(emb, n_cells=3, n_iters=4)
+    assigned = similarity.assign_ivf_cells(
+        emb, centroids, "vec_id", "embedding", 1
+    ).collect()
+    cell_of = {r["vec_id"]: r["cell"] for r in assigned}
+    blobs = [
+        {cell_of[i] for i in range(0, 20)},
+        {cell_of[100 + i] for i in range(20)},
+        {cell_of[200 + i] for i in range(20)},
+    ]
+    assert all(len(b) == 1 for b in blobs), blobs
+    assert len(blobs[0] | blobs[1] | blobs[2]) == 3
+
+
+def test_ivf_kmeans_recall_beats_floor(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    approx = similarity.ivf_kmeans_topk(
+        emb, queries, k=10, n_cells=8, n_probe=4, n_iters=3
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"IVF+kmeans recall {recall} below floor"
