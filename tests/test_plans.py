@@ -1,0 +1,48 @@
+"""Physical-plan audits for the r03 operators: the hot paths must stay
+JVM-side (no Python row UDFs), join-free where designed join-free, and
+cartesian-free everywhere."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glue_jobs_for_data_pipeline_spark.plans import catalog_ext as cx
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pii_redact_plan_is_pure_codegen(spark, sf_dir):
+    plan = _plan(cx.x_text_pii_redact(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # spread() adds one round-robin repartition for coarse sources;
+    # there must be NO keyed shuffle (no aggregation/join exchange)
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_chunking_plan_is_map_only(spark, sf_dir):
+    plan = _plan(cx.x_text_chunking(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan  # fan-out via generate
+
+
+def test_quantize_plan_is_map_only(spark, sf_dir):
+    plan = _plan(cx.x_emb_quantize_int8(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_substring_spans_plan_has_no_cartesian(spark, sf_dir):
+    plan = _plan(cx.x_dedup_substring_spans(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_centroid_plan_is_single_agg_pipeline(spark, sf_dir):
+    plan = _plan(cx.x_emb_centroid_elements(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # partial aggregation present (map-side combine before the shuffle)
+    assert "partial" in plan.lower()
