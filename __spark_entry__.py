@@ -44,6 +44,7 @@ _WINDOW_FIRST = [
     "x_text_chunking",
     "x_emb_quantize_int8",
     "x_sim_ivf_kmeans_topk",
+    "x_pack_sequences",
     # modules modified after their last driver check
     "x_sim_lsh_topk",
     "x_sim_ivf_topk",

@@ -122,3 +122,64 @@ def chunk_documents(
             ),
         )
     )
+
+
+PACKED_SCHEMA = (
+    "bin_id long, doc_id long, chunk_idx int, n_tokens int"
+)
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    context_tokens: int = 512,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    n_tokens_col: str = "n_tokens",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy sequence packing: assign chunks to ~context_tokens bins
+    (the training-batch prep step after chunking — short sequences
+    share a context window instead of wasting it on padding).
+
+    Packing is inherently sequential, so it runs greedy-first-fit PER
+    PARTITION inside one Arrow mapInPandas pass: bin state carries
+    across the partition's batches, bin ids are globally unique via a
+    partition-id prefix, and the input is hash-partitioned + sorted on
+    (doc, chunk) first so the assignment is a pure function of the
+    data. The cost of partition-local (vs global) packing is at most
+    one partially-filled trailing bin per partition — negligible
+    against any real partition's row count, and the price that makes
+    packing embarrassingly parallel. Chunks longer than the context
+    get a bin of their own (never split here; chunking upstream owns
+    lengths).
+    """
+    import pandas as pd
+
+    n = n_partitions or chunks.sparkSession.sparkContext.defaultParallelism
+    prepared = (
+        chunks.select(id_col, idx_col, n_tokens_col)
+        .repartition(n, id_col)
+        .sortWithinPartitions(id_col, idx_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    def pack(batches):
+        state = {"pid": None, "bin": 0, "used": 0}
+        for pdf in batches:
+            out = {"bin_id": [], "doc_id": [], "chunk_idx": [], "n_tokens": []}
+            for doc, idx, nt, pid in zip(
+                pdf[id_col], pdf[idx_col], pdf[n_tokens_col], pdf["_pid"]
+            ):
+                if state["pid"] is None:
+                    state["pid"] = int(pid)
+                if state["used"] + int(nt) > context_tokens and state["used"] > 0:
+                    state["bin"] += 1
+                    state["used"] = 0
+                state["used"] += int(nt)
+                out["bin_id"].append(state["pid"] * 1_000_000 + state["bin"])
+                out["doc_id"].append(int(doc))
+                out["chunk_idx"].append(int(idx))
+                out["n_tokens"].append(int(nt))
+            yield pd.DataFrame(out)
+
+    return prepared.mapInPandas(pack, PACKED_SCHEMA)

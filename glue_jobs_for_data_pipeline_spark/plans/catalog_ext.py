@@ -350,6 +350,29 @@ def x_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("x_pack_sequences")  # per-partition sequential greedy -> rows-only
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk (128/16) then greedily pack into 512-token context bins —
+    the chunk->pack training-batch prep chain. Per-bin summary output;
+    bin-capacity and determinism invariants tested in
+    tests/test_text.py."""
+    from ..operators.corpus import chunk_documents, pack_chunks
+
+    chunks = chunk_documents(
+        spread(load_table(spark, sf_dir, "documents")),
+        "doc_id", "text", chunk_tokens=128, overlap=16,
+    )
+    packed = pack_chunks(chunks, context_tokens=512)
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .select("bin_id", "n_seqs", F.col("bin_tokens").cast("long").alias("bin_tokens"))
+    )
+
+
 @_q("x_sim_ivf_kmeans_topk")  # iterative algorithm -> rows-only
 def x_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with distributed Lloyd k-means cells (3 iterations):

@@ -126,3 +126,29 @@ def test_quantize_int8_codes_in_range(spark):
         assert r["mn"] <= r["mx"]
         # min maps to code 0; max maps to 255 (floor((mx-mn)*255/(mx-mn)))
         assert 0 in r["q"] and 255 in r["q"]
+
+
+def test_pack_chunks_capacity_and_determinism(spark):
+    from glue_jobs_for_data_pipeline_spark.operators.corpus import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(37 + (i * 13) % 200)))
+            for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=8)
+    packed = pack_chunks(chunks, context_tokens=128, n_partitions=4)
+    rows1 = sorted(map(tuple, packed.collect()))
+
+    # every chunk assigned exactly once
+    assert len(rows1) == chunks.count()
+    # no bin exceeds capacity (chunks <= 64 tokens, capacity 128)
+    bins = packed.groupBy("bin_id").agg(F.sum("n_tokens").alias("t")).collect()
+    assert all(r["t"] <= 128 for r in bins)
+    # packing actually packs: fewer bins than chunks
+    assert len(bins) < len(rows1)
+    # deterministic: identical assignment on a second run
+    rows2 = sorted(map(tuple, pack_chunks(
+        chunks, context_tokens=128, n_partitions=4).collect()))
+    assert rows1 == rows2
