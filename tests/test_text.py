@@ -152,3 +152,27 @@ def test_pack_chunks_capacity_and_determinism(spark):
     rows2 = sorted(map(tuple, pack_chunks(
         chunks, context_tokens=128, n_partitions=4).collect()))
     assert rows1 == rows2
+
+
+def test_chunk_reconstruction_invariant(spark):
+    """For every doc length 0..200 in one pass: dropping each
+    non-first chunk's leading `overlap` tokens and concatenating
+    reproduces the original token stream exactly."""
+    from glue_jobs_for_data_pipeline_spark.operators.corpus import chunk_documents
+
+    chunk_tokens, overlap = 64, 8
+    rows = [(n, " ".join(f"t{j}" for j in range(n))) for n in range(0, 201)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(
+        docs, chunk_tokens=chunk_tokens, overlap=overlap
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(0, 201))
+    for n, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        rebuilt = chunks[0]["chunk_text"].split()
+        for c in chunks[1:]:
+            rebuilt += c["chunk_text"].split()[overlap:]
+        assert rebuilt == rows[n][1].split(), f"doc len {n}"
