@@ -544,9 +544,13 @@ def shared_window_spans(
     pair generation there is NO quadratic term: a boilerplate window in
     d docs contributes d posting rows, not d^2 pairs, so no cap is
     needed for correctness of cost — the output stays one row per doc.
+    Windows are md5-hashed before any shuffle (engine-portable, so the
+    oracle states the same hash): the groupBys and the semi-join move
+    16-byte keys instead of ~k-word strings, the same
+    never-shuffle-documents rule exact_dedup follows.
     """
-    posts = doc_shingles(spread(df), id_col, text_col, k).withColumnRenamed(
-        "shingle", "win"
+    posts = doc_shingles(spread(df), id_col, text_col, k).select(
+        "doc", F.md5(F.col("shingle")).alias("win")
     )
     sizes = posts.groupBy("doc").agg(F.count(F.lit(1)).alias("n_windows"))
     dup = (

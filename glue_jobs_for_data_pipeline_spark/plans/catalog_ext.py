@@ -246,11 +246,11 @@ _X_SPANS_SQL = r"""
 WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
 posts AS (
   SELECT doc_id AS doc,
-         unnest(list_distinct(list_transform(
+         md5(unnest(list_distinct(list_transform(
            range(1, greatest(len(w) - 8, 0) + 2),
            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
              || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
-         ))) AS win
+         )))) AS win
   FROM w WHERE len(w) >= 8),
 sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_windows FROM posts GROUP BY doc),
 dup AS (SELECT win FROM posts GROUP BY win HAVING COUNT(*) >= 2),
