@@ -92,18 +92,23 @@ def chunk_documents(
     context).
 
     Pure built-ins: token array once per doc, chunk start offsets via
-    sequence(0, n-1, stride), posexplode to (chunk_idx, start), slice +
-    concat_ws per chunk. No UDF, no shuffle — the fan-out pipelines
-    with the scan and Catalyst prunes untouched columns. Trailing
-    chunks shorter than chunk_tokens are kept (they carry the document
-    tail); a doc shorter than one chunk yields exactly one chunk.
+    sequence(0, n-overlap-1, stride), posexplode to (chunk_idx, start),
+    slice + concat_ws per chunk. No UDF, no shuffle — the fan-out
+    pipelines with the scan and Catalyst prunes untouched columns.
+    Trailing chunks shorter than chunk_tokens are kept (they carry the
+    document tail); a doc shorter than one chunk yields exactly one
+    chunk. The start bound is n-overlap-1, NOT n-1: a start must
+    contribute at least one token beyond the previous chunk's overlap,
+    otherwise docs with n mod stride in 1..overlap (and docs exactly
+    chunk_tokens long) emit a trailing chunk wholly contained in its
+    predecessor — a pure-duplicate training row.
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap
     w = tokens(F.col(text_col))
     starts = F.sequence(
-        F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)), F.lit(stride)
+        F.lit(0), F.greatest(F.size(w) - overlap - 1, F.lit(0)), F.lit(stride)
     )
     return (
         df.select(
@@ -155,6 +160,11 @@ def pack_chunks(
     """
     import pandas as pd
 
+    # NOTE: n_partitions is part of the RESULT's identity (each
+    # partition packs independently and prefixes its bin ids), so
+    # pipelines that need machine-independent bins must pin it — the
+    # registered catalog query does. The defaultParallelism fallback is
+    # for ad-hoc use only.
     n = n_partitions or chunks.sparkSession.sparkContext.defaultParallelism
     prepared = (
         chunks.select(id_col, idx_col, n_tokens_col)
@@ -176,7 +186,10 @@ def pack_chunks(
                     state["bin"] += 1
                     state["used"] = 0
                 state["used"] += int(nt)
-                out["bin_id"].append(state["pid"] * 1_000_000 + state["bin"])
+                # 2^40 bins per partition before collision (bin_id is a
+                # long; a 1e6 prefix would alias adjacent partitions
+                # once a partition packs >1M bins)
+                out["bin_id"].append((state["pid"] << 40) + state["bin"])
                 out["doc_id"].append(int(doc))
                 out["chunk_idx"].append(int(idx))
                 out["n_tokens"].append(int(nt))

@@ -552,6 +552,12 @@ def shared_window_spans(
     posts = doc_shingles(spread(df), id_col, text_col, k).select(
         "doc", F.md5(F.col("shingle")).alias("win")
     )
+    # posts feeds three consumers (sizes, df count, semi-join) on two
+    # different keys: cache it once partitioned on the win key so the
+    # scan + shingle explode + md5 run once, the df groupBy and the
+    # semi-join read co-partitioned cache blocks, and only the sizes
+    # groupBy reshuffles (by doc). Released via release_caches().
+    posts = _cached(posts.repartition(8, "win"))
     sizes = posts.groupBy("doc").agg(F.count(F.lit(1)).alias("n_windows"))
     dup = (
         posts.groupBy("win")

@@ -185,6 +185,43 @@ def assign_ivf_cells(
     )
 
 
+def _ivf_probe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Shared IVF probe plumbing: corpus vectors live in their 1 nearest
+    cell, queries probe their n_probe nearest cells, candidates re-rank
+    by exact cosine. No distinct is needed (unlike the LSH multi-table
+    path): each corpus vector lives in exactly ONE cell, so a
+    (query, neighbor) pair can only arise once."""
+    corpus_cells = assign_ivf_cells(corpus, centroids, id_col, vec_col, 1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
+    )
+    query_cells = assign_ivf_cells(queries, centroids, id_col, vec_col, n_probe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cell"
+    )
+    cand = (
+        F.broadcast(query_cells)
+        .join(corpus_cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -198,10 +235,9 @@ def ivf_topk(
     variant trades against.
 
     Centroids: the first n_cells corpus vectors by id — deterministic and
-    free (a k-means refinement would slot in here; the partition/probe
-    plumbing is identical). Corpus vectors live in their 1 nearest cell;
-    queries probe their n_probe nearest cells; candidates re-rank by
-    exact cosine. Probe cost ~= n_probe/n_cells of the corpus.
+    free (kmeans_fit / ivf_kmeans_topk is the refined tier; the
+    partition/probe plumbing is shared). Probe cost ~= n_probe/n_cells
+    of the corpus.
     """
     centroids = F.broadcast(
         corpus.orderBy(id_col)
@@ -213,27 +249,8 @@ def ivf_topk(
             F.col(vec_col),
         )
     )
-    corpus_cells = assign_ivf_cells(corpus, centroids, id_col, vec_col, 1).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
-    )
-    query_cells = assign_ivf_cells(queries, centroids, id_col, vec_col, n_probe).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cell"
-    )
-    cand = (
-        F.broadcast(query_cells)
-        .join(corpus_cells, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qvec", "neighbor_id", "cvec")
-        .distinct()
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        cand.withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
+    return _ivf_probe_topk(
+        corpus, queries, centroids, id_col, vec_col, k, n_probe
     )
 
 
@@ -270,9 +287,6 @@ def kmeans_fit(
     assign_ivf_cells / ivf_topk.
     """
     spark = corpus.sparkSession
-    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
-    dim = dim_row["d"]
-
     init = (
         corpus.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(n_cells)
@@ -282,6 +296,9 @@ def kmeans_fit(
     centroids = [
         (i + 1, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
     ]
+    # dim comes from the init rows already collected — no extra
+    # plan-construction-time Spark job (see _with_signatures' warning)
+    dim = len(centroids[0][1])
 
     for _ in range(n_iters):
         cdf = spark.createDataFrame(
@@ -324,30 +341,11 @@ def ivf_kmeans_topk(
     n_iters: int = 3,
 ) -> DataFrame:
     """IVF ANN top-k with k-means-refined cells: tighter cells than the
-    first-n init -> better recall at the same n_probe. Same probe
-    plumbing as ivf_topk; at 10^9+ vectors, fit the centroids on a
-    sample (kmeans_fit over corpus.sample(...)) — the assign/probe
+    first-n init -> better recall at the same n_probe. Shares
+    _ivf_probe_topk with ivf_topk; at 10^9+ vectors, fit the centroids
+    on a sample (kmeans_fit over corpus.sample(...)) — the assign/probe
     stages are unchanged."""
     centroids = kmeans_fit(corpus, id_col, vec_col, n_cells, n_iters)
-    corpus_cells = assign_ivf_cells(corpus, centroids, id_col, vec_col, 1).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
-    )
-    query_cells = assign_ivf_cells(queries, centroids, id_col, vec_col, n_probe).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cell"
-    )
-    cand = (
-        F.broadcast(query_cells)
-        .join(corpus_cells, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qvec", "neighbor_id", "cvec")
-        .distinct()
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        cand.withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
+    return _ivf_probe_topk(
+        corpus, queries, centroids, id_col, vec_col, k, n_probe
     )

@@ -362,7 +362,10 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(load_table(spark, sf_dir, "documents")),
         "doc_id", "text", chunk_tokens=128, overlap=16,
     )
-    packed = pack_chunks(chunks, context_tokens=512)
+    # n_partitions pinned: the per-partition greedy makes the partition
+    # count part of the result's identity, and the gate must see the
+    # same bins on any host
+    packed = pack_chunks(chunks, context_tokens=512, n_partitions=16)
     return (
         packed.groupBy("bin_id")
         .agg(
@@ -1119,7 +1122,7 @@ _X_CHUNK_SQL = r"""
 WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
            FROM documents),
 starts AS (
-  SELECT doc_id, w, unnest(range(1, greatest(len(w), 1) + 1, 112)) AS s
+  SELECT doc_id, w, unnest(range(1, greatest(len(w) - 16 - 1, 0) + 2, 112)) AS s
   FROM w)
 SELECT doc_id,
        CAST((s - 1) / 112 AS INTEGER) AS chunk_idx,

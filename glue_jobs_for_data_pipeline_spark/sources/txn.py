@@ -29,6 +29,7 @@ is where this protocol would plug in on a real deployment.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -82,14 +83,36 @@ def stage_version(
     df: DataFrame, table_dir: str, partition_by: tuple[str, ...] = ()
 ) -> int:
     """Write a full new version WITHOUT publishing it. Returns the staged
-    version number (pass to publish_version / discard_version)."""
+    version number (pass to publish_version / discard_version).
+
+    The DataFrame's schema is recorded alongside the data
+    (``_SCHEMA.json``) so later readers — compact() especially — can
+    reapply the EXACT column types instead of re-inferring partition
+    column types from ``col=value`` directory names (inference would
+    silently turn a string partition value like '0042' into int 42)."""
     os.makedirs(table_dir, exist_ok=True)
     version = _next_version(table_dir)
+    vdir = _version_dir(table_dir, version)
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(_version_dir(table_dir, version))
+    w.parquet(vdir)
+    with open(os.path.join(vdir, "_SCHEMA.json"), "w") as f:
+        f.write(df.schema.json())
     return version
+
+
+def _read_version_df(spark: SparkSession, vdir: str) -> DataFrame:
+    """Read a version directory, reapplying the staged schema when the
+    sidecar exists (exact partition-column types; no inference)."""
+    schema_path = os.path.join(vdir, "_SCHEMA.json")
+    if os.path.exists(schema_path):
+        from pyspark.sql.types import StructType
+
+        with open(schema_path) as f:
+            schema = StructType.fromJson(json.loads(f.read()))
+        return spark.read.schema(schema).parquet(vdir)
+    return spark.read.parquet(vdir)
 
 
 def publish_version(table_dir: str, version: int) -> None:
@@ -118,7 +141,7 @@ def txn_overwrite(
 def read_version(spark: SparkSession, table_dir: str, version: int) -> DataFrame:
     """Scan one specific version directory — e.g. a just-staged version a
     later pipeline step builds on before the transaction publishes."""
-    return spark.read.parquet(_version_dir(table_dir, version))
+    return _read_version_df(spark, _version_dir(table_dir, version))
 
 
 def read_committed(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -126,7 +149,7 @@ def read_committed(spark: SparkSession, table_dir: str) -> DataFrame:
     version = current_version(table_dir)
     if version is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
-    return spark.read.parquet(_version_dir(table_dir, version))
+    return _read_version_df(spark, _version_dir(table_dir, version))
 
 
 def vacuum(table_dir: str, keep: int = 2) -> list[int]:
@@ -209,7 +232,7 @@ def compact(
         if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(vdir)
+    df = _read_version_df(spark, vdir)
     if partition_by:
         # Shuffle on the partition columns so each output task holds few
         # distinct partition keys -> ~one file per (task, key) instead of
