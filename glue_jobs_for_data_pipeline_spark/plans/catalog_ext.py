@@ -15,7 +15,7 @@ Oracle notes (all verified empirically against DuckDB 1.0):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
@@ -1192,3 +1192,121 @@ def x_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return withmm.select("vec_id", "mn", "mx", q.alias("q"))
+
+
+@_q(
+    "x_olap_grouping_sets",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag, "
+    "CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status, "
+    "COUNT(*) AS cnt, "
+    "SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty "
+    "FROM lineitem "
+    "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())",
+)
+def x_olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (per-flag, per-status, grand total) with
+    per-column GROUPING() flags — the flags disambiguate real NULL
+    group values from subtotal rows, stated identically in both
+    engines (the combined grouping_id bit order differs between
+    engines, so per-column flags are the portable form)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS cnt,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        li=li,
+    )
+
+
+@_q(
+    "x_olap_q3_style",
+    "SELECT l.l_orderkey, "
+    "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) "
+    "         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) "
+    "  AS revenue, "
+    "CAST(o.o_orderdate AS DATE) AS o_orderdate "
+    "FROM customer c "
+    "JOIN orders o ON o.o_custkey = c.c_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE c.c_mktsegment = 'BUILDING' "
+    "  AND CAST(o.o_orderdate AS DATE) < DATE '1995-03-15' "
+    "  AND CAST(l.l_shipdate AS DATE) > DATE '1995-03-15' "
+    "GROUP BY 1, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10",
+)
+def x_olap_q3_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: selective dimension
+    filter -> broadcast customer keys into orders -> fact join -> exact
+    decimal revenue -> deterministic top-10 ((revenue, orderkey) total
+    order). The segment filter and both date predicates push to the
+    scans; the only fact-sized shuffle is the final group on
+    (orderkey, orderdate)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("date"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").cast("date") > F.lit("1995-03-15").cast("date"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("double")
+    return (
+        li.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@_q(
+    "x_olap_moving_agg",
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) "
+    "  AS moving_sum, "
+    "CAST(COUNT(*) OVER w AS BIGINT) AS n_in_frame "
+    "FROM orders "
+    "WINDOW w AS (PARTITION BY o_custkey "
+    "             ORDER BY CAST(o_orderdate AS DATE), o_orderkey "
+    "             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)",
+)
+def x_olap_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS-frame window aggregate (3-order moving spend per
+    customer): the frame clause the analytic-window query doesn't
+    cover. Decimal sum inside the frame, double at the boundary;
+    (date, orderkey) ordering makes frames total-ordered and
+    engine-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("date"), F.col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("moving_sum"),
+        F.count(F.lit(1)).over(w).alias("n_in_frame"),
+    )
