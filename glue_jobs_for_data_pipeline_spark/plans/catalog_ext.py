@@ -1016,6 +1016,35 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out.collect(), out.schema)
 
 
+@_q("x_stream_static_join")  # streaming sink -> rows-only
+def x_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins each micro-batch
+    against the customer dimension snapshot (broadcast per batch, the
+    stream side never shuffles). Per-segment counts materialized via
+    the memory sink."""
+    from ..streaming.events import enrich_stream_static, read_events_stream
+
+    cust = load_table(spark, sf_dir, "customer")
+    enriched = enrich_stream_static(
+        read_events_stream(spark, sf_dir), cust, "user_id", "c_custkey"
+    )
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("events_enriched")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("events_enriched")
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
 @_q("x_stream_watermark_append")  # append emits only watermark-closed windows
 def x_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked append-mode windowed aggregation: late rows beyond the

@@ -245,3 +245,24 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def enrich_stream_static(
+    events: DataFrame,
+    dim: DataFrame,
+    on_left: str = "user_id",
+    on_right: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    static dimension snapshot — the standard lookup-table pattern
+    (Kafka clickstream x dimension). Spark broadcasts the static side
+    per batch when it fits, so the stream never shuffles; the dim
+    re-reads per batch, which is exactly the semantics you want for a
+    slowly-refreshed snapshot table."""
+    from pyspark.sql import functions as SF
+
+    d = dim.select(
+        SF.col(on_right).alias(on_left),
+        SF.col("c_mktsegment").alias("segment"),
+    )
+    return events.join(d, on_left, "left")

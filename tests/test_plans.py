@@ -46,3 +46,12 @@ def test_centroid_plan_is_single_agg_pipeline(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # partial aggregation present (map-side combine before the shuffle)
     assert "partial" in plan.lower()
+
+
+def test_q3_style_plan_broadcasts_and_pushes_down(spark, sf_dir):
+    plan = _plan(cx.x_olap_q3_style(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the selective segment predicate reaches the customer scan
+    assert "PushedFilters" in plan and "c_mktsegment" in plan

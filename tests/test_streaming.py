@@ -106,3 +106,29 @@ def test_stream_dedup_collapses_redelivery(spark, sf_dir):
     got = spark.table("t_dedup").count()
     expect = load_events(spark, sf_dir).select("event_id").distinct().count()
     assert got == expect
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """Stream-static enrichment must produce the same per-segment counts
+    as the equivalent batch join."""
+    from glue_jobs_for_data_pipeline_spark.plans.catalog_ext import (
+        x_stream_static_join,
+    )
+    from glue_jobs_for_data_pipeline_spark.sources.readers import load_table
+
+    streamed = {
+        r["segment"]: r["n_events"]
+        for r in x_stream_static_join(spark, sf_dir).collect()
+    }
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS user_id", "c_mktsegment AS segment"
+    )
+    batch = {
+        r["segment"]: r["n_events"]
+        for r in load_events(spark, sf_dir)
+        .join(cust, "user_id", "left")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert streamed == batch
