@@ -266,3 +266,62 @@ def enrich_stream_static(
         SF.col("c_mktsegment").alias("segment"),
     )
     return events.join(d, on_left, "left")
+
+
+def scd2_stream_apply(
+    source_stream: DataFrame,
+    dim_dir: str,
+    business_key: str,
+    columns: tuple[str, ...],
+    surrogate_key: str,
+    checkpoint_dir: str,
+    run_date=None,
+    mode: str = "delta",
+) -> None:
+    """Streaming SCD-2 ingestion: apply each micro-batch of source rows
+    to a versioned dimension table via foreachBatch.
+
+    Per batch: read the committed dim snapshot, run the batch through
+    the same scd2_upsert kernel the batch pipeline uses (delta mode by
+    default — only changed rows re-version), and publish atomically
+    through the txn pointer swap. The checkpoint gives exactly-once
+    batch tracking and the pointer swap makes each batch's dim version
+    all-or-nothing, so a crash mid-batch leaves the previous committed
+    snapshot intact and the batch replays — the streaming twin of the
+    reference's per-run transaction bracket. Dim versions accumulate
+    one per non-empty batch; vacuum() bounds history.
+
+    Runs with trigger(availableNow) and BLOCKS until the source drains
+    (the semantics a scheduled incremental ingest wants). For a
+    continuous deployment swap the trigger; nothing else changes.
+    """
+    from ..operators.scd2 import scd2_upsert
+    from ..sources.txn import current_version, read_committed, txn_overwrite
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        dim = (
+            read_committed(spark, dim_dir)
+            if current_version(dim_dir) is not None
+            else None
+        )
+        new_dim = scd2_upsert(
+            dim,
+            batch_df,
+            business_key,
+            list(columns),
+            surrogate_key,
+            run_date=run_date,
+            mode=mode,
+        )
+        txn_overwrite(new_dim, dim_dir)
+
+    q = (
+        source_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

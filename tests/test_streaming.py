@@ -132,3 +132,69 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
         .collect()
     }
     assert streamed == batch
+
+
+def test_scd2_stream_apply_two_batches(spark, tmp_path):
+    """Streaming SCD-2: batch 1 initial-loads the dim; batch 2 (one
+    changed row, one new row) expires and re-versions only the changed
+    key (delta mode) and appends the new one — matching the batch
+    kernel's semantics, with one committed txn version per batch."""
+    import datetime as dt
+
+    from glue_jobs_for_data_pipeline_spark.schemas import (
+        CURRENT_ROW_SENTINEL,
+    )
+    from glue_jobs_for_data_pipeline_spark.sources import txn
+    from glue_jobs_for_data_pipeline_spark.streaming.events import (
+        scd2_stream_apply,
+    )
+
+    src = str(tmp_path / "src")
+    dim_dir = str(tmp_path / "dim_customers")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "CustomerID long, Name string, City string"
+    sentinel = dt.date.fromisoformat(CURRENT_ROW_SENTINEL)
+
+    def stream():
+        return spark.readStream.schema(schema).format("parquet").load(src)
+
+    # batch 1: initial load
+    spark.createDataFrame(
+        [(1, "ann", "oslo"), (2, "bob", "rome"), (3, "cat", "lima")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    scd2_stream_apply(
+        stream(), dim_dir, "CustomerID", ("CustomerID", "Name", "City"),
+        "CustomerKey", ckpt, run_date=dt.date(2024, 1, 1),
+    )
+    v1 = txn.current_version(dim_dir)
+    d1 = txn.read_committed(spark, dim_dir).collect()
+    assert len(d1) == 3 and all(r["EndDate"] == sentinel for r in d1)
+
+    # batch 2: bob moves, dan arrives (ann/cat untouched)
+    spark.createDataFrame(
+        [(2, "bob", "kyiv"), (4, "dan", "baku")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    scd2_stream_apply(
+        stream(), dim_dir, "CustomerID", ("CustomerID", "Name", "City"),
+        "CustomerKey", ckpt, run_date=dt.date(2024, 2, 1),
+    )
+    assert txn.current_version(dim_dir) == v1 + 1
+    d2 = txn.read_committed(spark, dim_dir).collect()
+    by_key = {}
+    for r in d2:
+        by_key.setdefault(r["CustomerID"], []).append(r)
+    # bob: expired old row + new current row with the new city
+    bob = sorted(by_key[2], key=lambda r: r["EndDate"])
+    assert len(bob) == 2
+    assert bob[0]["EndDate"] == dt.date(2024, 1, 31)  # expired day before
+    assert bob[1]["EndDate"] == sentinel and bob[1]["City"] == "kyiv"
+    # dan: single current row; ann/cat: untouched single rows
+    assert len(by_key[4]) == 1 and by_key[4][0]["EndDate"] == sentinel
+    assert len(by_key[1]) == 1 and len(by_key[3]) == 1
+
+    # idempotent re-run: checkpoint drained, no new version
+    scd2_stream_apply(
+        stream(), dim_dir, "CustomerID", ("CustomerID", "Name", "City"),
+        "CustomerKey", ckpt, run_date=dt.date(2024, 3, 1),
+    )
+    assert txn.current_version(dim_dir) == v1 + 1
