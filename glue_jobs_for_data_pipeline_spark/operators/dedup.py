@@ -526,6 +526,7 @@ def shared_window_spans(
     text_col: str,
     k: int = 8,
     min_df: int = 2,
+    posts_partitions: int | None = None,
 ) -> DataFrame:
     """Per-doc exact-substring duplication signal: for each document,
     how many of its distinct k-token windows appear in >= ``min_df``
@@ -556,8 +557,14 @@ def shared_window_spans(
     # different keys: cache it once partitioned on the win key so the
     # scan + shingle explode + md5 run once, the df groupBy and the
     # semi-join read co-partitioned cache blocks, and only the sizes
-    # groupBy reshuffles (by doc). Released via release_caches().
-    posts = _cached(posts.repartition(8, "win"))
+    # groupBy reshuffles (by doc). posts_partitions sizes the pinned
+    # cache layout like ngram_jaccard_pairs' knob (None inherits
+    # spark.sql.shuffle.partitions — the cluster-sized default); the
+    # registered small-SF query passes 8. Released via release_caches().
+    if posts_partitions is not None:
+        posts = _cached(posts.repartition(posts_partitions, "win"))
+    else:
+        posts = _cached(posts.repartition("win"))
     sizes = posts.groupBy("doc").agg(F.count(F.lit(1)).alias("n_windows"))
     dup = (
         posts.groupBy("win")

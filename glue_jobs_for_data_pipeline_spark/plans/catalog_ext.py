@@ -273,7 +273,8 @@ def x_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     show up as runs of shared windows). Linear in postings: a window in
     d docs costs d posting rows, never d^2 pairs."""
     return dedup.shared_window_spans(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=8
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=8,
+        posts_partitions=8,
     )
 
 
@@ -996,24 +997,17 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     state bounded by the watermark horizon, not keys-ever-seen.
     Statistical/equivalence checks in tests/test_streaming.py (output
     matches batch DISTINCT on event_id)."""
-    from ..streaming.events import dedup_stream, read_events_stream
+    from ..streaming.events import (
+        dedup_stream,
+        drain_to_memory,
+        read_events_stream,
+    )
 
     doubled = read_events_stream(spark, sf_dir).unionByName(
         read_events_stream(spark, sf_dir)
     )
     deduped = dedup_stream(doubled).select("event_id", "user_id", "event_type")
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("events_dedup")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    out = spark.table("events_dedup")
-    return spark.createDataFrame(out.collect(), out.schema)
+    return drain_to_memory(deduped, "events_dedup", "append")
 
 
 @_q("x_stream_static_join")  # streaming sink -> rows-only
@@ -1022,7 +1016,11 @@ def x_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the customer dimension snapshot (broadcast per batch, the
     stream side never shuffles). Per-segment counts materialized via
     the memory sink."""
-    from ..streaming.events import enrich_stream_static, read_events_stream
+    from ..streaming.events import (
+        drain_to_memory,
+        enrich_stream_static,
+        read_events_stream,
+    )
 
     cust = load_table(spark, sf_dir, "customer")
     enriched = enrich_stream_static(
@@ -1031,18 +1029,7 @@ def x_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = enriched.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("events_enriched")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    out = spark.table("events_enriched")
-    return spark.createDataFrame(out.collect(), out.schema)
+    return drain_to_memory(agg, "events_enriched", "complete")
 
 
 @_q("x_stream_watermark_append")  # append emits only watermark-closed windows
@@ -1050,21 +1037,14 @@ def x_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked append-mode windowed aggregation: late rows beyond the
     10-min watermark drop, and only finalized windows emit (the trailing
     window stays pending by design -> rows-only check)."""
-    from ..streaming.events import read_events_stream, watermarked_event_agg
+    from ..streaming.events import (
+        drain_to_memory,
+        read_events_stream,
+        watermarked_event_agg,
+    )
 
     agg = watermarked_event_agg(read_events_stream(spark, sf_dir))
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("events_wm_append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    out = spark.table("events_wm_append")
-    return spark.createDataFrame(out.collect(), out.schema)
+    return drain_to_memory(agg, "events_wm_append", "append")
 
 
 # --------------------------------------------------------------------------

@@ -17,7 +17,7 @@ from __future__ import annotations
 import datetime as dt
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -33,6 +33,29 @@ _EVENTS_SCHEMA = T.StructType(
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+def drain_to_memory(
+    df: DataFrame, query_name: str, output_mode: str
+) -> DataFrame:
+    """Run a streaming query to exhaustion against the memory sink and
+    return the final result re-materialized as a batch DataFrame (the
+    in-memory sink table dies with the query). One definition for the
+    start / processAllAvailable / stop / collect dance every
+    local-harness streaming query needs."""
+    spark = df.sparkSession
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(query_name)
+    return spark.createDataFrame(out.collect(), out.schema)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,20 +112,7 @@ def run_stream_to_batch(
     """Drive the windowed aggregation over all available input and return
     the final result as a batch DataFrame (memory sink, complete mode)."""
     agg = windowed_event_agg(read_events_stream(spark, sf_dir), window)
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    # materialize before the in-memory sink table goes away
-    out = spark.table(query_name)
-    out = spark.createDataFrame(out.collect(), out.schema)
-    return out
+    return drain_to_memory(agg, query_name, "complete")
 
 
 def watermarked_event_agg(events: DataFrame) -> DataFrame:
@@ -213,18 +223,7 @@ def sessionize_stateful(
             fn, SESSION_SCHEMA, _STATE_SCHEMA, "append", "EventTimeTimeout"
         )
     )
-    q = (
-        sessions.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("sessions_out")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    out = spark.table("sessions_out")
-    return spark.createDataFrame(out.collect(), out.schema)
+    return drain_to_memory(sessions, "sessions_out", "append")
 
 
 def dedup_stream(
@@ -252,18 +251,21 @@ def enrich_stream_static(
     dim: DataFrame,
     on_left: str = "user_id",
     on_right: str = "c_custkey",
+    payload: dict[str, str] | None = None,
 ) -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins against the
     static dimension snapshot — the standard lookup-table pattern
     (Kafka clickstream x dimension). Spark broadcasts the static side
     per batch when it fits, so the stream never shuffles; the dim
     re-reads per batch, which is exactly the semantics you want for a
-    slowly-refreshed snapshot table."""
-    from pyspark.sql import functions as SF
+    slowly-refreshed snapshot table.
 
+    ``payload`` maps dim column -> output alias (the attributes to
+    carry onto the stream); default fits the TPC-H customer dim."""
+    payload = payload or {"c_mktsegment": "segment"}
     d = dim.select(
-        SF.col(on_right).alias(on_left),
-        SF.col("c_mktsegment").alias("segment"),
+        F.col(on_right).alias(on_left),
+        *[F.col(src).alias(dst) for src, dst in payload.items()],
     )
     return events.join(d, on_left, "left")
 
@@ -277,31 +279,70 @@ def scd2_stream_apply(
     checkpoint_dir: str,
     run_date=None,
     mode: str = "delta",
+    order_col: str | None = None,
 ) -> None:
     """Streaming SCD-2 ingestion: apply each micro-batch of source rows
     to a versioned dimension table via foreachBatch.
 
-    Per batch: read the committed dim snapshot, run the batch through
-    the same scd2_upsert kernel the batch pipeline uses (delta mode by
-    default — only changed rows re-version), and publish atomically
-    through the txn pointer swap. The checkpoint gives exactly-once
-    batch tracking and the pointer swap makes each batch's dim version
-    all-or-nothing, so a crash mid-batch leaves the previous committed
-    snapshot intact and the batch replays — the streaming twin of the
-    reference's per-run transaction bracket. Dim versions accumulate
-    one per non-empty batch; vacuum() bounds history.
+    Per batch: collapse the batch to ONE row per business key (a drained
+    backlog can deliver several versions of a key in one availableNow
+    batch — ``order_col`` picks the latest for CDC streams with an
+    ordering column; without one, the lexicographically greatest
+    attribute tuple wins, deterministic either way), read the committed
+    dim snapshot, run the same scd2_upsert kernel the batch pipeline
+    uses (delta mode by default — only changed rows re-version), and
+    publish atomically through the txn pointer swap.
+
+    Effectively-once: the batch id is recorded INSIDE the staged version
+    (``_BATCH`` file) before the pointer swap, so both commit together.
+    foreachBatch alone is at-least-once — a crash between the pointer
+    swap and the streaming checkpoint commit replays the batch — but the
+    replay sees its own batch id already committed and becomes a no-op,
+    so dim history never double-applies. Dim versions accumulate one
+    per non-empty batch; vacuum() bounds history.
 
     Runs with trigger(availableNow) and BLOCKS until the source drains
     (the semantics a scheduled incremental ingest wants). For a
     continuous deployment swap the trigger; nothing else changes.
     """
+    import os
+
     from ..operators.scd2 import scd2_upsert
-    from ..sources.txn import current_version, read_committed, txn_overwrite
+    from ..sources.txn import (
+        _version_dir,
+        current_version,
+        publish_version,
+        read_committed,
+        stage_version,
+    )
+
+    def _committed_batch_id() -> int | None:
+        v = current_version(dim_dir)
+        if v is None:
+            return None
+        try:
+            with open(os.path.join(_version_dir(dim_dir, v), "_BATCH")) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if _committed_batch_id() == batch_id:
+            return  # replay of an already-committed batch: no-op
         spark = batch_df.sparkSession
+        order_by = (
+            [F.col(order_col).desc()]
+            if order_col
+            else [F.col(c).desc() for c in columns if c != business_key]
+        )
+        w = Window.partitionBy(business_key).orderBy(*order_by)
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         dim = (
             read_committed(spark, dim_dir)
             if current_version(dim_dir) is not None
@@ -309,14 +350,17 @@ def scd2_stream_apply(
         )
         new_dim = scd2_upsert(
             dim,
-            batch_df,
+            latest,
             business_key,
             list(columns),
             surrogate_key,
             run_date=run_date,
             mode=mode,
         )
-        txn_overwrite(new_dim, dim_dir)
+        v = stage_version(new_dim, dim_dir)
+        with open(os.path.join(_version_dir(dim_dir, v), "_BATCH"), "w") as f:
+            f.write(str(batch_id))
+        publish_version(dim_dir, v)
 
     q = (
         source_stream.writeStream.foreachBatch(apply_batch)

@@ -53,5 +53,10 @@ def test_q3_style_plan_broadcasts_and_pushes_down(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the selective segment predicate reaches the customer scan
-    assert "PushedFilters" in plan and "c_mktsegment" in plan
+    # the selective segment predicate reaches the customer scan: the
+    # column must appear INSIDE a PushedFilters list, not merely in a
+    # Filter node above the scan (every scan prints 'PushedFilters: []')
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("c_mktsegment" in p for p in pushed), pushed

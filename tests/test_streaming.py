@@ -198,3 +198,80 @@ def test_scd2_stream_apply_two_batches(spark, tmp_path):
         "CustomerKey", ckpt, run_date=dt.date(2024, 3, 1),
     )
     assert txn.current_version(dim_dir) == v1 + 1
+
+
+def test_scd2_stream_multi_version_batch_collapses(spark, tmp_path):
+    """One availableNow batch draining a backlog with TWO versions of the
+    same key must commit only one current row per key (order_col picks
+    the latest), never two contradictory current rows."""
+    import datetime as dt
+
+    from glue_jobs_for_data_pipeline_spark.schemas import CURRENT_ROW_SENTINEL
+    from glue_jobs_for_data_pipeline_spark.sources import txn
+    from glue_jobs_for_data_pipeline_spark.streaming.events import (
+        scd2_stream_apply,
+    )
+
+    src = str(tmp_path / "src")
+    dim_dir = str(tmp_path / "dim")
+    schema = "CustomerID long, City string, seq long"
+    sentinel = dt.date.fromisoformat(CURRENT_ROW_SENTINEL)
+
+    # backlog: two files, BOTH pending when the stream first starts
+    spark.createDataFrame([(2, "rome", 1)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame([(2, "kyiv", 2)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    scd2_stream_apply(
+        spark.readStream.schema(schema).format("parquet").load(src),
+        dim_dir, "CustomerID", ("CustomerID", "City"), "CustomerKey",
+        str(tmp_path / "ckpt"), run_date=dt.date(2024, 1, 1),
+        order_col="seq",
+    )
+    rows = txn.read_committed(spark, dim_dir).collect()
+    current = [r for r in rows if r["EndDate"] == sentinel]
+    assert len(current) == 1 and current[0]["City"] == "kyiv"
+
+
+def test_scd2_stream_replay_is_noop(spark, tmp_path):
+    """A replayed batch (crash between pointer swap and checkpoint
+    commit) must not double-apply: the committed _BATCH id makes the
+    replay a no-op."""
+    import datetime as dt
+
+    from glue_jobs_for_data_pipeline_spark.sources import txn
+    from glue_jobs_for_data_pipeline_spark.streaming.events import (
+        scd2_stream_apply,
+    )
+
+    src = str(tmp_path / "src")
+    dim_dir = str(tmp_path / "dim")
+    schema = "CustomerID long, City string"
+    spark.createDataFrame([(1, "oslo")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    # first run commits batch 0
+    scd2_stream_apply(
+        spark.readStream.schema(schema).format("parquet").load(src),
+        dim_dir, "CustomerID", ("CustomerID", "City"), "CustomerKey",
+        str(tmp_path / "ckpt1"), run_date=dt.date(2024, 1, 1),
+        mode="reference",
+    )
+    v1 = txn.current_version(dim_dir)
+    rows1 = sorted(map(tuple, txn.read_committed(spark, dim_dir).collect()))
+
+    # simulate the crash window: a FRESH checkpoint replays batch 0
+    # against the already-committed dim — reference mode would expire
+    # and duplicate the rows if the replay were applied
+    scd2_stream_apply(
+        spark.readStream.schema(schema).format("parquet").load(src),
+        dim_dir, "CustomerID", ("CustomerID", "City"), "CustomerKey",
+        str(tmp_path / "ckpt2"), run_date=dt.date(2024, 2, 1),
+        mode="reference",
+    )
+    assert txn.current_version(dim_dir) == v1
+    rows2 = sorted(map(tuple, txn.read_committed(spark, dim_dir).collect()))
+    assert rows2 == rows1
