@@ -35,52 +35,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # ORACLE_SWEEP_r{N}.json. Update _WINDOW_FIRST each round from the
 # still-unchecked set in CORRECTNESS_r{N}.json.
 _WINDOW_FIRST = [
-    # new in r03 — first driver check
-    "x_text_pii_redact",
-    "x_dedup_substring_spans",
-    "x_stream_dedup",
-    "x_emb_centroid_elements",
-    "x_text_vocab_topk",
-    "x_text_chunking",
-    "x_emb_quantize_int8",
-    "x_sim_ivf_kmeans_topk",
-    "x_pack_sequences",
-    # modules modified after their last driver check
+    # new in r04 — first driver check
+    "x_decontam_report",
+    "x_decontam_filter",
+    "x_text_repetition",
+    "x_sample_domain_mix",
+    "x_sample_shard_positions",
+    "x_text_quality_ntile",
+    "x_olap_cube",
+    "x_olap_correlated_scalar",
+    "x_olap_range_frame",
+    "x_sim_pq_topk",
+    "x_stream_stream_join",
+    # registered after the r03 rotation — never in a driver window
+    "x_olap_grouping_sets",
+    "x_olap_q3_style",
+    "x_olap_moving_agg",
+    "x_stream_static_join",
+    # outside the r03 window, last driver-checked r01/r02
+    "x_text_stats",
+    "x_text_quality",
+    "x_text_lang_id",
+    "x_text_fingerprint",
+    "x_dedup_exact",
+    "x_dedup_ngram_jaccard",
+    "x_corpus_prep",
+    "x_olap_q1_style",
+    # modified this round (operators/similarity.py shared helpers)
+    "x_sim_bruteforce_topk",
     "x_sim_lsh_topk",
     "x_sim_ivf_topk",
-    "x_sim_bruteforce_topk",
-    "x_skew_salted_agg",
-    "x_stream_window_agg",
-    "x_stream_sessionize",
-    "x_stream_watermark_append",
-    "x_dedup_simhash",
-    "x_dedup_minhash_lsh",
-    "x_dedup_embedding_cosine",
-    "x_dedup_embedding_cosine_lsh",
-    "x_mm_decode_metadata",
-    "x_ts_range_join",
-    "x_sample_hash",
-    "x_sample_stratified",
-    # never driver-checked, code stable since r01
-    "x_olap_topk_per_group",
-    "x_olap_rollup",
-    "x_olap_left_outer_join",
-    "x_olap_anti_join",
-    "x_olap_set_ops",
-    "x_olap_analytic_window",
-    "x_olap_pivot",
-    "x_olap_count_distinct",
-    "x_olap_percentiles",
-    "x_olap_approx_distinct",
-    "x_json_extract",
-    "x_mm_frame_sample",
-    "x_ts_asof_join",
-    "x_ts_sessionize_batch",
-    "x_ingest_latest_by_key",
-    "x_corpus_stats",
-    "x_corpus_prep_neardup",
-    # parity on changed code this round (sources/txn.py)
-    "m5_transactional_pipeline",
+    "x_sim_ivf_kmeans_topk",
 ]
 
 

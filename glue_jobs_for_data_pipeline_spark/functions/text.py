@@ -174,3 +174,13 @@ def redact_pii(text: Column) -> Column:
     out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
     out = F.regexp_replace(out, PII_IPV4, "<IP>")
     return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
+def dup_token_ratio(text: Column) -> Column:
+    """Gopher-style repetition signal: fraction of tokens that are
+    repeats of an earlier token (1 - distinct/total). Pure array
+    builtins — stays in codegen, no explode."""
+    toks = tokens(text)
+    return F.lit(1.0) - F.size(F.array_distinct(toks)) / F.greatest(
+        F.size(toks), F.lit(1)
+    ).cast("double")

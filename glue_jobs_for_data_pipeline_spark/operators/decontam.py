@@ -1,0 +1,116 @@
+"""Benchmark decontamination: flag training documents that share token
+n-grams with an evaluation/benchmark set.
+
+The standard LLM-corpus hygiene step (GPT-3 appendix C, PaLM §7,
+Dolma/RefinedWeb pipelines): any training document containing a long
+token n-gram (n in 8..13) that also appears in an eval benchmark is
+"contaminated" and must be dropped or audited before training.
+
+Scale shape (100 TB corpus, ~10^6 eval n-grams):
+- The eval side is BENCHMARK-sized, not corpus-sized — its distinct
+  n-gram set fits in memory, so the contamination join is a broadcast
+  semi/inner join against the exploded corpus grams: zero shuffle of
+  corpus data, one scan.
+- Corpus-side n-grams are generated per row with builtin higher-order
+  functions (sequence/transform/slice) inside whole-stage codegen —
+  no Python, no UDF — then exploded map-side straight into the
+  broadcast join. Rows with zero hits never survive the join, so the
+  per-doc aggregation state is bounded by the (small) hit set.
+- When the eval set is genuinely large (many benchmarks x many grams),
+  drop the broadcast hint and let AQE pick a shuffle join keyed on the
+  gram — still one corpus scan.
+
+Reference has no analogue (572-LoC SQL ETL); this is part of the
+LLM-training-data surface SURVEY §6 adds on top of reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def token_ngrams(text: F.Column, n: int) -> F.Column:
+    """Array of space-joined token n-grams of ``text``, [] when the
+    document has fewer than n tokens.
+
+    Builtin-only (split/sequence/transform/slice/array_join) so the
+    whole expression stays inside whole-stage codegen. The explicit
+    ``when`` guard matters: Spark's ``sequence(1, 0)`` infers step -1
+    and yields [1, 0] instead of [], which would fabricate grams for
+    short documents.
+    """
+    toks = F.split(F.trim(text), r"\s+")
+    n_grams = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def eval_ngram_set(eval_docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """Distinct n-gram set of the benchmark side: one column ``g``."""
+    return (
+        eval_docs.select(
+            F.explode(token_ngrams(F.col(text_col), n)).alias("g")
+        ).distinct()
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-document contamination: (id, n_contam, contaminated).
+
+    ``n_contam`` counts DISTINCT eval n-grams the document contains
+    (a doc repeating one leaked gram 50 times counts once — the metric
+    is breadth of leakage, matching how dedup literature reports it).
+    Zero-hit documents are preserved via the final left join so the
+    report covers the whole corpus.
+    """
+    evals = eval_ngram_set(eval_docs, n, text_col)
+    if broadcast_eval:
+        evals = F.broadcast(evals)
+    grams = docs.select(
+        F.col(id_col), F.explode(token_ngrams(F.col(text_col), n)).alias("g")
+    )
+    hits = (
+        grams.join(evals, "g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("g").alias("_n_contam"))
+    )
+    return docs.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("_n_contam"), F.lit(0)).cast("bigint").alias("n_contam"),
+        (F.coalesce(F.col("_n_contam"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop contaminated documents: broadcast LEFT ANTI join against the
+    exploded gram hits — the production filter path (no aggregation at
+    all; a doc is dropped on its first matching gram)."""
+    evals = F.broadcast(eval_ngram_set(eval_docs, n, text_col))
+    dirty = (
+        docs.select(
+            F.col(id_col), F.explode(token_ngrams(F.col(text_col), n)).alias("g")
+        )
+        .join(evals, "g")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(dirty, id_col, "left_anti")

@@ -84,3 +84,61 @@ def stratified_fixed_n(
         .filter(F.col("_rn") <= n_per_stratum)
         .drop("_rn")
     )
+
+
+def resample_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    digits: int = 4,
+) -> DataFrame:
+    """Domain-mixture resampling: per-group deterministic downsampling
+    rates (e.g. keep 100% of wiki, 30% of common-crawl) — the knob every
+    LLM corpus recipe exposes as "mixture weights".
+
+    Implemented as ONE codegen'd predicate: a CASE over the group column
+    choosing the hash threshold. No join, no shuffle, pushes to the
+    scan; a row's fate depends only on (its group, its key), so the mix
+    is reproducible across runs and cluster layouts, and rerunning on a
+    grown corpus keeps every previously selected row (monotone sample).
+    """
+    thr = F.lit(hash_threshold(default_rate, digits))
+    for g, r in sorted(rates.items()):
+        thr = F.when(F.col(group_col) == g, F.lit(hash_threshold(r, digits))).otherwise(
+            thr
+        )
+    return df.filter(_hash_prefix(F.col(key_col), digits) < thr)
+
+
+def shard_positions(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: str = "0",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle, sharded.
+
+    A global ORDER BY random() is neither reproducible nor resumable; a
+    global row_number is a single-partition window (scale killer). This
+    derives a seeded hash per row, buckets it into ``n_shards`` shards,
+    and numbers rows WITHIN each shard by hash order — the layout a
+    training loader actually consumes (shard files read sequentially,
+    shards themselves interleaved). One shuffle on the shard key; each
+    window sees ~N/n_shards rows, so it scales out with shard count.
+    Re-running with the same seed reproduces the exact order.
+    """
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col(key_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % F.lit(n_shards)
+    ).cast("int")
+    w = Window.partitionBy(shard_col).orderBy(F.col("_h"), F.col(key_col))
+    return (
+        df.withColumn("_h", h)
+        .withColumn(shard_col, shard)
+        .withColumn(pos_col, F.row_number().over(w))
+        .drop("_h")
+    )

@@ -1319,3 +1319,339 @@ def x_olap_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("moving_sum"),
         F.count(F.lit(1)).over(w).alias("n_in_frame"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: decontamination, repetition signals, corpus mixing/sharding,
+# PQ similarity, OLAP cube/correlated-subquery/range-frame
+# --------------------------------------------------------------------------
+
+_GRAMS8_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 7, 0)),
+                               i -> array_to_string(t[i:i+7], ' '))) AS g
+  FROM toks
+),
+eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0),
+probe AS (SELECT doc_id, g FROM grams WHERE doc_id % 29 <> 0)
+"""
+
+_X_DECONTAM_REPORT_SQL = (
+    _GRAMS8_CTE
+    + """
+, hits AS (
+  SELECT p.doc_id, COUNT(DISTINCT p.g) AS n_contam
+  FROM probe p JOIN eval_grams e USING (g) GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_contam, 0) AS BIGINT) AS n_contam,
+       coalesce(h.n_contam, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 29 <> 0
+"""
+)
+
+
+@_q("x_decontam_report", _X_DECONTAM_REPORT_SQL)
+def x_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination audit: docs sharing any 8-token n-gram
+    with the pseudo-eval set (doc_id % 29 == 0). Corpus grams are
+    builtin higher-order expressions exploded map-side into a BROADCAST
+    join against the benchmark-sized eval gram set — one corpus scan,
+    zero corpus shuffle (operators/decontam.py)."""
+    from ..operators.decontam import contamination_report
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return contamination_report(
+        d.filter(F.col("doc_id") % 29 != 0),
+        d.filter(F.col("doc_id") % 29 == 0),
+        n=8,
+    )
+
+
+_X_DECONTAM_FILTER_SQL = (
+    _GRAMS8_CTE
+    + """
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id % 29 <> 0
+  AND NOT EXISTS (
+    SELECT 1 FROM probe p JOIN eval_grams e USING (g) WHERE p.doc_id = d.doc_id)
+"""
+)
+
+
+@_q("x_decontam_filter", _X_DECONTAM_FILTER_SQL)
+def x_decontam_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production decontamination path: broadcast anti-join drops
+    contaminated docs on first gram hit (no per-doc aggregation)."""
+    from ..operators.decontam import decontaminate
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return decontaminate(
+        d.filter(F.col("doc_id") % 29 != 0),
+        d.filter(F.col("doc_id") % 29 == 0),
+        n=8,
+    ).select("doc_id", "source", "n_chars")
+
+
+_X_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> array_to_string(t[i:i+1], ' '))) AS g
+  FROM toks
+),
+counts AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY doc_id, g),
+agg AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM counts GROUP BY doc_id)
+SELECT t.doc_id,
+       1.0 - len(list_distinct(t.t)) / CAST(greatest(len(t.t), 1) AS DOUBLE)
+         AS dup_token_ratio,
+       coalesce(a.mx / CAST(a.tot AS DOUBLE), 0.0) AS top_bigram_ratio
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@_q("x_text_repetition", _X_REPETITION_SQL)
+def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-token fraction (pure
+    codegen array expression) + most-frequent-bigram share (map-side
+    explode -> groupBy on (doc_id, gram) -> per-doc max/sum: both
+    aggregations partial map-side, keys co-partitioned on doc_id)."""
+    from ..operators.decontam import token_ngrams
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    big = d.select(
+        "doc_id", F.explode(token_ngrams(F.col("text"), 2)).alias("g")
+    )
+    agg = (
+        big.groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+    )
+    return (
+        d.select("doc_id", tx.dup_token_ratio(F.col("text")).alias("dup_token_ratio"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_token_ratio",
+            F.coalesce(
+                F.col("mx") / F.col("tot").cast("double"), F.lit(0.0)
+            ).alias("top_bigram_ratio"),
+        )
+    )
+
+
+@_q(
+    "x_sample_domain_mix",
+    "SELECT doc_id, source FROM documents "
+    "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < "
+    "CASE source WHEN 'src2' THEN '4000' WHEN 'src1' THEN '8000' "
+    "WHEN 'src0' THEN 'g' ELSE '1999' END",
+)
+def x_sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: per-source keep rates (src0 100%,
+    src1 50%, src2 25%, everything else 10%) as ONE codegen'd CASE
+    predicate — no join, pushes to the scan, reproducible and monotone
+    under corpus growth (operators/sampling.py resample_mix)."""
+    from ..operators.sampling import resample_mix
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return resample_mix(
+        d, "source", "doc_id",
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    )
+
+
+@_q(
+    "x_sample_shard_positions",
+    "SELECT doc_id, shard, CAST(ROW_NUMBER() OVER ("
+    "  PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS pos "
+    "FROM (SELECT doc_id, md5('r4|' || CAST(doc_id AS VARCHAR)) AS h, "
+    "  CAST(CAST(('0x' || substring(md5('r4|' || CAST(doc_id AS VARCHAR)), 1, 4)) "
+    "       AS BIGINT) % 8 AS INTEGER) AS shard FROM documents)",
+)
+def x_sample_shard_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle, sharded: seeded-hash
+    shard assignment + within-shard hash-order positions. No global
+    window — each shard numbers independently, so parallelism scales
+    with shard count (operators/sampling.py shard_positions)."""
+    from ..operators.sampling import shard_positions
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shard_positions(d, "doc_id", n_shards=8, seed="r4")
+
+
+_X_QUALITY_NTILE_SQL = f"""
+SELECT doc_id, lang, CAST(NTILE(10) OVER (
+  PARTITION BY lang ORDER BY {_QUALITY_EXPR}, doc_id) AS INTEGER) AS decile
+FROM documents
+"""
+
+
+@_q("x_text_quality_ntile", _X_QUALITY_NTILE_SQL)
+def x_text_quality_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: quality-score deciles per language (ntile
+    window; ties broken by doc_id so bucket edges are deterministic).
+    Per-language windows shuffle once on lang; at 100 TB replace exact
+    ntile with approx-percentile cut points computed in one pass and
+    joined back as a broadcast CASE."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("lang").orderBy(
+        tx.quality_score(F.col("text")), F.col("doc_id")
+    )
+    return d.select(
+        "doc_id", "lang", F.ntile(10).over(w).alias("decile")
+    )
+
+
+@_q(
+    "x_olap_cube",
+    "SELECT o_orderstatus, o_orderpriority, "
+    "CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status, "
+    "CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority, "
+    "COUNT(*) AS cnt, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price "
+    "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+)
+def x_olap_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE (all 4 grouping sets over status x priority) with
+    per-column GROUPING() flags — same portable-flag convention as
+    x_olap_grouping_sets. Cube expansion happens map-side before the
+    single partial-agg shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM {o}
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        o=o,
+    )
+
+
+_X_CORR_SCALAR_SQL = """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+FROM orders o
+WHERE CAST(o_totalprice AS DOUBLE) *
+      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      > 1.5 * CAST((SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                    FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS DOUBLE)
+"""
+
+
+@_q("x_olap_correlated_scalar", _X_CORR_SCALAR_SQL)
+def x_olap_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (orders priced >1.5x their
+    customer's average): Catalyst decorrelates both subqueries into
+    aggregate-then-join — no per-row re-execution, one shuffle on the
+    correlation key. The avg is compared via exact decimal sum x count
+    to dodge double-summation order nondeterminism."""
+    o = load_table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+        FROM {o} o
+        WHERE CAST(o_totalprice AS DOUBLE) *
+              (SELECT COUNT(*) FROM {o2} o2 WHERE o2.o_custkey = o.o_custkey)
+              > 1.5 * CAST((SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                            FROM {o2} o2 WHERE o2.o_custkey = o.o_custkey) AS DOUBLE)
+        """,
+        o=o,
+        o2=o,
+    )
+
+
+_X_RANGE_FRAME_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS range_sum,
+       COUNT(*) OVER w AS n_in_range
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@_q("x_olap_range_frame", _X_RANGE_FRAME_SQL)
+def x_olap_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE window frame: per-user 10-minute trailing sum.
+    The frame bound is on epoch MICROS (integer) so both engines cut
+    the frame at identical points regardless of timestamp precision;
+    RANGE includes ties (peer rows) identically. Decimal sum inside
+    the frame, double at the boundary."""
+    from ..sources.readers import load_events
+
+    e = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("range_sum"),
+        F.count(F.lit(1)).over(w).alias("n_in_range"),
+    )
+
+
+@_q("x_sim_pq_topk")  # trained codebooks (iterative k-means) -> rows-only
+def x_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: codebooks trained on a deterministic
+    hash-sample (driver-side numpy Lloyd — PQ training wants ~10^4
+    vectors regardless of corpus size), corpus encoded to m=8 small
+    codes by a pure higher-order-builtin argmin (map-only, no UDF),
+    queries score candidates via ADC lookup tables and exact-cosine
+    re-rank the top k*refine. Recall vs the brute tier asserted in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_fit(emb, m=8, n_codes=16, n_iters=6, sample_n=512)
+    return similarity.pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 10), books, k=10, refine=4
+    )
+
+
+_X_STREAM_STREAM_SQL = """
+SELECT l.user_id, l.event_id AS left_id, r.event_id AS right_id,
+       CAST(l.ts AS TIMESTAMP) AS left_ts, CAST(r.ts AS TIMESTAMP) AS right_ts
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'error'
+ AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP)
+ AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+"""
+
+
+@_q("x_stream_stream_join", _X_STREAM_STREAM_SQL)
+def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click -> error within 30 min per
+    user), drained to batch. Inner interval joins are batch-equivalent
+    once the source exhausts, so this streaming query has a REAL DuckDB
+    oracle (the identical self-join), not just a rows-only check. Both
+    sides watermarked + time-bounded -> join state is purged, bounded
+    by rate x lag (streaming/events.py)."""
+    from ..streaming.events import (
+        drain_to_memory,
+        read_events_stream,
+        stream_stream_interval_join,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    joined = stream_stream_interval_join(ev, ev, max_lag_minutes=30)
+    return drain_to_memory(joined, "x_stream_stream_join", "append")

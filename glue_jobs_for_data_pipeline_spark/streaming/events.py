@@ -369,3 +369,56 @@ def scd2_stream_apply(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_type: str = "click",
+    right_type: str = "error",
+    max_lag_minutes: int = 30,
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval constraint:
+    for each ``left_type`` event, the ``right_type`` events of the same
+    user within [left_ts, left_ts + max_lag] (click -> error funnel).
+
+    Both sides carry watermarks AND the join condition bounds event
+    time in both directions — the two requirements Spark needs to purge
+    join state: a buffered left row can be dropped once the right
+    watermark passes left_ts + max_lag, so state is bounded by
+    rate x lag, not by stream length. An unbounded (equi-only) stream
+    join would buffer both streams forever.
+
+    Inner interval joins are batch-equivalent once the source drains:
+    the DuckDB oracle runs the identical self-join predicate.
+    """
+    l = (
+        left.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", watermark)
+    )
+    r = (
+        right.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("right_ts"),
+        )
+        .withWatermark("right_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (
+            F.col("right_ts")
+            <= F.col("left_ts") + F.expr(f"INTERVAL {max_lag_minutes} MINUTES")
+        )
+    )
+    return l.join(r, cond, "inner").select(
+        "user_id", "left_id", "right_id", "left_ts", "right_ts"
+    )

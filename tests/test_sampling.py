@@ -61,3 +61,44 @@ def test_sample_rate_one_keeps_everything(spark, ids):
 
 def test_sample_rate_zero_keeps_nothing(spark, ids):
     assert sampling.sample_by_hash(ids, "doc_id", rate=0.0).count() == 0
+
+
+def test_resample_mix_rates_per_group(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(20_000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.resample_mix(
+        df, "source", "doc_id", rates={"a": 1.0, "b": 0.25}
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["a"] == 10_000  # rate 1.0 keeps everything
+    assert 0.21 < counts["b"] / 10_000 < 0.29
+
+
+def test_resample_mix_monotone_under_rate_increase(spark, ids):
+    lo = {r["doc_id"] for r in sampling.resample_mix(
+        ids.withColumn("g", ids.doc_id % 1), "g", "doc_id", {}, default_rate=0.2
+    ).collect()}
+    hi = {r["doc_id"] for r in sampling.resample_mix(
+        ids.withColumn("g", ids.doc_id % 1), "g", "doc_id", {}, default_rate=0.5
+    ).collect()}
+    assert lo <= hi  # growing a rate only ADDS rows — reproducible mixes
+
+
+def test_shard_positions_contiguous_and_stable(spark, ids):
+    out = sampling.shard_positions(ids.filter("doc_id < 2000"), "doc_id", n_shards=8)
+    rows = out.collect()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense 1..n
+    again = sampling.shard_positions(
+        ids.filter("doc_id < 2000").repartition(13), "doc_id", n_shards=8
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -99,3 +99,28 @@ def test_ivf_kmeans_recall_beats_floor(spark, sf_dir):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.4, f"IVF+kmeans recall {recall} below floor"
+
+
+def test_pq_encode_shape_and_determinism(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = similarity.pq_fit(emb, m=8, n_codes=16, n_iters=3, sample_n=256)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    enc = similarity.pq_encode(emb, books).select("vec_id", "pq_code")
+    a = {r["vec_id"]: r["pq_code"] for r in enc.collect()}
+    b = {r["vec_id"]: r["pq_code"] for r in
+         similarity.pq_encode(emb.repartition(7), books)
+         .select("vec_id", "pq_code").collect()}
+    assert a == b  # encoding is a pure function of (vector, codebooks)
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in a.values())
+
+
+def test_pq_adc_recall_floor(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = similarity.pq_fit(emb, m=8, n_codes=16, n_iters=6, sample_n=512)
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    approx = similarity.pq_adc_topk(emb, queries, books, k=10, refine=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"PQ-ADC recall {recall} below floor"

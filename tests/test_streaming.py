@@ -275,3 +275,37 @@ def test_scd2_stream_replay_is_noop(spark, tmp_path):
     assert txn.current_version(dim_dir) == v1
     rows2 = sorted(map(tuple, txn.read_committed(spark, dim_dir).collect()))
     assert rows2 == rows1
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    from glue_jobs_for_data_pipeline_spark.streaming.events import (
+        drain_to_memory,
+        read_events_stream,
+        stream_stream_interval_join,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    streamed = drain_to_memory(
+        stream_stream_interval_join(ev, ev, max_lag_minutes=30),
+        "t_ss_join",
+        "append",
+    )
+    b = load_events(spark, sf_dir)
+    l = b.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("left_id"), F.col("ts").alias("left_ts")
+    )
+    r = b.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("event_id").alias("right_id"),
+        F.col("ts").alias("right_ts"),
+    )
+    batch = l.join(
+        r,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("user_id", "left_id", "right_id", "left_ts", "right_ts")
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    assert streamed.count() > 0  # fixture produces matches
