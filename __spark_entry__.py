@@ -47,6 +47,9 @@ _WINDOW_FIRST = [
     "x_olap_range_frame",
     "x_sim_pq_topk",
     "x_stream_stream_join",
+    "x_olap_q5_style",
+    "x_olap_q18_style",
+    "x_olap_unpivot",
     # registered after the r03 rotation — never in a driver window
     "x_olap_grouping_sets",
     "x_olap_q3_style",

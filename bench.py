@@ -43,6 +43,11 @@ BENCH_QUERIES = [
     "x_text_chunking",
     "x_dedup_substring_spans",
     "x_emb_quantize_int8",
+    # r04 additions: decontamination (gram explode + broadcast join),
+    # RANGE-frame window, sharded shuffle (hash + per-shard window)
+    "x_decontam_report",
+    "x_olap_range_frame",
+    "x_sample_shard_positions",
 ]
 
 

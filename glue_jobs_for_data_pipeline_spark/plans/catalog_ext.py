@@ -1655,3 +1655,127 @@ def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     joined = stream_stream_interval_join(ev, ev, max_lag_minutes=30)
     return drain_to_memory(joined, "x_stream_stream_join", "append")
+
+
+_X_Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                CAST(1.0 - l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@_q("x_olap_q5_style", _X_Q5_SQL)
+def x_olap_q5_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table join (local supplier volume): the two
+    fact-sized tables (lineitem, orders) shuffle-join on orderkey once;
+    supplier/nation/region are explicit broadcasts and customer joins on
+    the already-shuffled custkey side. The region filter prunes the
+    broadcast before it ships. Revenue = exact decimal product/sum,
+    double only at the output boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(9,4)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+_X_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+"""
+
+
+@_q("x_olap_q18_style", _X_Q18_SQL)
+def x_olap_q18_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-order query: semi-join against an
+    aggregated subquery (orders whose lineitems sum past a quantity
+    threshold), then re-join and re-aggregate for the report. The
+    HAVING subquery and the outer agg share the l_orderkey
+    partitioning, so the second aggregation re-uses the first
+    shuffle's layout under AQE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_s"))
+        .filter(F.col("_s") > 300)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big["l_orderkey"], "left_semi"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("_sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+_X_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+       CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice', CAST(l_extendedprice AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax', CAST(l_tax AS DOUBLE) FROM lineitem
+"""
+
+
+@_q("x_olap_unpivot", _X_UNPIVOT_SQL)
+def x_olap_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot via the stack() generator — one scan emits
+    all three metric rows map-side (the UNION-ALL oracle formulation
+    would scan three times; stack is the single-scan physical form)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', CAST(l_quantity AS DOUBLE), "
+            "'extendedprice', CAST(l_extendedprice AS DOUBLE), "
+            "'tax', CAST(l_tax AS DOUBLE)) AS (metric, val)"
+        ),
+    )

@@ -60,3 +60,30 @@ def test_q3_style_plan_broadcasts_and_pushes_down(spark, sf_dir):
 
     pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
     assert any("c_mktsegment" in p for p in pushed), pushed
+
+
+def test_q5_style_plan_shape(spark, sf_dir):
+    plan = _plan(cx.x_olap_q5_style(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("r_name" in p for p in pushed), pushed  # region filter at scan
+    # lineitem scan prunes to the 4 needed columns
+    scans = [ln for ln in plan.splitlines() if "l_extendedprice" in ln and "Scan" in ln]
+    assert scans and all("l_comment" not in s for s in scans)
+
+
+def test_unpivot_plan_is_single_scan(spark, sf_dir):
+    plan = _plan(cx.x_olap_unpivot(spark, sf_dir))
+    assert plan.count("FileScan") == 1  # stack(), not 3x UNION ALL scans
+    assert "Exchange hashpartitioning" not in plan  # map-only generate
+
+
+def test_decontam_report_single_corpus_scan_groups_on_hits(spark, sf_dir):
+    plan = _plan(cx.x_decontam_report(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # eval gram set broadcasts
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
