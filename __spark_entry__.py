@@ -36,6 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # still-unchecked set in CORRECTNESS_r{N}.json.
 _WINDOW_FIRST = [
     # new in r04 — first driver check
+    "x_corpus_build_full",
     "x_decontam_report",
     "x_decontam_filter",
     "x_text_repetition",
@@ -50,6 +51,8 @@ _WINDOW_FIRST = [
     "x_olap_q5_style",
     "x_olap_q18_style",
     "x_olap_unpivot",
+    "x_ingest_incremental_agg",
+    "x_sim_ivfpq_topk",
     # registered after the r03 rotation — never in a driver window
     "x_olap_grouping_sets",
     "x_olap_q3_style",

@@ -196,3 +196,47 @@ def pack_chunks(
             yield pd.DataFrame(out)
 
     return prepared.mapInPandas(pack, PACKED_SCHEMA)
+
+
+def build_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_quality: float = 0.3,
+    mix_rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    n_shards: int = 8,
+    seed: str = "0",
+) -> DataFrame:
+    """The full training-corpus build, end to end:
+
+        decontaminate -> lang gate -> quality gate -> exact dedup
+        -> domain mixture -> sharded training order
+
+    One declarative plan: the decontamination anti-join and every gate
+    are map-side over a single corpus scan; the only corpus-wide
+    shuffles are the 16-byte fingerprint dedup and the final per-shard
+    window (each shard ~N/n_shards rows). Returns
+    (id, lang_pred, source, shard, pos) — the manifest a training
+    loader consumes.
+    """
+    from .decontam import decontaminate
+    from .sampling import resample_mix, shard_positions
+
+    clean = decontaminate(docs, eval_docs, n=8, id_col=id_col, text_col=text_col)
+    scored = score_documents(clean, id_col, text_col)
+    gated = scored.filter(
+        (F.col("lang_pred") == lang) & (F.col("quality") >= min_quality)
+    )
+    survivors = gated.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    kept = (
+        survivors.join(gated, id_col)
+        .join(docs.select(id_col, "source"), id_col)
+        .select(id_col, "lang_pred", "source")
+    )
+    mixed = resample_mix(
+        kept, "source", id_col, mix_rates or {}, default_rate
+    )
+    return shard_positions(mixed, id_col, n_shards, seed)

@@ -515,3 +515,74 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 3,
+    refine: int = 4,
+) -> DataFrame:
+    """IVF-PQ: the composition both halves document as their scale path.
+
+    k-means cells bound WHICH corpus fraction each query touches
+    (~n_probe/n_cells); PQ codes bound WHAT is read per candidate
+    (m bytes, not the raw vector). This is the FAISS IVFADC layout
+    (Jegou et al. 2011 §IV) expressed as DataFrame ops: cell assignment
+    and PQ encoding are both map-only scans, the probe is a broadcast
+    equi-join on cell id, ADC scoring is m array lookups per candidate,
+    and only the k*refine ADC survivors per query have their raw
+    vectors touched for the exact-cosine re-rank.
+    """
+    centroids = kmeans_fit(corpus, id_col, vec_col, n_cells, n_iters)
+    corpus_cells = assign_ivf_cells(corpus, centroids, id_col, vec_col, 1)
+    enc = pq_encode(corpus_cells, codebooks, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        "cell",
+        "pq_code",
+    )
+    sub = len(codebooks[0][0])
+
+    def _lut(i: int, book: list[list[float]]) -> F.Column:
+        return F.transform(
+            _codebook_lit(book),
+            lambda c: _sq_l2(_sub_slice(F.col(vec_col), i, sub), c),
+        )
+
+    query_cells = assign_ivf_cells(
+        queries, centroids, id_col, vec_col, n_probe
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        "cell",
+        *[_lut(i, b).alias(f"_lut{i}") for i, b in enumerate(codebooks)],
+    )
+    adc = sum(
+        F.element_at(F.col(f"_lut{i}"), F.col("pq_code")[i] + 1)
+        for i in range(len(codebooks))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc"), F.col("neighbor_id"))
+    cand = (
+        F.broadcast(query_cells)
+        .join(enc, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc", adc)
+        .withColumn("adc_rank", F.row_number().over(w))
+        .filter(F.col("adc_rank") <= k * refine)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

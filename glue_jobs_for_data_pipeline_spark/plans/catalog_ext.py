@@ -1779,3 +1779,113 @@ def x_olap_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'tax', CAST(l_tax AS DOUBLE)) AS (metric, val)"
         ),
     )
+
+
+@_q("x_sim_ivfpq_topk")  # trained codebooks + k-means cells -> rows-only
+def x_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (FAISS IVFADC layout as DataFrame ops): k-means cells
+    bound WHICH corpus fraction a query touches, PQ codes bound WHAT is
+    read per candidate; exact cosine re-ranks the ADC survivors. Recall
+    vs the brute tier asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_fit(emb, m=8, n_codes=16, n_iters=6, sample_n=512)
+    return similarity.ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), books,
+        k=10, n_cells=8, n_probe=4, n_iters=3, refine=4,
+    )
+
+
+_X_INCR_AGG_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+         AS avg_price
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+@_q("x_ingest_incremental_agg", _X_INCR_AGG_SQL)
+def x_ingest_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the orders fact arrives as two
+    batches; each refresh merges the batch's PARTIAL aggregates into the
+    stored rollup through an atomic txn commit (operators/incremental.py)
+    — history is never re-scanned. The oracle is the equivalence proof:
+    merge(partial(b1), partial(b2)) == full GROUP BY over everything."""
+    import shutil
+
+    from ..operators.incremental import refresh_rollup
+
+    rollup_dir = f"/tmp/spark_graft_io/rollup_{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(rollup_dir, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    sums = {"o_totalprice": "sum_price"}
+    refresh_rollup(spark, rollup_dir, o.filter(F.col("o_orderkey") % 2 == 0), keys, sums)
+    final = refresh_rollup(
+        spark, rollup_dir, o.filter(F.col("o_orderkey") % 2 == 1), keys, sums
+    )
+    return final.select(
+        *keys,
+        "n_rows",
+        F.col("sum_price").cast("double").alias("sum_price"),
+        (F.col("sum_price").cast("double") / F.col("n_rows")).alias("avg_price"),
+    )
+
+
+_X_CORPUS_BUILD_SQL = (
+    _GRAMS8_CTE
+    + f"""
+, clean AS (
+  SELECT d.* FROM documents d
+  WHERE d.doc_id % 29 <> 0
+    AND NOT EXISTS (
+      SELECT 1 FROM probe p JOIN eval_grams e USING (g)
+      WHERE p.doc_id = d.doc_id)),
+scored AS (
+  SELECT doc_id, source,
+         {_lang_case_expr()} AS lang_pred,
+         {_QUALITY_EXPR} AS quality,
+         md5({_NORM_SQL}) AS fp
+  FROM clean),
+gated AS (
+  SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.3),
+survivors AS (SELECT fp, MIN(doc_id) AS doc_id FROM gated GROUP BY fp),
+kept AS (
+  SELECT g.doc_id, g.lang_pred, g.source
+  FROM survivors s JOIN gated g ON g.doc_id = s.doc_id),
+mixed AS (
+  SELECT * FROM kept
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        CASE source WHEN 'src2' THEN '4000' WHEN 'src1' THEN '8000'
+        WHEN 'src0' THEN 'g' ELSE '1999' END)
+SELECT doc_id, lang_pred, source, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS INTEGER) AS pos
+FROM (SELECT *, md5('r4|' || CAST(doc_id AS VARCHAR)) AS h,
+        CAST(CAST(('0x' || substring(md5('r4|' || CAST(doc_id AS VARCHAR)), 1, 4))
+             AS BIGINT) % 8 AS INTEGER) AS shard
+      FROM mixed)
+"""
+)
+
+
+@_q("x_corpus_build_full", _X_CORPUS_BUILD_SQL)
+def x_corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data composition, oracle-checked end to
+    end: decontaminate -> lang gate -> quality gate -> exact dedup ->
+    domain mixture -> sharded deterministic training order
+    (operators/corpus.py build_corpus). Every stage is itself
+    oracle-checked standalone; this proves the COMPOSITION, including
+    stage ordering, matches the declarative SQL spec."""
+    from ..operators.corpus import build_corpus
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return build_corpus(
+        d.filter(F.col("doc_id") % 29 != 0),
+        d.filter(F.col("doc_id") % 29 == 0),
+        mix_rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+        n_shards=8,
+        seed="r4",
+    )

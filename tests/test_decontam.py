@@ -59,3 +59,53 @@ def test_decontaminate_plan_broadcasts_eval_side(spark):
     plan = decontam.decontaminate(docs, evals, n=8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_token = st.sampled_from("alpha beta gamma delta eps zeta eta theta".split())
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    eval_toks=st.lists(_token, min_size=8, max_size=12),
+    prefix=st.lists(_token, min_size=0, max_size=5),
+    suffix=st.lists(_token, min_size=0, max_size=5),
+)
+def test_containment_implies_flagged(spark, eval_toks, prefix, suffix):
+    """Any training doc that embeds an eval doc's full token sequence
+    MUST be flagged (n-gram overlap is a superset of containment)."""
+    train_text = " ".join(prefix + eval_toks + suffix)
+    docs = _docs(spark, [(1, train_text)])
+    evals = _docs(spark, [(9, " ".join(eval_toks))])
+    rep = decontam.contamination_report(docs, evals, n=8).first()
+    assert rep["contaminated"] is True
+
+
+def test_build_corpus_stage_ordering(spark, sf_dir):
+    """Composition sanity: the final manifest only contains docs that
+    survive EVERY stage, and positions are dense per shard."""
+    from glue_jobs_for_data_pipeline_spark.operators.corpus import build_corpus
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = build_corpus(
+        d.filter(F.col("doc_id") % 29 != 0),
+        d.filter(F.col("doc_id") % 29 == 0),
+        mix_rates={"src0": 1.0},
+        default_rate=0.5,
+        n_shards=4,
+        seed="t",
+    ).collect()
+    assert out  # survivors exist at sf0.001
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert r["lang_pred"] == "en"
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))

@@ -124,3 +124,19 @@ def test_pq_adc_recall_floor(spark, sf_dir):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.6, f"PQ-ADC recall {recall} below floor"
+
+
+def test_ivf_pq_recall_floor(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = similarity.pq_fit(emb, m=8, n_codes=16, n_iters=6, sample_n=512)
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    approx = similarity.ivf_pq_topk(
+        emb, queries, books, k=10, n_cells=8, n_probe=4, n_iters=3, refine=4
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # probing half the cells already bounds recall; PQ candidates are
+    # re-ranked exactly, so misses come only from cell/ADC truncation
+    assert recall >= 0.4, f"IVF-PQ recall {recall} below floor"

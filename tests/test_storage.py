@@ -43,3 +43,23 @@ def test_predicate_and_projection_pushdown(spark, sf_dir):
     # column pruning: only the two selected columns are read
     assert "l_orderkey" in read_schema and "l_quantity" in read_schema
     assert "l_extendedprice" not in read_schema
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, partitioned_dir):
+    """The 100 TB fact-scan killer feature: a filter on the DIM side must
+    prune FACT partitions at runtime (DPP), not after a full scan — the
+    partition predicate is only known after the dim filter runs, so it
+    appears as a dynamicpruning subquery in the fact's PartitionFilters."""
+    fact = spark.read.parquet(partitioned_dir)
+    years = spark.range(1990, 2000).select(
+        F.col("id").cast("int").alias("y"),
+        (F.col("id") % 2).alias("flag"),
+    )
+    joined = fact.join(
+        years.filter(F.col("flag") == 1), fact["order_year"] == years["y"]
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the result only contains odd years (the dim filter applied)
+    got = {r["order_year"] for r in joined.select("order_year").distinct().collect()}
+    assert got and all(y % 2 == 1 for y in got)
