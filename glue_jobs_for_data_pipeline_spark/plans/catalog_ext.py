@@ -1889,3 +1889,93 @@ def x_corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=8,
         seed="r4",
     )
+
+
+_X_WINDOW_NAV_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(first_value(o_orderkey) OVER w AS BIGINT) AS cheapest_key,
+       CAST(nth_value(o_orderkey, 2) OVER
+            (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS BIGINT) AS second_cheapest_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@_q("x_olap_window_nav", _X_WINDOW_NAV_SQL)
+def x_olap_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation/distribution window functions: percent_rank + cume_dist
+    (rational-of-counts doubles, engine-identical) and first/nth_value.
+    nth_value needs the UNBOUNDED-FOLLOWING frame to see past the
+    current row — the default RANGE frame would return NULL for row 1;
+    stated identically in both engines. (o_totalprice, o_orderkey)
+    ordering makes every rank total and deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w).cast("bigint").alias("cheapest_key"),
+        F.nth_value("o_orderkey", 2).over(w_full).cast("bigint")
+        .alias("second_cheapest_key"),
+    )
+
+
+@_q("x_olap_freq_items")  # single-pass sketch, partition-order-dependent -> rows-only
+def x_olap_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the single-pass frequent-items sketch
+    (Karp-Shenker-Papadimitriou): one scan, per-partition candidate
+    maps merged associatively — the 100 TB shape for "which values
+    exceed f% support" without a full groupBy. Guaranteed SUPERSET of
+    the truly frequent items (may include false positives, never
+    misses); the superset property is asserted against exact counts in
+    tests/test_plans.py."""
+    from ..sources.readers import load_events
+
+    e = load_events(spark, sf_dir)
+    return e.select("event_type", "user_id").stat.freqItems(
+        ["event_type", "user_id"], support=0.15
+    )
+
+
+_X_TIME_TRAVEL_SQL = """
+SELECT 1 AS version, o_orderstatus, COUNT(*) AS n
+FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus
+UNION ALL
+SELECT 2 AS version, o_orderstatus, COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@_q("x_storage_time_travel", _X_TIME_TRAVEL_SQL)
+def x_storage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel over the versioned-commit store: two
+    overwrites leave two immutable versions; read_version(1) still sees
+    the first snapshot after version 2 commits (the Delta/Iceberg
+    `VERSION AS OF` semantics on the pointer-swap core). The oracle
+    recomputes both snapshots from the source."""
+    import shutil
+
+    from ..sources import txn
+
+    d = f"/tmp/spark_graft_io/ttravel_{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(d, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    agg = lambda df: df.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))  # noqa: E731
+    txn.txn_overwrite(agg(o.filter(F.col("o_orderkey") % 2 == 0)), d)
+    txn.txn_overwrite(agg(o), d)
+    v1 = txn.read_version(spark, d, 1).select(
+        F.lit(1).alias("version"), "o_orderstatus", "n"
+    )
+    v2 = txn.read_committed(spark, d).select(
+        F.lit(2).alias("version"), "o_orderstatus", "n"
+    )
+    return v1.unionByName(v2)

@@ -87,3 +87,21 @@ def test_decontam_report_single_corpus_scan_groups_on_hits(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # eval gram set broadcasts
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_freq_items_superset_of_truly_frequent(spark, sf_dir):
+    """The sketch may over-report but must NEVER miss an item above the
+    support threshold."""
+    from glue_jobs_for_data_pipeline_spark.sources.readers import load_events
+
+    e = load_events(spark, sf_dir).select("event_type")
+    total = e.count()
+    exact = {
+        r["event_type"]
+        for r in e.groupBy("event_type").count().collect()
+        if r["count"] / total >= 0.15
+    }
+    got = set(
+        e.stat.freqItems(["event_type"], support=0.15).first()[0]
+    )
+    assert exact <= got
