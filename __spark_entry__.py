@@ -24,54 +24,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate consumes exactly the FIRST 50 keys of
-# queries(), so registration order is the coverage knob. Rounds 1-2
-# driver-checked the 46 parity entries plus 8 extensions; 32 extension
-# queries had never produced a driver row. Round 3 front-loads ALL 32
-# never-checked entries (changed-since-last-check modules first:
-# similarity, skew, streaming, simhash) plus m5 (txn.py changed this
-# round) and as many parity entries as fit. Entries rotated OUT of the
-# window keep a regression check via tools/oracle_check.py over ALL
-# keys — run pre-commit, full sweep committed per round as
-# ORACLE_SWEEP_r{N}.json. Update _WINDOW_FIRST each round from the
-# still-unchecked set in CORRECTNESS_r{N}.json.
+# queries(), so registration order is the coverage knob. Round 5
+# closes the driver-evidence gap for good (VERDICT r04 item 2): the
+# 28 oracle-backed queries that have never appeared in any committed
+# CORRECTNESS file, plus the re-greened x_olap_grouping_sets (r04's
+# one red row, now DOUBLE-pinned), m5 (sources/txn.py drifted +116
+# lines since its r02 green), the three queries added after the r04
+# sweep (window_nav / freq_items / time_travel — ADVICE), the new
+# x_stream_scd2_apply, and x_dedup_ngram_jaccard (posting-list code
+# changes this round). Remaining slots: M/V/J/A/W parity re-checks.
+# Entries rotated OUT keep a regression check via
+# tools/oracle_check.py over ALL keys — run pre-commit, full sweep
+# committed per round as ORACLE_SWEEP_r{N}.json.
 _WINDOW_FIRST = [
-    # new in r04 — first driver check
-    "x_corpus_build_full",
-    "x_decontam_report",
-    "x_decontam_filter",
-    "x_text_repetition",
-    "x_sample_domain_mix",
-    "x_sample_shard_positions",
-    "x_text_quality_ntile",
-    "x_olap_cube",
-    "x_olap_correlated_scalar",
-    "x_olap_range_frame",
-    "x_sim_pq_topk",
-    "x_stream_stream_join",
-    "x_olap_q5_style",
-    "x_olap_q18_style",
-    "x_olap_unpivot",
-    "x_ingest_incremental_agg",
-    "x_sim_ivfpq_topk",
-    # registered after the r03 rotation — never in a driver window
+    # never driver-checked (28, VERDICT r04 item 2)
+    "x_olap_rollup",
+    "x_olap_pivot",
+    "x_olap_set_ops",
+    "x_olap_percentiles",
+    "x_olap_count_distinct",
+    "x_olap_left_outer_join",
+    "x_olap_anti_join",
+    "x_olap_analytic_window",
+    "x_olap_topk_per_group",
+    "x_ts_asof_join",
+    "x_ts_range_join",
+    "x_ts_sessionize_batch",
+    "x_skew_salted_agg",
+    "x_mm_decode_metadata",
+    "x_mm_frame_sample",
+    "x_text_pii_redact",
+    "x_text_chunking",
+    "x_text_vocab_topk",
+    "x_dedup_substring_spans",
+    "x_dedup_embedding_cosine",
+    "x_emb_centroid_elements",
+    "x_emb_quantize_int8",
+    "x_sample_hash",
+    "x_sample_stratified",
+    "x_ingest_latest_by_key",
+    "x_json_extract",
+    "x_corpus_stats",
+    "x_stream_window_agg",
+    # r04's red row, decimal-pinned this round — must re-green
     "x_olap_grouping_sets",
-    "x_olap_q3_style",
-    "x_olap_moving_agg",
-    "x_stream_static_join",
-    # outside the r03 window, last driver-checked r01/r02
-    "x_text_stats",
-    "x_text_quality",
-    "x_text_lang_id",
-    "x_text_fingerprint",
-    "x_dedup_exact",
+    # driver green predates +116 lines in sources/txn.py
+    "m5_transactional_pipeline",
+    # added after the r04 sweep — no differential evidence yet (ADVICE)
+    "x_olap_window_nav",
+    "x_olap_freq_items",
+    "x_storage_time_travel",
+    # new this round
+    "x_stream_scd2_apply",
+    # posting-list pruning changed this round — re-check
     "x_dedup_ngram_jaccard",
-    "x_corpus_prep",
-    "x_olap_q1_style",
-    # modified this round (operators/similarity.py shared helpers)
-    "x_sim_bruteforce_topk",
-    "x_sim_lsh_topk",
-    "x_sim_ivf_topk",
-    "x_sim_ivf_kmeans_topk",
+    # parity re-checks (fill to 50): mutation, validation, join, agg, window
+    "m1_scd2_upsert",
+    "m1b_scd2_delta_upsert",
+    "m2_j2_fact_population",
+    "m3_dim_dates",
+    "m4_update_where",
+    "v1_null_counts",
+    "v2_pk_duplicates",
+    "v3_registry_membership",
+    "v4_validation_report",
+    "j1_inner_equijoin",
+    "j3_left_semi_join",
+    "w1_row_number",
+    "a2_groupby_count",
+    "a3_having",
+    "a4_distinct",
 ]
 
 

@@ -558,17 +558,22 @@ def x_olap_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "x_olap_rollup",
     "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, "
-    "SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
     "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
 )
 def x_olap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical subtotal rollup (grouping sets) with exact decimal sums."""
+    """Hierarchical subtotal rollup (grouping sets): exact decimal sums
+    internally, pinned to DOUBLE at the output boundary on both engines
+    (unpinned SUM(DECIMAL) widens differently across engines and fails
+    the driver's value hash — house rule, plans/catalog.py)."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
         )
     )
 
@@ -972,7 +977,7 @@ def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_stream_window_agg",
     "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, "
     "event_type, COUNT(*) AS n_events, "
-    "SUM(CAST(value AS DECIMAL(18,2))) AS total_value "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value "
     "FROM events GROUP BY 1, 2",
 )
 def x_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1086,7 +1091,7 @@ WITH scored AS (
 SELECT lang_pred,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-       CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS quality_sum
+       CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE) AS quality_sum
 FROM scored GROUP BY lang_pred
 """
 
@@ -1112,7 +1117,7 @@ def x_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
             F.sum(F.col("quality").cast("decimal(18,9)"))
-            .cast("decimal(28,9)")
+            .cast("double")
             .alias("quality_sum"),
         )
     )
@@ -1209,7 +1214,7 @@ def x_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag, "
     "CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status, "
     "COUNT(*) AS cnt, "
-    "SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
     "FROM lineitem "
     "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())",
 )
@@ -1218,7 +1223,12 @@ def x_olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-column GROUPING() flags — the flags disambiguate real NULL
     group values from subtotal rows, stated identically in both
     engines (the combined grouping_id bit order differs between
-    engines, so per-column flags are the portable form)."""
+    engines, so per-column flags are the portable form). The sum is
+    exact decimal internally and pinned to DOUBLE at the output
+    boundary on both engines: Spark widens SUM(DECIMAL(18,2)) to
+    DECIMAL(28,2) while DuckDB widens to DECIMAL(38,2), and the
+    driver's canonicalization hashes those unequally even for
+    byte-identical values (the r01 f11 / r04 grouping-sets lesson)."""
     li = load_table(spark, sf_dir, "lineitem")
     return spark.sql(
         """
@@ -1226,7 +1236,7 @@ def x_olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
                CAST(GROUPING(l_linestatus) AS INT) AS g_status,
                COUNT(*) AS cnt,
-               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM {li}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """,
@@ -1812,12 +1822,15 @@ def x_ingest_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored rollup through an atomic txn commit (operators/incremental.py)
     — history is never re-scanned. The oracle is the equivalence proof:
     merge(partial(b1), partial(b2)) == full GROUP BY over everything."""
-    import shutil
+    import tempfile
 
     from ..operators.incremental import refresh_rollup
 
-    rollup_dir = f"/tmp/spark_graft_io/rollup_{sf_dir.strip('/').replace('/', '_')}"
-    shutil.rmtree(rollup_dir, ignore_errors=True)
+    # per-invocation scratch (mkdtemp): two concurrent runs against the
+    # same sf_dir must not share a rollup store — a fixed path races
+    # (ADVICE r04). The dir must outlive this call (the returned frame
+    # is lazy; the driver collects later), so no context-manager cleanup.
+    rollup_dir = tempfile.mkdtemp(prefix="spark_graft_rollup_")
     o = load_table(spark, sf_dir, "orders")
     keys = ["o_orderstatus", "o_orderpriority"]
     sums = {"o_totalprice": "sum_price"}
@@ -1962,12 +1975,13 @@ def x_storage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first snapshot after version 2 commits (the Delta/Iceberg
     `VERSION AS OF` semantics on the pointer-swap core). The oracle
     recomputes both snapshots from the source."""
-    import shutil
+    import tempfile
 
     from ..sources import txn
 
-    d = f"/tmp/spark_graft_io/ttravel_{sf_dir.strip('/').replace('/', '_')}"
-    shutil.rmtree(d, ignore_errors=True)
+    # per-invocation scratch; see x_ingest_incremental_agg for why
+    # mkdtemp (concurrency) and why it isn't cleaned up here (lazy read).
+    d = tempfile.mkdtemp(prefix="spark_graft_ttravel_")
     o = load_table(spark, sf_dir, "orders")
     agg = lambda df: df.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))  # noqa: E731
     txn.txn_overwrite(agg(o.filter(F.col("o_orderkey") % 2 == 0)), d)

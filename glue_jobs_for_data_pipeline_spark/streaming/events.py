@@ -85,14 +85,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def windowed_event_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
     """Tumbling-window counts + exact decimal sums per event_type.
 
-    Decimal-cast before SUM keeps the aggregate exact (and
-    oracle-comparable); window start/end surface as plain timestamps.
+    Decimal-cast before SUM keeps the aggregate exact; the sum is
+    pinned to DOUBLE at the output boundary because Spark and the
+    DuckDB oracle widen SUM(DECIMAL) to different precisions and the
+    driver hashes those unequally even for equal values (house rule,
+    plans/catalog.py). Window start/end surface as plain timestamps.
     """
     return (
         events.groupBy(F.window("ts", window), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),

@@ -57,7 +57,7 @@ def test_decontaminate_plan_broadcasts_eval_side(spark):
     docs = _docs(spark, [(i, f"w{i} x y z a b c d e f") for i in range(20)])
     evals = _docs(spark, [(99, "x y z a b c d e")])
     plan = decontam.decontaminate(docs, evals, n=8)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
 

@@ -54,6 +54,40 @@ def rows_canon(cols, rows):
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
 
 
+def unpinned_decimals(schema) -> list[str]:
+    """Columns whose type contains a DECIMAL with precision > 18.
+
+    Spark only produces precision > 18 in query output via aggregate
+    widening (SUM/AVG over DECIMAL), and the engines widen differently
+    (Spark DECIMAL(28,2) vs DuckDB DECIMAL(38,2)); the driver's
+    canonicalization hashes those unequally even for byte-identical
+    values (r01 f11, r04 grouping-sets). `canon` above normalizes the
+    values so THIS checker passes — which is exactly why the schema
+    itself must be flagged regardless of value equality: pin such
+    outputs to DOUBLE (or a fixed DECIMAL <= 18) on both engines.
+    """
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    found: list[str] = []
+
+    def walk(dt, path):
+        if isinstance(dt, DecimalType):
+            if dt.precision > 18:
+                found.append(f"{path}:decimal({dt.precision},{dt.scale})")
+        elif isinstance(dt, ArrayType):
+            walk(dt.elementType, path + "[]")
+        elif isinstance(dt, StructType):
+            for f in dt.fields:
+                walk(f.dataType, f"{path}.{f.name}")
+        elif isinstance(dt, MapType):
+            walk(dt.keyType, path + "<key>")
+            walk(dt.valueType, path + "<value>")
+
+    for f in schema.fields:
+        walk(f.dataType, f.name)
+    return found
+
+
 def main() -> int:
     args = sys.argv[1:]
     json_out = None
@@ -113,6 +147,13 @@ def main() -> int:
             continue
         n_checked += 1
         status, notes = "ok   ", []
+        bad_dec = unpinned_decimals(sdf.schema)
+        if bad_dec:
+            # stricter than the driver: fail on schema alone, because the
+            # driver's hash canonicalization (unlike canon() here) is NOT
+            # width-insensitive for wide decimals.
+            status = "FAIL "
+            notes.append(f"unpinned wide decimal in output: {bad_dec}")
         if len(srows) != len(orows):
             status, _ = "FAIL ", notes.append(
                 f"rowcount spark={len(srows)} duckdb={len(orows)}"
