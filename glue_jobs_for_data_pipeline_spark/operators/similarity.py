@@ -386,6 +386,11 @@ def pq_fit(
         .collect()
     )
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    if x.shape[0] < n_codes:
+        raise ValueError(
+            f"pq_fit needs >= n_codes={n_codes} training vectors, "
+            f"got {x.shape[0]} (corpus or sample_n too small)"
+        )
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -393,8 +398,17 @@ def pq_fit(
     books: list[list[list[float]]] = []
     for i in range(m):
         xs = x[:, i * sub : (i + 1) * sub]
-        # deterministic init: the n_codes sample rows with lowest index
-        cb = xs[: n_codes].copy()
+        # deterministic init: first-occurrence DISTINCT rows (duplicate
+        # seeds collapse to one cluster that Lloyd never re-splits);
+        # pad with duplicates only if the subspace has fewer distinct
+        # values than n_codes — then duplicate centroids are inherent.
+        _, first_idx = np.unique(xs, axis=0, return_index=True)
+        uniq = xs[np.sort(first_idx)]
+        if uniq.shape[0] >= n_codes:
+            cb = uniq[:n_codes].copy()
+        else:
+            pad = xs[: n_codes - uniq.shape[0]]
+            cb = np.concatenate([uniq, pad], axis=0).copy()
         for _ in range(n_iters):
             d2 = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)

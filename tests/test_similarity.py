@@ -140,3 +140,26 @@ def test_ivf_pq_recall_floor(spark, sf_dir):
     # probing half the cells already bounds recall; PQ candidates are
     # re-ranked exactly, so misses come only from cell/ADC truncation
     assert recall >= 0.4, f"IVF-PQ recall {recall} below floor"
+
+
+def test_pq_fit_rejects_undersized_sample(spark):
+    # corpus smaller than n_codes must raise, not silently yield a
+    # short codebook (ADVICE r04: similarity.py pq_fit init guard)
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="n_codes"):
+        similarity.pq_fit(emb, m=2, n_codes=16, n_iters=1, sample_n=64)
+
+
+def test_pq_fit_dedupes_initial_centroids(spark):
+    # first n_codes sample rows all identical + distinct rows later in
+    # the sample: duplicate seeds must not collapse the codebook
+    rows = [(i, [0.0] * 8) for i in range(16)] + [
+        (100 + i, [float(i + 1)] * 8) for i in range(16)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = similarity.pq_fit(emb, m=2, n_codes=4, n_iters=4, sample_n=64)
+    for book in books:
+        distinct = {tuple(row) for row in book}
+        assert len(distinct) >= 3, f"codebook collapsed to {len(distinct)} centroids"
