@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import content_fingerprint, tokens
@@ -148,6 +149,14 @@ def ngram_jaccard_pairs(
     overcount cost.)
     """
     posts = doc_shingles(spread(df), id_col, text_col, k)
+    # Shuffle 8-byte hashes, not gram strings: the shingle never reaches
+    # the output (only pair counts do), so every downstream exchange /
+    # cache / join compares longs instead of ~20-byte strings. xxhash64
+    # collisions would merge two distinct grams (upper-bounds: ~n^2/2^64
+    # pairs, ~1e-9 at 1e5 distinct grams per corpus-partition scope) —
+    # the same accepted trade as shared_window_spans' md5 (below), and
+    # the oracle check over the real corpus pins it empirically.
+    posts = posts.select("doc", F.xxhash64("shingle").alias("shingle"))
     if df_cap is not None:
         hot = (
             posts.groupBy("shingle")
@@ -166,13 +175,26 @@ def ngram_jaccard_pairs(
     # ReusedExchange). Cache it partitioned by the join key — cached
     # partitioning is visible to the planner, so the self-join reads the
     # cache with no further shuffle. Released via release_caches().
+    #
+    # ``_df`` (per-shingle document frequency) rides in the cache: the
+    # window reuses the repartition's hashpartitioning(shingle), so it
+    # costs one partition-local sort at cache build — after the hot
+    # anti-join, every group is <= df_cap, so no skew. Singleton
+    # shingles (_df = 1) cannot co-occur, so both self-join branches
+    # drop them — in natural text most distinct shingles are singletons,
+    # so this halves-or-better the join input. They still count in
+    # ``sizes``: |A u B| is over the full (capped) universe, and pruning
+    # them there would silently inflate every jaccard.
     if posts_partitions is not None:
-        posts = _cached(posts.repartition(posts_partitions, "shingle"))
+        posts = posts.repartition(posts_partitions, "shingle")
     else:
-        posts = _cached(posts.repartition("shingle"))
+        posts = posts.repartition("shingle")
+    w_shingle = W.partitionBy("shingle")
+    posts = _cached(posts.withColumn("_df", F.count(F.lit(1)).over(w_shingle)))
     sizes = posts.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a = posts.select(F.col("doc").alias("doc_a"), "shingle")
-    b = posts.select(F.col("doc").alias("doc_b"), "shingle")
+    pair_posts = posts.filter(F.col("_df") >= 2)
+    a = pair_posts.select(F.col("doc").alias("doc_a"), "shingle")
+    b = pair_posts.select(F.col("doc").alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))

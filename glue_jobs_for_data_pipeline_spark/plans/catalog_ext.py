@@ -22,7 +22,7 @@ from ..functions import text as tx
 from ..operators import dedup, multimodal, similarity
 from ..sources.readers import load_table, spread
 from ..streaming.events import run_stream_to_batch, sessionize_stateful
-from .catalog import _q
+from .catalog import _M1_DELTA_SQL, _q
 
 # --------------------------------------------------------------------------
 # Text analysis
@@ -1050,6 +1050,57 @@ def x_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     agg = watermarked_event_agg(read_events_stream(spark, sf_dir))
     return drain_to_memory(agg, "events_wm_append", "append")
+
+
+# The streaming ingest replays the m1b delta fixture batch-by-batch, so
+# its final committed dim state is stated by the SAME oracle SQL.
+@_q("x_stream_scd2_apply", _M1_DELTA_SQL)
+def x_stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD-2 ingestion end-to-end: the m1b delta fixture's two
+    source batches arrive as files on a streaming source; each
+    trigger(availableNow) drain applies one micro-batch through the
+    scd2_upsert kernel and commits a txn version (effectively-once via
+    the in-version batch id). The final committed dim state equals the
+    batch delta upsert over the same data — the oracle is m1b's SQL,
+    verbatim. Per-invocation mkdtemp scratch: concurrent runs against
+    the same sf_dir cannot race."""
+    import tempfile
+
+    from ..sources import txn
+    from ..streaming.events import scd2_stream_apply
+    from . import tpch_fixtures as fx
+
+    root = tempfile.mkdtemp(prefix="spark_graft_scd2stream_")
+    src_dir = f"{root}/src"
+    dim_dir = f"{root}/dim_customers"
+    ckpt = f"{root}/ckpt"
+
+    src = fx.ref_customers(spark, sf_dir)
+    cols = list(fx.CUSTOMER_COLS)
+    init = src.filter(F.col("CustomerID") % 3 != 0)
+    batch = src.filter(F.col("CustomerID") % 2 == 0).withColumn(
+        "Name",
+        F.when(
+            F.col("CustomerID") % 4 == 0, F.concat(F.col("Name"), F.lit(" v2"))
+        ).otherwise(F.col("Name")),
+    )
+    schema = init.schema
+
+    def drain(run_date) -> None:
+        scd2_stream_apply(
+            spark.readStream.schema(schema).format("parquet").load(src_dir),
+            dim_dir, "CustomerID", tuple(cols), "CustomerKey", ckpt,
+            run_date=run_date, mode="delta",
+        )
+
+    # batch 1 lands -> initial load; batch 2 lands -> delta re-version.
+    # coalesce(1): one file per batch so each drain sees exactly one
+    # micro-batch (maxFilesPerTrigger-free determinism at test SFs).
+    init.coalesce(1).write.mode("append").parquet(src_dir)
+    drain(fx.INITIAL_LOAD_DATE)
+    batch.coalesce(1).write.mode("append").parquet(src_dir)
+    drain(fx.SECOND_BATCH_DATE)
+    return txn.read_committed(spark, dim_dir)
 
 
 # --------------------------------------------------------------------------
