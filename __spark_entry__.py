@@ -24,76 +24,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate consumes exactly the FIRST 50 keys of
-# queries(), so registration order is the coverage knob. Round 5
-# closes the driver-evidence gap for good (VERDICT r04 item 2): the
-# 28 oracle-backed queries that have never appeared in any committed
-# CORRECTNESS file, plus the re-greened x_olap_grouping_sets (r04's
-# one red row, now DOUBLE-pinned), m5 (sources/txn.py drifted +116
-# lines since its r02 green), the three queries added after the r04
-# sweep (window_nav / freq_items / time_travel — ADVICE), the new
-# x_stream_scd2_apply, and x_dedup_ngram_jaccard (posting-list code
-# changes this round). Remaining slots: M/V/J/A/W parity re-checks.
-# Entries rotated OUT keep a regression check via
+# queries(), so registration order is the coverage knob. Round 6
+# (VERDICT r05 item 5): lead with the 9 events-family queries broken
+# or blocked by the r05 fixture dtype change (now fixed by the
+# schema-branching reader) plus the 2 re-scalarized array-output
+# queries, then the 15 keys that have never been green in ANY
+# committed CORRECTNESS file, then the 13 whose last driver green is
+# r01/r02 (oldest evidence first), then the VERDICT-named r04-last
+# OLAP/corpus slots. Entries rotated OUT keep a regression check via
 # tools/oracle_check.py over ALL keys — run pre-commit, full sweep
 # committed per round as ORACLE_SWEEP_r{N}.json.
 _WINDOW_FIRST = [
-    # never driver-checked (28, VERDICT r04 item 2)
-    "x_olap_rollup",
-    "x_olap_pivot",
-    "x_olap_set_ops",
-    "x_olap_percentiles",
-    "x_olap_count_distinct",
-    "x_olap_left_outer_join",
-    "x_olap_anti_join",
-    "x_olap_analytic_window",
-    "x_olap_topk_per_group",
+    # events family: red/wrong/blocked at r05 solely via load_events /
+    # read_events_stream; re-green under the timestamp[us] fixture (9)
     "x_ts_asof_join",
     "x_ts_range_join",
     "x_ts_sessionize_batch",
-    "x_skew_salted_agg",
-    "x_mm_decode_metadata",
-    "x_mm_frame_sample",
-    "x_text_pii_redact",
-    "x_text_chunking",
-    "x_text_vocab_topk",
-    "x_dedup_substring_spans",
-    "x_dedup_embedding_cosine",
-    "x_emb_centroid_elements",
-    "x_emb_quantize_int8",
-    "x_sample_hash",
-    "x_sample_stratified",
     "x_ingest_latest_by_key",
     "x_json_extract",
-    "x_corpus_stats",
-    "x_stream_window_agg",
-    # r04's red row, decimal-pinned this round — must re-green
-    "x_olap_grouping_sets",
-    # driver green predates +116 lines in sources/txn.py
-    "m5_transactional_pipeline",
-    # added after the r04 sweep — no differential evidence yet (ADVICE)
-    "x_olap_window_nav",
     "x_olap_freq_items",
-    "x_storage_time_travel",
-    # new this round
-    "x_stream_scd2_apply",
-    # posting-list pruning changed this round — re-check
-    "x_dedup_ngram_jaccard",
-    # parity re-checks (fill to 50): mutation, validation, join, agg, window
-    "m1_scd2_upsert",
-    "m1b_scd2_delta_upsert",
-    "m2_j2_fact_population",
-    "m3_dim_dates",
-    "m4_update_where",
-    "v1_null_counts",
-    "v2_pk_duplicates",
-    "v3_registry_membership",
-    "v4_validation_report",
-    "j1_inner_equijoin",
-    "j3_left_semi_join",
-    "w1_row_number",
-    "a2_groupby_count",
-    "a3_having",
-    "a4_distinct",
+    "x_stream_window_agg",
+    "p6_null_predicate",
+    "x_olap_range_frame",
+    # r05 red on array-typed outputs — scalarized this round (2)
+    "x_olap_percentiles",
+    "x_emb_quantize_int8",
+    # never green in any committed CORRECTNESS file (15)
+    "x_sim_lsh_topk",
+    "x_sim_ivf_topk",
+    "x_sim_ivf_kmeans_topk",
+    "x_sim_pq_topk",
+    "x_sim_ivfpq_topk",
+    "x_dedup_minhash_lsh",
+    "x_dedup_simhash",
+    "x_dedup_embedding_cosine_lsh",
+    "x_pack_sequences",
+    "x_olap_approx_distinct",
+    "x_corpus_prep_neardup",
+    "x_stream_static_join",
+    "x_stream_sessionize",
+    "x_stream_dedup",
+    "x_stream_watermark_append",
+    # last driver green r01/r02 — oldest evidence (13)
+    "a1_count_star",
+    "l1_limit",
+    "f1_extract_year",
+    "f2_extract_quarter",
+    "f3_extract_month",
+    "f4_extract_day",
+    "f5_extract_dow",
+    "f6_extract_week",
+    "f7_date_plus_int",
+    "f8_yesterday",
+    "f9_cast_string_date",
+    "f10_load_date_default",
+    "f11_decimal_multiply",
+    # r04-last OLAP/corpus re-checks (VERDICT item 5 names, fill to 50)
+    "x_olap_q3_style",
+    "x_olap_q5_style",
+    "x_olap_q18_style",
+    "x_olap_cube",
+    "x_olap_moving_agg",
+    "x_olap_unpivot",
+    "x_olap_correlated_scalar",
+    "x_corpus_build_full",
+    "x_dedup_exact",
+    "x_corpus_prep",
+    "x_text_quality",
 ]
 
 

@@ -133,6 +133,12 @@ def ngram_jaccard_pairs(
     can exceed the cap — so it broadcasts, and the posting list itself is
     filtered by a broadcast LEFT ANTI join with no extra shuffle of the
     posts. Always set df_cap in production (e.g. 1000); None = uncapped.
+    The uncapped path is inherently skew-prone on hot shingles — not
+    just in the self-join's d^2 fan-out but already at the ``_df``
+    window below, which (like any per-shingle operation) co-locates a
+    hot shingle's entire posting list on one partition. There is no
+    skew-free way to count or join an uncapped hot key; that is WHY the
+    cap exists, and None is for small/test corpora only.
 
     ``posts_partitions`` sizes the cached posting list's partitioning
     explicitly (None inherits spark.sql.shuffle.partitions). The cache
@@ -152,10 +158,14 @@ def ngram_jaccard_pairs(
     # Shuffle 8-byte hashes, not gram strings: the shingle never reaches
     # the output (only pair counts do), so every downstream exchange /
     # cache / join compares longs instead of ~20-byte strings. xxhash64
-    # collisions would merge two distinct grams (upper-bounds: ~n^2/2^64
-    # pairs, ~1e-9 at 1e5 distinct grams per corpus-partition scope) —
-    # the same accepted trade as shared_window_spans' md5 (below), and
-    # the oracle check over the real corpus pins it empirically.
+    # collisions would merge two distinct grams — across docs (spurious
+    # co-occurrence) AND within one doc (shingles() dedups gram STRINGS
+    # per doc, so an intra-doc collision leaves duplicate (doc, hash)
+    # posting rows that inflate that doc's intersection counts and _df)
+    # — upper-bounds: ~n^2/2^64 colliding pairs, ~1e-9 at 1e5 distinct
+    # grams per corpus-partition scope, either way. The same accepted
+    # trade as shared_window_spans' md5 (below), and the oracle check
+    # over the real corpus pins it empirically.
     posts = posts.select("doc", F.xxhash64("shingle").alias("shingle"))
     if df_cap is not None:
         hot = (

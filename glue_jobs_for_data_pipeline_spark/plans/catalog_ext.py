@@ -24,6 +24,26 @@ from ..sources.readers import load_table, spread
 from ..streaming.events import run_stream_to_batch, sessionize_stateful
 from .catalog import _M1_DELTA_SQL, _q
 
+
+def _scratch_dir(prefix: str) -> str:
+    """Per-invocation mkdtemp scratch registered for atexit cleanup.
+
+    Concurrent runs against the same sf_dir must not share a store — a
+    fixed path races (ADVICE r04). The dir must outlive the call itself
+    (returned frames read it lazily; the driver collects later), so
+    cleanup is deferred to interpreter exit rather than a context
+    manager — otherwise each invocation leaks a full scratch copy in
+    /tmp (ADVICE r05).
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -898,16 +918,26 @@ def x_olap_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "x_olap_percentiles",
-    "SELECT l_returnflag, quantile_cont(l_extendedprice, [0.25, 0.5, 0.9]) AS pct "
-    "FROM lineitem GROUP BY l_returnflag",
+    "SELECT l_returnflag, "
+    "unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q, "
+    "unnest(pct) AS pct_value "
+    "FROM (SELECT l_returnflag, "
+    "      quantile_cont(l_extendedprice, [0.25, 0.5, 0.9]) AS pct "
+    "      FROM lineitem GROUP BY l_returnflag)",
 )
 def x_olap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentiles (linear interpolation — verified
     bit-identical to DuckDB's quantile_cont, including fractional
     interpolation positions). Exact percentile sorts within each group;
     the sketch alternative at extreme scale is approx_percentile
-    (t-digest), same plumbing."""
-    return (
+    (t-digest), same plumbing.
+
+    Output is SCALARIZED — one (group, q, value) row per percentile
+    instead of an array column — because the driver's canonicalizer
+    cannot hash array cells (r05 lesson; parallel unnests zip in the
+    DuckDB oracle)."""
+    qs = [0.25, 0.5, 0.9]
+    agg = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
@@ -915,6 +945,15 @@ def x_olap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pct"
             )
         )
+    )
+    return agg.select(
+        "l_returnflag", F.posexplode("pct").alias("pos", "pct_value")
+    ).select(
+        "l_returnflag",
+        F.element_at(
+            F.array(*[F.lit(q) for q in qs]), F.col("pos") + 1
+        ).alias("q"),
+        "pct_value",
     )
 
 
@@ -1062,15 +1101,14 @@ def x_stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     scd2_upsert kernel and commits a txn version (effectively-once via
     the in-version batch id). The final committed dim state equals the
     batch delta upsert over the same data — the oracle is m1b's SQL,
-    verbatim. Per-invocation mkdtemp scratch: concurrent runs against
-    the same sf_dir cannot race."""
-    import tempfile
-
+    verbatim. Per-invocation scratch via _scratch_dir: concurrent runs
+    against the same sf_dir cannot race, and the copy is reclaimed at
+    interpreter exit."""
     from ..sources import txn
     from ..streaming.events import scd2_stream_apply
     from . import tpch_fixtures as fx
 
-    root = tempfile.mkdtemp(prefix="spark_graft_scd2stream_")
+    root = _scratch_dir("spark_graft_scd2stream_")
     src_dir = f"{root}/src"
     dim_dir = f"{root}/dim_customers"
     ckpt = f"{root}/ckpt"
@@ -1220,15 +1258,20 @@ WITH mm AS (
          embedding,
          CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
          CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx
-  FROM embeddings)
+  FROM embeddings),
+q AS (
+  SELECT vec_id, mn, mx,
+         CASE WHEN mx = mn
+              THEN list_transform(embedding, v -> 0)
+              ELSE list_transform(embedding,
+                     v -> CAST(FLOOR(((CAST(v AS DOUBLE) - mn) * 255.0)
+                                     / (mx - mn)) AS INTEGER))
+         END AS codes
+  FROM mm)
 SELECT vec_id, mn, mx,
-       CASE WHEN mx = mn
-            THEN list_transform(embedding, v -> 0)
-            ELSE list_transform(embedding,
-                   v -> CAST(FLOOR(((CAST(v AS DOUBLE) - mn) * 255.0)
-                                   / (mx - mn)) AS INTEGER))
-       END AS q
-FROM mm
+       unnest(range(len(codes))) AS pos,
+       unnest(codes) AS code
+FROM q
 """
 
 
@@ -1239,7 +1282,12 @@ def x_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     array built-ins, zero shuffle. floor() quantization, not round():
     floor has no rounding-mode ties, so Spark and DuckDB agree bit-exactly
     on every code (both engines evaluate ((v-mn)*255)/(mx-mn) in IEEE
-    double in the same operation order)."""
+    double in the same operation order).
+
+    Output is SCALARIZED — one (vec_id, pos, code) row per element
+    instead of an array column — because the driver's canonicalizer
+    cannot hash array cells (r05 lesson). pos is BIGINT to match
+    DuckDB's range()."""
     e = load_table(spark, sf_dir, "embeddings")
     mn = F.array_min("embedding").cast("double")
     mx = F.array_max("embedding").cast("double")
@@ -1256,7 +1304,9 @@ def x_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
         )
     )
-    return withmm.select("vec_id", "mn", "mx", q.alias("q"))
+    return withmm.select(
+        "vec_id", "mn", "mx", F.posexplode(q).alias("pos", "code")
+    ).select("vec_id", "mn", "mx", F.col("pos").cast("long").alias("pos"), "code")
 
 
 @_q(
@@ -1873,15 +1923,10 @@ def x_ingest_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored rollup through an atomic txn commit (operators/incremental.py)
     — history is never re-scanned. The oracle is the equivalence proof:
     merge(partial(b1), partial(b2)) == full GROUP BY over everything."""
-    import tempfile
-
     from ..operators.incremental import refresh_rollup
 
-    # per-invocation scratch (mkdtemp): two concurrent runs against the
-    # same sf_dir must not share a rollup store — a fixed path races
-    # (ADVICE r04). The dir must outlive this call (the returned frame
-    # is lazy; the driver collects later), so no context-manager cleanup.
-    rollup_dir = tempfile.mkdtemp(prefix="spark_graft_rollup_")
+    # per-invocation scratch, atexit-reclaimed (see _scratch_dir)
+    rollup_dir = _scratch_dir("spark_graft_rollup_")
     o = load_table(spark, sf_dir, "orders")
     keys = ["o_orderstatus", "o_orderpriority"]
     sums = {"o_totalprice": "sum_price"}
@@ -2026,13 +2071,10 @@ def x_storage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first snapshot after version 2 commits (the Delta/Iceberg
     `VERSION AS OF` semantics on the pointer-swap core). The oracle
     recomputes both snapshots from the source."""
-    import tempfile
-
     from ..sources import txn
 
-    # per-invocation scratch; see x_ingest_incremental_agg for why
-    # mkdtemp (concurrency) and why it isn't cleaned up here (lazy read).
-    d = tempfile.mkdtemp(prefix="spark_graft_ttravel_")
+    # per-invocation scratch, atexit-reclaimed (see _scratch_dir)
+    d = _scratch_dir("spark_graft_ttravel_")
     o = load_table(spark, sf_dir, "orders")
     agg = lambda df: df.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))  # noqa: E731
     txn.txn_overwrite(agg(o.filter(F.col("o_orderkey") % 2 == 0)), d)

@@ -89,16 +89,42 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table_name)
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events fixture's ``ts`` column to TimestampType
+    regardless of the physical layout the fixture was written with.
+    Layouts seen across driver generations:
+
+    - TIMESTAMP(NANOS) read as long via the nanosAsLong legacy conf ->
+      truncate to microseconds with integer ``div`` (a double division
+      would lose precision at ~1.7e18 ns) and convert.
+    - plain ``timestamp[us]`` read as TIMESTAMP_NTZ (pandas writes
+      isAdjustedToUTC=false) -> cast to TimestampType (identity on the
+      underlying instant under a UTC session timezone, which is what the
+      DuckDB oracle's naive TIMESTAMP compares equal to).
+    - already TimestampType -> pass through.
+
+    Branching on the resolved schema (metadata-only, no job) keeps one
+    reader working across fixture regenerations instead of silently
+    misreading µs-int64 as nanos.
+    """
+    dtype = df.schema["ts"].dataType
+    if isinstance(dtype, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dtype, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3 variant for the events fixture: its parquet stores
-    TIMESTAMP(NANOS) which Spark's vectorized reader rejects. Read nanos
-    as long (legacy conf) and truncate to microsecond timestamps with
-    integer division (``div`` — a double division would lose precision at
-    ~1.7e18 ns). DuckDB's CAST(ts AS TIMESTAMP) truncates identically.
+    """S3 variant for the events fixture: resolve the parquet's actual
+    ``ts`` layout and normalize it to TimestampType (see
+    :func:`normalize_event_ts`). The nanosAsLong conf is set up front so
+    a TIMESTAMP(NANOS) fixture resolves as long instead of erroring; it
+    is a no-op for µs fixtures.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(df)
 
 
 def write_overwrite(

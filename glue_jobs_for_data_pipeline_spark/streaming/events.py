@@ -21,18 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources.readers import load_events
-
-_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see load_events)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ..sources.readers import load_events, normalize_event_ts
 
 
 def drain_to_memory(
@@ -59,8 +48,15 @@ def drain_to_memory(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the nanos->us normalization
-    identical to the batch reader.
+    """readStream over the events parquet with ``ts`` normalized
+    identically to the batch reader.
+
+    File streams need an imposed schema; imposing a hard-coded one is how
+    a fixture-layout change (nanos-int64 -> timestamp[us]) once silently
+    misread µs as ns and collapsed two years of events into minutes. So
+    the schema is RESOLVED from the parquet footer via the batch reader
+    (metadata-only, no job) and the same ``normalize_event_ts`` branch is
+    applied — batch and stream readers cannot drift apart.
 
     The parquet streaming source requires a directory; the fixture is a
     single file, so it is exposed through a symlink dir (testdata itself
@@ -74,12 +70,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = f"{stream_dir}/events.parquet"
     if not os.path.exists(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         .load(stream_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def windowed_event_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:

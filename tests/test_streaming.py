@@ -7,9 +7,29 @@ from pyspark.sql import functions as F
 
 from glue_jobs_for_data_pipeline_spark.sources.readers import load_events
 from glue_jobs_for_data_pipeline_spark.streaming.events import (
+    drain_to_memory,
+    read_events_stream,
     run_stream_to_batch,
     sessionize_stateful,
 )
+
+
+def test_batch_and_stream_readers_agree_on_ts(spark, sf_dir):
+    """The batch and stream event readers must produce IDENTICAL ts
+    values on the driver fixture. A fixture-layout change (r05:
+    nanos-int64 -> timestamp[us]) once made the stream reader misread µs
+    as ns, silently collapsing two years of events into minutes — this
+    pins the two readers together so that failure mode is loud."""
+    streamed = drain_to_memory(
+        read_events_stream(spark, sf_dir).select("event_id", "ts"),
+        "t_reader_eq",
+        "append",
+    )
+    batch = load_events(spark, sf_dir).select("event_id", "ts")
+    assert streamed.schema["ts"].dataType == batch.schema["ts"].dataType
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
 
 
 def test_stream_equals_batch(spark, sf_dir):
@@ -105,8 +125,13 @@ def test_stream_dedup_collapses_redelivery(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
-    got = spark.table("t_dedup").count()
-    expect = load_events(spark, sf_dir).select("event_id").distinct().count()
+    got = sorted(r["event_id"] for r in spark.table("t_dedup").collect())
+    expect = sorted(
+        r["event_id"]
+        for r in load_events(spark, sf_dir).select("event_id").distinct().collect()
+    )
+    # exact id multiset, not just the count: each id survives EXACTLY
+    # once and no id is invented or lost
     assert got == expect
 
 

@@ -120,6 +120,18 @@ def test_streaming_sessions_agree_with_batch(spark, sf_dir):
         last_start[u] = max(last_start.get(u, s), s)
     for u, s, e, n in batch - streamed:
         assert s == last_start[u], f"non-trailing session missing for user {u}"
+    # ...and conversely every session the final watermark DID pass must
+    # have been flushed — so streamed is EXACTLY the closable set, not
+    # merely a subset (VERDICT r05 item 7: exact row sets, not counts).
+    import datetime as dt
+
+    max_ts = max(e for _, _, e, _ in batch)
+    final_wm = max_ts - dt.timedelta(minutes=1)
+    gap = dt.timedelta(minutes=30)
+    must_flush = {s for s in batch if s[2] + gap < final_wm}
+    assert must_flush <= streamed, (
+        f"{len(must_flush - streamed)} closable sessions never flushed"
+    )
 
 
 def test_approx_distinct_tracks_exact(spark, sf_dir):

@@ -88,6 +88,27 @@ def unpinned_decimals(schema) -> list[str]:
     return found
 
 
+def unhashable_cols(schema) -> list[str]:
+    """Columns whose type the DRIVER's canonicalizer cannot hash.
+
+    The driver sorts result columns through pandas factorize, which
+    raises ``TypeError: unhashable type`` on list/dict cells — any
+    ArrayType/MapType/StructType output column fails the gate even when
+    the values are correct (r05: x_olap_percentiles, x_emb_quantize_int8
+    were hash-green here but red at the driver). canon() above handles
+    lists fine, which is exactly why the schema must be flagged
+    regardless of value equality: scalarize (posexplode / unnest) any
+    complex-typed output before it reaches the driver.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def main() -> int:
     args = sys.argv[1:]
     json_out = None
@@ -154,6 +175,12 @@ def main() -> int:
             # width-insensitive for wide decimals.
             status = "FAIL "
             notes.append(f"unpinned wide decimal in output: {bad_dec}")
+        bad_complex = unhashable_cols(sdf.schema)
+        if bad_complex:
+            # stricter than values-equal: the driver cannot hash complex
+            # cells at all, so the schema alone fails its gate.
+            status = "FAIL "
+            notes.append(f"driver-unhashable output column: {bad_complex}")
         if len(srows) != len(orows):
             status, _ = "FAIL ", notes.append(
                 f"rowcount spark={len(srows)} duckdb={len(orows)}"
