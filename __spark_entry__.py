@@ -79,7 +79,7 @@ _WINDOW_FIRST = [
     "f9_cast_string_date",
     "f10_load_date_default",
     "f11_decimal_multiply",
-    # r04-last OLAP/corpus re-checks (VERDICT item 5 names, fill to 50)
+    # r04-last OLAP/corpus re-checks (VERDICT item 5 names)
     "x_olap_q3_style",
     "x_olap_q5_style",
     "x_olap_q18_style",
@@ -88,9 +88,11 @@ _WINDOW_FIRST = [
     "x_olap_unpivot",
     "x_olap_correlated_scalar",
     "x_corpus_build_full",
-    "x_dedup_exact",
-    "x_corpus_prep",
-    "x_text_quality",
+    # new this round (fill to 50): near-dup connected-component
+    # clustering + cluster-aware corpus dedup + token-budget sampling
+    "x_dedup_cc_clusters",
+    "x_corpus_dedup_cc",
+    "x_sample_token_budget",
 ]
 
 

@@ -112,6 +112,42 @@ def resample_mix(
     return df.filter(_hash_prefix(F.col(key_col), digits) < thr)
 
 
+def token_budget_fill(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    budget: int,
+    order_cols: list | None = None,
+) -> DataFrame:
+    """Greedy per-group budget fill: walk each group's rows in
+    ``order_cols`` order (best first) and keep a row while the tokens
+    accumulated BEFORE it are still under ``budget`` — the "take the
+    best N tokens per domain" selection every mixture recipe needs once
+    weights are stated in tokens rather than documents. The kept set
+    can overshoot by at most one document (the standard greedy
+    contract); it is deterministic given a total order, so callers
+    must make ``order_cols`` total (e.g. quality DESC, doc_id ASC).
+
+    One shuffle on the group key; the running SUM is a frame-bounded
+    window (UNBOUNDED PRECEDING .. 1 PRECEDING) evaluated
+    partition-locally. A group's rows land on one partition — fine for
+    domain-grained groups (hundreds-to-thousands of groups); for a
+    single colossal group, pre-filter with sample_by_hash to ~2x the
+    budget first (cheap, scan-side) so the window only sorts the
+    shortlist, then budget-fill exactly.
+    """
+    order_cols = order_cols or [F.col(token_col).desc()]
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    cum_before = F.sum(token_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("_cum_before", F.coalesce(cum_before, F.lit(0)))
+        .filter(F.col("_cum_before") < budget)
+        .drop("_cum_before")
+    )
+
+
 def shard_positions(
     df: DataFrame,
     key_col: str,

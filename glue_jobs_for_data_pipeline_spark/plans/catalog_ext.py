@@ -246,6 +246,105 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Trigram-Jaccard PAIRS (doc_a, doc_b) at a given threshold — the edge
+# list both cluster queries below share. Same arithmetic as
+# _X_JACCARD_SQL, pair columns only.
+_PAIRS_SQL_T = r"""
+w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+posts0 AS (
+  SELECT doc_id AS doc,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - 3, 0) + 2),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM w WHERE len(w) >= 3),
+posts AS (
+  SELECT doc, shingle FROM (
+    SELECT doc, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+    FROM posts0)
+  WHERE df <= 100),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM posts GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+  FROM posts a JOIN posts b USING (shingle)
+  WHERE a.doc < b.doc GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= {th})
+"""
+
+# Min-reachable-label connected components over the pair graph: walk
+# enumerates (node, reachable node) — the recursive UNION dedups, so it
+# terminates — and MIN over reachable ids is the cluster id. Tractable
+# because near-dup components are small; the Spark side has no such
+# bound and uses the log-convergent label-propagation operator instead.
+_CC_SQL_T = (
+    "WITH RECURSIVE "
+    + _PAIRS_SQL_T
+    + """,
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+walk(u, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.u),
+cc AS (SELECT u, MIN(label) AS component FROM walk GROUP BY u)
+"""
+)
+
+
+@_q(
+    "x_dedup_cc_clusters",
+    _CC_SQL_T.format(th=0.5)
+    + "SELECT u AS doc_id, component AS cluster_id FROM cc",
+)
+def x_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: trigram-Jaccard pairs (>= 0.5, df-capped)
+    closed under transitivity via distributed connected components
+    (operators/graph.py min-label propagation + path halving). The
+    synthetic corpus' planted near-dups include a 3-doc chain, so this
+    genuinely exercises transitive closure, not just pair mirroring.
+    cluster_id = smallest doc_id reachable — deterministic, and the same
+    convention the recursive-CTE oracle states."""
+    from ..operators.graph import connected_components
+
+    pairs = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3,
+        threshold=0.5, df_cap=100, posts_partitions=8,
+    ).select("doc_a", "doc_b")
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@_q(
+    "x_corpus_dedup_cc",
+    _CC_SQL_T.format(th=0.5)
+    + """,
+survivors AS (
+  SELECT component AS doc_id, COUNT(*) AS n_members FROM cc GROUP BY component),
+untouched AS (
+  SELECT doc_id, CAST(1 AS BIGINT) AS n_members FROM documents
+  WHERE doc_id NOT IN (SELECT u FROM cc))
+SELECT doc_id, n_members FROM survivors
+UNION ALL SELECT doc_id, n_members FROM untouched""",
+)
+def x_corpus_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware corpus dedup end-to-end: pair generation ->
+    connected components -> keep ONE canonical doc per cluster (min id)
+    plus every pair-free doc. The principled alternative to 'drop doc_b
+    of each pair', which over-deletes chains (see operators/graph.py
+    module docstring)."""
+    from ..operators.graph import dedup_by_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3,
+        threshold=0.5, df_cap=100, posts_partitions=8,
+    ).select("doc_a", "doc_b")
+    return dedup_by_clusters(docs, pairs)
+
+
 @_q("x_dedup_minhash_lsh")  # xxhash64-based -> no SQL oracle; rows-only
 def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16-band LSH candidate pairs with estimated Jaccard,
@@ -1580,6 +1679,46 @@ def x_sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "source", "doc_id",
         rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
         default_rate=0.1,
+    )
+
+
+_X_BUDGET_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(len({_SQL_TOKENS.format(x='text')}) AS INTEGER) AS n_tokens,
+         {_QUALITY_EXPR} AS quality
+  FROM documents),
+cum AS (
+  SELECT doc_id, source, n_tokens, quality,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY quality DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM scored)
+SELECT doc_id, source, n_tokens, quality FROM cum WHERE cb < 500
+"""
+
+
+@_q("x_sample_token_budget", _X_BUDGET_SQL)
+def x_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted corpus selection: per source domain, take documents
+    best-quality-first until a 500-token budget fills (binding at every test SF) (greedy, may overshoot
+    by one doc — operators/sampling.py token_budget_fill). This is the
+    mixture knob stated in TOKENS — the unit training recipes actually
+    budget — rather than the document-count or keep-rate knobs of
+    stratified_fixed_n / resample_mix. quality DESC + doc_id makes the
+    order total, so both engines walk identical prefixes; quality itself
+    is the hash-exact cross-engine expression of x_text_quality."""
+    from ..operators.sampling import token_budget_fill
+
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.quality_score(F.col("text")).alias("quality"),
+    )
+    return token_budget_fill(
+        d, "source", "n_tokens", budget=500,
+        order_cols=[F.col("quality").desc(), F.col("doc_id")],
     )
 
 

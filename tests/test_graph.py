@@ -1,0 +1,93 @@
+"""Connected components + cluster dedup (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from glue_jobs_for_data_pipeline_spark.operators.graph import (
+    connected_components,
+    dedup_by_clusters,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+
+def _cc(spark, pairs):
+    out = connected_components(_edges(spark, pairs))
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_cc_two_pairs(spark):
+    assert _cc(spark, [(1, 2), (3, 4)]) == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_cc_chain_transitivity(spark):
+    # a~b, b~c, c~d: one component even though a!~d directly
+    assert _cc(spark, [(2, 3), (3, 4), (4, 5)]) == {2: 2, 3: 2, 4: 2, 5: 2}
+
+
+def test_cc_star_and_clique(spark):
+    pairs = [(10, 11), (10, 12), (10, 13)] + [(20, 21), (20, 22), (21, 22)]
+    got = _cc(spark, pairs)
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_cc_long_chain_converges_fast(spark):
+    # 64-node path: worst case for naive propagation (63 rounds);
+    # path halving must land it well inside the iteration budget
+    pairs = [(i, i + 1) for i in range(64)]
+    got = connected_components(_edges(spark, pairs), max_iterations=12)
+    labels = {r["component"] for r in got.collect()}
+    assert labels == {0}
+
+
+def test_cc_direction_and_duplicates_irrelevant(spark):
+    assert (
+        _cc(spark, [(5, 2), (2, 5), (5, 2), (9, 5)])
+        == {2: 2, 5: 2, 9: 2}
+    )
+
+
+def test_cc_empty_edges(spark):
+    out = connected_components(_edges(spark, []))
+    assert out.collect() == []
+
+
+def test_dedup_by_clusters_keeps_min_and_untouched(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    # clusters {1,2,3} (chain) and {5,6}; docs 4 and 7 untouched
+    pairs = _edges(spark, [(1, 2), (2, 3), (5, 6)])
+    got = {
+        r["doc_id"]: r["n_members"]
+        for r in dedup_by_clusters(docs, pairs).collect()
+    }
+    assert got == {1: 3, 4: 1, 5: 2, 7: 1}
+
+
+def test_cc_matches_driver_corpus_shape(spark, sf_dir):
+    """On the real fixture pairs (jaccard >= 0.5) every cluster id is a
+    member of its own cluster and the minimum of it."""
+    from glue_jobs_for_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        release_caches,
+    )
+    from glue_jobs_for_data_pipeline_spark.sources.readers import load_table
+
+    try:
+        pairs = ngram_jaccard_pairs(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text",
+            k=3, threshold=0.5, df_cap=100, posts_partitions=8,
+        ).select("doc_a", "doc_b")
+        cc = connected_components(pairs).collect()
+    finally:
+        release_caches()
+    by_comp = {}
+    for r in cc:
+        by_comp.setdefault(r["component"], []).append(r["node"])
+    assert by_comp, "fixture should contain planted near-dup pairs"
+    for comp, nodes in by_comp.items():
+        assert comp == min(nodes)
+        assert len(nodes) >= 2

@@ -102,3 +102,62 @@ def test_shard_positions_contiguous_and_stable(spark, ids):
         ids.filter("doc_id < 2000").repartition(13), "doc_id", n_shards=8
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_token_budget_fill_greedy_prefix(spark):
+    # group g: docs with (tokens, rank order by doc_id asc). budget 100:
+    # keep while tokens-before < 100 -> 40+50=90, third doc starts at 90
+    # (<100, kept, overshoots), fourth starts at 150 (dropped)
+    df = spark.createDataFrame(
+        [(1, "g", 40), (2, "g", 50), (3, "g", 60), (4, "g", 10)],
+        "doc_id long, src string, n long",
+    )
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        r["doc_id"]
+        for r in sampling.token_budget_fill(
+            df, "src", "n", budget=100, order_cols=[F.col("doc_id")]
+        ).collect()
+    )
+    assert got == [1, 2, 3]
+
+
+def test_token_budget_fill_groups_independent(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 80), (2, "a", 80), (3, "b", 80), (4, "b", 80)],
+        "doc_id long, src string, n long",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in sampling.token_budget_fill(
+            df, "src", "n", budget=100, order_cols=[F.col("doc_id")]
+        ).collect()
+    )
+    # each group fills its own 100-token budget: first doc fits, second
+    # starts at 80 (<100, kept & overshoot), i.e. all four kept — but a
+    # 60-token budget keeps only the first of each group
+    assert got == [1, 2, 3, 4]
+    got60 = sorted(
+        r["doc_id"]
+        for r in sampling.token_budget_fill(
+            df, "src", "n", budget=60, order_cols=[F.col("doc_id")]
+        ).collect()
+    )
+    assert got60 == [1, 3]
+
+
+def test_token_budget_fill_order_matters(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "g", 90, 0.1), (2, "g", 90, 0.9)],
+        "doc_id long, src string, n long, q double",
+    )
+    best_first = sampling.token_budget_fill(
+        df, "src", "n", budget=50,
+        order_cols=[F.col("q").desc(), F.col("doc_id")],
+    ).collect()
+    assert [r["doc_id"] for r in best_first] == [2]

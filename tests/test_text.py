@@ -119,14 +119,22 @@ def test_quantize_int8_codes_in_range(spark):
         x_emb_quantize_int8,
     )
 
+    # output is scalarized to one (vec_id, pos, code) row per element
+    # (r05: the driver gate cannot hash array cells)
     out = x_emb_quantize_int8(spark, "/root/testdata/sf0.001").collect()
     assert len(out) > 0
-    for r in out[:50]:
-        assert all(0 <= c <= 255 for c in r["q"])
+    by_vec: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r["code"] <= 255
         assert r["mn"] <= r["mx"]
+        by_vec.setdefault(r["vec_id"], []).append((r["pos"], r["code"]))
+    for vec_id, codes in list(by_vec.items())[:50]:
+        poss = sorted(p for p, _ in codes)
+        assert poss == list(range(len(codes)))  # dense 0..d-1 positions
+        vals = [c for _, c in codes]
         # min maps to code 0; max maps to ~255 — floor of
         # ((mx-mn)*255)/(mx-mn) can compose roundings to 254
-        assert 0 in r["q"] and max(r["q"]) in (254, 255)
+        assert 0 in vals and max(vals) in (254, 255)
 
 
 def test_pack_chunks_capacity_and_determinism(spark):
