@@ -48,6 +48,12 @@ BENCH_QUERIES = [
     "x_decontam_report",
     "x_olap_range_frame",
     "x_sample_shard_positions",
+    # r06 additions: iterative connected-component clustering (the
+    # pairs->clusters closure), token-budget fill (domain window),
+    # CDC changelog apply (key window + tombstone filter)
+    "x_dedup_cc_clusters",
+    "x_sample_token_budget",
+    "x_ingest_cdc_apply",
 ]
 
 

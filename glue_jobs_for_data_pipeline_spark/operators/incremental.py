@@ -24,10 +24,41 @@ one — and a failed refresh is a free rollback.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import txn
+
+
+def cdc_apply(
+    feed: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Collapse a CDC changelog (insert/update/delete records) to the
+    current snapshot: keep each key's LATEST record by ``seq_cols``
+    (make the order total — e.g. (commit_seq, offset) — or the survivor
+    is nondeterministic), then drop keys whose latest record is a
+    tombstone. This is the Debezium/DMS-style feed-to-table collapse
+    that precedes an SCD-2 upsert or a snapshot publish.
+
+    One window shuffle on the key; the tombstone filter is free (applied
+    post-window, no extra pass). Deletes must ride the SAME ordering
+    domain as upserts — filtering tombstones before the window instead
+    would resurrect a deleted key's older version, the classic CDC
+    replay bug.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in seq_cols]
+    )
+    return (
+        feed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col(op_col) != delete_op)
+        .drop("_rn", op_col)
+    )
 
 
 def partial_aggs(

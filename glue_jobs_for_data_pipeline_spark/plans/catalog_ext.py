@@ -947,6 +947,107 @@ def x_ingest_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic synthetic CDC changelog over orders: every key gets an
+# insert at seq 1; keys %3==0 get a price-raising update at seq 2; keys
+# %10==0 get a tombstone at seq 3 (so some keys see I -> U -> D — the
+# delete must win). Both engines state the identical feed.
+_X_CDC_SQL = """
+WITH feed AS (
+  SELECT o_orderkey, 1 AS seq, 'I' AS op, o_orderstatus, o_totalprice AS price
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 2, 'U', o_orderstatus, o_totalprice * 1.1
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'D', o_orderstatus, CAST(0.0 AS DOUBLE)
+  FROM orders WHERE o_orderkey % 10 = 0),
+latest AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM feed)
+SELECT o_orderkey, seq, o_orderstatus, price
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@_q("x_ingest_cdc_apply", _X_CDC_SQL)
+def x_ingest_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog -> current snapshot WITH tombstones: latest record
+    per key by sequence, keys whose latest op is a delete drop out
+    (operators/incremental.py cdc_apply). Extends x_ingest_latest_by_key
+    with the delete semantics real feeds (Debezium/DMS) carry; the
+    I->U->D keys in the synthetic feed pin the replay-ordering rule that
+    tombstones must be sequenced WITH upserts, not filtered first.
+    price stays a single double multiply — bit-identical cross-engine."""
+    from ..operators.incremental import cdc_apply
+
+    o = load_table(spark, sf_dir, "orders")
+    ins = o.select(
+        "o_orderkey",
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        "o_orderstatus",
+        (F.col("o_totalprice") * 1.1).alias("price"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        "o_orderstatus",
+        F.lit(0.0).alias("price"),
+    )
+    feed = ins.unionByName(upd).unionByName(dele)
+    return cdc_apply(feed, ["o_orderkey"], ["seq"])
+
+
+_X_SCHEMA_EVO_SQL = """
+SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+
+@_q("x_ingest_schema_evolution", _X_SCHEMA_EVO_SQL)
+def x_ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution ingestion: an early batch written WITHOUT a
+    column and a later batch WITH it read back as ONE table via
+    mergeSchema — old rows surface NULL for the added column (the
+    add-nullable-column evolution contract parquet supports natively;
+    renames/drops need a table format). mergeSchema reconciles footers
+    at planning time — a per-file metadata read, no data pass; day-to-day
+    reads of a settled schema should pass an explicit schema instead and
+    skip the reconcile cost."""
+    from ..sources.readers import write_append
+
+    o = load_table(spark, sf_dir, "orders")
+    root = _scratch_dir("spark_graft_schemaevo_")
+    write_append(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ),
+        f"{root}/b1",
+    )
+    write_append(
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        ),
+        f"{root}/b2",
+    )
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{root}/b1", f"{root}/b2")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
 _X_SESS_BATCH_SQL = """
 WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
 lagged AS (

@@ -51,3 +51,41 @@ def test_merge_passes_through_one_sided_keys(spark):
         for r in incremental.merge_aggs(a, b, keys, measures).collect()
     }
     assert out == {"x": (2, 10.0), "y": (1, 5.0), "z": (4, 7.0)}
+
+
+def _feed(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, seq long, op string, val string"
+    )
+
+
+def test_cdc_apply_latest_wins_and_tombstones_drop(spark):
+    rows = [
+        (1, 1, "I", "a"), (1, 2, "U", "b"),            # update wins
+        (2, 1, "I", "x"), (2, 2, "U", "y"), (2, 3, "D", ""),  # deleted
+        (3, 1, "I", "z"),                               # untouched insert
+    ]
+    got = {
+        r["k"]: (r["seq"], r["val"])
+        for r in incremental.cdc_apply(
+            _feed(spark, rows), ["k"], ["seq"]
+        ).collect()
+    }
+    assert got == {1: (2, "b"), 3: (1, "z")}
+
+
+def test_cdc_apply_delete_then_reinsert_resurrects(spark):
+    # a key deleted at seq 2 and re-inserted at seq 3 is ALIVE —
+    # tombstones only win when they are the latest record
+    rows = [(7, 1, "I", "old"), (7, 2, "D", ""), (7, 3, "I", "new")]
+    got = incremental.cdc_apply(_feed(spark, rows), ["k"], ["seq"]).collect()
+    assert [(r["k"], r["val"]) for r in got] == [(7, "new")]
+
+
+def test_cdc_apply_order_is_total_over_seq_cols(spark):
+    # two seq columns: (commit, offset) — offset breaks commit ties
+    rows = [(5, 1, "I", "a"), (5, 1, "U", "b")]
+    df = spark.createDataFrame(rows, "k long, commit long, op string, val string")
+    df = df.withColumn("offset", F.when(F.col("val") == "b", 2).otherwise(1))
+    got = incremental.cdc_apply(df, ["k"], ["commit", "offset"]).collect()
+    assert [r["val"] for r in got] == ["b"]
