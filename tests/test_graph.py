@@ -91,3 +91,47 @@ def test_cc_matches_driver_corpus_shape(spark, sf_dir):
     for comp, nodes in by_comp.items():
         assert comp == min(nodes)
         assert len(nodes) >= 2
+
+
+# --- property: agree with a reference union-find on random graphs -------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_edge = st.tuples(
+    st.integers(min_value=0, max_value=14),
+    st.integers(min_value=0, max_value=14),
+).filter(lambda e: e[0] != e[1])
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize to min-of-component
+    return {n: find(n) for n in parent}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=st.lists(_edge, min_size=1, max_size=20))
+def test_cc_agrees_with_union_find(spark, edges):
+    got = _cc(spark, [(int(a), int(b)) for a, b in edges])
+    want = _union_find(edges)
+    # union-find with min-root union keeps the min as root, so both
+    # sides canonicalize to the component minimum
+    assert got == want

@@ -161,3 +161,41 @@ def test_token_budget_fill_order_matters(spark):
         order_cols=[F.col("q").desc(), F.col("doc_id")],
     ).collect()
     assert [r["doc_id"] for r in best_first] == [2]
+
+
+# --- property: greedy fill agrees with a python reference ---------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_doc = st.tuples(
+    st.integers(min_value=0, max_value=1),      # group
+    st.integers(min_value=1, max_value=50),     # tokens
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_doc, min_size=1, max_size=12), budget=st.integers(30, 80))
+def test_token_budget_agrees_with_reference(spark, docs, budget):
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"g{g}", int(n)) for i, (g, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n long")
+    got = sorted(
+        r["doc_id"]
+        for r in sampling.token_budget_fill(
+            df, "src", "n", budget=budget, order_cols=[F.col("doc_id")]
+        ).collect()
+    )
+    want = []
+    spent: dict[str, int] = {}
+    for i, g, n in rows:  # doc_id order == insertion order
+        if spent.get(g, 0) < budget:
+            want.append(i)
+            spent[g] = spent.get(g, 0) + n
+    assert got == sorted(want)
