@@ -105,3 +105,22 @@ def test_freq_items_superset_of_truly_frequent(spark, sf_dir):
         e.stat.freqItems(["event_type"], support=0.15).first()[0]
     )
     assert exact <= got
+
+
+def test_token_budget_plan_prunes_scan_and_single_window_shuffle(spark, sf_dir):
+    plan = _plan(cx.x_sample_token_budget(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # scan must read only the 3 needed columns, never the whole table
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan
+    # exactly one keyed shuffle: the per-domain window
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cdc_apply_plan_single_window_no_extra_pass(spark, sf_dir):
+    plan = _plan(cx.x_ingest_cdc_apply(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # one keyed shuffle (the per-key latest window); the tombstone
+    # filter must ride the window output, not add a join or second pass
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
