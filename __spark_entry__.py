@@ -79,20 +79,24 @@ _WINDOW_FIRST = [
     "f9_cast_string_date",
     "f10_load_date_default",
     "f11_decimal_multiply",
-    # r04-last OLAP/corpus re-checks (VERDICT item 5 names)
-    "x_olap_q3_style",
-    "x_olap_q5_style",
-    "x_olap_q18_style",
-    "x_olap_cube",
+    # r04-last OLAP/corpus re-checks (VERDICT item 5 names; the four
+    # TPC-H-style/cube slots it also named stay sweep-covered — driver
+    # slots go to this round's NEW operators instead, which have no
+    # driver evidence at all yet)
     "x_olap_moving_agg",
     "x_olap_unpivot",
     "x_olap_correlated_scalar",
     "x_corpus_build_full",
     # new this round (fill to 50): near-dup connected-component
-    # clustering + cluster-aware corpus dedup + token-budget sampling
+    # clustering, cluster dedup, token-budget sampling, CDC apply,
+    # schema evolution, incremental dedup, split-leakage audit
     "x_dedup_cc_clusters",
     "x_corpus_dedup_cc",
     "x_sample_token_budget",
+    "x_ingest_cdc_apply",
+    "x_ingest_schema_evolution",
+    "x_ingest_incremental_dedup",
+    "x_split_neardup_leakage",
 ]
 
 

@@ -49,6 +49,12 @@ def cdc_apply(
     domain as upserts — filtering tombstones before the window instead
     would resurrect a deleted key's older version, the classic CDC
     replay bug.
+
+    A NULL ``op_col`` is NOT a tombstone: ``op != delete_op`` alone
+    evaluates NULL and the filter would silently DROP the key — feed
+    malformation must not masquerade as a delete, so NULL-op survivors
+    are kept explicitly (validate the feed upstream if NULL op should
+    be an error).
     """
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.col(c).desc() for c in seq_cols]
@@ -56,9 +62,55 @@ def cdc_apply(
     return (
         feed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .filter(F.col(op_col) != delete_op)
+        .filter(F.col(op_col).isNull() | (F.col(op_col) != delete_op))
         .drop("_rn", op_col)
     )
+
+
+def dedup_ingest(
+    spark: SparkSession,
+    store_dir: str,
+    batch: DataFrame,
+    id_col: str,
+    fp_col: "F.Column",
+) -> DataFrame:
+    """Incremental exact dedup: admit only the batch rows whose content
+    fingerprint has never been seen, and extend the committed fingerprint
+    store — so continuous ingestion never recomputes dedup over history.
+    Returns the ADMITTED rows (id + fingerprint).
+
+    Per batch: collapse within the batch (min id per fingerprint — a
+    batch can self-duplicate), LEFT ANTI against the stored fingerprint
+    set, append the admitted fingerprints through the atomic txn commit.
+    Cost is O(batch + matching store partitions): the anti-join shuffles
+    16-byte fingerprints, never documents, and the store holds one row
+    per distinct fingerprint ever admitted — the same
+    state-proportional-to-distinct-keys contract as refresh_rollup, and
+    the batch analog of streaming dropDuplicatesWithinWatermark (which
+    bounds state by time instead; this store is exact and unbounded).
+
+    First-arrival-wins: a fingerprint keeps the doc that reached the
+    store first, which is the production semantic (already-published
+    docs are not retracted when a duplicate arrives later) and differs
+    from global-min-id dedup when a smaller id arrives in a later batch.
+    """
+    collapsed = (
+        batch.select(F.col(id_col), fp_col.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    if txn.current_version(store_dir) is None:
+        admitted = collapsed
+        new_store = collapsed.select("fp")
+    else:
+        stored = txn.read_committed(spark, store_dir)
+        admitted = collapsed.join(stored, "fp", "left_anti")
+        new_store = stored.unionByName(admitted.select("fp"))
+    txn.txn_overwrite(new_store, store_dir)
+    # NOTE: the returned frame lazily reads the PRE-commit store version;
+    # txn keeps old versions on disk so this stays valid until vacuum()
+    # — collect/write it before vacuuming the store.
+    return admitted.select(id_col, "fp")
 
 
 def partial_aggs(

@@ -117,7 +117,7 @@ def token_budget_fill(
     group_col: str,
     token_col: str,
     budget: int,
-    order_cols: list | None = None,
+    order_cols: list,
 ) -> DataFrame:
     """Greedy per-group budget fill: walk each group's rows in
     ``order_cols`` order (best first) and keep a row while the tokens
@@ -125,8 +125,11 @@ def token_budget_fill(
     best N tokens per domain" selection every mixture recipe needs once
     weights are stated in tokens rather than documents. The kept set
     can overshoot by at most one document (the standard greedy
-    contract); it is deterministic given a total order, so callers
-    must make ``order_cols`` total (e.g. quality DESC, doc_id ASC).
+    contract); it is deterministic ONLY given a total order, which is
+    why ``order_cols`` is required with no default: make it total by
+    ending in a unique key (e.g. quality DESC, doc_id ASC) — ties at
+    the budget boundary otherwise keep partition-layout-dependent rows,
+    the irreproducibility this module exists to prevent.
 
     One shuffle on the group key; the running SUM is a frame-bounded
     window (UNBOUNDED PRECEDING .. 1 PRECEDING) evaluated
@@ -136,7 +139,6 @@ def token_budget_fill(
     budget first (cheap, scan-side) so the window only sorts the
     shortlist, then budget-fill exactly.
     """
-    order_cols = order_cols or [F.col(token_col).desc()]
     w = Window.partitionBy(group_col).orderBy(*order_cols)
     cum_before = F.sum(token_col).over(
         w.rowsBetween(Window.unboundedPreceding, -1)

@@ -203,8 +203,14 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_X_JACCARD_SQL = r"""
-WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+# ONE copy of the trigram-Jaccard arithmetic (tokenize -> distinct
+# shingles -> df<=100 cap -> inverted-index self-join -> |AuB| formula),
+# shared by the pair query, both cluster queries, and the split-leakage
+# audit — divergent copies of this CTE chain would let an operator
+# regression green against one oracle while redding another. `scored`
+# carries (doc_a, doc_b, inter, jaccard); `pairs` applies {th}.
+_JACCARD_CTES_T = r"""
+w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
 posts0 AS (
   SELECT doc_id AS doc,
          unnest(list_distinct(list_transform(
@@ -220,14 +226,25 @@ sizes AS (SELECT doc, COUNT(*) AS sz FROM posts GROUP BY doc),
 inter AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
   FROM posts a JOIN posts b USING (shingle)
-  WHERE a.doc < b.doc GROUP BY 1, 2)
-SELECT doc_a, doc_b, inter,
-       CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc = doc_a
-JOIN sizes sb ON sb.doc = doc_b
-WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.008
+  WHERE a.doc < b.doc GROUP BY 1, 2),
+scored AS (
+  SELECT doc_a, doc_b, inter,
+         CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b),
+pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= {th})
 """
+
+_TH_NGRAM = 0.008    # pair query: exercises exact arithmetic (no planted
+                     # trigram near-dups at this threshold — low bar)
+_TH_CLUSTER = 0.5    # cluster/leakage queries: the planted near-dups
+
+_X_JACCARD_SQL = (
+    "WITH "
+    + _JACCARD_CTES_T.format(th=_TH_NGRAM)
+    + f"SELECT doc_a, doc_b, inter, jaccard FROM scored WHERE jaccard >= {_TH_NGRAM}"
+)
 
 
 @_q("x_dedup_ngram_jaccard", _X_JACCARD_SQL)
@@ -246,33 +263,6 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Trigram-Jaccard PAIRS (doc_a, doc_b) at a given threshold — the edge
-# list both cluster queries below share. Same arithmetic as
-# _X_JACCARD_SQL, pair columns only.
-_PAIRS_SQL_T = r"""
-w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-posts0 AS (
-  SELECT doc_id AS doc,
-         unnest(list_distinct(list_transform(
-           range(1, greatest(len(w) - 3, 0) + 2),
-           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
-  FROM w WHERE len(w) >= 3),
-posts AS (
-  SELECT doc, shingle FROM (
-    SELECT doc, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
-    FROM posts0)
-  WHERE df <= 100),
-sizes AS (SELECT doc, COUNT(*) AS sz FROM posts GROUP BY doc),
-inter AS (
-  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
-  FROM posts a JOIN posts b USING (shingle)
-  WHERE a.doc < b.doc GROUP BY 1, 2),
-pairs AS (
-  SELECT doc_a, doc_b
-  FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
-  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= {th})
-"""
-
 # Min-reachable-label connected components over the pair graph: walk
 # enumerates (node, reachable node) — the recursive UNION dedups, so it
 # terminates — and MIN over reachable ids is the cluster id. Tractable
@@ -280,7 +270,7 @@ pairs AS (
 # bound and uses the log-convergent label-propagation operator instead.
 _CC_SQL_T = (
     "WITH RECURSIVE "
-    + _PAIRS_SQL_T
+    + _JACCARD_CTES_T
     + """,
 edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
           UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -295,7 +285,7 @@ cc AS (SELECT u, MIN(label) AS component FROM walk GROUP BY u)
 
 @_q(
     "x_dedup_cc_clusters",
-    _CC_SQL_T.format(th=0.5)
+    _CC_SQL_T.format(th=_TH_CLUSTER)
     + "SELECT u AS doc_id, component AS cluster_id FROM cc",
 )
 def x_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,7 +300,7 @@ def x_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3,
-        threshold=0.5, df_cap=100, posts_partitions=8,
+        threshold=_TH_CLUSTER, df_cap=100, posts_partitions=8,
     ).select("doc_a", "doc_b")
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
@@ -319,7 +309,7 @@ def x_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "x_corpus_dedup_cc",
-    _CC_SQL_T.format(th=0.5)
+    _CC_SQL_T.format(th=_TH_CLUSTER)
     + """,
 survivors AS (
   SELECT component AS doc_id, COUNT(*) AS n_members FROM cc GROUP BY component),
@@ -340,9 +330,68 @@ def x_corpus_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", k=3,
-        threshold=0.5, df_cap=100, posts_partitions=8,
+        threshold=_TH_CLUSTER, df_cap=100, posts_partitions=8,
     ).select("doc_a", "doc_b")
     return dedup_by_clusters(docs, pairs)
+
+
+# Holdout rate for the split-leakage audit, stated ONCE: both the Spark
+# body and the SQL oracle derive their md5-prefix threshold from it, so
+# a rate change cannot desynchronize the two engines.
+_LEAK_HOLDOUT_RATE = 0.4
+
+
+def _leak_thr() -> str:
+    from ..operators.sampling import hash_threshold
+
+    return hash_threshold(_LEAK_HOLDOUT_RATE)
+
+
+_LEAK_THR = _leak_thr()
+
+
+@_q(
+    "x_split_neardup_leakage",
+    "WITH "
+    + _JACCARD_CTES_T.format(th=_TH_CLUSTER).lstrip()
+    + f"""
+SELECT doc_a, doc_b,
+       CASE WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 4) < '{_LEAK_THR}'
+            THEN 'holdout' ELSE 'train' END AS split_a,
+       CASE WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 4) < '{_LEAK_THR}'
+            THEN 'holdout' ELSE 'train' END AS split_b
+FROM pairs
+WHERE (substr(md5(CAST(doc_a AS VARCHAR)), 1, 4) < '{_LEAK_THR}')
+   <> (substr(md5(CAST(doc_b AS VARCHAR)), 1, 4) < '{_LEAK_THR}')""",
+)
+def x_split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination audit: near-duplicate pairs (trigram Jaccard
+    >= 0.5) that STRADDLE the train/holdout split — a holdout doc whose
+    near-twin sits in training is leaked eval signal that exact-match
+    decontamination misses. (40% holdout here so the small fixture
+    yields straddling pairs; production uses ~10% and feeds the result
+    to dedup or to the holdout filter.)
+
+    The split is a PURE FUNCTION of doc_id (the split_by_hash rule
+    inlined), so membership is computed directly on the pair columns —
+    no join against a corpus-sized split table, which would otherwise
+    need a broadcast it cannot have at scale. Post-pair cost is map-only."""
+    thr = _LEAK_THR
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3,
+        threshold=_TH_CLUSTER, df_cap=100, posts_partitions=8,
+    ).select("doc_a", "doc_b")
+
+    def split_of(c: str) -> F.Column:
+        is_hold = F.substring(F.md5(F.col(c).cast("string")), 1, 4) < thr
+        return F.when(is_hold, F.lit("holdout")).otherwise(F.lit("train"))
+
+    return (
+        pairs.withColumn("split_a", split_of("doc_a"))
+        .withColumn("split_b", split_of("doc_b"))
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
 
 
 @_q("x_dedup_minhash_lsh")  # xxhash64-based -> no SQL oracle; rows-only
@@ -1004,6 +1053,51 @@ def x_ingest_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feed = ins.unionByName(upd).unionByName(dele)
     return cdc_apply(feed, ["o_orderkey"], ["seq"])
+
+
+# Incremental dedup over two synthesized batches: batch 1 = the corpus;
+# batch 2 = every batch-1 text re-delivered under doc_id+1000000 plus no
+# genuinely new text. First-arrival-wins => admitted = batch 1's
+# min-id-per-fingerprint survivors; every batch-2 row deduplicates away.
+# The oracle states that end state directly from the same feed.
+_X_INC_DEDUP_SQL = f"""
+WITH b1 AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents),
+b2 AS (
+  SELECT doc_id + 1000000 AS doc_id, md5({_NORM_SQL}) AS fp FROM documents),
+a1 AS (SELECT fp, MIN(doc_id) AS doc_id FROM b1 GROUP BY fp),
+a2 AS (
+  SELECT fp, MIN(doc_id) AS doc_id FROM b2 GROUP BY fp),
+admitted2 AS (
+  SELECT a2.doc_id, a2.fp FROM a2 LEFT JOIN a1 USING (fp) WHERE a1.fp IS NULL)
+SELECT doc_id, fp FROM a1
+UNION ALL SELECT doc_id, fp FROM admitted2
+"""
+
+
+@_q("x_ingest_incremental_dedup", _X_INC_DEDUP_SQL)
+def x_ingest_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup against a committed fingerprint store
+    (operators/incremental.py dedup_ingest): ingest the corpus as batch
+    one, then re-deliver every text under shifted ids as batch two — the
+    second batch must dedup away ENTIRELY against the store, without
+    rescanning batch one's documents. Admitted = both batches' union of
+    first-arrival survivors; the oracle recomputes that end state from
+    the same synthetic feed. The batch analog of streaming
+    dropDuplicatesWithinWatermark, with exact unbounded state."""
+    from ..operators.incremental import dedup_ingest
+
+    store = _scratch_dir("spark_graft_dedupstore_")
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = docs.select("doc_id", "text")
+    b2 = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    fp = tx.content_fingerprint(F.col("text"))
+    adm1 = dedup_ingest(spark, store, b1, "doc_id", fp)
+    adm1 = adm1.localCheckpoint(eager=True)  # pin before store advances
+    adm2 = dedup_ingest(spark, store, b2, "doc_id", fp)
+    return adm1.unionByName(adm2)
 
 
 _X_SCHEMA_EVO_SQL = """

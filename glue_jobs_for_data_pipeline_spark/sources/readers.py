@@ -111,6 +111,15 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     if isinstance(dtype, T.LongType):
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if isinstance(dtype, T.TimestampNTZType):
+        # The NTZ->LTZ cast interprets the wall-clock value in the
+        # SESSION timezone — under a non-UTC session every instant would
+        # silently shift by the zone offset (the nanos branch above has
+        # no such dependence). The engine's contract is UTC everywhere
+        # (session.py pins it); enforce it here too so a foreign session
+        # (e.g. an external harness) cannot corrupt event times.
+        spark = df.sparkSession
+        if spark.conf.get("spark.sql.session.timeZone", "UTC") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

@@ -89,3 +89,43 @@ def test_cdc_apply_order_is_total_over_seq_cols(spark):
     df = df.withColumn("offset", F.when(F.col("val") == "b", 2).otherwise(1))
     got = incremental.cdc_apply(df, ["k"], ["commit", "offset"]).collect()
     assert [r["val"] for r in got] == ["b"]
+
+
+def test_cdc_apply_null_op_is_not_a_tombstone(spark):
+    # a malformed feed row with op=NULL as a key's latest record must
+    # KEEP the key — op != 'D' alone evaluates NULL and would silently
+    # drop it, turning feed malformation into data loss
+    rows = [(1, 1, "I", "a"), (1, 2, None, "b"), (2, 1, "I", "x")]
+    got = {
+        r["k"]: r["val"]
+        for r in incremental.cdc_apply(
+            _feed(spark, rows), ["k"], ["seq"]
+        ).collect()
+    }
+    assert got == {1: "b", 2: "x"}
+
+
+def test_dedup_ingest_first_arrival_wins_across_batches(spark, tmp_path):
+    from glue_jobs_for_data_pipeline_spark.functions.text import (
+        content_fingerprint,
+    )
+
+    store = str(tmp_path / "fp_store")
+    fp = content_fingerprint(F.col("text"))
+    b1 = spark.createDataFrame(
+        [(10, "alpha"), (11, "beta"), (12, "ALPHA  ")],  # 12 dups 10 (norm)
+        "doc_id long, text string",
+    )
+    adm1 = incremental.dedup_ingest(spark, store, b1, "doc_id", fp)
+    assert sorted(r["doc_id"] for r in adm1.collect()) == [10, 11]
+    b2 = spark.createDataFrame(
+        [(1, "beta"), (2, "gamma"), (3, "gamma")],  # 1 dups store; 3 dups 2
+        "doc_id long, text string",
+    )
+    adm2 = incremental.dedup_ingest(spark, store, b2, "doc_id", fp)
+    # beta already admitted (first arrival keeps id 11, NOT the smaller
+    # late id 1); gamma is new, in-batch collapsed to min id 2
+    assert sorted(r["doc_id"] for r in adm2.collect()) == [2]
+    b3 = spark.createDataFrame([(99, "gamma")], "doc_id long, text string")
+    adm3 = incremental.dedup_ingest(spark, store, b3, "doc_id", fp)
+    assert adm3.collect() == []

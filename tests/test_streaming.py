@@ -336,3 +336,26 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
         map(tuple, batch.collect())
     )
     assert streamed.count() > 0  # fixture produces matches
+
+
+def test_load_events_pins_utc_under_foreign_session_tz(spark, sf_dir):
+    """A non-UTC session must not shift event instants: the NTZ->LTZ
+    cast inside load_events pins the session timezone back to UTC (a
+    foreign harness session would otherwise silently offset every ts
+    by the zone difference)."""
+    baseline = {
+        (r["event_id"], r["ts"])
+        for r in load_events(spark, sf_dir).select("event_id", "ts").collect()
+    }
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        shifted = {
+            (r["event_id"], r["ts"])
+            for r in load_events(spark, sf_dir)
+            .select("event_id", "ts")
+            .collect()
+        }
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert shifted == baseline
