@@ -83,10 +83,10 @@ _WINDOW_FIRST = [
     # TPC-H-style/cube slots it also named stay sweep-covered — driver
     # slots go to this round's NEW operators instead, which have no
     # driver evidence at all yet)
-    "x_olap_moving_agg",
     "x_olap_unpivot",
     "x_olap_correlated_scalar",
     "x_corpus_build_full",
+    "x_merge_into",
     # new this round (fill to 50): near-dup connected-component
     # clustering, cluster dedup, token-budget sampling, CDC apply,
     # schema evolution, incremental dedup, split-leakage audit

@@ -1100,6 +1100,73 @@ def x_ingest_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adm1.unionByName(adm2)
 
 
+# Deterministic three-clause changeset over customer: updates for keys
+# %7 (minus %11 overlaps, keeping the source key-unique), deletes for
+# %11, inserts at key+500000 for %13. Both engines state the same feed
+# and the same clause semantics (delete wins; first-match-only).
+_X_MERGE_SQL = """
+WITH src AS (
+  SELECT c_custkey, 'U' AS op, c_name, c_nationkey,
+         c_acctbal + 100 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+  UNION ALL
+  SELECT c_custkey, 'D', c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 11 = 0
+  UNION ALL
+  SELECT c_custkey + 500000, 'I', c_name || '_new', c_nationkey,
+         CAST(1.0 AS DOUBLE), 'NEW'
+  FROM customer WHERE c_custkey % 13 = 0)
+SELECT t.c_custkey,
+       CASE WHEN s.op = 'U' THEN s.c_name ELSE t.c_name END AS c_name,
+       CASE WHEN s.op = 'U' THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+       CASE WHEN s.op = 'U' THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+       CASE WHEN s.op = 'U' THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+FROM customer t LEFT JOIN src s ON s.c_custkey = t.c_custkey
+WHERE s.op IS NULL OR s.op <> 'D'
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM src WHERE c_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
+@_q("x_merge_into", _X_MERGE_SQL)
+def x_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-clause MERGE INTO (WHEN MATCHED UPDATE / WHEN MATCHED
+    DELETE / WHEN NOT MATCHED INSERT) as one declarative plan
+    (operators/merge.py) — the general form of the reference's
+    UPDATE+INSERT pair (SURVEY §2.9 M1/M4) and the direct port target
+    for warehouse MERGE statements. The changeset broadcasts (small
+    side); one pass over the target."""
+    from ..operators.merge import merge_into
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    upd = c.filter((k % 7 == 0) & (k % 11 != 0)).select(
+        "c_custkey", F.lit("U").alias("op"), "c_name", "c_nationkey",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"), "c_mktsegment",
+    )
+    dele = c.filter(k % 11 == 0).select(
+        "c_custkey", F.lit("D").alias("op"), "c_name", "c_nationkey",
+        "c_acctbal", "c_mktsegment",
+    )
+    ins = c.filter(k % 13 == 0).select(
+        (k + 500000).alias("c_custkey"), F.lit("I").alias("op"),
+        F.concat(F.col("c_name"), F.lit("_new")).alias("c_name"),
+        "c_nationkey", F.lit(1.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    src = upd.unionByName(dele).unionByName(ins)
+    return merge_into(
+        c, src, "c_custkey",
+        update_set={
+            col: F.col(f"src.{col}")
+            for col in ("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        },
+        update_cond=F.col("src.op") == "U",
+        delete_cond=F.col("src.op") == "D",
+    )
+
+
 _X_SCHEMA_EVO_SQL = """
 SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
 FROM orders WHERE o_orderkey % 2 = 0

@@ -124,3 +124,11 @@ def test_cdc_apply_plan_single_window_no_extra_pass(spark, sf_dir):
     # filter must ride the window output, not add a join or second pass
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_merge_into_plan_broadcasts_changeset_no_cartesian(spark, sf_dir):
+    plan = _plan(cx.x_merge_into(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the small changeset must broadcast against the big target
+    assert "BroadcastHashJoin" in plan
