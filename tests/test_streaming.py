@@ -359,3 +359,49 @@ def test_load_events_pins_utc_under_foreign_session_tz(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert shifted == baseline
+
+
+def test_load_events_normalizes_all_ts_layouts(spark, tmp_path):
+    """Every physical ts layout the driver has shipped (TIMESTAMP(NANOS),
+    timestamp[us], plus raw int64-nanos) must normalize to the SAME
+    TimestampType values — the r05 postmortem as a layout matrix."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_us = 1_700_000_000_000_000  # epoch micros
+    rows_us = [base_us + 123_456, base_us + 3_600_000_001]
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([7, 7], pa.int64()),
+        "event_type": pa.array(["a", "b"]),
+        "value": pa.array([1.0, 2.0]),
+        "props": pa.array(["{}", "{}"]),
+    }
+
+    def write(layout, arr):
+        d = tmp_path / layout
+        d.mkdir()
+        pq.write_table(
+            pa.table({**cols, "ts": arr}), str(d / "events.parquet")
+        )
+        return str(d)
+
+    dirs = {
+        "us": write("us", pa.array(rows_us, pa.timestamp("us"))),
+        "ns": write("ns", pa.array([v * 1000 for v in rows_us], pa.timestamp("ns"))),
+        "int64": write("int64", pa.array([v * 1000 for v in rows_us], pa.int64())),
+    }
+    got = {
+        layout: [
+            (r["event_id"], r["ts"])
+            for r in load_events(spark, d).select("event_id", "ts")
+            .orderBy("event_id").collect()
+        ]
+        for layout, d in dirs.items()
+    }
+    assert got["us"] == got["ns"] == got["int64"], got
+    # and the values are the literal micros we wrote, not shifted
+    import datetime as dt
+
+    expect = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=rows_us[0])
+    assert got["us"][0][1].replace(tzinfo=None) == expect
