@@ -1318,6 +1318,35 @@ def x_olap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("x_olap_approx_percentiles")  # t-digest sketch — engine-specific; rows-only
+def x_olap_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch tier of x_olap_percentiles: approx_percentile with
+    accuracy=10000 — bounded memory per group at any scale where the
+    exact tier's per-group sort would spill. Output scalarized like the
+    exact tier. Approximation error vs the exact percentiles is pinned
+    by tests/test_timeseries.py (the sketch values are engine-specific,
+    so the driver check is rows-only)."""
+    qs = [0.25, 0.5, 0.9]
+    agg = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.9), 10000)"
+            ).alias("pct")
+        )
+    )
+    return agg.select(
+        "l_returnflag", F.posexplode("pct").alias("pos", "pct_value")
+    ).select(
+        "l_returnflag",
+        F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("pos") + 1).alias(
+            "q"
+        ),
+        "pct_value",
+    )
+
+
 @_q("x_olap_approx_distinct")  # HLL sketch — engine-specific; rows-only
 def x_olap_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts (the sketch tier of

@@ -202,3 +202,22 @@ def test_range_join_zero_match_probe_rows_survive(spark):
         probe, events, on="k", window_seconds=300
     ).collect()}
     assert out == {10: 1, 30: 0}
+
+
+def test_approx_percentiles_track_exact(spark, sf_dir):
+    from glue_jobs_for_data_pipeline_spark.plans.catalog_ext import (
+        x_olap_approx_percentiles,
+        x_olap_percentiles,
+    )
+
+    exact = {
+        (r["l_returnflag"], r["q"]): r["pct_value"]
+        for r in x_olap_percentiles(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["l_returnflag"], r["q"]): r["pct_value"]
+        for r in x_olap_approx_percentiles(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(abs(e) * 0.02, 1.0), (k, e, approx[k])
