@@ -24,79 +24,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate consumes exactly the FIRST 50 keys of
-# queries(), so registration order is the coverage knob. Round 6
-# (VERDICT r05 item 5): lead with the 9 events-family queries broken
-# or blocked by the r05 fixture dtype change (now fixed by the
-# schema-branching reader) plus the 2 re-scalarized array-output
-# queries, then the 15 keys that have never been green in ANY
-# committed CORRECTNESS file, then the 13 whose last driver green is
-# r01/r02 (oldest evidence first), then the VERDICT-named r04-last
-# OLAP/corpus slots. Entries rotated OUT keep a regression check via
+# queries(), so registration order is the coverage knob. Round 7
+# (VERDICT r06 items 1-2): lead with the queries whose behavior changed
+# this round — the scalarized freq-items sketch, the three streaming
+# drains converted from rows-only to oracle-checked (their first-ever
+# shot at a hash green), MERGE INTO after the NULL-clause fix, and
+# n-gram Jaccard after the uncapped-_df restructure — then the 37
+# oracle-able keys whose last driver green is r04 (the oldest evidence
+# in any committed CORRECTNESS file), then headline bench queries
+# last green r05. Entries rotated OUT keep a regression check via
 # tools/oracle_check.py over ALL keys — run pre-commit, full sweep
 # committed per round as ORACLE_SWEEP_r{N}.json.
 _WINDOW_FIRST = [
-    # events family: red/wrong/blocked at r05 solely via load_events /
-    # read_events_stream; re-green under the timestamp[us] fixture (9)
-    "x_ts_asof_join",
-    "x_ts_range_join",
-    "x_ts_sessionize_batch",
-    "x_ingest_latest_by_key",
-    "x_json_extract",
+    # changed this round (7)
     "x_olap_freq_items",
-    "x_stream_window_agg",
-    "p6_null_predicate",
-    "x_olap_range_frame",
-    # r05 red on array-typed outputs — scalarized this round (2)
-    "x_olap_percentiles",
-    "x_emb_quantize_int8",
-    # never green in any committed CORRECTNESS file (15)
-    "x_sim_lsh_topk",
-    "x_sim_ivf_topk",
-    "x_sim_ivf_kmeans_topk",
-    "x_sim_pq_topk",
-    "x_sim_ivfpq_topk",
-    "x_dedup_minhash_lsh",
-    "x_dedup_simhash",
-    "x_dedup_embedding_cosine_lsh",
-    "x_pack_sequences",
-    "x_olap_approx_distinct",
-    "x_corpus_prep_neardup",
-    "x_stream_static_join",
     "x_stream_sessionize",
     "x_stream_dedup",
+    "x_stream_static_join",
     "x_stream_watermark_append",
-    # last driver green r01/r02 — oldest evidence (13)
-    "a1_count_star",
-    "l1_limit",
-    "f1_extract_year",
-    "f2_extract_quarter",
-    "f3_extract_month",
-    "f4_extract_day",
-    "f5_extract_dow",
-    "f6_extract_week",
-    "f7_date_plus_int",
-    "f8_yesterday",
-    "f9_cast_string_date",
-    "f10_load_date_default",
-    "f11_decimal_multiply",
-    # r04-last OLAP/corpus re-checks (VERDICT item 5 names; the four
-    # TPC-H-style/cube slots it also named stay sweep-covered — driver
-    # slots go to this round's NEW operators instead, which have no
-    # driver evidence at all yet)
-    "x_olap_unpivot",
-    "x_olap_correlated_scalar",
-    "x_corpus_build_full",
     "x_merge_into",
-    # new this round (fill to 50): near-dup connected-component
-    # clustering, cluster dedup, token-budget sampling, CDC apply,
-    # schema evolution, incremental dedup, split-leakage audit
-    "x_dedup_cc_clusters",
-    "x_corpus_dedup_cc",
-    "x_sample_token_budget",
-    "x_ingest_cdc_apply",
-    "x_ingest_schema_evolution",
-    "x_ingest_incremental_dedup",
-    "x_split_neardup_leakage",
+    "x_dedup_ngram_jaccard",
+    # oracle-able, last driver green r04 — oldest evidence (37)
+    "s1_csv_bulk_load",
+    "s1b_json_roundtrip",
+    "s1c_orc_roundtrip",
+    "s2_truncate_and_load",
+    "s3_table_scan",
+    "s4_s7_staging_lifecycle",
+    "s5_ctas_cached",
+    "s6_insert_select_append",
+    "s8_row_generator",
+    "p1_projection",
+    "p2_computed_column",
+    "p3_literal_column",
+    "p4_equality_filter",
+    "p5_conjunction",
+    "p7_in_subquery_semi",
+    "p8_f12_table_dispatch",
+    "x_text_stats",
+    "x_text_quality",
+    "x_text_lang_id",
+    "x_text_fingerprint",
+    "x_text_repetition",
+    "x_text_quality_ntile",
+    "x_dedup_exact",
+    "x_sim_bruteforce_topk",
+    "x_olap_q1_style",
+    "x_olap_q3_style",
+    "x_olap_q5_style",
+    "x_olap_q18_style",
+    "x_olap_cube",
+    "x_olap_moving_agg",
+    "x_corpus_prep",
+    "x_decontam_report",
+    "x_decontam_filter",
+    "x_sample_domain_mix",
+    "x_sample_shard_positions",
+    "x_stream_stream_join",
+    "x_ingest_incremental_agg",
+    # headline bench queries, last green r05 (6)
+    "m1_scd2_upsert",
+    "m2_j2_fact_population",
+    "m3_dim_dates",
+    "j1_inner_equijoin",
+    "a2_groupby_count",
+    "v1_null_counts",
 ]
 
 

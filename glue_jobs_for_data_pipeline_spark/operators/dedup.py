@@ -133,12 +133,12 @@ def ngram_jaccard_pairs(
     can exceed the cap — so it broadcasts, and the posting list itself is
     filtered by a broadcast LEFT ANTI join with no extra shuffle of the
     posts. Always set df_cap in production (e.g. 1000); None = uncapped.
-    The uncapped path is inherently skew-prone on hot shingles — not
-    just in the self-join's d^2 fan-out but already at the ``_df``
-    window below, which (like any per-shingle operation) co-locates a
-    hot shingle's entire posting list on one partition. There is no
-    skew-free way to count or join an uncapped hot key; that is WHY the
-    cap exists, and None is for small/test corpora only.
+    The uncapped path remains inherently skew-prone in the self-join's
+    d^2 fan-out (AQE skew-split shares the rows across tasks but cannot
+    shrink d^2 itself), so the ``_df`` count switches from a window to
+    a groupBy+join there — a window partition is indivisible, a join
+    AQE can split. None is for small/test corpora only; that is WHY the
+    cap exists.
 
     ``posts_partitions`` sizes the cached posting list's partitioning
     explicitly (None inherits spark.sql.shuffle.partitions). The cache
@@ -199,8 +199,22 @@ def ngram_jaccard_pairs(
         posts = posts.repartition(posts_partitions, "shingle")
     else:
         posts = posts.repartition("shingle")
-    w_shingle = W.partitionBy("shingle")
-    posts = _cached(posts.withColumn("_df", F.count(F.lit(1)).over(w_shingle)))
+    if df_cap is not None:
+        # capped: every shingle group is <= df_cap after the anti-join,
+        # so a window count is skew-free and reuses the repartition's
+        # hashpartitioning (one partition-local sort, no join).
+        w_shingle = W.partitionBy("shingle")
+        posts = posts.withColumn("_df", F.count(F.lit(1)).over(w_shingle))
+    else:
+        # uncapped: a window would pin each hot shingle's entire posting
+        # list onto a single task with no mitigation possible (a window
+        # partition is indivisible). Count via map-side-combined groupBy
+        # + equi-join instead — a join AQE's skew handling CAN split.
+        # The d^2 self-join fan-out below still exists; None remains a
+        # small/test-corpus path (see docstring).
+        dfs = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        posts = posts.join(dfs, "shingle")
+    posts = _cached(posts)
     sizes = posts.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     pair_posts = posts.filter(F.col("_df") >= 2)
     a = pair_posts.select(F.col("doc").alias("doc_a"), "shingle")

@@ -125,9 +125,11 @@ def dedup_by_clusters(
     every document that appears in no pair (singleton clusters).
     Output: (id_col, n_members) — n_members = 1 for untouched docs.
 
-    The docs side never shuffles its payload: only ids join against the
-    (small relative to the corpus) clustered-node table, and survivors
-    come back via a left anti + semi pair of id joins.
+    The docs side never shuffles its payload: in-graph survivors come
+    straight from the component-min aggregation (the component label IS
+    the minimum member id, so no join back to docs is needed), and the
+    untouched docs are one left-anti id join against the (small relative
+    to the corpus) clustered-node table.
     """
     cc = connected_components(pairs, src=src, dst=dst)
     members = cc.groupBy("component").agg(

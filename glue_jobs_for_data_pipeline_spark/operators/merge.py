@@ -82,8 +82,21 @@ def merge_into(
         src.alias("src"), F.col(f"tgt.{on}") == F.col(f"src.{on}"), "left"
     )
     matched = F.col(f"src.{on}").isNotNull()
-    upd = update_cond if update_cond is not None else F.lit(True)
-    dele = delete_cond if delete_cond is not None else F.lit(False)
+    # A clause condition that evaluates to NULL means "clause not
+    # satisfied" => row unchanged (Delta MERGE semantics). Without the
+    # coalesce, `~(matched & NULL)` is NULL and filter() would silently
+    # DELETE the row — the same three-valued-logic data-loss trap
+    # cdc_apply guards against for NULL ops.
+    upd = (
+        F.coalesce(update_cond, F.lit(False))
+        if update_cond is not None
+        else F.lit(True)
+    )
+    dele = (
+        F.coalesce(delete_cond, F.lit(False))
+        if delete_cond is not None
+        else F.lit(False)
+    )
 
     kept = joined.filter(~(matched & dele))
     out_cols = []

@@ -1416,21 +1416,66 @@ def x_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_batch(spark, sf_dir)
 
 
-@_q("x_stream_sessionize")  # stateful streaming -> rows-only
+_X_STREAM_SESS_SQL = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+lagged AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM e),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM lagged),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked),
+s AS (
+  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, session_id),
+wm AS (
+  SELECT CAST(FLOOR(epoch_us(MAX(CAST(ts AS TIMESTAMP))) / 1000) AS BIGINT)
+         - 60000 AS w_ms
+  FROM events)
+SELECT user_id, session_start, session_end, n_events
+FROM s, wm
+WHERE CAST(FLOOR(epoch_us(session_end) / 1000) AS BIGINT) + 1800000 < w_ms
+"""
+
+
+@_q("x_stream_sessionize", _X_STREAM_SESS_SQL)
 def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: applyInPandasWithState sessionization
-    (30-min gap) over the event stream."""
+    (30-min gap) over the event stream.
+
+    Deterministic on a finite source, so oracle-checked (r06 verdict
+    #2): emitted rows are exactly the batch sessions whose event-time
+    timeout fired — i.e. sessions with ``floor_ms(session_end) + gap <
+    floor_ms(max_ts) - 1min`` (Spark tracks watermark and GroupState
+    timeouts in MILLISECONDS — micros floor-divided by 1000 — which the
+    oracle mirrors with epoch_us()/1000 so microsecond event times
+    can't straddle the boundary differently in the two engines). The
+    per-user trailing session the watermark never passes stays pending,
+    which the oracle's WHERE clause states."""
     return sessionize_stateful(spark, sf_dir)
 
 
-@_q("x_stream_dedup")  # stateful streaming -> rows-only
+@_q(
+    "x_stream_dedup",
+    "SELECT DISTINCT event_id, user_id, event_type FROM events",
+)
 def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup over an at-least-once source: the event
     stream unioned with itself (every event delivered twice) collapses
     back to one row per event_id via dropDuplicatesWithinWatermark —
     state bounded by the watermark horizon, not keys-ever-seen.
-    Statistical/equivalence checks in tests/test_streaming.py (output
-    matches batch DISTINCT on event_id)."""
+    Deterministic (event_id is unique in the fixture, so exactly one
+    survivor per id with fixed payload), hence oracle-checked as plain
+    DISTINCT over the base table (r06 verdict #2); equivalence also
+    asserted in tests/test_streaming.py."""
     from ..streaming.events import (
         dedup_stream,
         drain_to_memory,
@@ -1444,12 +1489,18 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_memory(deduped, "events_dedup", "append")
 
 
-@_q("x_stream_static_join")  # streaming sink -> rows-only
+@_q(
+    "x_stream_static_join",
+    "SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events "
+    "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey "
+    "GROUP BY 1",
+)
 def x_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the event stream joins each micro-batch
     against the customer dimension snapshot (broadcast per batch, the
     stream side never shuffles). Per-segment counts materialized via
-    the memory sink."""
+    the memory sink in complete mode — a deterministic grouped count,
+    so oracle-checked as the equivalent batch join (r06 verdict #2)."""
     from ..streaming.events import (
         drain_to_memory,
         enrich_stream_static,
@@ -1466,11 +1517,36 @@ def x_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_memory(agg, "events_enriched", "complete")
 
 
-@_q("x_stream_watermark_append")  # append emits only watermark-closed windows
+_X_STREAM_WM_APPEND_SQL = """
+WITH e AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+         event_type
+  FROM events),
+agg AS (
+  SELECT window_start, event_type, COUNT(*) AS n_events
+  FROM e GROUP BY 1, 2),
+wm AS (
+  SELECT CAST(FLOOR(epoch_us(MAX(CAST(ts AS TIMESTAMP))) / 1000) AS BIGINT)
+         - 600000 AS w_ms
+  FROM events)
+SELECT window_start, event_type, n_events
+FROM agg, wm
+WHERE CAST(FLOOR(epoch_us(window_start + INTERVAL 1 HOUR) / 1000) AS BIGINT)
+      <= w_ms
+"""
+
+
+@_q("x_stream_watermark_append", _X_STREAM_WM_APPEND_SQL)
 def x_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked append-mode windowed aggregation: late rows beyond the
     10-min watermark drop, and only finalized windows emit (the trailing
-    window stays pending by design -> rows-only check)."""
+    windows the watermark never passes stay pending by design).
+
+    Deterministic on the single-file fixture (one micro-batch, so no
+    row is ever late) and therefore oracle-checked (r07): emitted rows
+    are exactly the hour windows whose end <= final watermark =
+    floor_ms(max_ts) - 10 min, stated in the oracle with the same
+    millisecond flooring Spark uses for watermark arithmetic."""
     from ..streaming.events import (
         drain_to_memory,
         read_events_stream,
@@ -2476,12 +2552,37 @@ def x_olap_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceed f% support" without a full groupBy. Guaranteed SUPERSET of
     the truly frequent items (may include false positives, never
     misses); the superset property is asserted against exact counts in
-    tests/test_plans.py."""
+    tests/test_plans.py.
+
+    Output is scalarized to one ``(column_name, item)`` row per
+    reported item — freqItems' native array<...> columns are not
+    hashable by the driver's pandas canonicalizer (r06 red), so the
+    arrays are turned into structs and exploded in the same select
+    (one sketch pass, no recompute)."""
     from ..sources.readers import load_events
 
     e = load_events(spark, sf_dir)
-    return e.select("event_type", "user_id").stat.freqItems(
+    sketch = e.select("event_type", "user_id").stat.freqItems(
         ["event_type", "user_id"], support=0.15
+    )
+    as_rows = F.concat(
+        F.transform(
+            "event_type_freqItems",
+            lambda x: F.struct(
+                F.lit("event_type").alias("column_name"),
+                x.cast("string").alias("item"),
+            ),
+        ),
+        F.transform(
+            "user_id_freqItems",
+            lambda x: F.struct(
+                F.lit("user_id").alias("column_name"),
+                x.cast("string").alias("item"),
+            ),
+        ),
+    )
+    return sketch.select(F.explode(as_rows).alias("s")).select(
+        "s.column_name", "s.item"
     )
 
 

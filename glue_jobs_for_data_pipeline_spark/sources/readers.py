@@ -115,11 +115,21 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
         # SESSION timezone — under a non-UTC session every instant would
         # silently shift by the zone offset (the nanos branch above has
         # no such dependence). The engine's contract is UTC everywhere
-        # (session.py pins it); enforce it here too so a foreign session
-        # (e.g. an external harness) cannot corrupt event times.
+        # (session.py pins it). Raise rather than silently reconfigure:
+        # flipping spark.sql.session.timeZone here would mutate GLOBAL
+        # session state as a side effect of a read, changing every
+        # unrelated timestamp query for the rest of a deliberately
+        # non-UTC session (ADVICE r06).
         spark = df.sparkSession
-        if spark.conf.get("spark.sql.session.timeZone", "UTC") != "UTC":
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+        if tz != "UTC":
+            raise ValueError(
+                "normalize_event_ts: events fixture has a TIMESTAMP_NTZ "
+                f"ts column but the session timezone is {tz!r}, not UTC "
+                "— the NTZ->timestamp cast would shift every instant by "
+                "the zone offset. Set spark.sql.session.timeZone=UTC "
+                "(get_spark() does) before loading events."
+            )
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

@@ -70,6 +70,27 @@ def test_merge_missing_insert_cols_become_null(spark):
     assert out[9] == (None, None)
 
 
+def test_merge_null_clause_condition_leaves_row_unchanged(spark):
+    """A NULL clause condition means 'clause not satisfied', never
+    delete/update — the three-valued-logic trap ADVICE r06 flagged:
+    `~(matched & NULL)` is NULL, which filter() would drop."""
+    src = spark.createDataFrame(
+        [(1, None, "z", 99.0), (2, "D", "b", 0.0)],
+        "k long, op string, name string, bal double",
+    )
+    out = {
+        r["k"]: (r["name"], r["bal"])
+        for r in merge_into(
+            _target(spark), src, "k",
+            update_set={"name": F.col("src.name"), "bal": F.col("src.bal")},
+            update_cond=F.col("src.op") == "U",   # NULL op -> NULL cond
+            delete_cond=F.col("src.op") == "D",   # NULL op -> NULL cond
+        ).collect()
+    }
+    # row 1: NULL op satisfies neither clause -> untouched, NOT deleted
+    assert out == {1: ("a", 10.0), 3: ("c", 30.0)}
+
+
 def test_merge_duplicate_source_keys_raise(spark):
     src = spark.createDataFrame(
         [(1, "U", "x", 1.0), (1, "U", "y", 2.0)],

@@ -338,27 +338,34 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     assert streamed.count() > 0  # fixture produces matches
 
 
-def test_load_events_pins_utc_under_foreign_session_tz(spark, sf_dir):
-    """A non-UTC session must not shift event instants: the NTZ->LTZ
-    cast inside load_events pins the session timezone back to UTC (a
-    foreign harness session would otherwise silently offset every ts
-    by the zone difference)."""
+def test_load_events_raises_under_foreign_session_tz(spark, sf_dir):
+    """A non-UTC session must not silently shift event instants OR have
+    its timezone silently rewritten by a read (ADVICE r06: mutating
+    spark.sql.session.timeZone as a side effect changes every unrelated
+    timestamp query). load_events raises loudly instead; a UTC session
+    works unchanged."""
+    import pytest as _pytest
+
     baseline = {
         (r["event_id"], r["ts"])
         for r in load_events(spark, sf_dir).select("event_id", "ts").collect()
     }
+    assert baseline
     try:
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-        shifted = {
-            (r["event_id"], r["ts"])
-            for r in load_events(spark, sf_dir)
-            .select("event_id", "ts")
-            .collect()
-        }
-        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        if isinstance(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType,
+            __import__("pyspark.sql.types", fromlist=["TimestampNTZType"])
+            .TimestampNTZType,
+        ):
+            with _pytest.raises(ValueError, match="not UTC"):
+                load_events(spark, sf_dir)
+        # the read must NOT have rewritten the session timezone
+        assert (
+            spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        )
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    assert shifted == baseline
 
 
 def test_load_events_normalizes_all_ts_layouts(spark, tmp_path):

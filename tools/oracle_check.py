@@ -148,7 +148,25 @@ def main() -> int:
             continue
         finally:
             release_caches()  # dedup signature caches are per-query scratch
+        # The driver canonicalizes EVERY query's output through pandas —
+        # rows-only included — so complex-typed columns crash its gate
+        # regardless of oracle availability (r06: x_olap_freq_items).
+        # This check must therefore run BEFORE the rows-only branch.
+        bad_complex = unhashable_cols(sdf.schema)
         if name not in oracles:
+            if bad_complex:
+                print(
+                    f"FAIL  {name}: driver-unhashable output column "
+                    f"in rows-only query: {bad_complex}"
+                )
+                report[name] = {
+                    "status": "fail",
+                    "spark_rows": len(srows),
+                    "err": f"driver-unhashable output column: {bad_complex}",
+                    "secs": round(time.time() - t0, 1),
+                }
+                failures += 1
+                continue
             n_rows_only += 1
             print(f"rows  {name}: {len(srows)} rows (no oracle — rows-only check)")
             report[name] = {
@@ -175,7 +193,6 @@ def main() -> int:
             # width-insensitive for wide decimals.
             status = "FAIL "
             notes.append(f"unpinned wide decimal in output: {bad_dec}")
-        bad_complex = unhashable_cols(sdf.schema)
         if bad_complex:
             # stricter than values-equal: the driver cannot hash complex
             # cells at all, so the schema alone fails its gate.
