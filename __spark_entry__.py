@@ -82,13 +82,14 @@ _WINDOW_FIRST = [
     "x_sample_shard_positions",
     "x_stream_stream_join",
     "x_ingest_incremental_agg",
-    # headline bench queries, last green r05 (6)
+    # new this round — no driver evidence yet (2)
+    "x_text_tfidf",
+    "x_text_bigram_lm",
+    # headline bench queries, last green r05 (4)
     "m1_scd2_upsert",
     "m2_j2_fact_population",
     "m3_dim_dates",
     "j1_inner_equijoin",
-    "a2_groupby_count",
-    "v1_null_counts",
 ]
 
 

@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "x_dedup_cc_clusters",
     "x_sample_token_budget",
     "x_ingest_cdc_apply",
+    # r07 additions: TF-IDF top terms (two-level count + top-k window),
+    # bigram LM counts (zip_with fan-out, join-free)
+    "x_text_tfidf",
+    "x_text_bigram_lm",
 ]
 
 

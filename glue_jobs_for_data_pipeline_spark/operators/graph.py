@@ -30,7 +30,8 @@ O(log d).
 
 Scale shape per iteration: two shuffles (edge join + min-groupBy on
 node; halving self-join on label) and one O(1) driver action (the
-converged? count, early-exited via limit(1)). ``localCheckpoint`` after
+converged? check — an exact label-sum aggregate compared across
+iterations, valid because labels only decrease; no diff join). ``localCheckpoint`` after
 every iteration truncates the lineage — iterative plans otherwise grow
 the DAG linearly and re-execute the whole history each action. The
 halving join's key is the label, which a giant component concentrates
@@ -80,6 +81,18 @@ def connected_components(
         "label", F.col("node")
     )
     lab = lab.localCheckpoint(eager=True)
+    # Convergence watch: labels start at self and can only DECREASE
+    # (min-propagation), so the label-sum is strictly monotone across a
+    # changing iteration and constant exactly at the fixpoint. Comparing
+    # sums replaces the old per-iteration old⋈new diff join (a full
+    # extra shuffle each round) with one partition-local aggregate over
+    # the already-checkpointed result. decimal(38,0) keeps the sum exact
+    # for any realistic corpus (bigint ids × billions of nodes overflows
+    # int128 only past ~1e19 total, far beyond 100 TB row counts).
+    _sum = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    prev_sum = _sum(lab)
     for _ in range(max_iterations):
         prop = sym.join(
             lab.select(F.col("node").alias("v"), "label"), "v"
@@ -98,16 +111,11 @@ def connected_components(
             "label",
         ).select("node", F.col("_ll").alias("label"))
         halved = halved.localCheckpoint(eager=True)
-        changed = (
-            halved.alias("n")
-            .join(lab.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = _sum(halved)
         lab = halved
-        if changed == 0:
+        if cur_sum == prev_sum:
             return lab.select("node", F.col("label").alias("component"))
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"
     )

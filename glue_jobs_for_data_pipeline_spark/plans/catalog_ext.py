@@ -519,6 +519,113 @@ def x_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X_TFIDF_SQL = r"""
+WITH tf AS (
+  SELECT doc_id, t AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        FROM documents)
+  GROUP BY doc_id, t),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, score, rank FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf AS DOUBLE)
+           * (CAST(nd.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE)
+                      * (CAST(nd.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+                    DESC, tf.term ASC) AS rank
+  FROM tf, dfreq, nd WHERE tf.term = dfreq.term)
+WHERE rank <= 5
+"""
+
+
+@_q("x_text_tfidf", _X_TFIDF_SQL)
+def x_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient terms: top-5 by TF-IDF (keyword extraction /
+    relevance scoring over the corpus). The idf factor is the LINEAR
+    ratio n_docs/df rather than log(n_docs/df): rankings need only a
+    monotone-in-df weight per fixed tf, and tf * (n/df) is pure IEEE
+    multiply/divide — bit-identical across engines with the same
+    parenthesization — while log() is library-dependent at the ulp
+    level and would make the hash gate flaky (swap in log for a
+    production scorer; the plan shape is unchanged).
+
+    Shape: explode -> two map-side-combined counts (term frequency per
+    doc, then document frequency per term — the second groupBy's input
+    is ALREADY one row per (doc, term), so df costs a distinct-terms
+    shuffle, not a corpus shuffle), one term-keyed join, a broadcast
+    scalar n_docs, and a per-doc top-5 window. Deterministic under
+    score ties via the (score DESC, term ASC) total order."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+_X_BIGRAM_SQL = r"""
+WITH pairs AS (
+  SELECT unnest(list_transform(range(1, len(l)),
+                               i -> l[i] || ' ' || l[i+1])) AS bigram
+  FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS l
+        FROM documents)),
+counts AS (SELECT bigram, COUNT(*) AS n FROM pairs GROUP BY bigram)
+SELECT bigram, n FROM counts ORDER BY n DESC, bigram ASC LIMIT 100
+"""
+
+
+@_q("x_text_bigram_lm", _X_BIGRAM_SQL)
+def x_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram head: top-100 adjacent token pairs by frequency —
+    the n-gram LM count table (contamination fingerprints, domain
+    boilerplate discovery, bigram-LM smoothing inputs) one order up
+    from x_text_vocab_topk's unigrams.
+
+    Bigrams form inside each document row via zip_with over two
+    offset slices of the token array — array built-ins, no window, no
+    per-row Python — so the only shuffle is the map-side-combined
+    count over distinct bigrams, and the global top-k sorts reduced
+    counts, not corpus rows. Deterministic under count ties via the
+    (n DESC, bigram ASC) total order."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select(tx.tokens(F.lower(F.col("text"))).alias("toks"))
+    bigrams = t.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(100)
+    )
+
+
 @_q("x_pack_sequences")  # per-partition sequential greedy -> rows-only
 def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk (128/16) then greedily pack into 512-token context bins —

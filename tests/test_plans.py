@@ -132,3 +132,21 @@ def test_merge_into_plan_broadcasts_changeset_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the small changeset must broadcast against the big target
     assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_plan_jvm_side_pruned_scan(spark, sf_dir):
+    plan = _plan(cx.x_text_tfidf(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # scan reads only the two needed columns, never the whole table
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    # the scalar n_docs joins via broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bigram_plan_jvm_side_join_free(spark, sf_dir):
+    plan = _plan(cx.x_text_bigram_lm(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # bigrams form row-locally via zip_with: no join anywhere
+    assert "Join" not in plan
+    # scan reads only text
+    assert "ReadSchema: struct<text:string>" in plan
