@@ -44,7 +44,7 @@ _WINDOW_FIRST = [
     "x_stream_watermark_append",
     "x_merge_into",
     "x_dedup_ngram_jaccard",
-    # oracle-able, last driver green r04 — oldest evidence (37)
+    # oracle-able, last driver green r04 — oldest evidence (34)
     "s1_csv_bulk_load",
     "s1b_json_roundtrip",
     "s1c_orc_roundtrip",
@@ -53,10 +53,7 @@ _WINDOW_FIRST = [
     "s4_s7_staging_lifecycle",
     "s5_ctas_cached",
     "s6_insert_select_append",
-    "s8_row_generator",
     "p1_projection",
-    "p2_computed_column",
-    "p3_literal_column",
     "p4_equality_filter",
     "p5_conjunction",
     "p7_in_subquery_semi",
@@ -82,9 +79,13 @@ _WINDOW_FIRST = [
     "x_sample_shard_positions",
     "x_stream_stream_join",
     "x_ingest_incremental_agg",
-    # new this round — no driver evidence yet (2)
+    # new this round — no driver evidence yet (5); s8/p3/p2 rotated out
+    # (trivial, very stable, sweep-covered) to make room
     "x_text_tfidf",
     "x_text_bigram_lm",
+    "x_validate_profile",
+    "x_events_anomaly_zscore",
+    "x_corpus_dedup_quality_keep",
     # headline bench queries, last green r05 (4)
     "m1_scd2_upsert",
     "m2_j2_fact_population",

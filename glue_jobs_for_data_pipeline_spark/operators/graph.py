@@ -44,7 +44,7 @@ exactly like the pair generators already do).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -153,3 +153,48 @@ def dedup_by_clusters(
         .withColumn("n_members", F.lit(1).cast("long"))
     )
     return survivors_in_graph.unionByName(untouched)
+
+
+def dedup_by_clusters_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Quality-aware cluster dedup: keep the HIGHEST-``score_col`` member
+    of each near-duplicate cluster (ties -> smallest id) instead of
+    dedup_by_clusters' smallest-id convention — the retention policy a
+    training-corpus build actually wants (of N near-identical docs, keep
+    the cleanest rendition, not the one that happened to get the lowest
+    id). Output: (id_col, n_members, score_col); n_members = 1 for
+    pair-free docs.
+
+    Cost above dedup_by_clusters: one extra id-keyed join of (id, score)
+    pairs onto the clustered-node table (graph-sized, small relative to
+    the corpus) and a per-component window whose partitions are cluster-
+    sized — bounded by the pair generators' caps, never corpus-sized.
+    Doc payloads never shuffle; only (id, score) moves.
+    """
+    cc = connected_components(pairs, src=src, dst=dst)
+    scored = docs.select(F.col(id_col), F.col(score_col))
+    mem = cc.join(
+        scored.withColumnRenamed(id_col, "node"), "node"
+    )
+    w_rank = Window.partitionBy("component").orderBy(
+        F.desc(score_col), F.asc("node")
+    )
+    w_comp = Window.partitionBy("component")
+    ranked = mem.withColumn("_rk", F.row_number().over(w_rank)).withColumn(
+        "n_members", F.count(F.lit(1)).over(w_comp).cast("long")
+    )
+    survivors = ranked.filter(F.col("_rk") == 1).select(
+        F.col("node").alias(id_col), "n_members", score_col
+    )
+    untouched = (
+        scored.join(cc.select(F.col("node").alias(id_col)), id_col, "left_anti")
+        .withColumn("n_members", F.lit(1).cast("long"))
+        .select(id_col, "n_members", score_col)
+    )
+    return survivors.unionByName(untouched)

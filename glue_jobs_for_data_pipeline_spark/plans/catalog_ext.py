@@ -335,6 +335,46 @@ def x_corpus_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_by_clusters(docs, pairs)
 
 
+@_q(
+    "x_corpus_dedup_quality_keep",
+    _CC_SQL_T.format(th=_TH_CLUSTER)
+    + ",\nq AS (SELECT doc_id, "
+    + _QUALITY_EXPR
+    + """ AS quality FROM documents),
+ranked AS (
+  SELECT cc.u AS doc_id, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY cc.component
+                            ORDER BY q.quality DESC, cc.u ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY cc.component) AS n_members
+  FROM cc JOIN q ON cc.u = q.doc_id)
+SELECT doc_id, CAST(n_members AS BIGINT) AS n_members, quality
+FROM ranked WHERE rk = 1
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT) AS n_members, quality FROM q
+WHERE doc_id NOT IN (SELECT u FROM cc)""",
+)
+def x_corpus_dedup_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster dedup end-to-end: near-dup pairs ->
+    connected components -> keep the HIGHEST-quality member per cluster
+    (ties -> smallest doc_id) plus every pair-free doc. The retention
+    policy x_corpus_dedup_cc's min-id convention approximates; here the
+    survivor is chosen by the composite quality heuristic (the choice a
+    real corpus build makes). Oracle: the recursive-CTE closure joined
+    to the same quality expression, argmax via the identical
+    (quality DESC, id ASC) total order."""
+    from ..operators.graph import dedup_by_clusters_best
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3,
+        threshold=_TH_CLUSTER, df_cap=100, posts_partitions=8,
+    ).select("doc_a", "doc_b")
+    scored = docs.select(
+        "doc_id", tx.quality_score(F.col("text")).alias("quality")
+    )
+    return dedup_by_clusters_best(scored, pairs, "doc_id", "quality")
+
+
 # Holdout rate for the split-leakage audit, stated ONCE: both the Spark
 # body and the SQL oracle derive their md5-prefix threshold from it, so
 # a rate change cannot desynchronize the two engines.
@@ -516,6 +556,124 @@ def x_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(100)
+    )
+
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+_X_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
+    f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    f"AS n_nulls, "
+    f"COUNT(DISTINCT {c}) AS n_distinct FROM orders"
+    for c in _PROFILE_COLS
+)
+
+
+@_q("x_validate_profile", _X_PROFILE_SQL)
+def x_validate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling in ONE table scan (the Deequ/expectations-style
+    pre-ingest audit extending V1/V2): per column, row count, NULL
+    count, and EXACT distinct count, melted to one row per column.
+
+    All distinct aggregates run in a single pass — Catalyst plans
+    multi-countDistinct via Expand (k-way row multiplication), so the
+    table is read once regardless of column count; the alternative the
+    reference's N+1-scan validator implies (one query per column,
+    validate_data.py:69-80) scans k times. At 100 TB the exact distinct
+    on high-cardinality columns is the expensive term (Expand rows
+    shuffle per column); the documented scale relief is swapping
+    count_distinct for approx_count_distinct (HLL, mergeable partials —
+    the x_olap_approx_distinct tier) column by column where exactness
+    isn't contractual. NULL counts ride the same scan as conditional
+    sums (the V1 single-pass trick)."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nn_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    row = o.agg(*aggs)
+    stack = "stack({}, {}) AS (column_name, n_nulls, n_distinct)".format(
+        len(_PROFILE_COLS),
+        ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS),
+    )
+    return row.select("n_rows", F.expr(stack)).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct"
+    )
+
+
+_X_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, COUNT(*) AS n_hours,
+         CAST(SUM(cnt) AS BIGINT) AS s,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+  FROM hourly GROUP BY 1),
+scored AS (
+  SELECT h.event_type, h.hour, h.cnt,
+         CAST(s.ss AS DOUBLE) / CAST(s.n_hours AS DOUBLE)
+           - (CAST(s.s AS DOUBLE) / CAST(s.n_hours AS DOUBLE))
+             * (CAST(s.s AS DOUBLE) / CAST(s.n_hours AS DOUBLE)) AS var,
+         CAST(h.cnt AS DOUBLE)
+           - CAST(s.s AS DOUBLE) / CAST(s.n_hours AS DOUBLE) AS dev
+  FROM hourly h JOIN stats s ON h.event_type = s.event_type)
+SELECT event_type, hour, cnt, dev / sqrt(var) AS z
+FROM scored
+WHERE var > 0 AND abs(dev / sqrt(var)) >= 2.0
+"""
+
+
+@_q("x_events_anomaly_zscore", _X_ANOMALY_SQL)
+def x_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection on the event stream's batch view: hours
+    whose per-type event count deviates >= 2 population standard
+    deviations from that type's hourly mean (the ingest-monitoring
+    query a pipeline runs before trusting a day's data).
+
+    The variance is computed EXPLICITLY from exact integer sums
+    (n, sum, sum-of-squares -> var = ss/n - (s/n)^2 in one fixed IEEE
+    operation order) rather than via the engines' stddev aggregates,
+    whose internal accumulation orders differ across engines and
+    partitionings; integer sums are order-insensitive, so the z-scores
+    hash-match bit-exactly AND are reproducible across cluster sizes —
+    the same property the centroid query gets from fixed-point sums.
+    Shape: two map-side-combined aggs (hours x types, then types) and
+    one broadcast join of the tiny per-type stats."""
+    from ..sources.readers import load_events
+
+    e = load_events(spark, sf_dir)
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_hours").cast("double")
+    var = F.col("ss").cast("double") / F.col("n_hours").cast("double") - mean * mean
+    dev = F.col("cnt").cast("double") - mean
+    z = dev / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .withColumn("var", var)
+        .withColumn("z", z)
+        .filter((F.col("var") > 0) & (F.abs(F.col("z")) >= 2.0))
+        .select("event_type", "hour", "cnt", "z")
     )
 
 
@@ -1350,6 +1508,57 @@ def x_ts_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir).select("user_id", "ts")
     return sessionize_batch(ev, "user_id", "ts", gap_minutes=30)
+
+
+_X_SESS_NATIVE_SQL = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+lagged AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM e),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM lagged),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end_x,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+@_q("x_ts_sessionize_native", _X_SESS_NATIVE_SQL)
+def x_ts_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's NATIVE session_window — the
+    built-in dynamic-gap session operator (one grouped agg, window
+    merge inside the aggregation; no lag/cumsum window chain, and the
+    same expression works unchanged under readStream). Semantics twin
+    of x_ts_sessionize_batch with two deliberate deltas the oracle
+    states: (1) session_window's range is [first, last + gap), so an
+    event EXACTLY gap after its predecessor starts a NEW session
+    (>= in the oracle's split condition, vs > in the lag/cumsum
+    formulation); (2) the emitted end is the exclusive window end
+    (last event + gap), aliased session_end_x to keep the two
+    catalog entries' schemas visibly distinct."""
+    from ..sources.readers import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end_x"),
+            "n_events",
+        )
+    )
 
 
 @_q(
@@ -2427,6 +2636,48 @@ def x_olap_q5_style(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+_X_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                CAST(1.0 - l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@_q("x_olap_q10_style", _X_Q10_SQL)
+def x_olap_q10_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item reporting: which customers
+    returned the most revenue. The returnflag filter pushes into the
+    lineitem scan (the fact table shrinks before any join), lineitem ⋈
+    orders shuffles on orderkey once, customer joins on custkey, nation
+    broadcasts. Exact decimal revenue, double only at the boundary;
+    top-20 under the (revenue DESC, custkey) total order so LIMIT is
+    deterministic in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(9,4)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
     )
 
 

@@ -135,3 +135,26 @@ def test_cc_agrees_with_union_find(spark, edges):
     # union-find with min-root union keeps the min as root, so both
     # sides canonicalize to the component minimum
     assert got == want
+
+
+def test_dedup_by_clusters_best_keeps_highest_score(spark):
+    """Quality-keep: the survivor of each cluster is the argmax-score
+    member (ties -> smallest id), untouched docs pass through with
+    n_members=1 and their own score."""
+    from glue_jobs_for_data_pipeline_spark.operators.graph import (
+        dedup_by_clusters_best,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.5), (4, 0.7), (5, 0.7), (9, 0.2)],
+        "doc_id long, score double",
+    )
+    # chain {1,2,3} -> survivor 2 (max score); pair {4,5} tied -> 4
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: (r["n_members"], r["score"])
+        for r in dedup_by_clusters_best(docs, pairs, "doc_id", "score").collect()
+    }
+    assert out == {2: (3, 0.9), 4: (2, 0.7), 9: (1, 0.2)}

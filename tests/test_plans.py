@@ -150,3 +150,20 @@ def test_bigram_plan_jvm_side_join_free(spark, sf_dir):
     assert "Join" not in plan
     # scan reads only text
     assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_profile_plan_single_scan_expand(spark, sf_dir):
+    plan = _plan(cx.x_validate_profile(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one scan of orders regardless of profiled column count — the
+    # multi-countDistinct runs via Expand over that single read
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_anomaly_plan_broadcast_stats_no_python(spark, sf_dir):
+    plan = _plan(cx.x_events_anomaly_zscore(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the tiny per-type stats broadcast; the hourly side never re-shuffles
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
