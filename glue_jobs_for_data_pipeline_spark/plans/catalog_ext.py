@@ -1510,6 +1510,96 @@ def x_ts_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(ev, "user_id", "ts", gap_minutes=30)
 
 
+_X_GAP_FILL_SQL = """
+WITH sparse AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN event_id % 3 = 0
+              THEN CAST(value AS DOUBLE) ELSE NULL END AS v
+  FROM events)
+SELECT event_id, user_id, ts, v,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM sparse
+"""
+
+
+@_q("x_ts_gap_fill", _X_GAP_FILL_SQL)
+def x_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF — last observation carried forward) over a
+    sparse per-user time series: the gap-repair step before feeding
+    irregular sensor/metric streams to a model. The fixture's series is
+    sparsified deterministically (value kept only when event_id % 3 =
+    0) so both engines fill the identical gaps; rows before a user's
+    first observation stay NULL — LOCF, not interpolation.
+
+    One window, one shuffle on user_id, running last(ignorenulls) —
+    O(1) state per row within the frame, no self-join, no UDF. The
+    (ts, event_id) order key makes the fill deterministic under equal
+    timestamps. Values pass through untouched (no arithmetic), so
+    doubles are hash-safe."""
+    from ..sources.readers import load_events
+
+    e = load_events(spark, sf_dir)
+    sparse = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 3 == 0, F.col("value").cast("double"))
+        .alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sparse.withColumn(
+        "v_filled", F.last("v", ignorenulls=True).over(w)
+    )
+
+
+_X_HISTOGRAM_SQL = """
+SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) < 0.0 THEN 0
+            WHEN CAST(o_totalprice AS DOUBLE) >= 500000.0 THEN 21
+            ELSE CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 25000.0) AS INT)
+                 + 1 END AS bucket,
+       COUNT(*) AS n,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+FROM orders
+GROUP BY 1
+"""
+
+
+@_q("x_olap_histogram", _X_HISTOGRAM_SQL)
+def x_olap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (the data-profiling /
+    skew-inspection aggregate): 20 buckets of width 25000 over
+    [0, 500000), out-of-range values in sentinel buckets 0 and 21 —
+    width_bucket semantics, but stated as one explicit CASE/FLOOR
+    expression evaluated IDENTICALLY in both engines (DuckDB has no
+    width_bucket; and a builtin-vs-builtin pairing would couple the
+    hash gate to two implementations' edge conventions). One
+    map-side-combined groupBy over at most 22 groups; MIN/MAX per
+    bucket are selections, not arithmetic, so doubles stay hash-safe."""
+    o = load_table(spark, sf_dir, "orders")
+    v = F.col("o_totalprice").cast("double")
+    bucket = (
+        F.when(v < 0.0, F.lit(0))
+        .when(v >= 500000.0, F.lit(21))
+        .otherwise(F.floor(v / F.lit(25000.0)).cast("int") + 1)
+    )
+    return (
+        o.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )
+
+
 _X_SESS_NATIVE_SQL = """
 WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
 lagged AS (
@@ -2588,6 +2678,59 @@ def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     joined = stream_stream_interval_join(ev, ev, max_lag_minutes=30)
     return drain_to_memory(joined, "x_stream_stream_join", "append")
+
+
+_X_STREAM_STREAM_LEFT_SQL = """
+WITH clicks AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'click'),
+errors AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'error'),
+wm AS (
+  SELECT LEAST(
+    (SELECT CAST(FLOOR(epoch_us(MAX(ts)) / 1000) AS BIGINT) FROM clicks),
+    (SELECT CAST(FLOOR(epoch_us(MAX(ts)) / 1000) AS BIGINT) FROM errors))
+    - 3600000 AS w_ms)
+SELECT l.user_id, l.event_id AS left_id, r.event_id AS right_id,
+       l.ts AS left_ts, r.ts AS right_ts
+FROM clicks l JOIN errors r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+UNION ALL
+SELECT l.user_id, l.event_id AS left_id, CAST(NULL AS BIGINT) AS right_id,
+       l.ts AS left_ts, CAST(NULL AS TIMESTAMP) AS right_ts
+FROM clicks l, wm
+WHERE NOT EXISTS (
+        SELECT 1 FROM errors r
+        WHERE r.user_id = l.user_id
+          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE)
+  AND CAST(FLOOR(epoch_us(l.ts) / 1000) AS BIGINT) + 1800000 < wm.w_ms
+"""
+
+
+@_q("x_stream_stream_left_join", _X_STREAM_STREAM_LEFT_SQL)
+def x_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click keeps its
+    within-30-min errors; clicks with none emit null-extended — but
+    only once their join state EVICTS, i.e. the global watermark
+    (min of both sides' max event time - 60 min, in Spark's millisecond
+    watermark arithmetic) passes the click's last possible match time
+    (click_ts + 30 min). Clicks the final watermark never passes stay
+    pending — correct unbounded-stream semantics. Deterministic on the
+    drained fixture, so the oracle states BOTH parts: the inner match
+    set, plus the matchless clicks old enough to have evicted."""
+    from ..streaming.events import (
+        drain_to_memory,
+        read_events_stream,
+        stream_stream_interval_join,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    joined = stream_stream_interval_join(
+        ev, ev, max_lag_minutes=30, how="leftOuter"
+    )
+    return drain_to_memory(joined, "x_stream_stream_left_join", "append")
 
 
 _X_Q5_SQL = """

@@ -380,9 +380,10 @@ def stream_stream_interval_join(
     right_type: str = "error",
     max_lag_minutes: int = 30,
     watermark: str = "60 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval constraint:
-    for each ``left_type`` event, the ``right_type`` events of the same
+    """Stream-stream join with an event-time interval constraint: for
+    each ``left_type`` event, the ``right_type`` events of the same
     user within [left_ts, left_ts + max_lag] (click -> error funnel).
 
     Both sides carry watermarks AND the join condition bounds event
@@ -394,6 +395,13 @@ def stream_stream_interval_join(
 
     Inner interval joins are batch-equivalent once the source drains:
     the DuckDB oracle runs the identical self-join predicate.
+
+    ``how="leftOuter"`` additionally emits each matchless left row
+    null-extended — but only WHEN ITS STATE EVICTS (the watermark
+    passes the row's last possible match time), because until then a
+    future right row could still match. Left rows the final watermark
+    never passes stay pending: correct unbounded-stream semantics, and
+    on a finite source a deterministic set the oracle can state.
     """
     l = (
         left.filter(F.col("event_type") == left_type)
@@ -421,6 +429,6 @@ def stream_stream_interval_join(
             <= F.col("left_ts") + F.expr(f"INTERVAL {max_lag_minutes} MINUTES")
         )
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         "user_id", "left_id", "right_id", "left_ts", "right_ts"
     )

@@ -412,3 +412,45 @@ def test_load_events_normalizes_all_ts_layouts(spark, tmp_path):
 
     expect = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=rows_us[0])
     assert got["us"][0][1].replace(tzinfo=None) == expect
+
+
+def test_stream_stream_left_join_evicts_then_holds(spark, tmp_path):
+    """Left-outer interval join: a matchless click whose last possible
+    match time the watermark passed emits null-extended; a matchless
+    click at the stream's head of time stays pending; matches emit."""
+    import pandas as pd
+
+    from glue_jobs_for_data_pipeline_spark.streaming.events import (
+        drain_to_memory,
+        read_events_stream,
+        stream_stream_interval_join,
+    )
+
+    base_ns = 1_700_000_000_000_000_000
+    m = 60 * 1_000_000_000  # one minute in ns
+    rows = [
+        # user 1: click with NO error in [ts, ts+30m] -> matchless, old
+        (1, base_ns, 1, "click", 1.0, "{}"),
+        # user 2: click + error 6 min later -> matched pair
+        (2, base_ns + 4 * m, 2, "click", 1.0, "{}"),
+        (3, base_ns + 10 * m, 2, "error", 1.0, "{}"),
+        # late click AND late error drive BOTH sides' watermarks to
+        # +600 min - 60 min; the click itself is matchless but pending
+        (4, base_ns + 600 * m, 3, "click", 1.0, "{}"),
+        (5, base_ns + 600 * m, 4, "error", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tmp_path / "mini_events2"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    ev = read_events_stream(spark, str(d))
+    out = drain_to_memory(
+        stream_stream_interval_join(ev, ev, max_lag_minutes=30, how="leftOuter"),
+        "t_ss_left", "append",
+    ).collect()
+    got = {(r["left_id"], r["right_id"]) for r in out}
+    # click 1 evicted matchless -> null row; pair (2,3) matched;
+    # click 4 matchless but the watermark never passes it -> pending
+    assert got == {(1, None), (2, 3)}
