@@ -2782,6 +2782,61 @@ def x_olap_q5_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X_Q14_SQL = """
+SELECT CAST(date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS DATE)
+         AS month,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                CAST(1.0 - l_discount AS DECIMAL(9,4))) AS DOUBLE)
+         AS revenue,
+       CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          CAST(1.0 - l_discount AS DECIMAL(9,4)) END)
+            AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(1.0 - l_discount AS DECIMAL(9,4))) AS DOUBLE)
+         * 100.0 AS promo_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+@_q("x_olap_q14_style", _X_Q14_SQL)
+def x_olap_q14_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion-effect ratio per ship month: the
+    share of revenue from one part class ('ECONOMY' stands in for
+    PROMO%). Lineitem ⋈ broadcast(part) — the fact side never shuffles
+    for the join, only for the month groupBy. Both sums are exact
+    decimals; the single double division (and ×100) happens once per
+    output row at the boundary, in the same (a/b)*100 association in
+    both engines. Conditional numerator via CASE-with-no-ELSE (NULLs
+    skipped by SUM identically in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(9,4)")
+    promo_rev = F.when(F.col("p_type") == "ECONOMY", rev)
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.date_trunc("month", F.col("l_shipdate"))
+            .cast("date")
+            .alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+            (
+                F.sum(promo_rev).cast("double")
+                / F.sum(rev).cast("double")
+                * F.lit(100.0)
+            ).alias("promo_pct"),
+        )
+    )
+
+
 _X_Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
