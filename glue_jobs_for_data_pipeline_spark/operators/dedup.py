@@ -255,6 +255,74 @@ def _affine(i: int) -> tuple[int, int]:
     return (a or 1, b)
 
 
+def minhash_md5_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash+LSH built ENTIRELY from
+    cross-engine-stateable primitives (md5 base hash + affine
+    permutations + banded equi-join) — the hash-verifiable twin of
+    minhash_lsh_pairs, whose crc32/numpy kernel no SQL engine can
+    replay. Same banded-LSH scale shape: one (doc, hash) shuffle with
+    num_hashes map-side-combined MIN aggregates (no row multiplication
+    per permutation), band signatures formed row-locally, candidates
+    from a co-located (band, sig) self-join.
+
+    Base hash = first 15 md5 hex digits as int (60 bits), reduced
+    mod MINHASH_P BEFORE the affine step so a*x+b stays < 2^62 (no
+    int64 overflow in either engine); every op is exact integer
+    arithmetic, so the DuckDB oracle reproduces signatures bit-for-bit.
+    Defaults (16 hashes, 8 bands, r=2) put the S-curve knee near
+    j ~ (1/8)^(1/2) ~ 0.35. No hot-bucket cap here (the capped UDF
+    tier is the production path for adversarial boilerplate); at scale
+    add the same broadcast-anti-join cap as minhash_lsh_pairs.
+    """
+    r = num_hashes // bands
+    assert bands * r == num_hashes, "bands must divide num_hashes"
+    posts = doc_shingles(spread(df), id_col, text_col, k)
+    hx = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+        .cast("bigint")
+        % F.lit(MINHASH_P)
+    )
+    hashed = posts.select("doc", hx.alias("hx"))
+    ab = [_affine(i) for i in range(num_hashes)]
+    sigs = hashed.groupBy("doc").agg(
+        *[
+            F.min((F.lit(a) * F.col("hx") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"mh{i}"
+            )
+            for i, (a, b) in enumerate(ab)
+        ]
+    )
+    band_cols = [
+        F.concat_ws(
+            ",",
+            *[
+                F.col(f"mh{j}").cast("string")
+                for j in range(bi * r, (bi + 1) * r)
+            ],
+        ).alias(f"band{bi}")
+        for bi in range(bands)
+    ]
+    stack = "stack({n}, {args}) AS (band, sig)".format(
+        n=bands, args=", ".join(f"{bi}, band{bi}" for bi in range(bands))
+    )
+    melted = sigs.select("doc", *band_cols).select("doc", F.expr(stack))
+    a = melted.select(F.col("doc").alias("doc_a"), "band", "sig")
+    b = melted.select(F.col("doc").alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, k: int = 3
 ) -> DataFrame:

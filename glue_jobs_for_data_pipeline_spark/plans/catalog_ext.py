@@ -263,6 +263,59 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_md5_sql(num_hashes: int = 16, bands: int = 8) -> str:
+    """DuckDB oracle for minhash_md5_pairs, generated from the SAME
+    _affine constants the Spark side uses — one source of truth, so a
+    parameter change cannot desynchronize the engines."""
+    from ..operators.dedup import MINHASH_P, _affine
+
+    r = num_hashes // bands
+    perms = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in
+        ((i, _affine(i)) for i in range(num_hashes))
+    )
+    return rf"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+posts AS (
+  SELECT doc_id AS doc,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - 3, 0) + 2),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM w WHERE len(w) >= 3),
+hashed AS (
+  SELECT doc,
+         CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+           % {MINHASH_P} AS hx
+  FROM posts),
+mins AS (
+  SELECT doc, p.i, MIN((p.a * hx + p.b) % {MINHASH_P}) AS mh
+  FROM hashed, (VALUES {perms}) p(i, a, b) GROUP BY doc, p.i),
+bandsigs AS (
+  SELECT doc, CAST(i // {r} AS INT) AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+  FROM mins GROUP BY doc, i // {r})
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+FROM bandsigs a JOIN bandsigs b USING (band, sig)
+WHERE a.doc < b.doc
+"""
+
+
+@_q("x_dedup_minhash_md5", _minhash_md5_sql())
+def x_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs with a REAL DuckDB oracle: the md5
+    base hash and affine permutations are exact integer arithmetic both
+    engines state identically, so the banded-LSH candidate set — not
+    just its row count — is hash-verified (the crc32/numpy production
+    tier x_dedup_minhash_lsh stays rows-only + recall-tested by
+    nature). Same scale shape as the production tier: posting-list
+    shuffle + per-doc combined MINs + co-located band self-join."""
+    return dedup.minhash_md5_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=16, bands=8,
+    )
+
+
 # Min-reachable-label connected components over the pair graph: walk
 # enumerates (node, reachable node) — the recursive UNION dedups, so it
 # terminates — and MIN over reachable ids is the cluster id. Tractable

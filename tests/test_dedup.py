@@ -191,3 +191,20 @@ def test_shared_window_spans_flags_verbatim_overlap(spark):
     assert 0 < out[1]["dup_ratio"] < 1
     # every doc with >= 8 tokens appears exactly once
     assert set(out) == {1, 2, 3}
+
+
+def test_minhash_md5_finds_exact_and_near_dups(docs):
+    """The md5-permutation MinHash tier (the oracle-checkable variant)
+    must bucket exact dups together with certainty and catch the
+    planted near-dup through at least one of its 8 bands; the unrelated
+    doc must not pair."""
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_md5_pairs(docs, "doc_id", "text").collect()
+    }
+    # identical signatures -> identical bands -> guaranteed candidates
+    assert {(0, 1), (0, 2), (1, 2)} <= got
+    # high-jaccard near dup (j ~ 0.8) caught by the r=2 S-curve
+    assert (0, 3) in got
+    # unrelated doc never shares a band signature
+    assert not any(4 in p for p in got)
