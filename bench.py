@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     # bigram LM counts (zip_with fan-out, join-free)
     "x_text_tfidf",
     "x_text_bigram_lm",
+    # r07 TPC-H completion pack representatives: Q9 (profit: fact ⋈ 3
+    # broadcast dims, two decimal sums, one keyed shuffle) and Q21
+    # (waiting orders: decorrelated EXISTS/NOT-EXISTS, heaviest
+    # multi-shuffle shape in the pack)
+    "x_olap_q9_style",
+    "x_olap_q21_style",
 ]
 
 
