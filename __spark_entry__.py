@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from glue_jobs_for_data_pipeline_spark.plans.catalog import ORACLE, QUERIES
 from glue_jobs_for_data_pipeline_spark.plans import catalog_ext  # noqa: F401  (registers x_* queries)
 from glue_jobs_for_data_pipeline_spark.plans import tpch_pack  # noqa: F401  (registers x_olap_q*_style pack)
+from glue_jobs_for_data_pipeline_spark.plans import scale_pack  # noqa: F401  (registers skew-join/SQL-frontend/stream-topk)
+from glue_jobs_for_data_pipeline_spark.plans import analytics_pack  # noqa: F401  (registers funnel/retention/corr)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -72,22 +74,24 @@ _WINDOW_FIRST = [
     "x_olap_q20_style",
     "x_olap_q21_style",
     "x_olap_q22_style",
+    # (a) never driver-green: scale-technique pack (3)
+    "x_sql_frontend",
+    "x_skew_salted_join",
+    "x_stream_topk",
+    # (a) never driver-green: analytics pack (3)
+    "x_events_funnel",
+    "x_events_retention",
+    "x_olap_corr",
     # (b) changed this round (3)
     "x_olap_freq_items",
     "x_merge_into",
     "x_dedup_ngram_jaccard",
-    # (c) oldest driver evidence (r04) — core parity + headliners (15)
+    # (c) oldest driver evidence (r04) — core parity + headliners (9)
     "s1_csv_bulk_load",
-    "s1b_json_roundtrip",
-    "s1c_orc_roundtrip",
     "s2_truncate_and_load",
     "s3_table_scan",
     "s4_s7_staging_lifecycle",
-    "s5_ctas_cached",
     "s6_insert_select_append",
-    "p1_projection",
-    "p4_equality_filter",
-    "p5_conjunction",
     "p7_in_subquery_semi",
     "p8_f12_table_dispatch",
     "x_olap_q1_style",
