@@ -356,3 +356,98 @@ def x_ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_den").alias("total_dt_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution windows: percent_rank / cume_dist / ntile
+# --------------------------------------------------------------------------
+
+_X_DISTWIN_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       PERCENT_RANK() OVER w AS pr,
+       CUME_DIST() OVER w AS cd,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@_q("x_olap_distribution_window", _X_DISTWIN_SQL)
+def x_olap_distribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank, cume_dist, ntile)
+    per priority group — one partitioned sort serves all three. The
+    window orders by (totalprice, orderkey), a total order, so rank
+    positions — and hence the (rank-1)/(n-1) and rank/n divisions,
+    single double ops — are engine-independent; with ties allowed the
+    three functions would still agree (rank semantics) but ntile's
+    assignment within a tie would not."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+            F.ntile(4).over(w).cast("integer").alias("quartile"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Winsorization: clamp outliers to exact per-group percentile bounds
+# --------------------------------------------------------------------------
+
+_X_WINSORIZE_SQL = """
+WITH bounds AS (
+    SELECT event_type AS bt,
+           quantile_cont(value, 0.05) AS lo,
+           quantile_cont(value, 0.95) AS hi
+    FROM events GROUP BY event_type)
+SELECT event_id, event_type,
+       CASE WHEN value < lo THEN lo
+            WHEN value > hi THEN hi
+            ELSE value END AS value_winsorized,
+       CAST(value < lo OR value > hi AS INTEGER) AS clipped
+FROM events JOIN bounds ON event_type = bt
+"""
+
+
+@_q("x_events_winsorize", _X_WINSORIZE_SQL)
+def x_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization at the exact [p5, p95] — the robust-stats
+    pre-processing step before z-scoring/feature extraction. The
+    bounds are exact interpolated percentiles (bit-identical to
+    DuckDB's quantile_cont, same guarantee x_olap_percentiles pins)
+    computed once per type and broadcast back; each row then takes a
+    pure comparison/select — no arithmetic on the clamped value, so the
+    output doubles are either original values or the shared bound,
+    both hash-stable. Fact side never shuffles: group bounds are
+    5 rows."""
+    ev = load_events(spark, sf_dir)
+    bounds = F.broadcast(
+        ev.groupBy(F.col("event_type").alias("bt")).agg(
+            F.expr("percentile(value, 0.05)").alias("lo"),
+            F.expr("percentile(value, 0.95)").alias("hi"),
+        )
+    )
+    v = F.col("value")
+    return (
+        ev.join(bounds, F.col("event_type") == F.col("bt"))
+        .select(
+            "event_id",
+            "event_type",
+            F.when(v < F.col("lo"), F.col("lo"))
+            .when(v > F.col("hi"), F.col("hi"))
+            .otherwise(v)
+            .alias("value_winsorized"),
+            ((v < F.col("lo")) | (v > F.col("hi")))
+            .cast("integer")
+            .alias("clipped"),
+        )
+    )
