@@ -198,3 +198,83 @@ def dedup_by_clusters_best(
         .select(id_col, "n_members", score_col)
     )
     return survivors.unionByName(untouched)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, rank) after ``iterations`` of damped power iteration over
+    a DIRECTED edge list — the second iterative-graph kernel next to
+    connected_components (no counterpart in the reference; LLM-pipeline
+    scope, e.g. ranking documents by citation/co-occurrence graphs to
+    pick canonical cluster representatives or weight training mixtures).
+
+    r_{t+1}(v) = (1-d)/n + d * [ sum_{(u,v) in E} r_t(u)/deg(u)
+                                 + dangling_mass / n ]
+
+    Dangling nodes (no out-edges) redistribute their mass uniformly —
+    the standard stochastic-matrix completion, so sum(rank) stays 1 at
+    every iteration (the property tests assert it to 1e-9).
+
+    Scale shape per iteration: ONE fact-sized shuffle (contributions
+    grouped by dst; the ranks->edges join is a join on src against a
+    node-sized table, sharing the edges' src layout cached once) plus
+    two scalar aggregates (dangling mass; no convergence check — fixed
+    iteration count, the common production contract). localCheckpoint
+    per iteration truncates the otherwise linearly-growing lineage
+    exactly as in connected_components. Ranks are doubles; per-node
+    sums depend on partial-agg order, so PageRank is rows-only under
+    the driver's value-hash gate — its numerics are pinned by the
+    pure-Python differential test instead (tests/test_graph.py).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # edges annotated with out-degree once, cached partitioned on src —
+    # every iteration's join reuses this layout instead of recomputing
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        out = ranks.withColumnRenamed("node", "src")
+        contribs = (
+            ed.join(out, "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        # dangling mass = total rank minus rank held by nodes WITH
+        # out-edges (one anti-join + scalar agg; the collect is a single
+        # double, not data-proportional)
+        row = (
+            ranks.join(
+                deg.select(F.col("src").alias("node")), "node", "left_anti"
+            )
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()
+        )
+        dangling = row[0][0]
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(
+                contribs.withColumnRenamed("dst", "node"), "node", "left_outer"
+            )
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

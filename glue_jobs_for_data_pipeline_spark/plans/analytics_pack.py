@@ -451,3 +451,39 @@ def x_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clipped"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank over the co-purchase graph (iterative; rows-only)
+# --------------------------------------------------------------------------
+
+
+@_q("x_graph_pagerank")  # double power iteration -> partial-agg order
+def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph: parts are linked when
+    they appear in the same order (both directions), edge list bounded
+    at per-order-lines^2 — the 'important products' ranking. 8 damped
+    power iterations with dangling-mass redistribution
+    (operators/graph.py::pagerank). Per-node rank sums are
+    floating-point partial aggregates whose last-ulp value depends on
+    partition merge order, so this is rows-only under the driver's
+    value-hash gate; the numerics are pinned against a pure-Python
+    power iteration to 1e-9 in tests/test_graph.py instead."""
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return pagerank(edges, iterations=8)

@@ -101,3 +101,47 @@ def test_corr_matches_pure_python(spark, sf_dir):
         want_cov = sxy / (n - 1)
         assert abs(got[flag][0] - want_corr) < 1e-9
         assert abs(got[flag][1] - want_cov) / max(abs(want_cov), 1) < 1e-9
+
+
+def test_pagerank_matches_pure_python_power_iteration(spark):
+    """8 iterations on a small directed graph with a dangling node must
+    match the dense reference to float tolerance, and mass must be
+    conserved."""
+    from glue_jobs_for_data_pipeline_spark.operators.graph import pagerank
+
+    # node 5 only receives (no out-edges) -> exercises the dangling path
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (3, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"] for r in pagerank(e, iterations=8).collect()
+    }
+    nodes = sorted({u for p in edges for u in p})
+    n = len(nodes)
+    out = {u: [v for (s, v) in edges if s == u] for u in nodes}
+    r = {u: 1.0 / n for u in nodes}
+    d = 0.85
+    for _ in range(8):
+        dangling = sum(r[u] for u in nodes if not out[u])
+        contrib = {u: 0.0 for u in nodes}
+        for u in nodes:
+            for v in out[u]:
+                contrib[v] += r[u] / len(out[u])
+        base = (1 - d) / n + d * dangling / n
+        r = {u: base + d * contrib[u] for u in nodes}
+    assert set(got) == set(nodes)
+    for u in nodes:
+        assert abs(got[u] - r[u]) < 1e-9, (u, got[u], r[u])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_sink_accumulates_rank(spark):
+    # 1->3, 2->3: node 3 must outrank its sources
+    e = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank_helper(spark, e)}
+    assert got[3] > got[1] and got[3] > got[2]
+
+
+def pagerank_helper(spark, e):
+    from glue_jobs_for_data_pipeline_spark.operators.graph import pagerank
+
+    return pagerank(e, iterations=6).collect()
