@@ -4,8 +4,11 @@ salted replicated skew join (result-identical to the plain join, which
 the oracle states), the ANSI-SQL front end (the reference's users write
 SQL scripts — dynamic_upsert.py:110-152 is a SQL string pipeline — so
 the engine exposes spark.sql over registered views and the SAME text
-runs on both engines), and the streaming top-k serving pattern
-(windowed streaming aggregate + batch rank over the drained store).
+runs on both engines), the streaming top-k serving pattern (windowed
+streaming aggregate + batch rank over the drained store), and Z-order
+clustering (sources/zorder.py; the roundtrip is oracle-checked as a
+permutation, the skipping payoff is measured from parquet footers in
+tests/test_zorder.py).
 """
 
 from __future__ import annotations
@@ -139,4 +142,43 @@ def x_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("window_start", "event_type", "n_events", "rnk")
+    )
+
+
+_X_ZORDER_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@_q("x_storage_zorder_roundtrip", _X_ZORDER_SQL)
+def x_storage_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering roundtrip: lineitem rewritten Morton-clustered
+    on (l_partkey, l_suppkey) (sources/zorder.py — the Spark-native
+    analog of the Redshift sort keys the reference's tables lean on),
+    then aggregated from the clustered copy. Clustering is a pure
+    permutation, so the oracle states the aggregate over the ORIGINAL
+    table; the actual skipping payoff is measured from parquet footer
+    stats in tests/test_zorder.py (a 10% band on either clustered
+    column touches a strict subset of files; the single-column-sorted
+    layout touches ALL files on the second column)."""
+    from ..sources.readers import load_table
+    from ..sources.zorder import zorder_write
+    from .catalog_ext import _scratch_dir
+
+    out = _scratch_dir("zorder_rt_") + "/lineitem_z"
+    li = load_table(spark, sf_dir, "lineitem")
+    zorder_write(li, ["l_partkey", "l_suppkey"], out, n_files=8, bits=8)
+    return (
+        spark.read.parquet(out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
     )

@@ -1,0 +1,103 @@
+"""Z-order clustering tests: the claim is FILE SKIPPING, so the tests
+measure it honestly — read each output file's parquet footer min/max
+(pyarrow) and count which files a box predicate could touch. Z-order
+must beat the single-column-sorted layout on the OTHER column and beat
+random layout on both.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from glue_jobs_for_data_pipeline_spark.sources.zorder import zorder_write
+
+N_FILES = 8
+
+
+def _files_touching(path: str, col: str, lo: float, hi: float) -> int:
+    """Count parquet files whose [min,max] footer range for ``col``
+    intersects [lo, hi] — exactly the skip decision a reader makes."""
+    touched = 0
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    fmin = s.min if fmin is None else min(fmin, s.min)
+                    fmax = s.max if fmax is None else max(fmax, s.max)
+        assert fmin is not None, f"no stats for {col} in {f}"
+        if not (fmax < lo or fmin > hi):
+            touched += 1
+    return touched
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, sf_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("zorder")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    z = str(base / "zord")
+    zorder_write(li, ["l_partkey", "l_suppkey"], z, n_files=N_FILES, bits=8)
+    single = str(base / "single")
+    (
+        li.repartitionByRange(N_FILES, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(single)
+    )
+    rand = str(base / "rand")
+    li.repartition(N_FILES).write.mode("overwrite").parquet(rand)
+    # box: a narrow band on each clustered column
+    pk = li.agg(F.max("l_partkey")).collect()[0][0]
+    sk = li.agg(F.max("l_suppkey")).collect()[0][0]
+    return {
+        "z": z,
+        "single": single,
+        "rand": rand,
+        "pk_band": (0, pk * 0.10),
+        "sk_band": (0, sk * 0.10),
+    }
+
+
+def test_zorder_preserves_rows(spark, sf_dir, layouts):
+    orig = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = spark.read.parquet(layouts["z"])
+    assert got.count() == orig.count()
+    # clustering is a permutation, not a transformation
+    a = got.agg(F.sum("l_orderkey"), F.sum("l_partkey")).collect()[0]
+    b = orig.agg(F.sum("l_orderkey"), F.sum("l_partkey")).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def test_zorder_skips_on_both_columns(layouts):
+    lo, hi = layouts["pk_band"]
+    z_pk = _files_touching(layouts["z"], "l_partkey", lo, hi)
+    lo, hi = layouts["sk_band"]
+    z_sk = _files_touching(layouts["z"], "l_suppkey", lo, hi)
+    # a 10% band on either clustered column must avoid touching
+    # every file (random layout touches all N)
+    assert z_pk < N_FILES
+    assert z_sk < N_FILES
+
+
+def test_zorder_beats_single_sort_on_second_column(layouts):
+    lo, hi = layouts["sk_band"]
+    single_sk = _files_touching(layouts["single"], "l_suppkey", lo, hi)
+    z_sk = _files_touching(layouts["z"], "l_suppkey", lo, hi)
+    # the partkey-sorted layout has no suppkey locality: every file
+    # spans the full suppkey range
+    assert single_sk == N_FILES
+    assert z_sk < single_sk
+
+
+def test_random_layout_has_no_skipping(layouts):
+    lo, hi = layouts["pk_band"]
+    assert _files_touching(layouts["rand"], "l_partkey", lo, hi) == N_FILES
