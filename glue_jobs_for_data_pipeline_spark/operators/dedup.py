@@ -703,3 +703,81 @@ def shared_window_spans(
             ).alias("dup_ratio"),
         )
     )
+
+
+def simhash_md5_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs via SimHash built ENTIRELY from
+    cross-engine-stateable primitives — the hash-verifiable twin of
+    simhash_pairs (whose xxhash64 kernel no SQL engine can replay),
+    exactly as minhash_md5_pairs twins minhash_lsh_pairs.
+
+    Per doc: a ``bits``-wide signature where bit b is the sign of
+    sum(+1/-1 over distinct shingles by their md5 bit b) — computed as
+    ``bits`` map-side-combined conditional SUMs in ONE aggregation over
+    the posting list (the same single-shuffle shape as the minhash
+    MINs; no row multiplication per bit). Candidates come from a
+    co-located (band, band_value) self-join — pigeonhole: hamming <=
+    bands-1 guarantees some band matches, so with 4 bands every pair
+    at hamming <= 3 is found — then the EXACT hamming distance
+    (bit_count of xor, identical integer ops both engines) filters to
+    ``max_hamming``. Returns (doc_a, doc_b, hamming).
+
+    Ties (bit-sum exactly 0) map to bit 0 in both engines.
+    """
+    assert bits % bands == 0
+    r = bits // bands
+    posts = doc_shingles(spread(df), id_col, text_col, 3)
+    hx = F.conv(F.substring(F.md5(F.col("shingle")), 1, 4), 16, 10).cast("int")
+    hashed = posts.select("doc", hx.alias("hx"))
+    sums = hashed.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("hx"), b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    sigs = sums.select("doc", sig.cast("int").alias("sig"))
+    band_rows = sigs.select(
+        "doc",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        # shiftright()'s Python signature only takes a literal shift
+        # count; the SQL form accepts a column expression
+        "bv",
+        F.expr(f"shiftright(sig, band * {r}) & {(1 << r) - 1}"),
+    )
+    a = band_rows.select(
+        F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bv"
+    )
+    b2 = band_rows.select(
+        F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bv"
+    )
+    return (
+        a.join(b2, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )

@@ -3226,3 +3226,55 @@ def x_storage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).alias("version"), "o_orderstatus", "n"
     )
     return v1.unionByName(v2)
+
+
+# --------------------------------------------------------------------------
+# SimHash md5 twin (round 7) — hash-verifiable counterpart of
+# x_dedup_simhash, exactly as x_dedup_minhash_md5 twins the LSH tier
+# --------------------------------------------------------------------------
+
+_X_SIMHASH_MD5_SQL = r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+posts AS (
+  SELECT doc_id AS doc,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - 3, 0) + 2),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM w WHERE len(w) >= 3),
+hashed AS (
+  SELECT doc,
+         CAST(('0x' || substring(md5(shingle), 1, 4)) AS INT) AS hx
+  FROM posts),
+cnts AS (
+  SELECT doc, b,
+         SUM(CASE WHEN (hx >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, (SELECT unnest(range(0, 16)) AS b) bits
+  GROUP BY doc, b),
+sigs AS (
+  SELECT doc,
+         CAST(SUM(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS INT) AS sig
+  FROM cnts GROUP BY doc),
+bkey AS (
+  SELECT doc, sig, band, (sig >> (band * 4)) & 15 AS bv
+  FROM sigs, (SELECT unnest(range(0, 4)) AS band) bands)
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM bkey a JOIN bkey b USING (band, bv)
+WHERE a.doc < b.doc AND bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
+@_q("x_dedup_simhash_md5", _X_SIMHASH_MD5_SQL)
+def x_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidate pairs with a REAL DuckDB oracle: md5-derived
+    16-bit sign-sum signatures, 4-band pigeonhole candidate join
+    (complete for hamming <= 3), exact bit_count(xor) distance — every
+    step exact integer arithmetic both engines state identically, so
+    the candidate SET is hash-verified, not just counted. The
+    xxhash64/64-bit production tier (x_dedup_simhash) keeps the same
+    plan shape at full width and stays rows-only by nature
+    (operators/dedup.py::simhash_md5_pairs)."""
+    return dedup.simhash_md5_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )

@@ -208,3 +208,53 @@ def test_minhash_md5_finds_exact_and_near_dups(docs):
     assert (0, 3) in got
     # unrelated doc never shares a band signature
     assert not any(4 in p for p in got)
+
+
+def test_simhash_md5_pairs_complete_within_hamming(spark, sf_dir):
+    """Every returned pair is within the hamming budget, ordered, and
+    unique; and banding is COMPLETE: brute-forcing the signatures finds
+    no missed pair at hamming <= 3 (pigeonhole over 4 bands)."""
+    from glue_jobs_for_data_pipeline_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    pairs = dd.simhash_md5_pairs(docs, "doc_id", "text").collect()
+    seen = set()
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["hamming"] <= 3
+        key = (r["doc_a"], r["doc_b"])
+        assert key not in seen
+        seen.add(key)
+    # brute-force ground truth over the same signatures
+    import itertools
+
+    posts = dd.doc_shingles(docs, "doc_id", "text", 3)
+    from pyspark.sql import functions as F
+
+    hx = F.conv(F.substring(F.md5(F.col("shingle")), 1, 4), 16, 10).cast("int")
+    sums = (
+        posts.select("doc", hx.alias("hx"))
+        .groupBy("doc")
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col("hx"), b).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                ).alias(f"s{b}")
+                for b in range(16)
+            ]
+        )
+        .collect()
+    )
+    sigs = {
+        r["doc"]: sum((1 << b) for b in range(16) if r[f"s{b}"] > 0)
+        for r in sums
+    }
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert seen == want
