@@ -82,15 +82,16 @@ _WINDOW_FIRST = [
     "x_events_funnel",
     "x_events_retention",
     "x_olap_corr",
+    # (a) never driver-green: simhash md5 twin + full-outer stream join (2)
+    "x_dedup_simhash_md5",
+    "x_stream_stream_full_join",
     # (b) changed this round (3)
     "x_olap_freq_items",
     "x_merge_into",
     "x_dedup_ngram_jaccard",
-    # (c) oldest driver evidence (r04) — core parity + headliners (9)
+    # (c) oldest driver evidence (r04) — core parity + headliners (7)
     "s1_csv_bulk_load",
-    "s2_truncate_and_load",
     "s3_table_scan",
-    "s4_s7_staging_lifecycle",
     "s6_insert_select_append",
     "p7_in_subquery_semi",
     "p8_f12_table_dispatch",

@@ -3278,3 +3278,64 @@ def x_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_md5_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text"
     )
+
+
+_X_STREAM_STREAM_FULL_SQL = """
+WITH clicks AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'click'),
+errors AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'error'),
+wm AS (
+  SELECT LEAST(
+    (SELECT CAST(FLOOR(epoch_us(MAX(ts)) / 1000) AS BIGINT) FROM clicks),
+    (SELECT CAST(FLOOR(epoch_us(MAX(ts)) / 1000) AS BIGINT) FROM errors))
+    - 3600000 AS w_ms)
+SELECT l.user_id, l.event_id AS left_id, r.event_id AS right_id,
+       l.ts AS left_ts, r.ts AS right_ts
+FROM clicks l JOIN errors r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+UNION ALL
+SELECT l.user_id, l.event_id AS left_id, CAST(NULL AS BIGINT) AS right_id,
+       l.ts AS left_ts, CAST(NULL AS TIMESTAMP) AS right_ts
+FROM clicks l, wm
+WHERE NOT EXISTS (
+        SELECT 1 FROM errors r
+        WHERE r.user_id = l.user_id
+          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE)
+  AND CAST(FLOOR(epoch_us(l.ts) / 1000) AS BIGINT) + 1800000 < wm.w_ms
+UNION ALL
+SELECT r.user_id, CAST(NULL AS BIGINT) AS left_id, r.event_id AS right_id,
+       CAST(NULL AS TIMESTAMP) AS left_ts, r.ts AS right_ts
+FROM errors r, wm
+WHERE NOT EXISTS (
+        SELECT 1 FROM clicks l
+        WHERE l.user_id = r.user_id
+          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE)
+  AND CAST(FLOOR(epoch_us(r.ts) / 1000) AS BIGINT) < wm.w_ms
+"""
+
+
+@_q("x_stream_stream_full_join", _X_STREAM_STREAM_FULL_SQL)
+def x_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: the left-outer semantics
+    (x_stream_stream_left_join) plus matchless ERRORS null-extended on
+    THEIR state eviction — a right row's last possible match has
+    left_ts <= right_ts, so it evicts as soon as the global watermark
+    passes right_ts itself (no +lag term, unlike the left side whose
+    last match sits at left_ts + lag). Deterministic on the drained
+    fixture; the oracle states all three parts with the same
+    millisecond watermark arithmetic."""
+    from ..streaming.events import (
+        drain_to_memory,
+        read_events_stream,
+        stream_stream_interval_join,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    joined = stream_stream_interval_join(
+        ev, ev, max_lag_minutes=30, how="fullOuter"
+    )
+    return drain_to_memory(joined, "x_stream_stream_full_join", "append")

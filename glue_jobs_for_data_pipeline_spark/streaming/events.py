@@ -430,5 +430,12 @@ def stream_stream_interval_join(
         )
     )
     return l.join(r, cond, how).select(
-        "user_id", "left_id", "right_id", "left_ts", "right_ts"
+        # coalesce is the identity for inner/leftOuter (left user_id is
+        # never null there); for fullOuter it keeps the user on
+        # right-only null-extended rows
+        F.coalesce(F.col("user_id"), F.col("r_user_id")).alias("user_id"),
+        "left_id",
+        "right_id",
+        "left_ts",
+        "right_ts",
     )
