@@ -454,3 +454,48 @@ def test_stream_stream_left_join_evicts_then_holds(spark, tmp_path):
     # click 1 evicted matchless -> null row; pair (2,3) matched;
     # click 4 matchless but the watermark never passes it -> pending
     assert got == {(1, None), (2, 3)}
+
+
+def test_stream_stream_full_join_evicts_both_sides(spark, tmp_path):
+    """Full-outer interval join: matchless rows on EITHER side emit
+    null-extended once their state evicts; the right side's eviction
+    horizon is right_ts itself (no +lag), the left side's is
+    left_ts + lag; rows at the stream's head of time stay pending."""
+    import pandas as pd
+
+    from glue_jobs_for_data_pipeline_spark.streaming.events import (
+        drain_to_memory,
+        read_events_stream,
+        stream_stream_interval_join,
+    )
+
+    base_ns = 1_700_000_000_000_000_000
+    m = 60 * 1_000_000_000
+    rows = [
+        # user 1: matchless old click -> left-evicted null row
+        (1, base_ns, 1, "click", 1.0, "{}"),
+        # user 5: matchless old error -> right-evicted null row
+        (6, base_ns + m, 5, "error", 1.0, "{}"),
+        # user 2: matched pair
+        (2, base_ns + 4 * m, 2, "click", 1.0, "{}"),
+        (3, base_ns + 10 * m, 2, "error", 1.0, "{}"),
+        # head-of-time rows on both sides: matchless but pending
+        (4, base_ns + 600 * m, 3, "click", 1.0, "{}"),
+        (5, base_ns + 600 * m, 4, "error", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tmp_path / "mini_events3"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    ev = read_events_stream(spark, str(d))
+    out = drain_to_memory(
+        stream_stream_interval_join(ev, ev, max_lag_minutes=30, how="fullOuter"),
+        "t_ss_full", "append",
+    ).collect()
+    got = {(r["left_id"], r["right_id"]) for r in out}
+    assert got == {(1, None), (None, 6), (2, 3)}
+    # user_id survives on BOTH null-extended sides (coalesce)
+    users = {(r["left_id"], r["right_id"]): r["user_id"] for r in out}
+    assert users[(1, None)] == 1 and users[(None, 6)] == 5
