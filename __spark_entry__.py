@@ -85,15 +85,16 @@ _WINDOW_FIRST = [
     # (a) never driver-green: simhash md5 twin + full-outer stream join (2)
     "x_dedup_simhash_md5",
     "x_stream_stream_full_join",
+    # (a) never driver-green: IVM join / SCD2 as-of / equi-depth (3)
+    "x_ingest_incremental_join",
+    "x_scd2_point_in_time",
+    "x_olap_equidepth_histogram",
     # (b) changed this round (3)
     "x_olap_freq_items",
     "x_merge_into",
     "x_dedup_ngram_jaccard",
-    # (c) oldest driver evidence (r04) — core parity + headliners (7)
+    # (c) oldest driver evidence (r04) — core parity + headliners (4)
     "s1_csv_bulk_load",
-    "s3_table_scan",
-    "s6_insert_select_append",
-    "p7_in_subquery_semi",
     "p8_f12_table_dispatch",
     "x_olap_q1_style",
     "x_dedup_exact",

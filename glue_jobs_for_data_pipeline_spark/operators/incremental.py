@@ -165,3 +165,57 @@ def refresh_rollup(
         merged = merge_aggs(stored, delta, keys, measures)
     txn.txn_overwrite(merged, rollup_dir)
     return txn.read_committed(spark, rollup_dir)
+
+
+def refresh_join(
+    spark: SparkSession,
+    store_dir: str,
+    a_batch: DataFrame,
+    b_batch: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Incrementally maintain the materialized join J = A ⋈ B under
+    append-only batches — the delta-join rule (classic incremental view
+    maintenance):
+
+        ΔJ = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+        J_new = J_old ∪ ΔJ      (valid because appends cannot retract)
+
+    Cost per refresh is O(Δ ⋈ stored) — the deltas drive every join's
+    probe side — never O(A ⋈ B) over history; J_old is appended to,
+    not recomputed. At scale, store A and B bucketed on the key so the
+    three delta joins are shuffle-free on the stored side, and swap
+    the J_old union for a partition-append (txn.stage_version of only
+    ΔJ under a partition scheme) once J outgrows rewrite-per-refresh —
+    the delta ALGEBRA is the part that carries to 100 TB.
+
+    All three tables (A, B, J) commit in ONE multi-table transaction:
+    a reader never observes A containing a batch whose join
+    contributions are missing from J. First call bootstraps the store.
+    Returns the newly committed J.
+    """
+    a_dir, b_dir, j_dir = (
+        f"{store_dir}/a",
+        f"{store_dir}/b",
+        f"{store_dir}/j",
+    )
+    if txn.current_version(j_dir) is None:
+        new_a, new_b = a_batch, b_batch
+        new_j = a_batch.join(b_batch, key)
+    else:
+        a_old = txn.read_committed(spark, a_dir)
+        b_old = txn.read_committed(spark, b_dir)
+        j_old = txn.read_committed(spark, j_dir)
+        delta_j = (
+            a_batch.join(b_old, key)
+            .unionByName(a_old.join(b_batch, key))
+            .unionByName(a_batch.join(b_batch, key))
+        )
+        new_a = a_old.unionByName(a_batch)
+        new_b = b_old.unionByName(b_batch)
+        new_j = j_old.unionByName(delta_j)
+    with txn.Transaction() as t:
+        t.overwrite(new_a, a_dir)
+        t.overwrite(new_b, b_dir)
+        t.overwrite(new_j, j_dir)
+    return txn.read_committed(spark, j_dir)

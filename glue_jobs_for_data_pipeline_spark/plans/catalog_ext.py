@@ -3339,3 +3339,115 @@ def x_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ev, max_lag_minutes=30, how="fullOuter"
     )
     return drain_to_memory(joined, "x_stream_stream_full_join", "append")
+
+
+# --------------------------------------------------------------------------
+# Round-7 additions: delta-join IVM, SCD-2 point-in-time, equi-depth bins
+# --------------------------------------------------------------------------
+
+_X_IVM_JOIN_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@_q("x_ingest_incremental_join", _X_IVM_JOIN_SQL)
+def x_ingest_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN maintenance (delta-join IVM,
+    operators/incremental.py::refresh_join): orders and customer each
+    arrive in two batches (split by key parity); each refresh adds only
+    ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB and appends to the stored join — history is
+    never rejoined. After both refreshes the materialized J must equal
+    the one-shot join of everything, which the oracle states. All
+    three tables commit per refresh in one multi-table transaction, so
+    a reader never sees a batch in A whose contributions are missing
+    from J."""
+    from ..operators.incremental import refresh_join
+
+    store = _scratch_dir("ivm_join_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), "c_mktsegment"
+    )
+    o = o.withColumn("_k", F.col("o_custkey"))
+    c = c.withColumn("_k", F.col("c_custkey"))
+    refresh_join(
+        spark,
+        store,
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        c.filter(F.col("c_custkey") % 2 == 0),
+        "_k",
+    )
+    final = refresh_join(
+        spark,
+        store,
+        o.filter(F.col("o_orderkey") % 2 == 1),
+        c.filter(F.col("c_custkey") % 2 == 1),
+        "_k",
+    )
+    return final.select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+
+
+def _x_scd2_asof_sql() -> str:
+    from .catalog import _M1_SQL
+
+    return (
+        "SELECT * FROM ("
+        + _M1_SQL
+        + ") WHERE StartDate <= DATE '1995-03-15' "
+        + "AND EndDate >= DATE '1995-03-15'"
+    )
+
+
+@_q("x_scd2_point_in_time", _x_scd2_asof_sql())
+def x_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) read over the SCD-2 dimension: the rows
+    whose [StartDate, EndDate] validity interval covers 1995-03-15 — a
+    date BEFORE the second batch, so the result is exactly the initial
+    versions (including ones later expired: their EndDate moved to
+    1995-05-31, still >= the as-of date; the batch's new versions start
+    1995-06-01 and are excluded). This is the time-travel read contract
+    SCD-2 exists to serve; on the stored dim it is a pure filter the
+    parquet reader can push to StartDate/EndDate column stats."""
+    from .catalog import QUERIES as _Q
+
+    d = F.lit("1995-03-15").cast("date")
+    dim = _Q["m1_scd2_upsert"](spark, sf_dir)
+    return dim.filter((F.col("StartDate") <= d) & (F.col("EndDate") >= d))
+
+
+_X_EQUIDEPTH_SQL = """
+WITH t AS (
+  SELECT o_totalprice,
+         CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+           AS bucket
+  FROM orders)
+SELECT bucket, COUNT(*) AS n,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+FROM t GROUP BY bucket
+"""
+
+
+@_q("x_olap_equidepth_histogram", _X_EQUIDEPTH_SQL)
+def x_olap_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quantile bins) of order totals: NTILE(10)
+    under a total order, then per-bucket count/lo/hi — the optimizer-
+    statistics twin of x_olap_histogram's equi-WIDTH bins. The global
+    NTILE is a single-partition sort at dim scale; at fact scale the
+    equi-depth boundaries come from the exact/approx percentile
+    queries instead (x_olap_percentiles — same output contract, no
+    global sort)."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", F.ntile(10).over(w).cast("int").alias("bucket")
+    )
+    return t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )

@@ -129,3 +129,37 @@ def test_dedup_ingest_first_arrival_wins_across_batches(spark, tmp_path):
     b3 = spark.createDataFrame([(99, "gamma")], "doc_id long, text string")
     adm3 = incremental.dedup_ingest(spark, store, b3, "doc_id", fp)
     assert adm3.collect() == []
+
+
+def test_refresh_join_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Delta-join IVM: after N batched refreshes, the materialized join
+    equals the one-shot join of all accumulated rows, regardless of
+    which side each batch touched."""
+    from pyspark.sql import functions as F
+
+    from glue_jobs_for_data_pipeline_spark.operators.incremental import (
+        refresh_join,
+    )
+    from glue_jobs_for_data_pipeline_spark.sources.readers import load_table
+
+    store = str(tmp_path / "ivm")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .withColumn("_k", F.col("o_custkey"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("_k", F.col("c_custkey"))
+    )
+    # batch 1: even orders + ALL customers; batch 2: odd orders + NO
+    # new customers (empty delta on one side must be handled)
+    refresh_join(spark, store, o.filter("o_orderkey % 2 = 0"), c, "_k")
+    got = refresh_join(
+        spark, store, o.filter("o_orderkey % 2 = 1"), c.limit(0), "_k"
+    )
+    want = o.join(c, "_k")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
