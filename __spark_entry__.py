@@ -36,7 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # (plans/tpch_pack.py) — then (b) queries whose semantics changed this
 # round (freq-items scalarization, MERGE NULL-clause fix, jaccard
 # uncapped-_df restructure), then (c) the oldest r04-evidence core
-# keys (15 of them fit). Entries rotated OUT keep a regression check via
+# keys (only 4 fit after the packs took their slots — s1/p8/q1-style/
+# dedup-exact; the rest of the r04 cohort rides the committed full
+# sweep this round and rotates back in next round). Entries rotated
+# OUT keep a regression check via
 # tools/oracle_check.py over ALL keys — run pre-commit, full sweep
 # committed per round as ORACLE_SWEEP_r{N}.json.
 _WINDOW_FIRST = [

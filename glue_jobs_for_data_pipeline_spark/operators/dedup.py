@@ -732,6 +732,13 @@ def simhash_md5_pairs(
     Ties (bit-sum exactly 0) map to bit 0 in both engines.
     """
     assert bits % bands == 0
+    # pigeonhole completeness only holds up to bands-1 differing bits;
+    # a larger budget would SILENTLY miss pairs whose differing bits
+    # spread across all bands — refuse loudly instead
+    assert max_hamming <= bands - 1, (
+        f"max_hamming={max_hamming} needs >= {max_hamming + 1} bands "
+        f"for pigeonhole-complete banding (got {bands})"
+    )
     r = bits // bands
     posts = doc_shingles(spread(df), id_col, text_col, 3)
     hx = F.conv(F.substring(F.md5(F.col("shingle")), 1, 4), 16, 10).cast("int")

@@ -239,6 +239,10 @@ def pagerank(
     )
     nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()
+    if n == 0:
+        # empty edge list -> empty ranking (not a ZeroDivisionError at
+        # plan-build time)
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # edges annotated with out-degree once, cached partitioned on src —
     # every iteration's join reuses this layout instead of recomputing

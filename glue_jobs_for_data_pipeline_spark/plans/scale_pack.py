@@ -31,9 +31,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     runs against the warehouse by name — the entry point a user of the
     reference's SQL scripts would reach for first. Temp views are
     lazy metadata (no scan happens here) and re-registration just
-    repoints the name, so calling this per query is free."""
+    repoints the name, so calling this per query is free.
+
+    The events view goes through load_events, NOT the raw scan: the
+    fixture's ts layout has changed across generations (NTZ vs long
+    nanos — the r05 postmortem), and load_events is the single reader
+    that normalizes both and guards against non-UTC sessions silently
+    shifting NTZ instants. Raw-scanning it here would hand arbitrary
+    user SQL exactly the corruption that guard exists to prevent."""
+    from ..sources.readers import load_events as _load_events
+
     for name in TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        if name == "events":
+            _load_events(spark, sf_dir).createOrReplaceTempView(name)
+        else:
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:

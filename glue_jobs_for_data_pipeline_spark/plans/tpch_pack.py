@@ -935,7 +935,10 @@ def x_olap_q21_style(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q22-style: global sales opportunity (scalar AVG + NOT EXISTS)
 # --------------------------------------------------------------------------
 
-_X_Q22_NATIONS = "(1, 3, 5, 7, 9, 11, 13)"
+# single source of truth for the 7-nation panel: the SQL text and the
+# Spark filter both derive from this tuple, so they cannot desync
+_Q22_NATION_KEYS = (1, 3, 5, 7, 9, 11, 13)
+_X_Q22_NATIONS = "(" + ", ".join(str(k) for k in _Q22_NATION_KEYS) + ")"
 
 _X_Q22_SQL = f"""
 WITH avg_bal AS (
@@ -965,7 +968,7 @@ def x_olap_q22_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     same association both engines); 'no order since 1999' is a LEFT
     ANTI join against the date-pruned orders scan — never a correlated
     probe. Customer's only shuffle is the anti-join on custkey."""
-    nations = [1, 3, 5, 7, 9, 11, 13]
+    nations = list(_Q22_NATION_KEYS)
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_nationkey").isin(nations)
     )

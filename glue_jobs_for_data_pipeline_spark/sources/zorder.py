@@ -42,9 +42,12 @@ def _rank_expr(col: str, mn: str, mx: str, bits: int) -> F.Column:
         (F.col(col).cast("double") - F.col(mn)) / span
     )
     top = (1 << bits) - 1
-    return F.least(
-        F.lit(top), F.floor(scaled * F.lit(1 << bits)).cast("long")
-    ).alias(f"_rank_{col}")
+    rank = F.least(F.lit(top), F.floor(scaled * F.lit(1 << bits)).cast("long"))
+    # NULL values rank 0 (cluster at the LOW Morton corner) — without
+    # the coalesce, least() would SKIP the NULL and hand them the
+    # maximal rank, polluting the top region's footer stats with rows
+    # that match no range predicate
+    return F.coalesce(rank, F.lit(0).cast("long")).alias(f"_rank_{col}")
 
 
 def _interleave(rank_cols: list[str], bits: int) -> F.Column:

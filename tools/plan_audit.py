@@ -76,10 +76,11 @@ def main() -> None:
             "bnlj": plan.count("BroadcastNestedLoopJoin"),
             "cartesian": plan.count("CartesianProduct"),
             "row_python": plan.count("BatchEvalPython"),
+            # FlatMapGroupsInPandas is a substring of ...WithState —
+            # count the stateful node once, not twice
             "arrow_python": plan.count("ArrowEvalPython")
-            + plan.count("FlatMapGroupsInPandas")
             + plan.count("MapInPandas")
-            + plan.count("FlatMapGroupsInPandasWithState"),
+            + plan.count("FlatMapGroupsInPandas"),
             "wscg": plan.count("WholeStageCodegen"),
         }
         report[name] = rec
