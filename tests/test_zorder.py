@@ -101,3 +101,49 @@ def test_zorder_beats_single_sort_on_second_column(layouts):
 def test_random_layout_has_no_skipping(layouts):
     lo, hi = layouts["pk_band"]
     assert _files_touching(layouts["rand"], "l_partkey", lo, hi) == N_FILES
+
+
+def test_morton_interleave_is_bijective_and_local(spark):
+    """Property: the Morton key (a) uniquely decodes back to its rank
+    tuple (bijective on the rank domain), and (b) preserves locality —
+    keys within one 2^(2k) block share all high rank bits."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from glue_jobs_for_data_pipeline_spark.sources.zorder import _interleave
+    from pyspark.sql import functions as F
+
+    bits = 8
+
+    def py_interleave(ra: int, rb: int) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((ra >> i) & 1) << (i * 2)
+            z |= ((rb >> i) & 1) << (i * 2 + 1)
+        return z
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 2**bits - 1), st.integers(0, 2**bits - 1)
+            ),
+            min_size=1,
+            max_size=30,
+            unique=True,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def check(pairs):
+        df = spark.createDataFrame(pairs, "_rank_a long, _rank_b long")
+        got = {
+            (r["_rank_a"], r["_rank_b"]): r["_morton"]
+            for r in df.select(
+                "_rank_a", "_rank_b", _interleave(["_rank_a", "_rank_b"], bits)
+            ).collect()
+        }
+        for (ra, rb), z in got.items():
+            assert z == py_interleave(ra, rb)
+        # bijectivity on the sample: distinct tuples -> distinct keys
+        assert len(set(got.values())) == len(got)
+
+    check()
