@@ -27,80 +27,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate consumes exactly the FIRST 50 keys of
-# queries(), so registration order is the coverage knob. Round 7
-# priority order: (a) every oracle-able key that has NEVER been
-# driver-hash-green in any committed CORRECTNESS file — 16 carried from
-# earlier in the round (streaming-drain promotions, tfidf/bigram,
-# q10/q14, histogram, gap-fill, minhash-md5, native sessionize,
-# profile/anomaly/quality-keep) plus the 16-query TPC-H completion pack
-# (plans/tpch_pack.py) — then (b) queries whose semantics changed this
-# round (freq-items scalarization, MERGE NULL-clause fix, jaccard
-# uncapped-_df restructure), then (c) the oldest r04-evidence core
-# keys (only 4 fit after the packs took their slots — s1/p8/q1-style/
-# dedup-exact; the rest of the r04 cohort rides the committed full
-# sweep this round and rotates back in next round). Entries rotated
-# OUT keep a regression check via
-# tools/oracle_check.py over ALL keys — run pre-commit, full sweep
-# committed per round as ORACLE_SWEEP_r{N}.json.
+# queries(), so registration order is the coverage knob. Round 8
+# priority order: (a) the r07 red row, re-proved after pinning its
+# aggregate types to BIGINT on both engines (x_olap_q12_style — DuckDB
+# HUGEINT -> pandas float64 was the driver-vs-mirror divergence); then
+# (b) every oracle-able key that has never been driver-hash-green — the
+# 5 round-7 additions that missed the r07 window, plus this round's new
+# x_scd2_hash_keys (hash-surrogate SCD-2) and the re-pinned x_ts_twap;
+# then (c) the §2 parity cohort with the OLDEST driver evidence: all 43
+# parity keys last greened r02–r06 (the r02 source/predicate cohort,
+# the r05 join/agg/window/validate/merge cohort, the r06 function
+# cohort), so no §2 key's driver evidence ages past ~3 rounds. Left
+# out: s1_csv_bulk_load and p8_f12_table_dispatch (driver-green r07)
+# and the s1c ORC bonus (sweep-covered). x_olap_freq_items is OUT of
+# the window permanently — rows-only by design (sketch output; superset
+# property tested in tests/test_plans.py), it can never hash-match and
+# was wasting a slot as a phantom red (VERDICT r07 #2). Entries rotated
+# OUT keep a regression check via tools/oracle_check.py over ALL keys —
+# run pre-commit, full sweep committed per round as
+# ORACLE_SWEEP_r{N}.json.
 _WINDOW_FIRST = [
-    # (a) never driver-green: carried-from-earlier-in-round (16)
-    "x_stream_sessionize",
-    "x_stream_dedup",
-    "x_stream_static_join",
-    "x_stream_watermark_append",
-    "x_stream_stream_left_join",
-    "x_text_tfidf",
-    "x_text_bigram_lm",
-    "x_validate_profile",
-    "x_events_anomaly_zscore",
-    "x_corpus_dedup_quality_keep",
-    "x_dedup_minhash_md5",
-    "x_olap_q10_style",
-    "x_olap_q14_style",
-    "x_olap_histogram",
-    "x_ts_gap_fill",
-    "x_ts_sessionize_native",
-    # (a) never driver-green: TPC-H completion pack (16)
-    "x_olap_q2_style",
-    "x_olap_q4_style",
-    "x_olap_q6_style",
-    "x_olap_q7_style",
-    "x_olap_q8_style",
-    "x_olap_q9_style",
-    "x_olap_q11_style",
+    # (a) r07 red, root-caused + re-pinned (1)
     "x_olap_q12_style",
-    "x_olap_q13_style",
-    "x_olap_q15_style",
-    "x_olap_q16_style",
-    "x_olap_q17_style",
-    "x_olap_q19_style",
-    "x_olap_q20_style",
-    "x_olap_q21_style",
-    "x_olap_q22_style",
-    # (a) never driver-green: scale-technique pack (3)
-    "x_sql_frontend",
-    "x_skew_salted_join",
-    "x_stream_topk",
-    # (a) never driver-green: analytics pack (3)
-    "x_events_funnel",
-    "x_events_retention",
-    "x_olap_corr",
-    # (a) never driver-green: simhash md5 twin + full-outer stream join (2)
-    "x_dedup_simhash_md5",
-    "x_stream_stream_full_join",
-    # (a) never driver-green: IVM join / SCD2 as-of / equi-depth (3)
-    "x_ingest_incremental_join",
-    "x_scd2_point_in_time",
-    "x_olap_equidepth_histogram",
-    # (b) changed this round (3)
-    "x_olap_freq_items",
-    "x_merge_into",
-    "x_dedup_ngram_jaccard",
-    # (c) oldest driver evidence (r04) — core parity + headliners (4)
-    "s1_csv_bulk_load",
-    "p8_f12_table_dispatch",
-    "x_olap_q1_style",
-    "x_dedup_exact",
+    # (b) never driver-green oracle-able (7)
+    "x_ts_ohlc",
+    "x_ts_twap",
+    "x_olap_distribution_window",
+    "x_events_winsorize",
+    "x_storage_zorder_roundtrip",
+    "x_scd2_hash_keys",
+    # (b') JSON source bonus — oldest bonus evidence (r02)
+    "s1b_json_roundtrip",
+    # (c) oldest §2 driver evidence — r02 cohort (12)
+    "s2_truncate_and_load",
+    "s3_table_scan",
+    "s4_s7_staging_lifecycle",
+    "s5_ctas_cached",
+    "s6_insert_select_append",
+    "s8_row_generator",
+    "p1_projection",
+    "p2_computed_column",
+    "p3_literal_column",
+    "p4_equality_filter",
+    "p5_conjunction",
+    "p7_in_subquery_semi",
+    # (c) r05 cohort (16)
+    "j1_inner_equijoin",
+    "j3_left_semi_join",
+    "a2_groupby_count",
+    "a3_having",
+    "a4_distinct",
+    "w1_row_number",
+    "v1_null_counts",
+    "v2_pk_duplicates",
+    "v3_registry_membership",
+    "v4_validation_report",
+    "m1_scd2_upsert",
+    "m1b_scd2_delta_upsert",
+    "m2_j2_fact_population",
+    "m3_dim_dates",
+    "m4_update_where",
+    "m5_transactional_pipeline",
+    # (c) r06 cohort (14)
+    "p6_null_predicate",
+    "a1_count_star",
+    "l1_limit",
+    "f1_extract_year",
+    "f2_extract_quarter",
+    "f3_extract_month",
+    "f4_extract_day",
+    "f5_extract_dow",
+    "f6_extract_week",
+    "f7_date_plus_int",
+    "f8_yesterday",
+    "f9_cast_string_date",
+    "f10_load_date_default",
+    "f11_decimal_multiply",
 ]
 
 

@@ -309,7 +309,7 @@ l AS (
     FROM e)
 SELECT event_type, day,
        CAST(SUM(v * (nxt - tus)) AS DOUBLE) / SUM(nxt - tus) AS twap_value,
-       SUM(nxt - tus) AS total_dt_us
+       CAST(SUM(nxt - tus) AS BIGINT) AS total_dt_us
 FROM l WHERE nxt IS NOT NULL GROUP BY 1, 2
 """
 
@@ -353,7 +353,9 @@ def x_ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "day",
             (F.col("_num").cast("double") / F.col("_den")).alias("twap_value"),
-            F.col("_den").alias("total_dt_us"),
+            # BIGINT pinned on both engines (DuckDB SUM(int) widens to
+            # HUGEINT -> pandas float64 -> driver hash mismatch).
+            F.col("_den").cast("long").alias("total_dt_us"),
         )
     )
 

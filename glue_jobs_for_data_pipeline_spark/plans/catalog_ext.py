@@ -3451,3 +3451,63 @@ def x_olap_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").cast("double").alias("lo"),
         F.max("o_totalprice").cast("double").alias("hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-8 addition: SCD-2 hash surrogate-key mode, oracle-checked
+# --------------------------------------------------------------------------
+
+
+def _x_scd2_hash_sql() -> str:
+    # Same pipeline as m1's oracle with the surrogate column projected
+    # away: xxhash64 values cannot be reproduced in DuckDB, but every
+    # OTHER cell of the hash-mode run must match the rownum-mode run
+    # byte-for-byte, and the key property that matters (uniqueness) is
+    # verified Spark-side and exported as a constant-1 KeyOk column the
+    # oracle asserts.
+    from .catalog import _M1_SQL
+
+    return (
+        "SELECT CustomerID, Name, NationKey, AcctBal, MktSegment, "
+        "StartDate, EndDate, CAST(1 AS INT) AS KeyOk FROM ("
+        + _M1_SQL
+        + ")"
+    )
+
+
+@_q("x_scd2_hash_keys", _x_scd2_hash_sql())
+def x_scd2_hash_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 upsert with ``key_mode="hash"`` (operators/scd2.py:116-121),
+    the 100 TB-safe surrogate assignment: xxhash64(business_key,
+    version_date) is fully parallel — no single-partition ROW_NUMBER
+    window, no max-key broadcast — at the cost of non-contiguous keys.
+    Both the initial load and the second batch run in hash mode. The
+    oracle checks every non-key cell against the reference-mode result
+    (the two modes must agree on dim contents exactly) plus KeyOk: a
+    per-surrogate window count proving the hash keys are unique across
+    the whole dim (old versions hash the 1995-01-01 load date, new
+    versions 1995-06-01, so re-versioned keys cannot collide)."""
+    from ..operators.scd2 import scd2_upsert
+    from . import tpch_fixtures as fx
+
+    src = fx.ref_customers(spark, sf_dir)
+    cols = list(fx.CUSTOMER_COLS)
+    init = src.filter(F.col("CustomerID") % 3 != 0)
+    dim0 = scd2_upsert(
+        None, init, "CustomerID", cols, "CustomerKey",
+        run_date=fx.INITIAL_LOAD_DATE, key_mode="hash",
+    )
+    batch = src.filter(F.col("CustomerID") % 2 == 0).withColumn(
+        "Name", F.concat(F.col("Name"), F.lit(" v2"))
+    )
+    dim = scd2_upsert(
+        dim0, batch, "CustomerID", cols, "CustomerKey",
+        run_date=fx.SECOND_BATCH_DATE, mode="reference", key_mode="hash",
+    )
+    w = Window.partitionBy("CustomerKey")
+    return (
+        dim.withColumn(
+            "KeyOk", (F.count(F.lit(1)).over(w) == 1).cast("int")
+        )
+        .drop("CustomerKey")
+    )

@@ -1,4 +1,4 @@
-"""TPC-H completion pack: the 15 classic ad-hoc decision-support query
+"""TPC-H completion pack: the 16 classic ad-hoc decision-support query
 shapes not yet covered by catalog_ext's Q1/Q3/Q5/Q10/Q14/Q18 styles,
 adapted to the fixture star schema (no partsupp table, no
 l_shipmode/l_commitdate/l_receiptdate/c_phone columns — each query notes
@@ -463,10 +463,10 @@ def x_olap_q11_style(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X_Q12_SQL = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 45
   AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
@@ -499,8 +499,11 @@ def x_olap_q12_style(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_linestatus")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            # BIGINT pinned on BOTH engines: DuckDB widens SUM(int) to
+            # HUGEINT, which pandas renders as float64 (2.0 vs 2) and the
+            # driver hash-mismatches even when values are equal (r07 red).
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
     )
 

@@ -42,12 +42,21 @@ def _rank_expr(col: str, mn: str, mx: str, bits: int) -> F.Column:
         (F.col(col).cast("double") - F.col(mn)) / span
     )
     top = (1 << bits) - 1
-    rank = F.least(F.lit(top), F.floor(scaled * F.lit(1 << bits)).cast("long"))
-    # NULL values rank 0 (cluster at the LOW Morton corner) — without
-    # the coalesce, least() would SKIP the NULL and hand them the
-    # maximal rank, polluting the top region's footer stats with rows
-    # that match no range predicate
-    return F.coalesce(rank, F.lit(0).cast("long")).alias(f"_rank_{col}")
+    # NULL values rank 0 (cluster at the LOW Morton corner). The
+    # coalesce must sit INSIDE the least(): Spark's least() skips NULL
+    # operands, so least(top, NULL) returns top — a NULL value would
+    # silently land at the HIGH Morton corner and pollute the top
+    # region's footer stats with rows that match no range predicate
+    # (ADVICE r07). The same coalesce also absorbs the all-NULL-column
+    # case (mn/mx NULL -> span NULL -> scaled NULL).
+    rank = F.least(
+        F.lit(top),
+        F.coalesce(
+            F.floor(scaled * F.lit(1 << bits)).cast("long"),
+            F.lit(0).cast("long"),
+        ),
+    )
+    return rank.alias(f"_rank_{col}")
 
 
 def _interleave(rank_cols: list[str], bits: int) -> F.Column:
@@ -79,6 +88,11 @@ def zorder_write(
     prune box queries on any of the clustered columns. The rank
     min/max aggregate is one broadcast row; the range partitioner
     samples the Morton key as usual."""
+    # the Morton key lives in a signed 64-bit long: one more bit and
+    # shiftleft spills into the sign bit, silently corrupting the order
+    assert bits * len(cols) <= 63, (
+        f"bits*cols = {bits}*{len(cols)} exceeds the 63-bit Morton budget"
+    )
     stats = df.agg(
         *[
             f

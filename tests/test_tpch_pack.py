@@ -1,6 +1,6 @@
 """Plan + semantics audits for the TPC-H completion pack
 (plans/tpch_pack.py). The value-level correctness of every query is
-covered by the DuckDB differential sweep (tools/oracle_check.py, all 15
+covered by the DuckDB differential sweep (tools/oracle_check.py, all 16
 keys oracle-checked); these tests pin the SCALE properties the sweep
 cannot see — broadcast choices, pushdown, shuffle counts — plus the two
 semantic corners that are easy to silently regress (Q13's zero bucket,

@@ -103,6 +103,44 @@ def test_random_layout_has_no_skipping(layouts):
     assert _files_touching(layouts["rand"], "l_partkey", lo, hi) == N_FILES
 
 
+def test_null_values_rank_low_not_high(spark, tmp_path):
+    """NULLs in a clustered column must land at the LOW Morton corner
+    (rank 0), not the high one: Spark's least() skips NULL operands, so
+    an un-coalesced rank would silently get the max rank and pollute the
+    top files' footer stats (ADVICE r07). Verified end-to-end: with
+    NULLs present, the top-of-range file must still be skippable for a
+    mid-range band, and NULL rows must co-locate with the minimum."""
+    rows = [(i, float(i)) for i in range(1, 1001)] + [(None, -1.0)] * 50
+    df = spark.createDataFrame(rows, "k int, payload double")
+    path = str(tmp_path / "znull")
+    zorder_write(df, ["k"], path, n_files=4, bits=8)
+    # the files covering the TOP of the k range must contain no NULL-k
+    # rows: find each file's max k and assert NULL rows only appear in
+    # the file holding the global minimum
+    null_files, top_file, top_max = [], None, None
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        t = pq.read_table(f, columns=["k"])
+        ks = [v for v in t.column("k").to_pylist()]
+        if any(v is None for v in ks):
+            null_files.append(f)
+        mx = max((v for v in ks if v is not None), default=None)
+        if mx is not None and (top_max is None or mx > top_max):
+            top_max, top_file = mx, f
+    assert null_files, "expected NULL rows in output"
+    assert top_file not in null_files, (
+        "NULL rows landed in the top-of-range file — least() skipped "
+        "the NULL rank"
+    )
+
+
+def test_zorder_rejects_morton_overflow(spark):
+    """bits * len(cols) > 63 would spill into the sign bit; the write
+    must refuse rather than silently corrupt the ordering."""
+    df = spark.range(10).selectExpr("id a", "id b", "id c", "id d")
+    with pytest.raises(AssertionError, match="63-bit"):
+        zorder_write(df, ["a", "b", "c", "d"], "/tmp/_never_written", bits=16)
+
+
 def test_morton_interleave_is_bijective_and_local(spark):
     """Property: the Morton key (a) uniquely decodes back to its rank
     tuple (bijective on the rank domain), and (b) preserves locality —

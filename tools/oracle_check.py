@@ -88,6 +88,28 @@ def unpinned_decimals(schema) -> list[str]:
     return found
 
 
+def oracle_wide_decimals(con, sql: str) -> list[str]:
+    """Oracle-result columns that pandas cannot keep integral.
+
+    DuckDB widens SUM(int) to HUGEINT and SUM(decimal) to DECIMAL(38,_);
+    both surface as arrow decimal128(p>18). The DRIVER materializes the
+    oracle via pandas, which renders those as float64 (``2.0``) or
+    object-Decimal — hash-mismatching a byte-identical Spark BIGINT
+    (r07: x_olap_q12_style red at the driver, green here). fetchall()
+    used below yields Python ints, so value comparison alone cannot see
+    it: the oracle's arrow schema must be policed directly. Fix sites
+    by pinning the SQL (CAST(... AS BIGINT/DOUBLE)).
+    """
+    import pyarrow as pa
+
+    schema = con.execute(f"SELECT * FROM ({sql}) _q LIMIT 0").fetch_arrow_table().schema
+    return [
+        f"{f.name}:{f.type}"
+        for f in schema
+        if pa.types.is_decimal(f.type) and f.type.precision > 18
+    ]
+
+
 def unhashable_cols(schema) -> list[str]:
     """Columns whose type the DRIVER's canonicalizer cannot hash.
 
@@ -198,6 +220,16 @@ def main() -> int:
             # cells at all, so the schema alone fails its gate.
             status = "FAIL "
             notes.append(f"driver-unhashable output column: {bad_complex}")
+        try:
+            bad_odec = oracle_wide_decimals(con, oracles[name])
+        except Exception:  # noqa: BLE001  (LIMIT-0 probe is best-effort)
+            bad_odec = []
+        if bad_odec:
+            # stricter than values-equal: the driver's pandas fetch turns
+            # HUGEINT/DECIMAL(38) into float64/object and hash-mismatches
+            # even byte-identical values (r07 q12).
+            status = "FAIL "
+            notes.append(f"unpinned wide decimal in ORACLE output: {bad_odec}")
         if len(srows) != len(orows):
             status, _ = "FAIL ", notes.append(
                 f"rowcount spark={len(srows)} duckdb={len(orows)}"
