@@ -89,21 +89,32 @@ def main() -> None:
             pass
     from glue_jobs_for_data_pipeline_spark.operators.dedup import release_caches
 
-    # Two full passes, min per query: the host shows multi-second noise
-    # spikes on single samples (same query swings 2.4s..15s run-to-run
-    # while neighbors stay flat); min-of-N is the standard estimator for
-    # the engine's actual cost under external interference.
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-    timings: dict[str, float] = {}
+    # Min-of-4 per query: the host shows multi-second noise spikes on
+    # single samples (same query swings 2.4s..15s run-to-run while
+    # neighbors stay flat; r06->r07 showed a UNIFORM 1.25x shift across
+    # unrelated plans under min-of-2 — pure host noise). min-of-N is the
+    # estimator for the engine's actual cost under external
+    # interference; the median is reported alongside so a cross-round
+    # reader can see the noise floor, and m3_dim_dates (constant work,
+    # 731 rows, no scan) doubles as a calibration query: normalize
+    # cross-round comparisons by its ratio before calling regressions.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "4"))
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for _ in range(n_passes):
         for name in BENCH_QUERIES:
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            elapsed = round(time.time() - t0, 3)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
+            samples[name].append(round(time.time() - t0, 3))
             release_caches()  # dedup signature caches are per-query scratch
 
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
+
+    timings = {name: min(xs) for name, xs in samples.items()}
+    medians = {name: _median(xs) for name, xs in samples.items()}
     print(
         json.dumps(
             {
@@ -111,6 +122,12 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "calib": {
+                    "query": "m3_dim_dates",
+                    "min": timings["m3_dim_dates"],
+                    "median": medians["m3_dim_dates"],
+                },
                 "sf": float(sf),
                 "passes": n_passes,
                 "estimator": "min",

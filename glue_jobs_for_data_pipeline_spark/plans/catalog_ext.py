@@ -1937,7 +1937,7 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_streaming.py."""
     from ..streaming.events import (
         dedup_stream,
-        drain_to_memory,
+        drain_stream,
         read_events_stream,
     )
 
@@ -1945,7 +1945,7 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream(spark, sf_dir)
     )
     deduped = dedup_stream(doubled).select("event_id", "user_id", "event_type")
-    return drain_to_memory(deduped, "events_dedup", "append")
+    return drain_stream(deduped, "events_dedup", "append")
 
 
 @_q(
@@ -1961,7 +1961,7 @@ def x_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the memory sink in complete mode — a deterministic grouped count,
     so oracle-checked as the equivalent batch join (r06 verdict #2)."""
     from ..streaming.events import (
-        drain_to_memory,
+        drain_stream,
         enrich_stream_static,
         read_events_stream,
     )
@@ -1973,7 +1973,7 @@ def x_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = enriched.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    return drain_to_memory(agg, "events_enriched", "complete")
+    return drain_stream(agg, "events_enriched", "complete")
 
 
 _X_STREAM_WM_APPEND_SQL = """
@@ -2007,13 +2007,13 @@ def x_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor_ms(max_ts) - 10 min, stated in the oracle with the same
     millisecond flooring Spark uses for watermark arithmetic."""
     from ..streaming.events import (
-        drain_to_memory,
+        drain_stream,
         read_events_stream,
         watermarked_event_agg,
     )
 
     agg = watermarked_event_agg(read_events_stream(spark, sf_dir))
-    return drain_to_memory(agg, "events_wm_append", "append")
+    return drain_stream(agg, "events_wm_append", "append")
 
 
 # The streaming ingest replays the m1b delta fixture batch-by-batch, so
@@ -2723,14 +2723,14 @@ def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides watermarked + time-bounded -> join state is purged, bounded
     by rate x lag (streaming/events.py)."""
     from ..streaming.events import (
-        drain_to_memory,
+        drain_stream,
         read_events_stream,
         stream_stream_interval_join,
     )
 
     ev = read_events_stream(spark, sf_dir)
     joined = stream_stream_interval_join(ev, ev, max_lag_minutes=30)
-    return drain_to_memory(joined, "x_stream_stream_join", "append")
+    return drain_stream(joined, "x_stream_stream_join", "append")
 
 
 _X_STREAM_STREAM_LEFT_SQL = """
@@ -2774,7 +2774,7 @@ def x_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained fixture, so the oracle states BOTH parts: the inner match
     set, plus the matchless clicks old enough to have evicted."""
     from ..streaming.events import (
-        drain_to_memory,
+        drain_stream,
         read_events_stream,
         stream_stream_interval_join,
     )
@@ -2783,7 +2783,7 @@ def x_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_stream_interval_join(
         ev, ev, max_lag_minutes=30, how="leftOuter"
     )
-    return drain_to_memory(joined, "x_stream_stream_left_join", "append")
+    return drain_stream(joined, "x_stream_stream_left_join", "append")
 
 
 _X_Q5_SQL = """
@@ -3329,7 +3329,7 @@ def x_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture; the oracle states all three parts with the same
     millisecond watermark arithmetic."""
     from ..streaming.events import (
-        drain_to_memory,
+        drain_stream,
         read_events_stream,
         stream_stream_interval_join,
     )
@@ -3338,7 +3338,7 @@ def x_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_stream_interval_join(
         ev, ev, max_lag_minutes=30, how="fullOuter"
     )
-    return drain_to_memory(joined, "x_stream_stream_full_join", "append")
+    return drain_stream(joined, "x_stream_stream_full_join", "append")
 
 
 # --------------------------------------------------------------------------

@@ -24,18 +24,43 @@ from pyspark.sql import types as T
 from ..sources.readers import load_events, normalize_event_ts
 
 
-def drain_to_memory(
+def drain_stream(
     df: DataFrame, query_name: str, output_mode: str
 ) -> DataFrame:
-    """Run a streaming query to exhaustion against the memory sink and
-    return the final result re-materialized as a batch DataFrame (the
-    in-memory sink table dies with the query). One definition for the
-    start / processAllAvailable / stop / collect dance every
-    local-harness streaming query needs."""
+    """Run a streaming query to exhaustion against a per-query temp
+    parquet sink (via foreachBatch) and return the result as a batch
+    DataFrame backed by those files.
+
+    This replaced the r02–r07 memory-sink + ``collect()`` drain: the
+    memory sink materializes the whole result ON THE DRIVER, capping
+    drain size at driver RAM — fine for a harness, wrong as the engine's
+    stated pattern. foreachBatch keeps every batch write executor-side:
+    ``append`` mode appends each micro-batch's rows; ``complete`` mode
+    overwrites, so the last batch IS the final result. (The plain
+    ``.format("parquet")`` file sink cannot express complete mode at
+    all, which is why foreachBatch does the writing.) The scratch dir
+    must outlive the call — the returned frame reads it lazily and the
+    driver collects later — so cleanup is deferred to interpreter exit.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
     spark = df.sparkSession
+    out_dir = tempfile.mkdtemp(prefix=f"stream_drain_{query_name}_")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    # seed an empty file so a zero-batch stream still yields a readable,
+    # correctly-schemed result
+    spark.createDataFrame([], df.schema).write.mode("overwrite").parquet(out_dir)
+    batch_mode = "complete" if output_mode == "complete" else "append"
+
+    def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        mode = "overwrite" if batch_mode == "complete" else "append"
+        batch_df.write.mode(mode).parquet(out_dir)
+
     q = (
         df.writeStream.outputMode(output_mode)
-        .format("memory")
+        .foreachBatch(_write_batch)
         .queryName(query_name)
         .start()
     )
@@ -43,8 +68,11 @@ def drain_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
-    out = spark.table(query_name)
-    return spark.createDataFrame(out.collect(), out.schema)
+    return spark.read.parquet(out_dir)
+
+
+# Back-compat name (pre-r08 the drain went through the memory sink).
+drain_to_memory = drain_stream
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,7 +142,7 @@ def run_stream_to_batch(
     """Drive the windowed aggregation over all available input and return
     the final result as a batch DataFrame (memory sink, complete mode)."""
     agg = windowed_event_agg(read_events_stream(spark, sf_dir), window)
-    return drain_to_memory(agg, query_name, "complete")
+    return drain_stream(agg, query_name, "complete")
 
 
 def watermarked_event_agg(events: DataFrame) -> DataFrame:
@@ -225,7 +253,7 @@ def sessionize_stateful(
             fn, SESSION_SCHEMA, _STATE_SCHEMA, "append", "EventTimeTimeout"
         )
     )
-    return drain_to_memory(sessions, "sessions_out", "append")
+    return drain_stream(sessions, "sessions_out", "append")
 
 
 def dedup_stream(

@@ -142,6 +142,63 @@ def test_ivf_pq_recall_floor(spark, sf_dir):
     assert recall >= 0.4, f"IVF-PQ recall {recall} below floor"
 
 
+def _recall(exact_pairs: set, approx_df) -> float:
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx_df.collect()}
+    return len(exact_pairs & a) / len(exact_pairs)
+
+
+def test_ivf_recall_monotone_in_probe_width(spark, sf_dir):
+    """The knob a 100 TB deployment actually turns: n_probe. Probing
+    n+1 cells considers a strict SUPERSET of the candidates probed at n
+    (assign_ivf_cells ranks cells per query and keeps the top n_probe),
+    and candidates re-rank by exact cosine — so recall must be
+    non-decreasing in probe width, and probing every cell must recover
+    the brute-force result exactly (recall 1.0: same self-exclusion,
+    same id tie-break)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=10).collect()
+    }
+    recalls = [
+        _recall(
+            exact,
+            similarity.ivf_topk(emb, queries, k=10, n_cells=8, n_probe=p),
+        )
+        for p in (1, 2, 4, 8)
+    ]
+    assert all(b >= a for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[-1] == 1.0, recalls
+
+
+def test_pq_recall_non_degrading_in_codebook_size(spark, sf_dir):
+    """The PQ quality knob: codebook size (nbits per subquantizer).
+    Finer codebooks quantize with less distortion, so ADC candidate
+    ranking gets closer to exact ranking. k-means fitting keeps this
+    from being strictly monotone sample-to-sample, so the assertion is
+    the operational one: the finest codebook must not do worse than the
+    coarsest (small tolerance for fit noise), and every tier clears the
+    existing recall floor."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=10).collect()
+    }
+    recalls = {}
+    for n_codes in (4, 16, 64):
+        books = similarity.pq_fit(
+            emb, m=8, n_codes=n_codes, n_iters=4, sample_n=512
+        )
+        recalls[n_codes] = _recall(
+            exact,
+            similarity.pq_adc_topk(emb, queries, books, k=10, refine=4),
+        )
+    assert recalls[64] >= recalls[4] - 0.05, recalls
+    assert min(recalls.values()) >= 0.3, recalls
+
+
 def test_pq_fit_rejects_undersized_sample(spark):
     # corpus smaller than n_codes must raise, not silently yield a
     # short codebook (ADVICE r04: similarity.py pq_fit init guard)

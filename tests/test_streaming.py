@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from glue_jobs_for_data_pipeline_spark.sources.readers import load_events
 from glue_jobs_for_data_pipeline_spark.streaming.events import (
-    drain_to_memory,
+    drain_stream,
     read_events_stream,
     run_stream_to_batch,
     sessionize_stateful,
@@ -20,7 +20,7 @@ def test_batch_and_stream_readers_agree_on_ts(spark, sf_dir):
     nanos-int64 -> timestamp[us]) once made the stream reader misread µs
     as ns, silently collapsing two years of events into minutes — this
     pins the two readers together so that failure mode is loud."""
-    streamed = drain_to_memory(
+    streamed = drain_stream(
         read_events_stream(spark, sf_dir).select("event_id", "ts"),
         "t_reader_eq",
         "append",
@@ -306,13 +306,13 @@ def test_scd2_stream_replay_is_noop(spark, tmp_path):
 
 def test_stream_stream_join_equals_batch(spark, sf_dir):
     from glue_jobs_for_data_pipeline_spark.streaming.events import (
-        drain_to_memory,
+        drain_stream,
         read_events_stream,
         stream_stream_interval_join,
     )
 
     ev = read_events_stream(spark, sf_dir)
-    streamed = drain_to_memory(
+    streamed = drain_stream(
         stream_stream_interval_join(ev, ev, max_lag_minutes=30),
         "t_ss_join",
         "append",
@@ -421,7 +421,7 @@ def test_stream_stream_left_join_evicts_then_holds(spark, tmp_path):
     import pandas as pd
 
     from glue_jobs_for_data_pipeline_spark.streaming.events import (
-        drain_to_memory,
+        drain_stream,
         read_events_stream,
         stream_stream_interval_join,
     )
@@ -446,7 +446,7 @@ def test_stream_stream_left_join_evicts_then_holds(spark, tmp_path):
     d.mkdir()
     pdf.to_parquet(d / "events.parquet")
     ev = read_events_stream(spark, str(d))
-    out = drain_to_memory(
+    out = drain_stream(
         stream_stream_interval_join(ev, ev, max_lag_minutes=30, how="leftOuter"),
         "t_ss_left", "append",
     ).collect()
@@ -464,7 +464,7 @@ def test_stream_stream_full_join_evicts_both_sides(spark, tmp_path):
     import pandas as pd
 
     from glue_jobs_for_data_pipeline_spark.streaming.events import (
-        drain_to_memory,
+        drain_stream,
         read_events_stream,
         stream_stream_interval_join,
     )
@@ -490,7 +490,7 @@ def test_stream_stream_full_join_evicts_both_sides(spark, tmp_path):
     d.mkdir()
     pdf.to_parquet(d / "events.parquet")
     ev = read_events_stream(spark, str(d))
-    out = drain_to_memory(
+    out = drain_stream(
         stream_stream_interval_join(ev, ev, max_lag_minutes=30, how="fullOuter"),
         "t_ss_full", "append",
     ).collect()
