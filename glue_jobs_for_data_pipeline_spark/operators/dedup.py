@@ -788,3 +788,51 @@ def simhash_md5_pairs(
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    block_expr: F.Column,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Entity-resolution fuzzy matching: near-identical name pairs via
+    blocking + edit distance, computed on the NAME DICTIONARY.
+
+    The naive shape — self-join the rows, levenshtein every pair — is
+    O(n²) in the corpus. Two standard reductions make it scale:
+
+    1. **Blocking**: only pairs sharing a cheap deterministic block key
+       (caller-supplied expression, e.g. the first token) are compared;
+       cross-block pairs are assumed non-matches. This is the classic
+       ER blocking step — recall is bounded by the blocking choice, and
+       callers wanting multi-pass blocking union several calls.
+    2. **Dictionary folding**: rows collapse to DISTINCT names first
+       (with per-name row counts), the quadratic join runs on the
+       dictionary — vocabulary-sized, typically orders of magnitude
+       smaller than the corpus — and matches map back by count. At
+       100 TB the dictionary still fits comfortably in a shuffle.
+
+    Output: one row per unordered distinct-name pair in the same block
+    with 1 <= levenshtein <= max_dist (0 excluded: exact duplicates are
+    exact_dedup's job), carrying each name's row count so downstream
+    merge decisions can weigh cluster sizes.
+    """
+    names = (
+        df.groupBy(F.col(name_col).alias("_name"), block_expr.alias("_blk"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    a = names.select(
+        F.col("_name").alias("name_a"), "_blk", F.col("_n").alias("n_rows_a")
+    )
+    b = names.select(
+        F.col("_name").alias("name_b"), "_blk", F.col("_n").alias("n_rows_b")
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
+        .select("name_a", "name_b", "dist", "n_rows_a", "n_rows_b")
+    )

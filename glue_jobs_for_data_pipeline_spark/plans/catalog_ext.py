@@ -1164,16 +1164,31 @@ def x_olap_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "x_skew_salted_agg",
-    "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag",
+    "SELECT l_returnflag, COUNT(*) AS cnt, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty "
+    "FROM lineitem GROUP BY l_returnflag",
 )
 def x_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over a 3-value hot key — result
     identical to plain GROUP BY (the oracle states it), but the heavy
-    phase spreads each hot key across 16 reducers instead of 3."""
-    from ..operators.skew import salted_count
+    phase spreads each hot key across 16 reducers instead of 3. Both
+    salted kernels run: COUNT sums partial counts, SUM sums partial
+    DECIMAL sums (exact type, so re-aggregation order cannot matter);
+    the two 3-row phase-2 outputs join on the key for free
+    (operators/skew.py:salted_count/salted_sum)."""
+    from ..operators.skew import salted_count, salted_sum
 
-    return salted_count(
-        load_table(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_orderkey"
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = salted_count(li, ["l_returnflag"], "l_orderkey")
+    qty = salted_sum(
+        li,
+        ["l_returnflag"],
+        F.col("l_quantity").cast("decimal(18,2)"),
+        salt_from="l_orderkey",
+        alias="_qty",
+    )
+    return cnt.join(qty, "l_returnflag").select(
+        "l_returnflag", "cnt", F.col("_qty").cast("double").alias("total_qty")
     )
 
 
@@ -3510,4 +3525,43 @@ def x_scd2_hash_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             "KeyOk", (F.count(F.lit(1)).over(w) == 1).cast("int")
         )
         .drop("CustomerKey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-8 addition: blocked fuzzy entity resolution
+# --------------------------------------------------------------------------
+
+_X_FUZZY_SQL = """
+WITH names AS (
+  SELECT p_name, string_split(p_name, ' ')[1] AS blk,
+         COUNT(*) AS n FROM part GROUP BY 1, 2)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+       a.n AS n_rows_a, b.n AS n_rows_b
+FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+"""
+
+
+@_q("x_dedup_fuzzy_match", _X_FUZZY_SQL)
+def x_dedup_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution over part names
+    (operators/dedup.py:blocked_fuzzy_pairs): rows fold to the DISTINCT
+    name dictionary first (vocabulary-sized — 64 names over 2000 parts
+    at sf0.01, and still vocabulary-sized at 100 TB), the quadratic
+    levenshtein join runs inside first-token blocks on that dictionary
+    only, and per-name row counts ride along for downstream merge
+    weighting. Levenshtein has identical unit-cost semantics in Spark
+    and DuckDB, so the pair set is oracle-exact. Exact-duplicate names
+    (dist 0) are excluded — that's x_dedup_exact's contract."""
+    from ..operators.dedup import blocked_fuzzy_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return blocked_fuzzy_pairs(
+        part,
+        key_col="p_partkey",
+        name_col="p_name",
+        block_expr=F.split(F.col("p_name"), " ").getItem(0),
+        max_dist=3,
     )

@@ -258,3 +258,61 @@ def test_simhash_md5_pairs_complete_within_hamming(spark, sf_dir):
         if bin(sigs[a] ^ sigs[b]).count("1") <= 3
     }
     assert seen == want
+
+
+def test_blocked_fuzzy_pairs_known_distances(spark):
+    """Hand fixture with known edit distances: same-block pairs within
+    max_dist surface exactly once with correct distance and per-name
+    row counts; dist-0 (exact dup) and cross-block pairs are excluded."""
+    from glue_jobs_for_data_pipeline_spark.operators.dedup import (
+        blocked_fuzzy_pairs,
+    )
+
+    rows = [
+        (1, "red ring"),
+        (2, "red ring"),   # exact dup of 1 -> folded, no pair
+        (3, "red king"),   # dist 1 from "red ring", same block
+        (4, "red widget"), # dist >3 from both -> no pair
+        (5, "blue ring"),  # different block: never compared to red*
+    ]
+    df = spark.createDataFrame(rows, "k int, name string")
+    out = blocked_fuzzy_pairs(
+        df,
+        key_col="k",
+        name_col="name",
+        block_expr=F.split(F.col("name"), " ").getItem(0),
+        max_dist=3,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["name_a"], r["name_b"], r["dist"]) == ("red king", "red ring", 1)
+    # dictionary folding: "red ring" appears twice in the corpus
+    assert (r["n_rows_a"], r["n_rows_b"]) == (1, 2)
+
+
+def test_blocked_fuzzy_pairs_runs_on_dictionary_not_rows(spark):
+    """Scale contract: the quadratic join touches DISTINCT names, so
+    inflating row multiplicity must not change the pair set (only the
+    counts)."""
+    from glue_jobs_for_data_pipeline_spark.operators.dedup import (
+        blocked_fuzzy_pairs,
+    )
+
+    base = [(i, n) for i, n in enumerate(["hot gear", "hot bear", "hot pump"])]
+    fat = [(100 * j + i, n) for j in range(50) for i, n in base]
+    kw = dict(
+        key_col="k",
+        name_col="name",
+        block_expr=F.split(F.col("name"), " ").getItem(0),
+        max_dist=2,
+    )
+    p1 = blocked_fuzzy_pairs(
+        spark.createDataFrame(base, "k int, name string"), **kw
+    ).collect()
+    p50 = blocked_fuzzy_pairs(
+        spark.createDataFrame(fat, "k int, name string"), **kw
+    ).collect()
+    pairs1 = {(r["name_a"], r["name_b"], r["dist"]) for r in p1}
+    pairs50 = {(r["name_a"], r["name_b"], r["dist"]) for r in p50}
+    assert pairs1 == pairs50 == {("hot bear", "hot gear", 1)}
+    assert all(r["n_rows_a"] == 50 and r["n_rows_b"] == 50 for r in p50)

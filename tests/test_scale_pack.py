@@ -83,3 +83,47 @@ def test_stream_topk_matches_batch_rank(spark, sf_dir):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_salted_agg_equals_plain_groupby(spark, sf_dir):
+    """The salt must cancel exactly: two-phase salted count/sum over the
+    hot 3-value key equals the direct aggregation, and phase 1 really
+    spreads each key over multiple salt groups."""
+    from glue_jobs_for_data_pipeline_spark.operators.skew import (
+        salted_count,
+        salted_sum,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = {
+        r["l_returnflag"]: (r["cnt"], str(r["qty"]))
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+        )
+        .collect()
+    }
+    cnt = salted_count(li, ["l_returnflag"], salt_from="l_orderkey")
+    qty = salted_sum(
+        li,
+        ["l_returnflag"],
+        F.col("l_quantity").cast("decimal(18,2)"),
+        salt_from="l_orderkey",
+        alias="qty",
+    )
+    got = {
+        r["l_returnflag"]: (r["cnt"], str(r["qty"]))
+        for r in cnt.join(qty, "l_returnflag").collect()
+    }
+    assert got == plain
+    # phase 1 spread: each hot key occupies >1 salt group
+    spread = (
+        li.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("l_orderkey")), F.lit(16))
+        )
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("_salt").alias("n_salts"))
+        .collect()
+    )
+    assert all(r["n_salts"] > 8 for r in spread), spread
