@@ -49,7 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _WINDOW_FIRST = [
     # (a) r07 red, root-caused + re-pinned (1)
     "x_olap_q12_style",
-    # (b) never driver-green oracle-able (7)
+    # (b) never driver-green oracle-able (6)
     "x_ts_ohlc",
     "x_ts_twap",
     "x_olap_distribution_window",
@@ -58,6 +58,12 @@ _WINDOW_FIRST = [
     "x_scd2_hash_keys",
     # (b') JSON source bonus — oldest bonus evidence (r02)
     "s1b_json_roundtrip",
+    # (b'') new/changed this round: fuzzy ER (new), partition pruning
+    # (new), salted agg (output extended with salted_sum — prior
+    # driver evidence covered the count-only version)
+    "x_dedup_fuzzy_match",
+    "x_storage_partition_pruning",
+    "x_skew_salted_agg",
     # (c) oldest §2 driver evidence — r02 cohort (12)
     "s2_truncate_and_load",
     "s3_table_scan",
@@ -88,14 +94,14 @@ _WINDOW_FIRST = [
     "m3_dim_dates",
     "m4_update_where",
     "m5_transactional_pipeline",
-    # (c) r06 cohort (14)
+    # (c) r06 cohort (11)
     "p6_null_predicate",
     "a1_count_star",
     "l1_limit",
     "f1_extract_year",
-    "f2_extract_quarter",
-    "f3_extract_month",
-    "f4_extract_day",
+    # (f2/f3/f4 extract quarter/month/day rotate out this round — r06
+    # driver evidence, trivial kernels, same shape as f1; they ride the
+    # committed sweep and rotate back next round)
     "f5_extract_dow",
     "f6_extract_week",
     "f7_date_plus_int",

@@ -3529,6 +3529,47 @@ def x_scd2_hash_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-8 addition: hive-partitioned layout + partition pruning
+# --------------------------------------------------------------------------
+
+_X_PART_PRUNE_SQL = """
+SELECT l_returnflag, COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE strftime(CAST(l_shipdate AS DATE), '%Y-%m') = '1996-03'
+GROUP BY l_returnflag
+"""
+
+
+@_q("x_storage_partition_pruning", _X_PART_PRUNE_SQL)
+def x_storage_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning: lineitem is
+    rewritten ``partitionBy(ship_month)`` (the standard time-partitioned
+    fact layout — at 100 TB this is THE organizing decision: every
+    downstream query carries a month/day predicate that must prune at
+    the DIRECTORY level, before any file or footer is opened), then an
+    aggregate with an equality filter on the partition column reads it
+    back. Catalyst turns the filter into a PartitionFilters entry —
+    zero I/O outside ship_month=1996-03 — which
+    tests/test_storage.py::test_partition_pruning_reads_only_matching_dirs
+    asserts from the file listing; the oracle states the same aggregate
+    over the unpartitioned source."""
+    d = _scratch_dir("spark_graft_partprune_") + "/lineitem_parts"
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month",
+        F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM"),
+    )
+    li.write.partitionBy("ship_month").mode("overwrite").parquet(d)
+    back = spark.read.parquet(d).filter(F.col("ship_month") == "1996-03")
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Round-8 addition: blocked fuzzy entity resolution
 # --------------------------------------------------------------------------
 

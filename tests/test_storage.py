@@ -45,6 +45,35 @@ def test_predicate_and_projection_pushdown(spark, sf_dir):
     assert "l_extendedprice" not in read_schema
 
 
+def _scan_metrics(df) -> dict:
+    """Executed-scan metrics (numFiles / numPartitions / ...) of the
+    first leaf, from ONE execution. NOTE: df.inputFiles() is the WRONG
+    probe for pruning — it lists the relation's full file index before
+    partition filters apply; only the executed FileSourceScan's metrics
+    show what was actually read."""
+    df.collect()
+    scan = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    m = scan.metrics()
+    out, it = {}, m.keys().iterator()
+    while it.hasNext():
+        k = it.next()
+        out[k] = m.apply(k).value()
+    return out
+
+
+def test_partition_pruning_reads_only_matching_dirs(spark, partitioned_dir):
+    """Stronger than the plan-string check: the executed scan must have
+    touched exactly ONE partition directory (zero I/O elsewhere) — the
+    property x_storage_partition_pruning's docstring claims."""
+    pruned = _scan_metrics(
+        spark.read.parquet(partitioned_dir).filter(F.col("order_year") == 1995)
+    )
+    full = _scan_metrics(spark.read.parquet(partitioned_dir))
+    assert pruned["numPartitions"] == 1, pruned
+    assert full["numPartitions"] > 1, full
+    assert 0 < pruned["numFiles"] < full["numFiles"], (pruned, full)
+
+
 def test_dynamic_partition_pruning_from_dim_filter(spark, partitioned_dir):
     """The 100 TB fact-scan killer feature: a filter on the DIM side must
     prune FACT partitions at runtime (DPP), not after a full scan — the
