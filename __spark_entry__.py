@@ -19,6 +19,7 @@ from glue_jobs_for_data_pipeline_spark.plans import catalog_ext  # noqa: F401  (
 from glue_jobs_for_data_pipeline_spark.plans import tpch_pack  # noqa: F401  (registers x_olap_q*_style pack)
 from glue_jobs_for_data_pipeline_spark.plans import scale_pack  # noqa: F401  (registers skew-join/SQL-frontend/stream-topk)
 from glue_jobs_for_data_pipeline_spark.plans import analytics_pack  # noqa: F401  (registers funnel/retention/corr)
+from glue_jobs_for_data_pipeline_spark.plans import mining_pack  # noqa: F401  (registers graph/regression/skyline/asof-forward)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -77,16 +78,14 @@ _WINDOW_FIRST = [
     "p4_equality_filter",
     "p5_conjunction",
     "p7_in_subquery_semi",
-    # (c) r05 cohort (16)
+    # (c) r05 cohort (11 of 16 — j3/a3/a4/w1/v3 rotate out for the
+    # round-8 mining-pack batch 2 above: r05 driver evidence, trivial
+    # single-operator kernels, sweep-green at two SFs; they rotate
+    # back in r09 with the function cohort)
     "j1_inner_equijoin",
-    "j3_left_semi_join",
     "a2_groupby_count",
-    "a3_having",
-    "a4_distinct",
-    "w1_row_number",
     "v1_null_counts",
     "v2_pk_duplicates",
-    "v3_registry_membership",
     "v4_validation_report",
     "m1_scd2_upsert",
     "m1b_scd2_delta_upsert",
@@ -94,21 +93,28 @@ _WINDOW_FIRST = [
     "m3_dim_dates",
     "m4_update_where",
     "m5_transactional_pipeline",
-    # (c) r06 cohort (11)
-    "p6_null_predicate",
+    # (b''') round-8 mining pack — all new, never driver-checked (10)
+    "x_graph_triangles",
+    "x_graph_degree_hist",
+    "x_olap_regression",
+    "x_events_transitions",
+    "x_validate_fk_orphans",
+    "x_sample_weighted",
+    "x_olap_mom_growth",
+    "x_ts_asof_forward",
+    "x_olap_skyline",
+    "x_olap_mode",
+    "x_market_basket_lift",
+    "x_text_boilerplate_removal",
+    "x_events_wau",
+    "x_events_anomaly_mad",
+    "x_events_funnel_windowed",
+    # (c) r06 cohort — only a1 fits this round; the function kernels
+    # (p6/l1/f1–f11) rotate out to make room for the new mining pack:
+    # r06 driver evidence, trivial single-expression kernels, all
+    # sweep-green at two scale factors every round; they rotate back
+    # in r09 before their evidence ages past 3 rounds.
     "a1_count_star",
-    "l1_limit",
-    "f1_extract_year",
-    # (f2/f3/f4 extract quarter/month/day rotate out this round — r06
-    # driver evidence, trivial kernels, same shape as f1; they ride the
-    # committed sweep and rotate back next round)
-    "f5_extract_dow",
-    "f6_extract_week",
-    "f7_date_plus_int",
-    "f8_yesterday",
-    "f9_cast_string_date",
-    "f10_load_date_default",
-    "f11_decimal_multiply",
 ]
 
 

@@ -282,3 +282,71 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected edge
+    list (columns ``src``, ``dst``; self-loops ignored, duplicates and
+    reversed duplicates collapsed here).
+
+    Scale shape — degree-ordered orientation, the standard trick that
+    makes distributed triangle enumeration tractable (node-iterator
+    joins explode on hubs): orient every undirected edge from its
+    lower-(degree, id) endpoint to its higher one. Every node's
+    OUT-degree in the oriented graph is O(sqrt(m)) regardless of its
+    raw degree, so the wedge self-join (the quadratic step) fans out
+    per node by out-degree^2 bounded by m^1.5 total — a hub with 10^6
+    neighbors contributes wedges only through its (few) higher-ranked
+    neighbors, not its full adjacency. Each triangle {a,b,c} has
+    exactly one orientation a->b->c with rank(a)<rank(b)<rank(c), so
+    the wedge (a->b, a->c) closed by edge (b->c) counts it exactly
+    once. Three shuffles total: degree groupBy, wedge join on the
+    low endpoint, closing join on the (b,c) edge key.
+
+    No counterpart in the reference (no graph queries in the 4 Redshift
+    scripts); LLM-pipeline scope — same family as the near-dup cluster
+    graph ops above.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # rank = (deg, id); orient low -> high. Broadcast-size only for toy
+    # graphs, so join degrees in (shuffle on node, AQE picks strategy).
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = und.join(da, "a").join(db, "b")
+    lo_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    # wedges around the LOW-ranked apex u: (u->v, u->w), v != w; close
+    # with the oriented edge between v and w (either direction — rank
+    # order between v and w is not fixed by u's orientation).
+    e1 = oriented.select(F.col("u"), F.col("v"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("w"))
+    wedges = e1.join(e2, "u").filter(F.col("v") < F.col("w"))
+    closing = oriented.select(
+        F.least("u", "v").alias("v"), F.greatest("u", "v").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"])  # (u, v, w) = one triangle
+    return (
+        tri.select(
+            F.explode(F.array("u", "v", "w")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -80,6 +80,57 @@ def asof_join_backward(
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Mirror of :func:`asof_join_backward`: attach the right row with
+    the SMALLEST ``right_ts`` >= ``left_ts`` per key (forward as-of,
+    inclusive — "the next quote at or after each trade"). Same
+    tagged-union shape, with the window walking time BACKWARD: sort by
+    (ts DESC, side) with right-before-left at equal timestamps, carry
+    the right payload with last(ignorenulls) — each left row then holds
+    the nearest following right row. One shuffle, no inequality join,
+    same determinism contract as the backward variant (pre-aggregate
+    the right side if it can repeat a (key, ts)).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_cols = right_cols or {"value": "matched_value"}
+
+    r2 = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    left_payload = [c for c in left.columns if c not in keys and c != left_ts]
+    l2 = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left_payload],
+    )
+    unioned = l2.unionByName(r2, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c, alias in right_cols.items():
+        unioned = unioned.withColumn(
+            alias, F.last(f"_r_{c}", ignorenulls=True).over(w)
+        )
+    return unioned.filter(F.col("_side") == 1).select(
+        *keys, *left_payload, F.col("_ts").alias(left_ts),
+        *[alias for alias in right_cols.values()],
+    )
+
+
 def sessionize_batch(
     events: DataFrame,
     key_col: str = "user_id",

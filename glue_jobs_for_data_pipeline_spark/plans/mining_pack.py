@@ -1,0 +1,835 @@
+"""Data-mining / relationship-analytics pack: graph metrics (triangles,
+degrees), grouped OLS regression, Markov transition matrices, Pareto
+skyline, statistical mode, period-over-period growth, referential-
+integrity validation, weighted sampling, and the forward as-of join —
+the read-side query shapes a warehouse serves beyond plain star-join
+aggregation.
+
+No counterpart in the reference (the 4 Redshift scripts stop at
+validate/upsert/fact-populate, validate_data.py:36-171,
+populate_fact.py:74-146); this pack extends the same events/orders
+warehouse the reference maintains with the analytics families the
+SURVEY §7 extension plan calls for.
+
+House rules as plans/catalog.py: exact integer/decimal accumulation
+inside aggregates, double assembled once at the boundary with identical
+expression text on both engines (see the corr scale note in
+analytics_pack.py); no collects, no Python UDFs; every window either
+keyed or over an already-aggregated group-count-sized input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_events, load_table
+from .catalog import _q
+
+# --------------------------------------------------------------------------
+# Graph metrics over the part co-purchase graph
+# --------------------------------------------------------------------------
+
+# Shared edge CTE text: parts linked when they co-occur in an order,
+# canonical undirected form (a < b), duplicates collapsed.
+_EDGE_CTE = """
+e0 AS (
+    SELECT DISTINCT x.l_partkey AS s, y.l_partkey AS t
+    FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+    WHERE x.l_partkey <> y.l_partkey),
+e AS (
+    SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b FROM e0)
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+_X_TRIANGLES_SQL = f"""
+WITH {_EDGE_CTE},
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+GROUP BY node
+"""
+
+
+@_q("x_graph_triangles", _X_TRIANGLES_SQL)
+def x_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the co-purchase graph via
+    degree-ordered orientation (operators/graph.py::triangle_counts):
+    out-degree after orientation is O(sqrt(m)) even at hub nodes, so
+    the wedge join's fan-out is bounded at any scale — the property
+    that makes distributed triangle counting feasible where the naive
+    node-iterator join explodes. The oracle enumerates canonical
+    id-ordered triangles; both count each triangle exactly once, so
+    per-node participation matches row-for-row."""
+    from ..operators.graph import triangle_counts
+
+    return triangle_counts(_copurchase_edges(spark, sf_dir))
+
+
+_X_DEGREE_SQL = f"""
+WITH {_EDGE_CTE},
+d AS (
+    SELECT node, COUNT(*) AS degree
+    FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+    GROUP BY node)
+SELECT CAST(degree AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM d GROUP BY degree
+"""
+
+
+@_q("x_graph_degree_hist", _X_DEGREE_SQL)
+def x_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph — the cheapest
+    skew diagnostic there is: the histogram's tail IS the list of keys
+    that need salting/capping in every downstream graph op. Two
+    groupBys (node degree, then degree frequency); the second input is
+    |V| rows, the third |distinct degrees|."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# --------------------------------------------------------------------------
+# Grouped OLS regression from exact integer co-moments
+# --------------------------------------------------------------------------
+
+# Same bit-stability recipe as x_olap_corr (analytics_pack.py): x is
+# integer hours (epoch_us div 3.6e9), y integer value-cents; the five
+# co-moment sums accumulate as scale-0 decimals (order-insensitive,
+# partial-agg friendly, ONE correctly-rounded int->double conversion on
+# both engines), then slope/intercept assemble in double with identical
+# expression text. Built-in regr_slope is a streaming update whose
+# rounding depends on partition order — unusable under a value hash.
+_X_REGR_SQL = """
+WITH pts AS (
+    SELECT event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS x,
+           CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(20,0))
+                AS BIGINT) AS y
+    FROM events),
+s AS (
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+                         AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+                         AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+    FROM pts GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0
+           AS slope_per_hour,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / 100.0
+           AS intercept
+FROM s
+"""
+
+
+@_q("x_olap_regression", _X_REGR_SQL)
+def x_olap_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of value over time (slope in
+    value-units/hour + intercept), from algebraic co-moments: one
+    map-side-combined aggregation pass at any scale, no window, no
+    second scan. The normal-equation assembly happens in double AFTER
+    the exact integer sums — bit-identical across engines and
+    partitionings (see the recipe note above the SQL)."""
+    ev = load_events(spark, sf_dir)
+    x = F.expr("unix_micros(ts) div 3600000000")
+    y = (
+        (F.col("value").cast("decimal(18,2)") * F.lit(100))
+        .cast("decimal(20,0)")
+        .cast("bigint")
+    )
+    pts = ev.select("event_type", x.alias("x"), y.alias("y"))
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((xd * xd).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((xd * yd).cast("decimal(38,0)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope_cents = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        n.alias("n"),
+        (slope_cents / F.lit(100.0)).alias("slope_per_hour"),
+        ((sy - slope_cents * sx) / n / F.lit(100.0)).alias("intercept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over per-user event streams
+# --------------------------------------------------------------------------
+
+_X_TRANSITIONS_SQL = """
+WITH o AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+    FROM events)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(COUNT(*) AS DOUBLE)
+           / CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS DOUBLE)
+           AS p_transition
+FROM o
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
+@_q("x_events_transitions", _X_TRANSITIONS_SQL)
+def x_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts + row-normalized
+    probabilities over each user's time-ordered event stream (ties
+    broken by event_id, so LEAD is deterministic). One keyed window
+    shuffle on user_id, one groupBy on the (from, to) pair — the
+    normalizing window then runs over |types|^2 rows. The probability
+    divides two exact BIGINT counts in double, identically on both
+    engines."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = (
+        o.withColumnRenamed("event_type", "from_type")
+        .withColumnRenamed("next_type", "to_type")
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wn = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wn).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity validation (FK orphan counts)
+# --------------------------------------------------------------------------
+
+_X_FK_SQL = """
+SELECT 'lineitem->orders' AS relation,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT) AS n_orphans,
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows
+UNION ALL
+SELECT 'orders->customer' AS relation,
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT) AS n_orphans,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows
+"""
+
+
+@_q("x_validate_fk_orphans", _X_FK_SQL)
+def x_validate_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for the two FK edges
+    of the reference's star schema (lineitem->orders,
+    orders->customer) next to table totals — the V-family check the
+    reference's validate_data.py does NOT do (it stops at nulls + PK
+    uniqueness, validate_data.py:36-171). Each relation is one LEFT
+    ANTI join (AQE picks broadcast when the PK side fits) collapsed to
+    a 1-row count; the four scalar aggregates cross-join into two
+    constant-size rows — no data ever reaches the driver."""
+
+    def _edge(rel: str, child, key_l, parent, key_r) -> DataFrame:
+        orphans = (
+            child.join(parent, child[key_l] == parent[key_r], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        total = child.agg(F.count(F.lit(1)).alias("n_rows"))
+        return orphans.crossJoin(total).select(
+            F.lit(rel).alias("relation"), "n_orphans", "n_rows"
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return _edge("lineitem->orders", li, "l_orderkey", od, "o_orderkey").unionAll(
+        _edge("orders->customer", od, "o_custkey", cu, "c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted deterministic Bernoulli sample
+# --------------------------------------------------------------------------
+
+_X_WEIGHTED_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE n_chars >= 800
+   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      < printf('%04x', CAST(floor(n_chars / 800.0 * 65536) AS INTEGER))
+"""
+
+
+@_q("x_sample_weighted", _X_WEIGHTED_SQL)
+def x_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional deterministic sample: each doc keeps with
+    probability min(n_chars/800, 1), decided by its md5-prefix
+    fraction — the weighted twin of x_sample_hash, same engine-portable
+    hash idiom (scan-only, no shuffle, stable across runs/partitions;
+    the hex threshold renders via %04x so the string compare IS the
+    numeric compare, with the p>=1 branch short-circuited to TRUE
+    because a 4-digit threshold cannot express 0x10000)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    thr = F.format_string(
+        "%04x",
+        F.floor(F.col("n_chars") / F.lit(800.0) * F.lit(65536)).cast("int"),
+    )
+    pref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return d.filter((F.col("n_chars") >= 800) | (pref < thr))
+
+
+# --------------------------------------------------------------------------
+# Month-over-month growth (period-over-period window on exact sums)
+# --------------------------------------------------------------------------
+
+_X_MOM_SQL = """
+WITH m AS (
+    SELECT date_trunc('month', o_orderdate) AS mth,
+           SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS DECIMAL(38,0))) AS rev_cents
+    FROM orders GROUP BY 1)
+SELECT CAST(mth AS DATE) AS month,
+       CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+       (CAST(rev_cents AS DOUBLE) - CAST(prev AS DOUBLE))
+           / CAST(prev AS DOUBLE) AS mom_growth
+FROM (SELECT mth, rev_cents,
+             LAG(rev_cents) OVER (ORDER BY mth) AS prev FROM m)
+"""
+
+
+@_q("x_olap_mom_growth", _X_MOM_SQL)
+def x_olap_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue + month-over-month growth: exact cent sums per
+    month (one map-side-combined aggregation over the fact), then LAG
+    over the |months|-row aggregate — the single-partition window is
+    over a dozen rows, never the fact. First month's growth is NULL
+    (no prior period), matching LAG semantics on both engines; all
+    doubles derive from scale-0 decimals with one rounding."""
+    od = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    cents = (
+        (F.col("o_totalprice").cast("decimal(18,2)") * F.lit(100))
+        .cast("decimal(38,0)")
+    )
+    m = od.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("mth")
+    ).agg(F.sum(cents).alias("rev_cents"))
+    w = Window.orderBy("mth")
+    prev = F.lag("rev_cents").over(w)
+    return m.select(
+        F.col("mth").cast("date").alias("month"),
+        (F.col("rev_cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        (
+            (F.col("rev_cents").cast("double") - prev.cast("double"))
+            / prev.cast("double")
+        ).alias("mom_growth"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Forward as-of join
+# --------------------------------------------------------------------------
+
+_X_ASOF_FWD_SQL = """
+WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase')
+SELECT l.user_id, l.event_id, l.ts,
+       r.ts AS matched_ts, r.value AS matched_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
+@_q("x_ts_asof_forward", _X_ASOF_FWD_SQL)
+def x_ts_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click matched to the user's NEXT
+    purchase at-or-after it — time-to-conversion attribution, the
+    mirror of x_ts_asof_join. Same tagged-union single-window shape
+    (operators/timeseries.py::asof_join_forward), walking time
+    backward; the inequality never reaches a join operator. Oracle:
+    DuckDB's native forward ASOF LEFT JOIN (l.ts <= r.ts)."""
+    from ..operators.timeseries import asof_join_forward
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join_forward(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols={"ts": "matched_ts", "value": "matched_value"},
+    )
+
+
+# --------------------------------------------------------------------------
+# 2-D Pareto skyline (cheapest-and-biggest frontier)
+# --------------------------------------------------------------------------
+
+_X_SKYLINE_SQL = """
+SELECT p_partkey, p_retailprice, p_size FROM part p
+WHERE NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+"""
+
+
+@_q("x_olap_skyline", _X_SKYLINE_SQL)
+def x_olap_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline (minimize price, maximize size): the parts no
+    other part beats on both axes. The textbook SQL (the oracle) is a
+    quadratic NOT-EXISTS self-join; the Spark plan is O(n log n): a
+    part survives iff its size exceeds the running max size over all
+    strictly-cheaper price groups AND it attains its own price group's
+    max (same-price dominance). One groupBy on price collapses the
+    fact to |distinct prices| rows; the prefix-max window runs over
+    that aggregate, not the fact — at 100 TB, range-partition the
+    price-group table and carry per-partition prefix maxima via a
+    broadcast of the (tiny) partition-boundary maxima instead of the
+    single-partition window."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    g = p.groupBy("p_retailprice").agg(F.max("p_size").alias("max_size"))
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    g = g.select(
+        "p_retailprice",
+        "max_size",
+        F.max("max_size").over(w).alias("run_lt"),
+    )
+    return (
+        p.join(F.broadcast(g), "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("max_size"))
+            & (F.col("run_lt").isNull() | (F.col("run_lt") < F.col("p_size")))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# Statistical mode per group (argmax of counts, deterministic ties)
+# --------------------------------------------------------------------------
+
+_X_MODE_SQL = """
+WITH c AS (
+    SELECT date_trunc('month', o_orderdate) AS mth, o_orderpriority,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1, 2)
+SELECT CAST(mth AS DATE) AS month, o_orderpriority AS modal_priority,
+       CAST(n AS BIGINT) AS n_orders
+FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY mth ORDER BY n DESC, o_orderpriority) AS rn
+      FROM c)
+WHERE rn = 1
+"""
+
+
+@_q("x_olap_mode", _X_MODE_SQL)
+def x_olap_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month modal order priority: exact mode as argmax over group
+    counts with a total tie order (count DESC, then value ASC — no
+    engine-dependent "any" pick). The fact collapses in the first
+    groupBy; the ranking window runs over |months| x |priorities|
+    rows. Spark's built-in mode() has unspecified ties — unusable
+    under a value hash; this shape is deterministic everywhere."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_orderpriority"
+    )
+    c = od.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("mth"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("mth").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("mth").cast("date").alias("month"),
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").alias("n_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Market-basket lift (co-occurrence association scoring)
+# --------------------------------------------------------------------------
+
+_X_LIFT_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+n_orders AS (SELECT COUNT(DISTINCT ok) AS n FROM op),
+item AS (SELECT pk, COUNT(*) AS n_item FROM op GROUP BY pk),
+pair AS (
+    SELECT x.pk AS item_a, y.pk AS item_b, COUNT(*) AS n_pair
+    FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+    GROUP BY 1, 2)
+SELECT item_a, item_b, CAST(n_pair AS BIGINT) AS n_pair,
+       CAST(n_pair AS DOUBLE) * (SELECT n FROM n_orders)
+           / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)) AS lift
+FROM pair
+JOIN item ia ON ia.pk = item_a
+JOIN item ib ON ib.pk = item_b
+WHERE n_pair >= 2
+"""
+
+
+@_q("x_market_basket_lift", _X_LIFT_SQL)
+def x_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift over co-purchased part pairs:
+    lift(a,b) = P(a,b) / (P(a)P(b)) from exact basket counts, reported
+    for pairs seen >= 2 times. The pair join fans out per order by
+    lines^2 (bounded by basket size, never by catalog size); item
+    supports join back by part key; the basket total is a 1-row
+    broadcast scalar. All counts are exact BIGINTs; the lift assembles
+    once in double with identical expression text on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    op = li.distinct()
+    n_orders = op.agg(F.countDistinct("ok").alias("n_total"))
+    item = op.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
+    a = op.select(F.col("ok"), F.col("pk").alias("item_a"))
+    b = op.select(F.col("ok"), F.col("pk").alias("item_b"))
+    pair = (
+        a.join(b, "ok")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    ia = item.select(F.col("pk").alias("item_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("pk").alias("item_b"), F.col("n_item").alias("n_b"))
+    return (
+        pair.join(ia, "item_a")
+        .join(ib, "item_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            (
+                F.col("n_pair").cast("double") * F.col("n_total")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Segment-level boilerplate removal (C4-style corpus cleaning)
+# --------------------------------------------------------------------------
+
+_X_BOILERPLATE_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+seg AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+           array_to_string(
+               toks[(CAST(i AS INT) * 4 + 1):(CAST(i AS INT) * 4 + 4)],
+               ' ') AS seg
+    FROM t, unnest(range(CAST(ceil(len(toks) / 4.0) AS BIGINT))) AS u(i)),
+df AS (SELECT seg, COUNT(*) AS df FROM seg GROUP BY seg),
+keep AS (
+    SELECT s.doc_id, s.seg_idx, s.seg
+    FROM seg s JOIN df USING (seg) WHERE df.df < 2)
+SELECT doc_id,
+       string_agg(seg, ' ' ORDER BY seg_idx) AS cleaned_text,
+       CAST(COUNT(*) AS BIGINT) AS n_segments_kept
+FROM keep GROUP BY doc_id
+"""
+
+
+@_q("x_text_boilerplate_removal", _X_BOILERPLATE_SQL)
+def x_text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal, the C4-recipe cleaning
+    step adapted to this corpus: split each doc into fixed 4-token
+    segments, count each segment's document frequency across the
+    corpus, drop every segment that appears more than once anywhere
+    (nav bars, cookie banners, license headers at web scale), and
+    reassemble the survivors in original order. Plan: one explode
+    (bounded 4-token fan-out), one segment-key groupBy for the df
+    table, one anti-join against the hot-segment list, one per-doc
+    reassembly groupBy — all built-ins, ordered reassembly via
+    array_sort over (pos, seg) structs so no engine-dependent
+    collect_list order survives. At 100 TB the hot-segment list is
+    tiny relative to the corpus (boilerplate is by definition
+    repeated) — a broadcast or bloom-filter anti-join."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    n_seg = F.ceil(F.size("toks") / F.lit(4.0)).cast("int")
+    seg = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.col("i").cast("bigint").alias("seg_idx"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("i") * 4 + 1, F.lit(4)), " "
+        ).alias("seg"),
+    )
+    hot = (
+        seg.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("seg")
+    )
+    keep = seg.join(hot, "seg", "left_anti")
+    return keep.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("n_segments_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DAU / WAU stickiness (sliding 7-day distinct users)
+# --------------------------------------------------------------------------
+
+_X_WAU_SQL = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+cal AS (SELECT DISTINCT day FROM du),
+w AS (
+    SELECT c.day, COUNT(DISTINCT d.user_id) AS wau
+    FROM cal c JOIN du d ON d.day BETWEEN c.day - 6 AND c.day
+    GROUP BY c.day),
+dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day)
+SELECT w.day AS day, CAST(dau.dau AS BIGINT) AS dau,
+       CAST(w.wau AS BIGINT) AS wau,
+       CAST(dau.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+FROM w JOIN dau ON dau.day = w.day
+"""
+
+
+@_q("x_events_wau", _X_WAU_SQL)
+def x_events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU, trailing-7-day WAU, and DAU/WAU stickiness per day. The
+    oracle states the window as an inequality join (nested loop); the
+    Spark plan instead EXPLODES each (day, user) fact into the <= 7
+    calendar days it contributes to — a constant fan-out equi-join
+    shape (restricted to observed days via a broadcast semi-join), then
+    one distinct-count per day. At 100 TB that is 7x the distinct
+    day-user pairs moving through one hash shuffle, vs an unbounded
+    range-join explosion."""
+    ev = load_events(spark, sf_dir)
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    cal = du.select("day").distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("cday"),
+        "user_id",
+    ).join(
+        F.broadcast(cal.select(F.col("day").alias("cday"))), "cday", "left_semi"
+    )
+    wau = contrib.groupBy("cday").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        wau.join(dau, wau["cday"] == dau["day"])
+        .select(
+            F.col("day"),
+            F.col("dau"),
+            F.col("wau"),
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust outlier detection: median / MAD z-score
+# --------------------------------------------------------------------------
+
+_X_MAD_SQL = """
+WITH v AS (
+    SELECT event_type,
+           CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(20,0))
+                AS BIGINT) AS vc
+    FROM events),
+med AS (SELECT event_type, quantile_cont(vc, 0.5) AS med
+        FROM v GROUP BY event_type),
+dev AS (SELECT v.event_type, v.vc,
+               abs(CAST(v.vc AS DOUBLE) - m.med) AS adev
+        FROM v JOIN med m USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type)
+SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       m.med / 100.0 AS median_value,
+       a.mad / 100.0 AS mad_value,
+       CAST(SUM(CASE WHEN d.adev > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM dev d
+JOIN med m USING (event_type)
+JOIN mad a USING (event_type)
+GROUP BY d.event_type, m.med, a.mad
+"""
+
+
+@_q("x_events_anomaly_mad", _X_MAD_SQL)
+def x_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier profile: exact median, exact MAD
+    (median absolute deviation), and the count of values beyond
+    3 MADs — the z-score family's outlier-resistant sibling (a single
+    corrupt sensor shifts a mean z-score's own baseline; the median's
+    breakdown point is 50%). Values accumulate as exact cents; both
+    medians use the interpolated exact percentile proven bit-portable
+    in x_olap_percentiles; the two per-type scalars broadcast back
+    (5-row dims). Three passes over events — the price of exact
+    medians; the sketch tier at extreme scale is approx_percentile
+    (x_olap_approx_pct shows the pattern)."""
+    ev = load_events(spark, sf_dir)
+    v = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * F.lit(100))
+        .cast("decimal(20,0)")
+        .cast("bigint")
+        .alias("vc"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.expr("percentile(vc, 0.5)").alias("med")
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "vc",
+        F.abs(F.col("vc").cast("double") - F.col("med")).alias("adev"),
+        "med",
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("med") / F.lit(100.0)).alias("median_value"),
+            (F.col("mad") / F.lit(100.0)).alias("mad_value"),
+            "n_outliers",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-boxed conversion funnel (windowed attribution)
+# --------------------------------------------------------------------------
+
+_X_FUNNEL_W_SQL = """
+WITH v AS (
+    SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+    FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+    SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t1
+      AND CAST(e.ts AS TIMESTAMP) <= v.t1 + INTERVAL 1 DAY
+    GROUP BY e.user_id),
+p AS (
+    SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t2
+      AND CAST(e.ts AS TIMESTAMP) <= c.t2 + INTERVAL 1 DAY
+    GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click_1d,
+       (SELECT COUNT(*) FROM p) AS n_purchase_1d
+"""
+
+
+@_q("x_events_funnel_windowed", _X_FUNNEL_W_SQL)
+def x_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-boxed funnel: the x_events_funnel chain with a 1-day
+    conversion window at each step (the attribution form real funnels
+    use — an unbounded window credits conversions months later). Same
+    scale shape: every stage shuffles on user_id and shrinks
+    monotonically; the window bound is an extra scan-side predicate,
+    free at the join."""
+    ev = load_events(spark, sf_dir)
+    day = F.expr("INTERVAL 1 DAY")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_1d"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_1d"))
+    return nv.crossJoin(nc).crossJoin(np_)
