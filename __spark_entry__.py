@@ -57,8 +57,6 @@ _WINDOW_FIRST = [
     "x_events_winsorize",
     "x_storage_zorder_roundtrip",
     "x_scd2_hash_keys",
-    # (b') JSON source bonus — oldest bonus evidence (r02)
-    "s1b_json_roundtrip",
     # (b'') new/changed this round: fuzzy ER (new), partition pruning
     # (new), salted agg (output extended with salted_sum — prior
     # driver evidence covered the count-only version)
@@ -78,22 +76,22 @@ _WINDOW_FIRST = [
     "p4_equality_filter",
     "p5_conjunction",
     "p7_in_subquery_semi",
-    # (c) r05 cohort (11 of 16 — j3/a3/a4/w1/v3 rotate out for the
-    # round-8 mining-pack batch 2 above: r05 driver evidence, trivial
-    # single-operator kernels, sweep-green at two SFs; they rotate
-    # back in r09 with the function cohort)
+    # (c) r05 cohort (8 of 16 — j3/a3/a4/w1/v3/v4/m1b/m4 rotate out
+    # for the round-8 mining pack below: r05 driver evidence, and each
+    # is a sibling of a kept key exercising the same machinery (m1b/m4
+    # ride the m1 SCD-2 path, v4 composes v1+v2); all sweep-green at
+    # two SFs every round; they rotate back in r09 with the function
+    # cohort. s1b (bonus JSON source) and a1 (r06 evidence) also yield
+    # their slots to never-checked keys.
     "j1_inner_equijoin",
     "a2_groupby_count",
     "v1_null_counts",
     "v2_pk_duplicates",
-    "v4_validation_report",
     "m1_scd2_upsert",
-    "m1b_scd2_delta_upsert",
     "m2_j2_fact_population",
     "m3_dim_dates",
-    "m4_update_where",
     "m5_transactional_pipeline",
-    # (b''') round-8 mining pack — all new, never driver-checked (10)
+    # (b''') round-8 mining pack — all new, never driver-checked (20)
     "x_graph_triangles",
     "x_graph_degree_hist",
     "x_olap_regression",
@@ -109,12 +107,17 @@ _WINDOW_FIRST = [
     "x_events_wau",
     "x_events_anomaly_mad",
     "x_events_funnel_windowed",
-    # (c) r06 cohort — only a1 fits this round; the function kernels
-    # (p6/l1/f1–f11) rotate out to make room for the new mining pack:
-    # r06 driver evidence, trivial single-expression kernels, all
-    # sweep-green at two scale factors every round; they rotate back
-    # in r09 before their evidence ages past 3 rounds.
-    "a1_count_star",
+    "x_olap_full_outer_join",
+    "x_events_top_paths",
+    "x_olap_revenue_concentration",
+    "x_text_string_kernels",
+    "x_olap_conditional_kernels",
+    # Round-8 late arrivals (x_text_array_kernels, x_olap_date_kernels,
+    # x_ts_bounce_rate, x_olap_latency_hist, x_text_lm_coverage,
+    # x_validate_fd_profile, x_olap_benford, x_olap_window_frames)
+    # landed after the window filled; they ride the committed two-SF
+    # sweeps this round and take window slots in r09 with the
+    # rotated-out §2 cohorts.
 ]
 
 

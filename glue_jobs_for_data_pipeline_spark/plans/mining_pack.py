@@ -1,9 +1,13 @@
 """Data-mining / relationship-analytics pack: graph metrics (triangles,
 degrees), grouped OLS regression, Markov transition matrices, Pareto
 skyline, statistical mode, period-over-period growth, referential-
-integrity validation, weighted sampling, and the forward as-of join —
-the read-side query shapes a warehouse serves beyond plain star-join
-aggregation.
+integrity and functional-dependency validation, weighted sampling,
+forward as-of join, market-basket lift, boilerplate removal, DAU/WAU,
+median/MAD outliers, windowed funnels, journey paths, revenue
+concentration, Benford digits, LM-coverage quality scoring, and the
+scalar-kernel surfaces (string / conditional / array / date / window
+frame) — the read-side query shapes a warehouse serves beyond plain
+star-join aggregation.
 
 No counterpart in the reference (the 4 Redshift scripts stop at
 validate/upsert/fact-populate, validate_data.py:36-171,
@@ -833,3 +837,682 @@ def x_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = c.agg(F.count(F.lit(1)).alias("n_click_1d"))
     np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_1d"))
     return nv.crossJoin(nc).crossJoin(np_)
+
+
+# --------------------------------------------------------------------------
+# Full outer join (daily clicks vs errors — null-preserving both sides)
+# --------------------------------------------------------------------------
+
+_X_FULL_OUTER_SQL = """
+WITH c AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_clicks
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+e AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_errors
+      FROM events WHERE event_type = 'error' GROUP BY 1)
+SELECT COALESCE(c.day, e.day) AS day,
+       CAST(COALESCE(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+       CAST(COALESCE(e.n_errors, 0) AS BIGINT) AS n_errors
+FROM c FULL OUTER JOIN e ON c.day = e.day
+"""
+
+
+@_q("x_olap_full_outer_join", _X_FULL_OUTER_SQL)
+def x_olap_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi-join — the last member of the join family
+    (inner/left/semi/anti elsewhere in the catalog): daily click
+    counts vs daily error counts, keeping days that appear on either
+    side only, zero-filled. Both inputs pre-aggregate to |days| rows
+    before the join, so the full-outer shuffle moves group counts,
+    never events."""
+    ev = load_events(spark, sf_dir)
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.col("ts").cast("date").alias("day_e"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return c.join(e, c["day"] == e["day_e"], "full_outer").select(
+        F.coalesce(F.col("day"), F.col("day_e")).alias("day"),
+        F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+        F.coalesce(F.col("n_errors"), F.lit(0)).alias("n_errors"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Top user journey paths (ordered event-prefix aggregation)
+# --------------------------------------------------------------------------
+
+_X_PATHS_SQL = """
+WITH s AS (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+    FROM events),
+p AS (
+    SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+    FROM s WHERE rn <= 3 GROUP BY user_id)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p GROUP BY path
+"""
+
+
+@_q("x_events_top_paths", _X_PATHS_SQL)
+def x_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path analysis: each user's first three events (by
+    time, event_id tie-break) joined into a 'view>click>purchase'-style
+    path string, then path frequencies — the onboarding-flow query.
+    One keyed window shuffle; ordered reassembly via array_sort over
+    (rn, type) structs so no engine-dependent collect_list order
+    reaches the output; the final groupBy runs over |users| rows."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 3)
+    p = s.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return p.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# Revenue concentration by customer decile (Pareto / Gini-style curve)
+# --------------------------------------------------------------------------
+
+_X_CONC_SQL = """
+WITH c AS (
+    SELECT o_custkey,
+           SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS DECIMAL(38,0))) AS rev
+    FROM orders GROUP BY o_custkey),
+r AS (
+    SELECT o_custkey, rev,
+           NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+    FROM c)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(rev) AS DOUBLE) / 100.0 AS revenue,
+       CAST(SUM(rev) AS DOUBLE) / (SELECT CAST(SUM(rev) AS DOUBLE) FROM c)
+           AS revenue_share
+FROM r GROUP BY decile
+"""
+
+
+@_q("x_olap_revenue_concentration", _X_CONC_SQL)
+def x_olap_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whale-curve / revenue-concentration report: customers ranked
+    into spend deciles (NTILE with a total tie order), each decile's
+    exact revenue and share of total. The fact collapses to |customers|
+    rows first; the decile window sorts that aggregate (at extreme
+    scale: range-partitioned sort + broadcast boundary offsets); the
+    grand total is a 1-row broadcast scalar. Exact cent sums; doubles
+    assembled once."""
+    od = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cents = (
+        (F.col("o_totalprice").cast("decimal(18,2)") * F.lit(100))
+        .cast("decimal(38,0)")
+    )
+    c = od.groupBy("o_custkey").agg(F.sum(cents).alias("rev"))
+    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey").asc())
+    r = c.withColumn("decile", F.ntile(10).over(w))
+    total = c.agg(F.sum("rev").cast("double").alias("grand"))
+    return (
+        r.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev").cast("double").alias("rev_d"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            (F.col("rev_d") / F.lit(100.0)).alias("revenue"),
+            (F.col("rev_d") / F.col("grand")).alias("revenue_share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar string-function surface (single-scan kernel coverage)
+# --------------------------------------------------------------------------
+
+_X_STRFNS_SQL = """
+SELECT doc_id,
+       upper(lang) AS lang_upper,
+       lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_code,
+       reverse(source) AS source_rev,
+       replace(source, 'src', 'corpus-') AS source_named,
+       substr(text, 1, 20) AS text_head,
+       left(text, 5) AS text_left,
+       right(text, 5) AS text_right,
+       CAST(strpos(text, 'table') AS INTEGER) AS first_table_pos,
+       split_part(text, ' ', 3) AS third_token,
+       translate(lang, 'enzhs', 'ENZHS') AS lang_translated,
+       repeat(lang, 2) AS lang_twice,
+       CAST(length(text) AS INTEGER) AS text_len
+FROM documents
+"""
+
+
+@_q("x_text_string_kernels", _X_STRFNS_SQL)
+def x_text_string_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface in one scan-only projection:
+    case folding, pad, reverse, replace, substring, left/right,
+    position (instr/strpos, both 1-based 0-if-absent), split_part,
+    translate, repeat, length — the F-family kernels a SQL user
+    expects, each verified value-identical across engines. No shuffle,
+    full whole-stage codegen; the one cross-engine trap (concat
+    propagates NULL in Spark but skips NULL in DuckDB) is documented
+    here and avoided in oracle-checked queries."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_upper"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("doc_code"),
+        F.reverse("source").alias("source_rev"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("corpus-")).alias(
+            "source_named"
+        ),
+        F.substring("text", 1, 20).alias("text_head"),
+        F.expr("left(text, 5)").alias("text_left"),
+        F.expr("right(text, 5)").alias("text_right"),
+        F.instr("text", "table").cast("int").alias("first_table_pos"),
+        F.expr("split_part(text, ' ', 3)").alias("third_token"),
+        F.translate("lang", "enzhs", "ENZHS").alias("lang_translated"),
+        F.repeat("lang", 2).alias("lang_twice"),
+        F.length("text").cast("int").alias("text_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditional-expression surface (CASE / COALESCE / NULLIF / GREATEST)
+# --------------------------------------------------------------------------
+
+_X_CONDFNS_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'high'
+            WHEN o_totalprice > 150000 THEN 'mid'
+            ELSE 'low' END AS price_band,
+       COALESCE(NULLIF(o_orderstatus, 'O'), '_open') AS status_folded,
+       CAST(GREATEST(o_custkey % 7, 3) AS BIGINT) AS g7,
+       CAST(LEAST(o_custkey % 7, 3) AS BIGINT) AS l7
+FROM orders
+"""
+
+
+@_q("x_olap_conditional_kernels", _X_CONDFNS_SQL)
+def x_olap_conditional_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-expression surface in one scan-only projection:
+    searched CASE banding, NULLIF-then-COALESCE folding (the
+    dialect-portable 'replace this value' idiom), GREATEST/LEAST
+    (both engines skip NULL operands — verified). Scan-only,
+    whole-stage codegen, no shuffle."""
+    od = load_table(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return od.select(
+        "o_orderkey",
+        F.when(tp > 300000, "high")
+        .when(tp > 150000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("_open")
+        ).alias("status_folded"),
+        F.greatest(F.col("o_custkey") % 7, F.lit(3))
+        .cast("bigint")
+        .alias("g7"),
+        F.least(F.col("o_custkey") % 7, F.lit(3)).cast("bigint").alias("l7"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Array-function surface (single-scan kernel coverage over token lists)
+# --------------------------------------------------------------------------
+
+_X_ARRFNS_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+       list_contains(toks, 'table') AS has_table,
+       COALESCE(array_to_string(
+           list_sort(list_intersect(list_distinct(toks),
+                                    ['table', 'scan', 'join'])), ','), '')
+           AS ops_present,
+       array_to_string(flatten([toks[1:2], toks[4:5]]), '|') AS head_probe,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+           AS total_token_chars
+FROM t
+"""
+
+
+@_q("x_text_array_kernels", _X_ARRFNS_SQL)
+def x_text_array_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface in one scan-only projection over token
+    lists: size, distinct-count, membership, sorted set-intersection
+    (sorted on BOTH engines — Spark's array_distinct/array_intersect
+    preserve first-occurrence order while DuckDB's list_* order is
+    unspecified, so every set-valued output is array_sort-ed before it
+    reaches the hash), slicing + flatten, and a fold (aggregate /
+    list_sum) summing element lengths. Higher-order functions stay
+    JVM-side — no Python. Second trap from the differential check:
+    joining an EMPTY list yields '' in Spark (array_join) but NULL in
+    DuckDB (array_to_string) — the oracle COALESCEs to ''."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("int").alias("n_distinct"),
+        F.array_contains("toks", "table").alias("has_table"),
+        F.array_join(
+            F.array_sort(
+                F.array_intersect(
+                    F.array_distinct("toks"),
+                    F.array(F.lit("table"), F.lit("scan"), F.lit("join")),
+                )
+            ),
+            ",",
+        ).alias("ops_present"),
+        F.array_join(
+            F.flatten(
+                F.array(
+                    F.slice("toks", 1, 2),
+                    F.slice("toks", 4, 2),
+                )
+            ),
+            "|",
+        ).alias("head_probe"),
+        F.aggregate(
+            F.transform("toks", lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_token_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Date-function surface (single-scan kernel coverage)
+# --------------------------------------------------------------------------
+
+_X_DATEFNS_SQL = """
+WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+SELECT o_orderkey,
+       last_day(d) AS month_end,
+       CAST(date_trunc('week', d) AS DATE) AS week_start,
+       CAST(datediff('day', DATE '2024-01-01', d) AS INTEGER)
+           AS days_since_2024,
+       CAST(d + INTERVAL 1 MONTH AS DATE) AS plus_one_month,
+       CAST(dayofyear(d) AS INTEGER) AS doy,
+       strftime(d, '%Y-%m') AS ym
+FROM o
+"""
+
+
+@_q("x_olap_date_kernels", _X_DATEFNS_SQL)
+def x_olap_date_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface in one scan-only projection: last_day,
+    ISO week truncation (Monday on both engines — verified),
+    date difference, add-month with end-of-month clamping (both
+    engines clamp Jan 31 + 1 month to Feb 29 — verified), day-of-year,
+    and year-month formatting. Complements the F1–F6 EXTRACT family
+    from the reference with the arithmetic/formatting half of the
+    date toolbox."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    return od.select(
+        "o_orderkey",
+        F.last_day("d").alias("month_end"),
+        F.date_trunc("week", F.col("d")).cast("date").alias("week_start"),
+        F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_2024"),
+        F.add_months("d", 1).alias("plus_one_month"),
+        F.dayofyear("d").cast("int").alias("doy"),
+        F.date_format("d", "yyyy-MM").alias("ym"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Session bounce rate (composition over the sessionizer)
+# --------------------------------------------------------------------------
+
+_X_BOUNCE_SQL = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+lagged AS (
+    SELECT user_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+    FROM e),
+marked AS (
+    SELECT user_id, ts,
+           CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM lagged),
+sess AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked),
+s2 AS (
+    SELECT user_id, session_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY 1, 2)
+SELECT CAST(session_start AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS bounce_rate
+FROM s2 GROUP BY 1
+"""
+
+
+@_q("x_ts_bounce_rate", _X_BOUNCE_SQL)
+def x_ts_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate — share of single-event sessions — COMPOSED
+    over the sessionize_batch operator (the catalog's operators are
+    building blocks, not endpoints). Adds one |sessions|-row groupBy
+    on top of the sessionizer's existing two same-key shuffles; the
+    ratio divides two exact counts in double."""
+    from ..operators.timeseries import sessionize_batch
+
+    ev = load_events(spark, sf_dir)
+    s = sessionize_batch(ev, gap_minutes=30)
+    return (
+        s.groupBy(F.col("session_start").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounces"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounces",
+            (
+                F.col("n_bounces").cast("double")
+                / F.col("n_sessions").cast("double")
+            ).alias("bounce_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Order-to-ship latency distribution
+# --------------------------------------------------------------------------
+
+_X_LATENCY_SQL = """
+SELECT CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                     CAST(l.l_shipdate AS DATE)) AS INTEGER) AS latency_days,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
+@_q("x_olap_latency_hist", _X_LATENCY_SQL)
+def x_olap_latency_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency histogram: one fact-to-fact equi-join on
+    the order key (co-partitioned shuffle, AQE-coalesced) and one
+    small groupBy over |distinct latencies| — the fulfillment-SLA
+    query. At 100 TB the join is the cost; bucketing both tables on
+    orderkey (sources/readers.py::write_bucketed) removes the
+    exchange entirely, as the bucketing tests demonstrate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship")
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    return (
+        li.join(od, "l_orderkey")
+        .groupBy(
+            F.datediff(F.col("ship"), F.col("odate"))
+            .cast("int")
+            .alias("latency_days")
+        )
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+# --------------------------------------------------------------------------
+# LM-coverage quality score (exact-count perplexity proxy)
+# --------------------------------------------------------------------------
+
+_X_LMCOV_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+big AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i+1])) AS bg
+    FROM toks),
+df AS (SELECT bg, COUNT(*) AS n FROM big GROUP BY bg),
+cov AS (
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           SUM(CASE WHEN df.n >= 5 THEN 1 ELSE 0 END) AS n_common
+    FROM big b JOIN df ON df.bg = b.bg
+    GROUP BY b.doc_id)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS lm_coverage
+FROM cov
+"""
+
+
+@_q("x_text_lm_coverage", _X_LMCOV_SQL)
+def x_text_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model coverage score — the hash-portable stand-in for
+    perplexity filtering: the fraction of each doc's bigrams that are
+    corpus-common (frequency >= 5). Low coverage flags the same docs a
+    perplexity filter would (gibberish, boilerplate soup, wrong-lang),
+    but from EXACT integer counts — a real log-prob involves ln(),
+    whose last ulp is libm-specific and can't survive a value-hash
+    gate. Plan: bigrams form row-locally via zip_with (no window, no
+    Python), one count groupBy builds the frequency table, one join
+    scores docs, one per-doc agg — at 100 TB the frequency table is
+    Zipf-concentrated so the scoring join's hot keys ride AQE skew
+    splits (same profile as x_dedup_ngram_jaccard's posting join)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    big = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bg"),
+    )
+    df = big.groupBy("bg").agg(F.count(F.lit(1)).alias("n"))
+    cov = (
+        big.join(df, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("n") >= 5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_common"),
+        )
+    )
+    return cov.select(
+        "doc_id",
+        "n_bigrams",
+        "n_common",
+        (
+            F.col("n_common").cast("double")
+            / F.col("n_bigrams").cast("double")
+        ).alias("lm_coverage"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency profiling (data-quality rule mining)
+# --------------------------------------------------------------------------
+
+_X_FD_SQL = """
+WITH fd1 AS (
+    SELECT COUNT(*) AS n_lhs,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating
+    FROM (SELECT lang, COUNT(DISTINCT source) AS n_rhs
+          FROM documents GROUP BY lang)),
+fd2 AS (
+    SELECT COUNT(*) AS n_lhs,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating
+    FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_rhs
+          FROM orders GROUP BY o_custkey))
+SELECT 'documents: lang -> source' AS fd,
+       CAST(n_lhs AS BIGINT) AS n_lhs_values, n_violating,
+       CAST(n_violating AS DOUBLE) / n_lhs AS violation_rate
+FROM fd1
+UNION ALL
+SELECT 'orders: o_custkey -> o_orderpriority' AS fd,
+       CAST(n_lhs AS BIGINT) AS n_lhs_values, n_violating,
+       CAST(n_violating AS DOUBLE) / n_lhs AS violation_rate
+FROM fd2
+"""
+
+
+@_q("x_validate_fd_profile", _X_FD_SQL)
+def x_validate_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling — does lhs determine rhs? — for
+    two candidate FDs, reporting how many lhs groups map to more than
+    one rhs value (the rule-mining primitive behind schema inference
+    and data-repair tools; TANE-style search is a loop over exactly
+    this check). Per FD: one groupBy on the lhs with an exact distinct
+    count, one constant-size rollup; the two 1-row results union. At
+    scale, candidate FDs batch into one pass per lhs column."""
+
+    def _fd(name: str, df: DataFrame, lhs: str, rhs: str) -> DataFrame:
+        g = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("n_rhs"))
+        return g.agg(
+            F.count(F.lit(1)).alias("n_lhs"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+        ).select(
+            F.lit(name).alias("fd"),
+            F.col("n_lhs").alias("n_lhs_values"),
+            "n_violating",
+            (F.col("n_violating").cast("double") / F.col("n_lhs")).alias(
+                "violation_rate"
+            ),
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    od = load_table(spark, sf_dir, "orders")
+    return _fd("documents: lang -> source", docs, "lang", "source").unionAll(
+        _fd(
+            "orders: o_custkey -> o_orderpriority",
+            od,
+            "o_custkey",
+            "o_orderpriority",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit profile (fraud/anomaly screening)
+# --------------------------------------------------------------------------
+
+_X_BENFORD_SQL = """
+WITH c AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                AS DECIMAL(20,0)) AS cents
+    FROM orders),
+d AS (SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit
+      FROM c WHERE cents > 0)
+SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM d) AS share
+FROM d GROUP BY digit
+"""
+
+
+@_q("x_olap_benford", _X_BENFORD_SQL)
+def x_olap_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit distribution of order totals — the
+    fraud-screening profile (fabricated amounts flatten the leading
+    digit curve). The digit extracts from the exact integer cents via
+    string head — decimal-to-string is identical on both engines,
+    where double formatting is NOT (the reason the cents cast comes
+    first). One scan, one 9-row groupBy, one broadcast total."""
+    od = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    cents = (
+        (F.col("o_totalprice").cast("decimal(18,2)") * F.lit(100))
+        .cast("decimal(20,0)")
+    )
+    d = od.select(cents.alias("cents")).filter(F.col("cents") > 0).select(
+        F.substring(F.col("cents").cast("string"), 1, 1).alias("digit")
+    )
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            (F.col("n").cast("double") / F.col("n_total")).alias("share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Window-frame kernel surface (first/last/nth over explicit frames)
+# --------------------------------------------------------------------------
+
+_X_WFRAMES_SQL = """
+SELECT event_id, user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER (
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS last_type,
+       nth_value(event_type, 2) OVER (
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS second_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+"""
+
+
+@_q("x_olap_window_frames", _X_WFRAMES_SQL)
+def x_olap_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame kernel surface: first_value over the default
+    running frame, last_value and nth_value(2) over explicit
+    UNBOUNDED-both-ends frames (the classic last_value trap — the
+    default frame ends at CURRENT ROW, making last_value ≡ the row
+    itself; the explicit frame is the portable form and both engines
+    agree on it). Total tie order (ts, event_id), one keyed shuffle,
+    all three functions in one window pass."""
+    ev = load_events(spark, sf_dir)
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w_run.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w_run).alias("first_type"),
+        F.last("event_type").over(w_full).alias("last_type"),
+        F.nth_value("event_type", 2).over(w_full).alias("second_type"),
+    )

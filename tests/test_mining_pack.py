@@ -320,3 +320,252 @@ def test_windowed_funnel_bounded_by_unwindowed(spark, sf_dir):
     assert w["n_click_1d"] <= u["n_click_after"]
     assert w["n_purchase_1d"] <= u["n_purchase_after"]
     assert w["n_view"] >= w["n_click_1d"] >= w["n_purchase_1d"]
+
+
+# -- batch 3: full outer / paths / concentration / scalar kernels -------
+
+
+def test_full_outer_keeps_both_sides(spark):
+    # days disjoint on purpose: full outer must keep all four, zero-fill
+    import datetime as dt
+
+    c = spark.createDataFrame(
+        [(dt.date(2024, 1, 1), 5), (dt.date(2024, 1, 2), 3)],
+        ["day", "n_clicks"],
+    )
+    e = spark.createDataFrame(
+        [(dt.date(2024, 1, 2), 1), (dt.date(2024, 1, 3), 7)],
+        ["day_e", "n_errors"],
+    )
+    from pyspark.sql import functions as FF
+
+    out = {
+        r["day"]: (r["n_clicks"], r["n_errors"])
+        for r in c.join(e, c["day"] == e["day_e"], "full_outer")
+        .select(
+            FF.coalesce(c["day"], e["day_e"]).alias("day"),
+            FF.coalesce("n_clicks", FF.lit(0)).alias("n_clicks"),
+            FF.coalesce("n_errors", FF.lit(0)).alias("n_errors"),
+        )
+        .collect()
+    }
+    assert out == {
+        dt.date(2024, 1, 1): (5, 0),
+        dt.date(2024, 1, 2): (3, 1),
+        dt.date(2024, 1, 3): (0, 7),
+    }
+
+
+def test_top_paths_cover_all_users_with_ordered_prefixes(spark, sf_dir):
+    from glue_jobs_for_data_pipeline_spark.sources.readers import load_events
+
+    n_users = load_events(spark, sf_dir).select("user_id").distinct().count()
+    rows = mp.x_events_top_paths(spark, sf_dir).collect()
+    assert sum(r["n_users"] for r in rows) == n_users
+    for r in rows:
+        assert 1 <= len(r["path"].split(">")) <= 3
+
+
+def test_revenue_concentration_shares_sum_to_one_and_decrease(spark, sf_dir):
+    rows = sorted(
+        mp.x_olap_revenue_concentration(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-9
+    # deciles ranked by spend: shares must be non-increasing
+    shares = [r["revenue_share"] for r in rows]
+    assert all(a >= b for a, b in zip(shares, shares[1:]))
+
+
+def test_string_kernels_consistent(spark, sf_dir):
+    row = (
+        mp.x_text_string_kernels(spark, sf_dir)
+        .filter(F.col("doc_id") == 0)
+        .collect()[0]
+    )
+    assert row["doc_code"] == "00000000"
+    assert row["lang_upper"] == row["lang_translated"].upper()
+    assert len(row["text_head"]) <= 20
+    assert row["text_len"] > 0
+    assert row["first_table_pos"] >= 0
+
+
+def test_conditional_kernels_banding(spark, sf_dir):
+    from glue_jobs_for_data_pipeline_spark.sources.readers import load_table
+
+    out = mp.x_olap_conditional_kernels(spark, sf_dir)
+    raw = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_custkey"
+    )
+    j = out.join(raw, "o_orderkey").collect()
+    for r in j:
+        expect = (
+            "high"
+            if r["o_totalprice"] > 300000
+            else "mid" if r["o_totalprice"] > 150000 else "low"
+        )
+        assert r["price_band"] == expect
+        assert r["status_folded"] == (
+            "_open" if r["o_orderstatus"] == "O" else r["o_orderstatus"]
+        )
+        m = r["o_custkey"] % 7
+        assert r["g7"] == max(m, 3) and r["l7"] == min(m, 3)
+
+
+# -- batch 4: array/date kernels, bounce rate, latency histogram --------
+
+
+def test_array_kernels_fold_matches_python(spark, sf_dir):
+    rows = (
+        mp.x_text_array_kernels(spark, sf_dir)
+        .join(
+            __import__(
+                "glue_jobs_for_data_pipeline_spark.sources.readers",
+                fromlist=["load_table"],
+            ).load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            "doc_id",
+        )
+        .limit(30)
+        .collect()
+    )
+    for r in rows:
+        toks = r["text"].split(" ")
+        assert r["n_tokens"] == len(toks)
+        assert r["n_distinct"] == len(set(toks))
+        assert r["has_table"] == ("table" in toks)
+        assert r["total_token_chars"] == sum(len(t) for t in toks)
+        expect_ops = ",".join(
+            sorted({"table", "scan", "join"} & set(toks))
+        )
+        assert r["ops_present"] == expect_ops
+
+
+def test_date_kernels_clamp_and_week_monday(spark):
+    import datetime as dt
+
+    from glue_jobs_for_data_pipeline_spark.sources.readers import load_table  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 31)), (2, dt.date(2024, 2, 8))], ["k", "d"]
+    )
+    out = {
+        r["k"]: r
+        for r in df.select(
+            "k",
+            F.add_months("d", 1).alias("plus1m"),
+            F.date_trunc("week", F.col("d")).cast("date").alias("wk"),
+            F.last_day("d").alias("ld"),
+        ).collect()
+    }
+    assert out[1]["plus1m"] == dt.date(2024, 2, 29)  # end-of-month clamp
+    assert out[2]["wk"] == dt.date(2024, 2, 5)       # Monday truncation
+    assert out[1]["ld"] == dt.date(2024, 1, 31)
+
+
+def test_bounce_rate_consistent_with_sessionizer(spark, sf_dir):
+    from glue_jobs_for_data_pipeline_spark.operators.timeseries import (
+        sessionize_batch,
+    )
+    from glue_jobs_for_data_pipeline_spark.sources.readers import load_events
+
+    s = sessionize_batch(load_events(spark, sf_dir), gap_minutes=30)
+    n_sessions = s.count()
+    n_bounces = s.filter(F.col("n_events") == 1).count()
+    rows = mp.x_ts_bounce_rate(spark, sf_dir).collect()
+    assert sum(r["n_sessions"] for r in rows) == n_sessions
+    assert sum(r["n_bounces"] for r in rows) == n_bounces
+    for r in rows:
+        assert 0.0 <= r["bounce_rate"] <= 1.0
+
+
+def test_latency_hist_nonnegative_and_covers_all_lines(spark, sf_dir):
+    from glue_jobs_for_data_pipeline_spark.sources.readers import load_table
+
+    n_lines = load_table(spark, sf_dir, "lineitem").count()
+    rows = mp.x_olap_latency_hist(spark, sf_dir).collect()
+    assert sum(r["n_lines"] for r in rows) == n_lines  # inner FK join is total
+    # the synthetic fixture draws shipdate independently of orderdate,
+    # so negative latencies exist; just pin a sane bounded range
+    assert all(-4000 < r["latency_days"] < 4000 for r in rows)
+
+
+def test_lm_coverage_bounds_and_common_subset(spark, sf_dir):
+    rows = mp.x_text_lm_coverage(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_common"] <= r["n_bigrams"]
+        assert 0.0 <= r["lm_coverage"] <= 1.0
+    # a doc made of corpus-common bigrams scores higher than a doc of
+    # unique gibberish: verify via the extremes on the fixture
+    by_cov = sorted(rows, key=lambda r: r["lm_coverage"])
+    assert by_cov[-1]["lm_coverage"] > by_cov[0]["lm_coverage"]
+
+
+# -- batch 6: FD profile / Benford / window frames ----------------------
+
+
+def test_fd_profile_detects_pk_fd_and_violations(spark):
+    # A table where k -> v holds for k=1 but breaks for k=2.
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "b")], ["k", "v"]
+    )
+    g = df.groupBy("k").agg(F.countDistinct("v").alias("n_rhs"))
+    violating = g.filter(F.col("n_rhs") > 1).count()
+    assert violating == 1
+
+
+def test_fd_profile_rates_in_unit_interval(spark, sf_dir):
+    rows = mp.x_validate_fd_profile(spark, sf_dir).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert 0 <= r["n_violating"] <= r["n_lhs_values"]
+        assert 0.0 <= r["violation_rate"] <= 1.0
+
+
+def test_benford_digits_cover_and_shares_sum_to_one(spark, sf_dir):
+    rows = mp.x_olap_benford(spark, sf_dir).collect()
+    digits = {r["digit"] for r in rows}
+    assert digits <= set("123456789")
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    # digit extraction is from exact cents: recompute one digit
+    from glue_jobs_for_data_pipeline_spark.sources.readers import load_table
+
+    sample = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_totalprice")
+        .limit(5)
+        .collect()
+    )
+    import decimal
+
+    for r in sample:
+        cents = int(
+            (decimal.Decimal(str(r["o_totalprice"])).quantize(
+                decimal.Decimal("0.01")
+            ) * 100)
+        )
+        assert str(cents)[0] in digits
+
+
+def test_window_frames_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10, "a"), (2, 1, 20, "b"), (3, 1, 30, "c"), (4, 2, 5, "z")],
+        ["event_id", "user_id", "ts", "event_type"],
+    )
+    from pyspark.sql import Window as W
+
+    w_run = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w_run.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    out = {
+        r["event_id"]: (r["f"], r["l"], r["n2"])
+        for r in df.select(
+            "event_id",
+            F.first("event_type").over(w_run).alias("f"),
+            F.last("event_type").over(w_full).alias("l"),
+            F.nth_value("event_type", 2).over(w_full).alias("n2"),
+        ).collect()
+    }
+    assert out[1] == ("a", "c", "b")
+    assert out[3] == ("a", "c", "b")
+    assert out[4] == ("z", "z", None)  # 1-row partition: no 2nd value
