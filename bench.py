@@ -64,6 +64,13 @@ BENCH_QUERIES = [
     # multi-shuffle shape in the pack)
     "x_olap_q9_style",
     "x_olap_q21_style",
+    # r08 mining-pack representatives: triangle counting (wedge join,
+    # the pack's heaviest graph shape), LM coverage (bigram df build +
+    # Zipf-skewed scoring join), market-basket lift (per-basket pair
+    # fan-out + support joins)
+    "x_graph_triangles",
+    "x_text_lm_coverage",
+    "x_market_basket_lift",
 ]
 
 
