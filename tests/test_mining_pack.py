@@ -569,3 +569,138 @@ def test_window_frames_semantics(spark):
     assert out[1] == ("a", "c", "b")
     assert out[3] == ("a", "c", "b")
     assert out[4] == ("z", "z", None)  # 1-row partition: no 2nd value
+
+
+# -- randomized differential properties (hypothesis) --------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=11),
+        st.integers(min_value=0, max_value=11),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _py_triangle_counts(edges):
+    und = {
+        (min(a, b), max(a, b)) for a, b in edges if a != b
+    }
+    adj: dict[int, set] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts: dict[int, int] = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in sorted(adj[a]):
+            if b <= a:
+                continue
+            for c in sorted(adj[a] & adj[b]):
+                if c <= b:
+                    continue
+                for n in (a, b, c):
+                    counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges_strategy)
+def test_triangle_counts_match_python_on_random_graphs(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    assert got == _py_triangle_counts(edges)
+
+
+_asof_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_asof_rows, right=_asof_rows)
+def test_asof_forward_matches_python_on_random_series(spark, left, right):
+    # dedupe right to one row per (key, ts) — the operator's contract
+    rmap = {}
+    for k, ts in right:
+        rmap[(k, ts)] = float(ts * 10)
+    rrows = [(k, ts, v) for (k, ts), v in sorted(rmap.items())]
+    lrows = [(i, k, ts) for i, (k, ts) in enumerate(left)]
+    ldf = spark.createDataFrame(lrows, ["lid", "k", "ts"])
+    rdf = spark.createDataFrame(rrows, ["k", "ts", "value"])
+    got = {
+        r["lid"]: (r["mts"], r["mv"])
+        for r in asof_join_forward(
+            ldf, rdf, on="k", right_cols={"ts": "mts", "value": "mv"}
+        ).collect()
+    }
+    for lid, k, ts in lrows:
+        cand = [(rts, v) for (rk, rts), v in rmap.items() if rk == k and rts >= ts]
+        expect = min(cand) if cand else (None, None)
+        assert got[lid] == expect, (lid, k, ts)
+
+
+_points = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pts=_points)
+def test_skyline_plan_matches_bruteforce_on_random_points(spark, pts):
+    """The O(n log n) prefix-max skyline plan (groupBy price -> running
+    max over strictly-cheaper groups) must equal the quadratic
+    dominance definition on arbitrary point sets, ties included."""
+    from pyspark.sql import Window as W
+
+    rows = [(i, float(p), s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, ["id", "price", "size"])
+    g = df.groupBy("price").agg(F.max("size").alias("max_size"))
+    w = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
+    g = g.select(
+        "price", "max_size", F.max("max_size").over(w).alias("run_lt")
+    )
+    sky = {
+        r["id"]
+        for r in df.join(g, "price")
+        .filter(
+            (F.col("size") == F.col("max_size"))
+            & (F.col("run_lt").isNull() | (F.col("run_lt") < F.col("size")))
+        )
+        .collect()
+    }
+    expect = set()
+    for i, (p, s) in enumerate(pts):
+        dominated = any(
+            (qp <= p and qs >= s and (qp < p or qs > s))
+            for j, (qp, qs) in enumerate(pts)
+            if j != i
+        )
+        if not dominated:
+            expect.add(i)
+    assert sky == expect, (pts, sky, expect)
