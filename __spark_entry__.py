@@ -114,10 +114,10 @@ _WINDOW_FIRST = [
     "x_olap_conditional_kernels",
     # Round-8 late arrivals (x_text_array_kernels, x_olap_date_kernels,
     # x_ts_bounce_rate, x_olap_latency_hist, x_text_lm_coverage,
-    # x_validate_fd_profile, x_olap_benford, x_olap_window_frames)
-    # landed after the window filled; they ride the committed two-SF
-    # sweeps this round and take window slots in r09 with the
-    # rotated-out §2 cohorts.
+    # x_validate_fd_profile, x_olap_benford, x_olap_window_frames,
+    # x_storage_hash_skip_index) landed after the window filled; they
+    # ride the committed two-SF sweeps this round and take window
+    # slots in r09 with the rotated-out §2 cohorts.
 ]
 
 

@@ -1524,3 +1524,41 @@ def x_olap_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w_full).alias("last_type"),
         F.nth_value("event_type", 2).over(w_full).alias("second_type"),
     )
+
+
+# --------------------------------------------------------------------------
+# File-level hash-bucket skipping index (Delta-style bloom-index analog)
+# --------------------------------------------------------------------------
+
+_X_SKIPIDX_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_custkey = 42
+"""
+
+
+@_q("x_storage_hash_skip_index", _X_SKIPIDX_SQL)
+def x_storage_hash_skip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through a file-level hash-bucket skipping index
+    (sources/skipindex.py): orders is rewritten range-clustered on
+    o_custkey (8 files), a per-file bucket-set index is built with one
+    groupBy over input_file_name(), and the custkey=42 lookup opens
+    ONLY the index's candidate files (1 of 8 on this layout — asserted
+    in tests/test_storage.py) before the exact residual filter. The
+    oracle runs the same predicate over the unindexed table: identical
+    rows prove the index admits no false negatives. At 100 TB this is
+    the metadata-plane pruning tier for high-cardinality non-partition
+    keys, where directory pruning does not apply and min/max footers
+    barely cut."""
+    from ..sources.skipindex import (
+        build_hash_bucket_index,
+        indexed_equality_scan,
+    )
+    from .catalog_ext import _scratch_dir
+
+    d = _scratch_dir("spark_graft_skipidx_") + "/orders_clustered"
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    od.repartitionByRange(8, "o_custkey").write.mode("overwrite").parquet(d)
+    idx = build_hash_bucket_index(spark, d, "o_custkey")
+    return indexed_equality_scan(spark, idx, 42, "o_custkey")

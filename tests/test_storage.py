@@ -164,3 +164,63 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir, tmp_path):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_hash_skip_index_prunes_files_and_is_exact(spark, sf_dir, tmp_path):
+    from glue_jobs_for_data_pipeline_spark.sources.skipindex import (
+        build_hash_bucket_index,
+        candidate_files,
+        indexed_equality_scan,
+    )
+
+    d = str(tmp_path / "orders_clustered")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    od.repartitionByRange(8, "o_custkey").write.parquet(d)
+    idx = build_hash_bucket_index(spark, d, "o_custkey")
+    n_files = idx.count()
+    assert n_files >= 2
+
+    key = od.select("o_custkey").first()["o_custkey"]
+    cands = candidate_files(idx, key, "bigint", 4096)
+    # pruning: clustered layout must cut the candidate list well below
+    # the full file set
+    assert 1 <= len(cands) < n_files
+
+    # no false negatives: candidates cover every file actually holding
+    # the key
+    actual = {
+        r["f"]
+        for r in spark.read.parquet(d)
+        .filter(F.col("o_custkey") == key)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert actual <= set(cands)
+
+    # exactness end-to-end
+    got = sorted(
+        r["o_orderkey"]
+        for r in indexed_equality_scan(spark, idx, key, "o_custkey").collect()
+    )
+    expect = sorted(
+        r["o_orderkey"]
+        for r in od.filter(F.col("o_custkey") == key).collect()
+    )
+    assert got == expect
+
+
+def test_hash_skip_index_empty_on_absent_key(spark, sf_dir, tmp_path):
+    from glue_jobs_for_data_pipeline_spark.sources.skipindex import (
+        build_hash_bucket_index,
+        indexed_equality_scan,
+    )
+
+    d = str(tmp_path / "orders_small")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).repartitionByRange(4, "o_custkey").write.parquet(d)
+    idx = build_hash_bucket_index(spark, d, "o_custkey")
+    out = indexed_equality_scan(spark, idx, -999_999_999, "o_custkey")
+    assert out.count() == 0
+    assert set(out.columns) == {"o_orderkey", "o_custkey"}
