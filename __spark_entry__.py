@@ -115,7 +115,11 @@ _WINDOW_FIRST = [
     # Round-8 late arrivals (x_text_array_kernels, x_olap_date_kernels,
     # x_ts_bounce_rate, x_olap_latency_hist, x_text_lm_coverage,
     # x_validate_fd_profile, x_olap_benford, x_olap_window_frames,
-    # x_storage_hash_skip_index) landed after the window filled; they
+    # x_storage_hash_skip_index, x_text_pmi_collocations,
+    # x_validate_drift_chisq, x_ts_autocorr, x_events_attribution,
+    # x_validate_skew_report, x_events_cumulative_users,
+    # x_validate_join_planner, x_olap_windowed_distinct,
+    # x_ts_interpolate) landed after the window filled; they
     # ride the committed two-SF sweeps this round and take window
     # slots in r09 with the rotated-out §2 cohorts.
 ]

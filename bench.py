@@ -71,6 +71,12 @@ BENCH_QUERIES = [
     "x_graph_triangles",
     "x_text_lm_coverage",
     "x_market_basket_lift",
+    # r08 late additions: PMI collocations (double corpus explode into
+    # materialized count partials + dictionary joins), first-touch
+    # attribution (one user-key exchange reused across three window
+    # passes + two rollups)
+    "x_text_pmi_collocations",
+    "x_events_attribution",
 ]
 
 

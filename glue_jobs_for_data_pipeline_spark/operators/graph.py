@@ -359,3 +359,72 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_iterations: int = 100,
+) -> DataFrame:
+    """(node, core_degree) for the k-core: the maximal subgraph in
+    which every node has degree >= k, with each survivor's degree
+    INSIDE that subgraph. The k-core is the standard "dense kernel"
+    extractor — spam/boilerplate rings in near-dup graphs, power-user
+    cores in interaction graphs — and the peeling loop is the
+    building block of full coreness decomposition (run with k = 1, 2,
+    3, ... and diff).
+
+    Input: undirected edge list (columns ``src``, ``dst``); self-loops
+    ignored, duplicate and reversed-duplicate edges collapsed here, so
+    callers can pass any raw pair table.
+
+    Algorithm — parallel peeling: repeatedly compute degrees and drop
+    every node with degree < k (all at once, not one at a time; the
+    k-core is the greatest fixpoint, so batch deletion converges to the
+    same subgraph as sequential peeling). Terminates because the
+    surviving-edge count strictly decreases on every non-final round.
+
+    Scale shape per iteration: one map-side-combined degree count and
+    two semi-joins of the edge list against the survivor set (node-key
+    shuffles — AQE re-plans them as broadcasts once the survivor set
+    shrinks below the threshold); ``localCheckpoint`` truncates lineage
+    each round, and the convergence check reuses the edge COUNT the
+    checkpoint already computed — one scalar per round to the driver,
+    never data. Rounds are bounded by the peeling depth (degeneracy
+    ordering height), which is far below node count on real graphs.
+
+    No counterpart in the reference (no graph queries in the 4 Redshift
+    scripts); LLM-pipeline scope.
+    """
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionAll(
+            edges.filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_edges = sym.count()
+    for _ in range(max_iterations):
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        pruned = sym.join(keep, "src", "left_semi").join(
+            keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+        )
+        pruned = pruned.localCheckpoint(eager=True)
+        cur_edges = pruned.count()
+        sym = pruned
+        if cur_edges == prev_edges:
+            break
+        prev_edges = cur_edges
+    else:
+        raise RuntimeError(
+            f"kcore did not converge in {max_iterations} iterations"
+        )
+    return (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )

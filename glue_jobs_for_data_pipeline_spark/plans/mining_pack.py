@@ -27,7 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.readers import load_events, load_table
+from ..functions import text as tx
+from ..sources.readers import load_events, load_table, spread
 from .catalog import _q
 
 # --------------------------------------------------------------------------
@@ -1562,3 +1563,796 @@ def x_storage_hash_skip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     od.repartitionByRange(8, "o_custkey").write.mode("overwrite").parquet(d)
     idx = build_hash_bucket_index(spark, d, "o_custkey")
     return indexed_equality_scan(spark, idx, 42, "o_custkey")
+
+
+# --------------------------------------------------------------------------
+# PMI collocations (bigram lift over the corpus)
+# --------------------------------------------------------------------------
+
+_X_PMI_SQL = r"""
+WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS l
+           FROM documents),
+uni AS (SELECT tok, COUNT(*) AS c
+        FROM (SELECT unnest(l) AS tok FROM t) GROUP BY tok),
+pairs AS (SELECT unnest(list_transform(range(1, len(l)),
+                                       i -> l[i] || ' ' || l[i+1])) AS bg
+          FROM t),
+bi AS (SELECT string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b,
+              COUNT(*) AS c_ab
+       FROM pairs GROUP BY 1, 2),
+tot AS (SELECT CAST((SELECT SUM(c) FROM uni) AS BIGINT) AS n_uni,
+               CAST((SELECT SUM(c_ab) FROM bi) AS BIGINT) AS n_bi)
+SELECT bi.a, bi.b, bi.c_ab, ua.c AS c_a, ub.c AS c_b,
+       (CAST(bi.c_ab AS DOUBLE) * tot.n_uni * tot.n_uni)
+         / (CAST(tot.n_bi AS DOUBLE) * ua.c * ub.c) AS pmi_lift
+FROM bi JOIN uni ua ON bi.a = ua.tok
+        JOIN uni ub ON bi.b = ub.tok, tot
+WHERE bi.c_ab >= 5
+"""
+
+
+@_q("x_text_pmi_collocations", _X_PMI_SQL)
+def x_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: bigram PMI lift — p(ab) / (p(a) p(b)), the
+    association strength behind phrase detection (word2vec-style
+    phrasing, multiword-expression vocab entries, boilerplate-phrase
+    discovery). The LINEAR lift (exp of PMI) is emitted instead of
+    ln(lift): ln is monotone, so ranking/thresholding semantics are
+    identical, and the lift assembles from exact integer counts with
+    one IEEE multiply/divide chain — bit-stable across engines where
+    log() is library-dependent at the ulp (same rationale as
+    x_text_tfidf's linear idf).
+
+    Shape: one token-array scan feeds BOTH count tables — unigrams
+    (explode -> map-side-combined count) and bigrams (zip_with over two
+    offset slices, no window) — then two term-keyed joins of the bigram
+    counts against the unigram dictionary and a broadcast 1-row totals
+    join. Shuffles move distinct terms/pairs, never corpus rows; the
+    c_ab >= 5 support floor is applied before the joins so rare-pair
+    fan-out never reaches the dictionary join at scale."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select(tx.tokens(F.lower(F.col("text"))).alias("l"))
+    # The two count tables are REDUCED (vocab- / distinct-bigram-sized)
+    # but feed five consumers (totals x2, dictionary joins x2, pair
+    # probe); without materialization Spark recomputes the corpus
+    # tokenize+explode once per consumer (~7 scans). localCheckpoint
+    # pins each after its one aggregation — the same
+    # materialize-the-partials move a 100 TB run makes by writing the
+    # count tables before scoring.
+    uni = (
+        t.select(F.explode("l").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    bi = (
+        t.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(l, 1, size(l) - 1),"
+                    " slice(l, 2, size(l) - 1),"
+                    " (a, b) -> struct(a, b))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=True)
+    )
+    # totals are taken over the UNFILTERED count tables (p(ab) is
+    # relative to all bigrams, not just frequent ones); the support
+    # floor then prunes the pair table before the dictionary joins
+    tot = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        bi.agg(F.sum("c_ab").alias("n_bi"))
+    )
+    frequent = bi.filter(F.col("c_ab") >= 5)
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))
+    return (
+        frequent.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (
+                (
+                    F.col("c_ab").cast("double")
+                    * F.col("n_uni")
+                    * F.col("n_uni")
+                )
+                / (
+                    F.col("n_bi").cast("double")
+                    * F.col("c_a")
+                    * F.col("c_b")
+                )
+            ).alias("pmi_lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Distribution-drift report (chi-square homogeneity between corpus halves)
+# --------------------------------------------------------------------------
+
+_X_DRIFT_SQL = """
+WITH c AS (
+  SELECT lang,
+         CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ref,
+         CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cur
+  FROM documents GROUP BY lang),
+t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tot_ref,
+             CAST(SUM(n_cur) AS BIGINT) AS tot_cur FROM c)
+SELECT lang, n_ref, n_cur,
+       CAST(n_ref AS DOUBLE) / tot_ref AS p_ref,
+       CAST(n_cur AS DOUBLE) / tot_cur AS p_cur,
+       (CAST(n_cur AS DOUBLE) / tot_cur)
+         / (CAST(n_ref AS DOUBLE) / tot_ref) AS rate_ratio,
+       (CAST(n_cur AS DOUBLE)
+          - CAST(tot_cur AS DOUBLE) * n_ref / tot_ref)
+         * (CAST(n_cur AS DOUBLE)
+              - CAST(tot_cur AS DOUBLE) * n_ref / tot_ref)
+         / (CAST(tot_cur AS DOUBLE) * n_ref / tot_ref) AS chisq_term
+FROM c, t
+WHERE n_ref > 0 AND n_cur > 0
+"""
+
+
+@_q("x_validate_drift_chisq", _X_DRIFT_SQL)
+def x_validate_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between two corpus snapshots (here the
+    deterministic doc_id-parity halves stand in for crawl N vs crawl
+    N+1): per-category observed vs expected rates, the rate ratio, and
+    the chi-square homogeneity term — sum the terms, compare against a
+    critical value, and you have the drift gate a training pipeline
+    runs before admitting a new ingest batch. ln-free by construction
+    (chi-square + rate ratio, not PSI/KL, whose ln() is
+    library-dependent under a value-hash oracle): every column
+    assembles from exact integer counts with one IEEE expression.
+
+    Shape: one conditional-aggregation scan (no self-join of the two
+    halves), a 1-row totals cross join, per-category arithmetic — the
+    category table is group-count-sized, so the report costs one
+    map-side-combined pass at any corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    t = c.agg(
+        F.sum("n_ref").cast("long").alias("tot_ref"),
+        F.sum("n_cur").cast("long").alias("tot_cur"),
+    )
+    j = c.crossJoin(F.broadcast(t)).filter(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    )
+    n_ref_d = F.col("n_ref").cast("double")
+    n_cur_d = F.col("n_cur").cast("double")
+    expected = (
+        F.col("tot_cur").cast("double") * F.col("n_ref") / F.col("tot_ref")
+    )
+    return j.select(
+        "lang",
+        "n_ref",
+        "n_cur",
+        (n_ref_d / F.col("tot_ref")).alias("p_ref"),
+        (n_cur_d / F.col("tot_cur")).alias("p_cur"),
+        (
+            (n_cur_d / F.col("tot_cur")) / (n_ref_d / F.col("tot_ref"))
+        ).alias("rate_ratio"),
+        ((n_cur_d - expected) * (n_cur_d - expected) / expected).alias(
+            "chisq_term"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lag-k autocorrelation of the daily event-value series
+# --------------------------------------------------------------------------
+
+# Bit-stability recipe: per-event values become exact integer
+# micro-units, daily sums stay integral, lagged pairs multiply as
+# DECIMAL(19,0) (product <= 38 digits, exact in both engines), the five
+# co-moment sums accumulate as DECIMAL(38,0), and the correlation
+# assembles in double ONCE with the same expression text as x_olap_corr
+# (analytics_pack.py) — no streaming corr(), no library functions.
+_X_AUTOCORR_CTES = """
+hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         CAST(CAST(SUM(CAST(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                                 AS DECIMAL(38,0)) AS BIGINT))
+                   AS DECIMAL(38,0)) AS BIGINT) AS xi
+  FROM events GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP))),
+lagged AS (
+  SELECT xi,
+         LAG(xi, 1) OVER (ORDER BY h) AS x1,
+         LAG(xi, 24) OVER (ORDER BY h) AS x24
+  FROM hourly)
+"""
+
+_X_AUTOCORR_STATS = """
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST({lag} AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(xi AS DECIMAL(19,0)) * CAST(xi AS DECIMAL(19,0))
+                       AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST({lag} AS DECIMAL(19,0))
+                       * CAST({lag} AS DECIMAL(19,0))
+                       AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(CAST(xi AS DECIMAL(19,0)) * CAST({lag} AS DECIMAL(19,0))
+                       AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+  FROM lagged WHERE {lag} IS NOT NULL
+"""
+
+_X_AUTOCORR_SQL = f"""
+WITH {_X_AUTOCORR_CTES},
+s1 AS ({_X_AUTOCORR_STATS.format(lag="x1")}),
+s24 AS ({_X_AUTOCORR_STATS.format(lag="x24")})
+SELECT CAST(1 AS INTEGER) AS lag_k, CAST(n AS BIGINT) AS n_pairs,
+       (n * sxy - sx * sy)
+         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS autocorr
+FROM s1
+UNION ALL
+SELECT CAST(24 AS INTEGER) AS lag_k, CAST(n AS BIGINT) AS n_pairs,
+       (n * sxy - sx * sy)
+         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS autocorr
+FROM s24
+"""
+
+
+@_q("x_ts_autocorr", _X_AUTOCORR_SQL)
+def x_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 / lag-24 autocorrelation of the hourly event-value series
+    — the seasonality probe (hour-over-hour momentum? a daily cycle?)
+    that decides differencing/seasonal terms before any forecasting
+    model. Computed as Pearson correlation of the series against its
+    own lag from ALGEBRAIC co-moments over exact integer micro-units
+    (see the recipe note above the SQL).
+
+    Shape: the only data-proportional work is the map-side-combined
+    hourly aggregation; the lag window and co-moment pass run on the
+    HOUR-count-sized series (720 rows on this fixture's 30-day span,
+    calendar-bounded at any data scale), so the deliberately
+    unpartitioned LAG window never sees data-proportional input."""
+    ev = load_events(spark, sf_dir)
+    micros = (
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("decimal(38,0)")
+        .cast("long")
+    )
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.sum(micros).cast("decimal(38,0)").cast("long").alias("xi"))
+    )
+    w = Window.orderBy("h")
+    lagged = hourly.select(
+        "xi",
+        F.lag("xi", 1).over(w).alias("x1"),
+        F.lag("xi", 24).over(w).alias("x24"),
+    )
+
+    def stats(lag_col: str, k: int) -> DataFrame:
+        xi = F.col("xi").cast("decimal(19,0)")
+        xj = F.col(lag_col).cast("decimal(19,0)")
+        s = (
+            lagged.filter(F.col(lag_col).isNotNull())
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("xi").cast("decimal(38,0)"))
+                .cast("double")
+                .alias("sx"),
+                F.sum(F.col(lag_col).cast("decimal(38,0)"))
+                .cast("double")
+                .alias("sy"),
+                F.sum((xi * xi).cast("decimal(38,0)"))
+                .cast("double")
+                .alias("sxx"),
+                F.sum((xj * xj).cast("decimal(38,0)"))
+                .cast("double")
+                .alias("syy"),
+                F.sum((xi * xj).cast("decimal(38,0)"))
+                .cast("double")
+                .alias("sxy"),
+            )
+        )
+        n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+        sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+        return s.select(
+            F.lit(k).cast("int").alias("lag_k"),
+            n.cast("long").alias("n_pairs"),
+            (
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            ).alias("autocorr"),
+        )
+
+    return stats("x1", 1).unionAll(stats("x24", 24))
+
+
+# --------------------------------------------------------------------------
+# First-touch attribution over gap sessions
+# --------------------------------------------------------------------------
+
+_X_ATTRIB_SQL = """
+WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                  event_type, CAST(value AS DECIMAL(18,6)) AS v
+           FROM events),
+lagged AS (
+  SELECT user_id, event_id, ts, event_type, v,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM e),
+sess AS (
+  SELECT user_id, event_id, ts, event_type, v,
+         SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM lagged),
+per_sess AS (
+  SELECT user_id, session_id,
+         MIN(CASE WHEN rn = 1 THEN event_type END) AS channel,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN v END)
+              AS DECIMAL(38,6)) AS srev,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM (SELECT user_id, session_id, event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM sess)
+  GROUP BY user_id, session_id)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS n_converting,
+       CAST(CAST(SUM(srev) AS DECIMAL(38,6)) AS DOUBLE)
+         AS attributed_revenue
+FROM per_sess GROUP BY channel
+"""
+
+
+@_q("x_events_attribution", _X_ATTRIB_SQL)
+def x_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: sessionize by 30-minute gaps (the
+    lag-mark-cumsum idiom of x_ts_sessionize_batch, tie-ordered by
+    (ts, event_id) end-to-end), then credit each session's purchase
+    revenue to the session's FIRST event type — the acquisition-channel
+    attribution report, with per-channel session counts, conversion
+    counts, and exact-decimal attributed revenue.
+
+    Shape: one keyed shuffle on user_id serves the lag window, the
+    session cumsum, and the first-event row_number (same partitioning,
+    Catalyst reuses the exchange); the session rollup and the final
+    channel rollup are map-side-combined aggregations. Decimal
+    accumulation end-to-end; nothing leaves integer/decimal space."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.withColumn("prev", F.lag("ts").over(w_ord))
+    is_new = F.when(
+        F.col("prev").isNull()
+        | (
+            F.col("ts").cast("long") - F.col("prev").cast("long")
+            > 30 * 60
+        ),
+        1,
+    ).otherwise(0)
+    sess = lagged.withColumn(
+        "session_id",
+        F.sum(is_new).over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w_sess = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    per_sess = (
+        sess.withColumn("rn", F.row_number().over(w_sess))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("event_type"))).alias(
+                "channel"
+            ),
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("v")))
+            .cast("decimal(38,6)")
+            .alias("srev"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    return per_sess.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converting"),
+        F.sum("srev")
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("attributed_revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew report
+# --------------------------------------------------------------------------
+
+_X_SKEWREP_SQL = """
+WITH kc AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_custkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MAX(n) AS BIGINT) AS max_per_key,
+       CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_per_key,
+       CAST(MAX(n) AS DOUBLE) * COUNT(*) / CAST(SUM(n) AS DOUBLE)
+         AS skew_ratio,
+       (SELECT MIN(k) FROM kc WHERE n = (SELECT MAX(n) FROM kc))
+         AS heaviest_key
+FROM kc
+"""
+
+
+@_q("x_validate_skew_report", _X_SKEWREP_SQL)
+def x_validate_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: per-key count distribution of
+    orders.o_custkey reduced to the numbers that decide a join
+    strategy — key count, max rows per key, mean, the max/mean skew
+    ratio, and the heaviest key itself (min key id among ties, a total
+    order). skew_ratio >> 1 is the signal to reach for
+    operators/skew.py's salting or AQE skew-join before a 100 TB
+    shuffle; the report itself is one map-side-combined count plus
+    aggregation over the key-count-sized table, so it is cheap enough
+    to run as a pre-flight check on every large join."""
+    o = load_table(spark, sf_dir, "orders")
+    kc = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return spark.sql(
+        """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(MAX(n) AS BIGINT) AS max_per_key,
+               CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_per_key,
+               CAST(MAX(n) AS DOUBLE) * COUNT(*) / CAST(SUM(n) AS DOUBLE)
+                 AS skew_ratio,
+               (SELECT MIN(k) FROM {kc2} WHERE n = (SELECT MAX(n) FROM {kc3}))
+                 AS heaviest_key
+        FROM {kc}
+        """,
+        kc=kc,
+        kc2=kc,
+        kc3=kc,
+    )
+
+
+# --------------------------------------------------------------------------
+# Cumulative distinct users (running count distinct via first-touch)
+# --------------------------------------------------------------------------
+
+_X_CUMUSERS_SQL = """
+WITH fs AS (SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS first_day
+            FROM events GROUP BY event_type, user_id),
+daily AS (SELECT event_type, first_day AS d, CAST(COUNT(*) AS BIGINT) AS n_new
+          FROM fs GROUP BY event_type, first_day)
+SELECT event_type, d, n_new,
+       CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY d
+                             ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM daily
+"""
+
+
+@_q("x_events_cumulative_users", _X_CUMUSERS_SQL)
+def x_events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT user) per event type by day — the
+    feature-adoption curve — via the first-touch transform:
+    distinct-over-expanding-window is unshuffleable as stated (every
+    day would re-scan all history), but MIN(day) per (type, user) +
+    daily new-user counts + one cumulative sum per type over the
+    day-count-sized series is two map-side-combined aggregations and a
+    calendar-bounded keyed window. The rewrite is exact, not
+    approximate — the standard trick for cumulative-distinct at scale.
+    """
+    ev = load_events(spark, sf_dir)
+    fs = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = fs.groupBy("event_type", F.col("first_day").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "event_type",
+        "d",
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cum_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# k-core extraction over the support-2 co-purchase graph
+# --------------------------------------------------------------------------
+
+
+@_q("x_graph_kcore")  # iterative peeling -> rows-only; property-tested
+def x_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the support-2 co-purchase graph (parts linked when
+    they co-occur in >= 2 distinct orders — the same minimum-support
+    idea as x_market_basket_lift, which keeps the graph heterogeneous
+    instead of near-regular): operators/graph.py::kcore peels nodes of
+    degree < 3 in parallel rounds until the maximal subgraph where
+    every survivor keeps >= 3 edges remains. Output (node,
+    core_degree). Iterative fixpoint — not SQL-expressible, so
+    rows-only at the driver; correctness is pinned by
+    tests/test_graph.py's property test against a pure-Python
+    sequential peel on random graphs (batch and sequential peeling
+    provably agree on the greatest fixpoint)."""
+    from ..operators.graph import kcore
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("t"))
+    sup = (
+        a.join(b, "ok")
+        .filter(F.col("s") < F.col("t"))
+        .groupBy("s", "t")
+        .agg(F.count_distinct("ok").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select(F.col("s").alias("src"), F.col("t").alias("dst"))
+    )
+    return kcore(sup, k=3)
+
+
+# --------------------------------------------------------------------------
+# HLL sketch partial / merge (re-aggregatable distinct counts)
+# --------------------------------------------------------------------------
+
+
+@_q("x_olap_hll_partial_merge")  # sketch estimate -> rows-only; pytest-bound
+def x_olap_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counting: per-day Datasketches HLL
+    sketches of the active-user set (hll_sketch_agg), merged with
+    hll_union_agg into period estimates — the pattern that makes
+    100 TB distinct-count dashboards incremental: daily partials are
+    built once at ingest (map-side-combined, fixed-size state), and
+    ANY period rollup (week/month/all-time) is a cheap union of stored
+    sketches instead of a re-scan of raw events. approx_count_distinct
+    gives one-shot estimates but discards the sketch;
+    sketch-as-a-value is what enables storage and later merging.
+
+    Output: one row per calendar week — days merged, the merged-HLL
+    estimate, and the exact distinct count for reference. Sketch
+    estimates have no DuckDB counterpart, so the driver check is
+    rows-only; tests/test_mining_pack.py pins (a) relative error vs
+    exact <= 5% and (b) merge consistency — union of daily sketches
+    equals the one-shot weekly sketch BIT-FOR-BIT (HLL union is
+    deterministic), the associativity that makes stored partials
+    trustworthy."""
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.weekofyear("ts").alias("week"), F.col("ts").cast("date").alias("d")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("est_users"),
+    )
+    exact = ev.groupBy(F.weekofyear("ts").alias("week")).agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "week").select(
+        "week", "n_days", "est_users", "exact_users"
+    )
+
+
+# --------------------------------------------------------------------------
+# Join-strategy pre-flight (operators/planner.py)
+# --------------------------------------------------------------------------
+
+_X_PLANNER_SQL = """
+WITH kc AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_custkey),
+l AS (SELECT CAST(SUM(n) AS BIGINT) AS l_rows,
+             CAST(COUNT(*) AS BIGINT) AS l_keys,
+             CAST(MAX(n) AS BIGINT) AS l_max_key_rows FROM kc),
+r AS (SELECT CAST(COUNT(*) AS BIGINT) AS r_rows FROM customer)
+SELECT l_rows, l_keys, l_max_key_rows, r_rows,
+       CAST(l_max_key_rows AS DOUBLE) * l_keys / CAST(l_rows AS DOUBLE)
+         AS skew_ratio,
+       CASE WHEN r_rows <= 1000000 THEN 'broadcast'
+            WHEN CAST(l_max_key_rows AS DOUBLE) * l_keys
+                   / CAST(l_rows AS DOUBLE) > 4.0 THEN 'salted_sort_merge'
+            ELSE 'sort_merge' END AS strategy
+FROM l, r
+"""
+
+
+@_q("x_validate_join_planner", _X_PLANNER_SQL)
+def x_validate_join_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy pre-flight report for orders JOIN customer ON
+    custkey (operators/planner.py): probe-side volume / key cardinality
+    / heaviest-key multiplicity, build-side volume, the max/mean skew
+    ratio, and the deterministic strategy decision (broadcast under the
+    build-side budget; salt when the probe side is skewed; plain
+    sort-merge otherwise) — the report a pipeline author reads BEFORE a
+    multi-hour 100 TB join, and the same decision ``auto_join`` applies
+    mechanically (plan-shape + result-equivalence tests in
+    tests/test_mining_pack.py). Two map-side-combined aggregates and a
+    1-row assembly; thresholds are explicit in the output's CASE, so
+    the report documents its own reasoning."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    kc = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    l = kc.agg(
+        F.sum("n").cast("long").alias("l_rows"),
+        F.count(F.lit(1)).cast("long").alias("l_keys"),
+        F.max("n").cast("long").alias("l_max_key_rows"),
+    )
+    r = c.agg(F.count(F.lit(1)).cast("long").alias("r_rows"))
+    j = l.crossJoin(F.broadcast(r))
+    skew = (
+        F.col("l_max_key_rows").cast("double")
+        * F.col("l_keys")
+        / F.col("l_rows").cast("double")
+    )
+    return j.select(
+        "l_rows",
+        "l_keys",
+        "l_max_key_rows",
+        "r_rows",
+        skew.alias("skew_ratio"),
+        F.when(F.col("r_rows") <= 1000000, F.lit("broadcast"))
+        .when(skew > 4.0, F.lit("salted_sort_merge"))
+        .otherwise(F.lit("sort_merge"))
+        .alias("strategy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Windowed COUNT DISTINCT (sliding distinct-state kernel)
+# --------------------------------------------------------------------------
+
+_X_WDISTINCT_SQL = """
+SELECT event_id, user_id,
+       CAST(COUNT(DISTINCT event_type) OVER (
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS INTEGER)
+         AS distinct_types_11
+FROM events
+"""
+
+
+@_q("x_olap_windowed_distinct", _X_WDISTINCT_SQL)
+def x_olap_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding distinct count — how many DISTINCT event types did this
+    user touch in their last 11 events? (behavioral-diversity feature
+    for engagement/abuse models). Spark does not support DISTINCT
+    aggregates in window frames; the engine-idiomatic rewrite is
+    size(collect_set() OVER frame) — set state bounded by the FRAME
+    length (11), not the partition, so per-row window state is O(frame)
+    at any scale. The oracle states the same thing natively
+    (COUNT(DISTINCT) OVER), making this a cross-engine kernel pin:
+    same total tie order (ts, event_id), same frame, one user-keyed
+    shuffle on the Spark side."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("int")
+        .alias("distinct_types_11"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Linear-interpolation gap repair (the interpolating sibling of LOCF)
+# --------------------------------------------------------------------------
+
+_X_INTERP_SQL = """
+WITH sparse AS (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+         CASE WHEN event_id % 3 = 0
+              THEN CAST(value AS DOUBLE) ELSE NULL END AS v
+  FROM events),
+bounds AS (
+  SELECT event_id, user_id, tus, v,
+         last_value(v IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN tus END IGNORE NULLS)
+           OVER wp AS pt,
+         first_value(v IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN tus END IGNORE NULLS)
+           OVER wf AS nt
+  FROM sparse
+  WINDOW wp AS (PARTITION BY user_id ORDER BY tus, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY tus, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT event_id, user_id, v,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv)
+                   * (CAST(tus - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+       END AS v_interp
+FROM bounds
+"""
+
+
+@_q("x_ts_interpolate", _X_INTERP_SQL)
+def x_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap repair over a sparse per-user series —
+    the interpolating sibling of x_ts_gap_fill's LOCF: interior gaps
+    take the time-weighted blend of the bracketing observations,
+    leading/trailing gaps fall back to nearest-edge fill. The blend
+    fraction divides integer microsecond deltas (one IEEE
+    multiply/divide chain, same expression both engines); the two
+    frame passes (last non-null backward, first non-null forward)
+    share one user-keyed sort, and per-row state is O(1) — IGNORE
+    NULLS frames carry a scalar, not the frame contents — so the
+    repair is a two-window pass at any scale."""
+    from ..sources.readers import load_events as _le
+
+    ev = _le(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("tus"),
+        F.when(
+            F.col("event_id") % 3 == 0, F.col("value").cast("double")
+        ).alias("v"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t_obs = F.when(F.col("v").isNotNull(), F.col("tus"))
+    b = ev.select(
+        "event_id",
+        "user_id",
+        "tus",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(t_obs, ignorenulls=True).over(wp).alias("pt"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(t_obs, ignorenulls=True).over(wf).alias("nt"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("tus") - F.col("pt")).cast("double")
+                / (F.col("nt") - F.col("pt")).cast("double")
+            )
+        )
+    )
+    return b.select("event_id", "user_id", "v", interp.alias("v_interp"))

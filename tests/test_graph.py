@@ -158,3 +158,62 @@ def test_dedup_by_clusters_best_keeps_highest_score(spark):
         for r in dedup_by_clusters_best(docs, pairs, "doc_id", "score").collect()
     }
     assert out == {2: (3, 0.9), 4: (2, 0.7), 9: (1, 0.2)}
+
+
+# --- k-core: agree with a sequential pure-Python peel -------------------
+
+
+def _py_kcore(edges, k):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    while True:
+        drop = [n for n, nb in adj.items() if len(nb) < k]
+        if not drop:
+            break
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+def _spark_kcore(spark, pairs, k):
+    from glue_jobs_for_data_pipeline_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    return {
+        r["node"]: r["core_degree"] for r in kcore(df, k=k).collect()
+    }
+
+
+def test_kcore_triangle_plus_tail(spark):
+    # triangle {1,2,3} is the 2-core; the 3-4-5 tail peels away
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    assert _spark_kcore(spark, pairs, 2) == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_empties_when_k_exceeds_degeneracy(spark):
+    pairs = [(1, 2), (2, 3), (1, 3)]
+    assert _spark_kcore(spark, pairs, 3) == {}
+
+
+def test_kcore_duplicates_and_direction_irrelevant(spark):
+    pairs = [(1, 2), (2, 1), (1, 2), (2, 3), (1, 3)]
+    assert _spark_kcore(spark, pairs, 2) == {1: 2, 2: 2, 3: 2}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=st.lists(_edge, min_size=1, max_size=25), k=st.integers(2, 4))
+def test_kcore_agrees_with_sequential_peel(spark, edges, k):
+    pairs = [(int(a), int(b)) for a, b in edges]
+    assert _spark_kcore(spark, pairs, k) == _py_kcore(pairs, k)
