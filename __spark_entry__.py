@@ -119,7 +119,8 @@ _WINDOW_FIRST = [
     # x_validate_drift_chisq, x_ts_autocorr, x_events_attribution,
     # x_validate_skew_report, x_events_cumulative_users,
     # x_validate_join_planner, x_olap_windowed_distinct,
-    # x_ts_interpolate) landed after the window filled; they
+    # x_ts_interpolate, x_validate_join_cardinality,
+    # x_validate_table_checksum) landed after the window filled; they
     # ride the committed two-SF sweeps this round and take window
     # slots in r09 with the rotated-out §2 cohorts.
 ]

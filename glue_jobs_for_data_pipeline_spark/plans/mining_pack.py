@@ -2356,3 +2356,127 @@ def x_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return b.select("event_id", "user_id", "v", interp.alias("v_interp"))
+
+
+# --------------------------------------------------------------------------
+# Join output-cardinality prediction (planner pre-flight #2)
+# --------------------------------------------------------------------------
+
+_X_JOINCARD_SQL = """
+WITH a AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n_a
+           FROM orders GROUP BY o_orderkey),
+b AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n_b
+      FROM lineitem GROUP BY l_orderkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
+       CAST(SUM(CAST(n_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)))
+            AS BIGINT) AS predicted_rows,
+       CAST(MAX(CAST(n_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)))
+            AS BIGINT) AS max_single_key_rows
+FROM a JOIN b ON a.k = b.k
+"""
+
+
+@_q("x_validate_join_cardinality", _X_JOINCARD_SQL)
+def x_validate_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join output-cardinality prediction WITHOUT running the join:
+    |A join B| on an equi-key is exactly SUM over matching keys of
+    n_a * n_b, computable from the two per-key count tables — inputs
+    that are map-side-combined reductions, joined at key-cardinality
+    (not row) scale. The companion to x_validate_join_planner: the
+    planner report says HOW to run the join, this one says HOW BIG it
+    comes out (and max_single_key_rows bounds the worst skew cell —
+    the number AQE's skew splitter will have to chop). At 100 TB the
+    same formula runs over sampled or sketched count tables; the exact
+    version here is what makes it oracle-checkable, and
+    tests/test_mining_pack.py asserts the prediction equals the
+    materialized join's count."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    b = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    prod = F.col("n_a").cast("decimal(19,0)") * F.col("n_b").cast(
+        "decimal(19,0)"
+    )
+    return a.join(b, "k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matching_keys"),
+        F.sum(prod).cast("long").alias("predicted_rows"),
+        F.max(prod).cast("long").alias("max_single_key_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Order-independent table checksum (migration / replication equality)
+# --------------------------------------------------------------------------
+
+_X_CKSUM_SQL = """
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+              CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus), 1, 15))
+         AS BIGINT) AS h
+  FROM orders)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS cksum_xor,
+       CAST(SUM(CAST(h AS DECIMAL(32,0))) % 2305843009213693951 AS BIGINT)
+         AS cksum_sum_mod
+FROM h
+"""
+
+
+@_q("x_validate_table_checksum", _X_CKSUM_SQL)
+def x_validate_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum: per-row md5 over a
+    canonicalized key string, folded with BOTH xor (order-insensitive,
+    detects any single-row change) and an exact decimal sum reduced
+    mod the Mersenne prime 2^61-1 (catches the xor blind spot — an
+    even number of identical row changes — while landing in BIGINT on
+    both engines; the unreduced sum would widen past DECIMAL(18), the
+    cross-engine wide-decimal trap).
+    This is the replicate/migrate equality gate: run on source and
+    target, compare three numbers instead of sorting and diffing 100 TB
+    on both sides. Map-side-combined fold, constant aggregate state,
+    zero shuffle beyond the final 1-row reduce. Columns are restricted
+    to integer/string fields — float formatting is engine- and
+    locale-dependent, so a production checksum canonicalizes doubles
+    via decimal cast first (the same discipline the oracle queries
+    use). The 15-hex-digit window keeps the parsed value inside the
+    positive BIGINT range on both engines (conv() here, '0x' cast in
+    DuckDB — verified equal against Python's int(md5[:15], 16))."""
+    o = load_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            # F.concat, not concat_ws: concat_ws SKIPS nulls while the
+            # oracle's || propagates them — same-string-or-both-null is
+            # the contract (key columns here are non-null by schema)
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit("|"),
+                    F.col("o_custkey").cast("string"),
+                    F.lit("|"),
+                    F.col("o_orderstatus"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return o.select(h.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.bit_xor("h").cast("long").alias("cksum_xor"),
+        # fold the sum into Z_(2^61-1): the exact decimal sum widens
+        # past precision 18 (the engines widen differently — the wide-
+        # decimal trap); the Mersenne-prime mod keeps the order-
+        # independent sum-fold property and lands in BIGINT on both
+        (
+            F.sum(F.col("h").cast("decimal(32,0)"))
+            % F.lit(2305843009213693951)
+        )
+        .cast("long")
+        .alias("cksum_sum_mod"),
+    )

@@ -963,3 +963,20 @@ def test_autocorr_perfect_period_24(spark, tmp_path):
     assert math.isclose(got[24]["autocorr"], 1.0, rel_tol=1e-12)
     # lag-1 on a sawtooth is positive but clearly below 1
     assert got[1]["autocorr"] < 0.99
+
+
+def test_join_cardinality_prediction_is_exact(spark, sf_dir):
+    from glue_jobs_for_data_pipeline_spark.sources.readers import load_table
+
+    pred = mp.x_validate_join_cardinality(spark, sf_dir).collect()[0]
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    assert pred["predicted_rows"] == o.join(li, "k").count()
+    assert pred["n_matching_keys"] == (
+        o.distinct().join(li.distinct(), "k").count()
+    )
+    assert pred["max_single_key_rows"] >= 1
