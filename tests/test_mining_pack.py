@@ -1,11 +1,14 @@
 """Semantic property tests for plans/mining_pack.py. Value-level
 equality vs DuckDB is covered by the differential sweep
-(tools/oracle_check.py — all 10 keys oracle-checked at sf0.001 and
-sf0.01); these tests pin the properties the sweep can't see: the
-triangle counter vs a brute-force enumerator on a known graph, as-of
-forward semantics on a hand-built fixture, skyline non-dominance,
-transition-probability normalization, regression on a perfect line,
-and orphan injection.
+(tools/oracle_check.py — every oracle-able key in the pack checked at
+sf0.001 AND sf0.01, see ORACLE_SWEEP_r08*.json); these tests pin the
+properties the sweep can't see: the triangle counter vs a brute-force
+enumerator on a known graph, as-of forward semantics on a hand-built
+fixture, skyline non-dominance, transition-probability normalization,
+regression on a perfect line, orphan injection, interpolation
+midpoints, attribution on a hand fixture, zero-drift identical halves,
+periodic-series autocorrelation, HLL accuracy + merge consistency,
+auto_join plan shapes, and exact join-cardinality prediction.
 """
 
 from __future__ import annotations
