@@ -217,3 +217,45 @@ def test_kcore_duplicates_and_direction_irrelevant(spark):
 def test_kcore_agrees_with_sequential_peel(spark, edges, k):
     pairs = [(int(a), int(b)) for a, b in edges]
     assert _spark_kcore(spark, pairs, k) == _py_kcore(pairs, k)
+
+
+def test_kcore_fixture_query_matches_sequential_peel(spark, sf_dir):
+    """x_graph_kcore (support-2 co-purchase graph, k=3) vs a pure-Python
+    sequential peel of the same graph built independently via DuckDB —
+    end-to-end ground truth for the registered rows-only query."""
+    import collections
+
+    import duckdb
+
+    from glue_jobs_for_data_pipeline_spark.plans.mining_pack import (
+        x_graph_kcore,
+    )
+
+    q = f"""
+    WITH p AS (
+      SELECT x.l_partkey AS s, y.l_partkey AS t,
+             COUNT(DISTINCT x.l_orderkey) AS w
+      FROM '{sf_dir}/lineitem.parquet' x
+      JOIN '{sf_dir}/lineitem.parquet' y ON x.l_orderkey = y.l_orderkey
+      WHERE x.l_partkey < y.l_partkey
+      GROUP BY 1, 2)
+    SELECT s, t FROM p WHERE w >= 2"""
+    adj = collections.defaultdict(set)
+    for s, t in duckdb.sql(q).fetchall():
+        adj[s].add(t)
+        adj[t].add(s)
+    while True:
+        drop = [n for n, nb in adj.items() if len(nb) < 3]
+        if not drop:
+            break
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    want = {n: len(nb) for n, nb in adj.items()}
+
+    got = {
+        r["node"]: r["core_degree"]
+        for r in x_graph_kcore(spark, sf_dir).collect()
+    }
+    assert got == want
