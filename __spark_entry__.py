@@ -28,101 +28,79 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate consumes exactly the FIRST 50 keys of
-# queries(), so registration order is the coverage knob. Round 8
-# priority order: (a) the r07 red row, re-proved after pinning its
-# aggregate types to BIGINT on both engines (x_olap_q12_style — DuckDB
-# HUGEINT -> pandas float64 was the driver-vs-mirror divergence); then
-# (b) every oracle-able key that has never been driver-hash-green — the
-# 5 round-7 additions that missed the r07 window, plus this round's new
-# x_scd2_hash_keys (hash-surrogate SCD-2) and the re-pinned x_ts_twap;
-# then (c) the §2 parity cohort with the OLDEST driver evidence: all 43
-# parity keys last greened r02–r06 (the r02 source/predicate cohort,
-# the r05 join/agg/window/validate/merge cohort, the r06 function
-# cohort), so no §2 key's driver evidence ages past ~3 rounds. Left
-# out: s1_csv_bulk_load and p8_f12_table_dispatch (driver-green r07)
-# and the s1c ORC bonus (sweep-covered). x_olap_freq_items is OUT of
-# the window permanently — rows-only by design (sketch output; superset
-# property tested in tests/test_plans.py), it can never hash-match and
-# was wasting a slot as a phantom red (VERDICT r07 #2). Entries rotated
-# OUT keep a regression check via tools/oracle_check.py over ALL keys —
-# run pre-commit, full sweep committed per round as
-# ORACLE_SWEEP_r{N}.json.
+# queries(), so registration order is the coverage knob. Round 9
+# priority order: (a) the 20 late-round-8 oracle-able keys that landed
+# after the r08 window filled — every one has NEVER been
+# driver-hash-checked (sweep-green at two SFs only); two of them
+# (x_events_attribution — exact-microsecond session gap fix,
+# x_storage_hash_skip_index — dtype-carrying index) also CHANGED this
+# round. Then (b) the §2 parity cohort rotated out in r08
+# (j3/a3/a4/w1/v3/v4/m1b/m4, r05 evidence; s1/p8+f12, r07), then (c)
+# the r06 §2 cohort (f1–f11 function pack, a1, p6, l1) so no §2 key's
+# driver evidence ages past 3 rounds, then (d) x_graph_kcore — newly
+# GRADUATED from rows-only to a recursive-CTE oracle this round — and
+# the 5 oldest remaining r04 keys (the two bonus-source roundtrips +
+# three r04 x-keys). The 16 remaining r04 x-keys re-seat in r10.
+# x_olap_freq_items stays OUT permanently — rows-only by design
+# (sketch output; superset property tested in tests/test_plans.py).
+# Entries rotated OUT keep a regression check via
+# tools/oracle_check.py over ALL keys — run pre-commit, full sweep
+# committed per round as ORACLE_SWEEP_r{N}.json.
 _WINDOW_FIRST = [
-    # (a) r07 red, root-caused + re-pinned (1)
-    "x_olap_q12_style",
-    # (b) never driver-green oracle-able (6)
-    "x_ts_ohlc",
-    "x_ts_twap",
-    "x_olap_distribution_window",
-    "x_events_winsorize",
-    "x_storage_zorder_roundtrip",
-    "x_scd2_hash_keys",
-    # (b'') new/changed this round: fuzzy ER (new), partition pruning
-    # (new), salted agg (output extended with salted_sum — prior
-    # driver evidence covered the count-only version)
-    "x_dedup_fuzzy_match",
-    "x_storage_partition_pruning",
-    "x_skew_salted_agg",
-    # (c) oldest §2 driver evidence — r02 cohort (12)
-    "s2_truncate_and_load",
-    "s3_table_scan",
-    "s4_s7_staging_lifecycle",
-    "s5_ctas_cached",
-    "s6_insert_select_append",
-    "s8_row_generator",
-    "p1_projection",
-    "p2_computed_column",
-    "p3_literal_column",
-    "p4_equality_filter",
-    "p5_conjunction",
-    "p7_in_subquery_semi",
-    # (c) r05 cohort (8 of 16 — j3/a3/a4/w1/v3/v4/m1b/m4 rotate out
-    # for the round-8 mining pack below: r05 driver evidence, and each
-    # is a sibling of a kept key exercising the same machinery (m1b/m4
-    # ride the m1 SCD-2 path, v4 composes v1+v2); all sweep-green at
-    # two SFs every round; they rotate back in r09 with the function
-    # cohort. s1b (bonus JSON source) and a1 (r06 evidence) also yield
-    # their slots to never-checked keys.
-    "j1_inner_equijoin",
-    "a2_groupby_count",
-    "v1_null_counts",
-    "v2_pk_duplicates",
-    "m1_scd2_upsert",
-    "m2_j2_fact_population",
-    "m3_dim_dates",
-    "m5_transactional_pipeline",
-    # (b''') round-8 mining pack — all new, never driver-checked (20)
-    "x_graph_triangles",
-    "x_graph_degree_hist",
-    "x_olap_regression",
-    "x_events_transitions",
-    "x_validate_fk_orphans",
-    "x_sample_weighted",
-    "x_olap_mom_growth",
-    "x_ts_asof_forward",
-    "x_olap_skyline",
-    "x_olap_mode",
-    "x_market_basket_lift",
-    "x_text_boilerplate_removal",
-    "x_events_wau",
-    "x_events_anomaly_mad",
-    "x_events_funnel_windowed",
-    "x_olap_full_outer_join",
-    "x_events_top_paths",
-    "x_olap_revenue_concentration",
-    "x_text_string_kernels",
-    "x_olap_conditional_kernels",
-    # Round-8 late arrivals (x_text_array_kernels, x_olap_date_kernels,
-    # x_ts_bounce_rate, x_olap_latency_hist, x_text_lm_coverage,
-    # x_validate_fd_profile, x_olap_benford, x_olap_window_frames,
-    # x_storage_hash_skip_index, x_text_pmi_collocations,
-    # x_validate_drift_chisq, x_ts_autocorr, x_events_attribution,
-    # x_validate_skew_report, x_events_cumulative_users,
-    # x_validate_join_planner, x_olap_windowed_distinct,
-    # x_ts_interpolate, x_validate_join_cardinality,
-    # x_validate_table_checksum) landed after the window filled; they
-    # ride the committed two-SF sweeps this round and take window
-    # slots in r09 with the rotated-out §2 cohorts.
+    # (a) late-r08 oracle-able, never driver-checked (20)
+    "x_events_attribution",
+    "x_storage_hash_skip_index",
+    "x_text_array_kernels",
+    "x_olap_date_kernels",
+    "x_ts_bounce_rate",
+    "x_olap_latency_hist",
+    "x_text_lm_coverage",
+    "x_validate_fd_profile",
+    "x_olap_benford",
+    "x_olap_window_frames",
+    "x_text_pmi_collocations",
+    "x_validate_drift_chisq",
+    "x_ts_autocorr",
+    "x_validate_skew_report",
+    "x_events_cumulative_users",
+    "x_validate_join_planner",
+    "x_olap_windowed_distinct",
+    "x_ts_interpolate",
+    "x_validate_join_cardinality",
+    "x_validate_table_checksum",
+    # (b) §2 cohort rotated out in r08 (10)
+    "j3_left_semi_join",
+    "a3_having",
+    "a4_distinct",
+    "w1_row_number",
+    "v3_registry_membership",
+    "v4_validation_report",
+    "m1b_scd2_delta_upsert",
+    "m4_update_where",
+    "s1_csv_bulk_load",
+    "p8_f12_table_dispatch",
+    # (c) r06 §2 cohort — functions + a1/p6/l1 (14)
+    "f1_extract_year",
+    "f2_extract_quarter",
+    "f3_extract_month",
+    "f4_extract_day",
+    "f5_extract_dow",
+    "f6_extract_week",
+    "f7_date_plus_int",
+    "f8_yesterday",
+    "f9_cast_string_date",
+    "f10_load_date_default",
+    "f11_decimal_multiply",
+    "a1_count_star",
+    "p6_null_predicate",
+    "l1_limit",
+    # (d) newly oracle-graduated + oldest r04 evidence (6)
+    "x_graph_kcore",
+    "s1b_json_roundtrip",
+    "s1c_orc_roundtrip",
+    "x_sim_bruteforce_topk",
+    "x_decontam_report",
+    "x_corpus_prep",
 ]
 
 

@@ -121,6 +121,16 @@ def _with_signatures(
     Signature bit j = sign of the projection onto deterministic plane
     (table, j) via a zip_with fold — all JVM-side, no shuffle.
 
+    Plan-size note (the r08 'x_sim_lsh_topk is 10x its IVF sibling'
+    finding): the plane family is shipped as ONE nested array literal
+    (tables x bits x dim) and the signatures are computed by
+    higher-order functions over it — the earlier form built
+    n_tables*n_bits*dim individual literal Columns (4096 Py4J calls at
+    the defaults, twice per query), and ~14 of the query's ~15 seconds
+    were CLIENT-SIDE plan construction, constant at every data scale.
+    The fold order inside each projection is unchanged, so signatures
+    are bit-identical to the expanded form.
+
     ``dim`` (the embedding width) should be passed by the caller — it is
     schema knowledge, and the fallback ``.first()`` probe launches a
     Spark job during PLAN CONSTRUCTION, which serializes with every
@@ -132,28 +142,49 @@ def _with_signatures(
         [[_hp_weight_val(t, j, d) for d in range(dim)] for j in range(n_bits)]
         for t in range(n_tables)
     ]
-    rows = []
-    for t in range(n_tables):
-        bits = []
-        for j in range(n_bits):
-            w = planes[t][j]
-            proj = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(x) for x in w]),
-                    lambda a, b: a.cast("double") * b,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+    vec = F.col(vec_col)
+    proj = lambda plane: F.aggregate(  # noqa: E731 — same fold as before
+        F.zip_with(vec, plane, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # One expr() call for the whole plane family: F.lit(nested_list)
+    # still expands to one client-side Column per element (4096 Py4J
+    # round-trips at the defaults); a SQL literal parses JVM-side in
+    # one shot. The D suffix pins DOUBLE (bare decimals parse as
+    # DECIMAL), and repr() round-trips each float exactly.
+    planes_lit = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{w!r}D" for w in plane) + ")"
+                for plane in tplanes
             )
-            bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-        sig = bits[0]
-        for bcol in bits[1:]:
-            sig = sig + bcol
-        rows.append(F.struct(F.lit(t).alias("table"), sig.alias("sig")))
+            + ")"
+            for tplanes in planes
+        )
+        + ")"
+    )
+    sig_arr = F.transform(
+        planes_lit,
+        lambda tplanes: F.aggregate(
+            F.transform(
+                tplanes,
+                lambda plane, j: F.when(
+                    proj(plane) > 0,
+                    F.pow(F.lit(2.0), j.cast("double")).cast("int"),
+                ).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ),
+    )
     return df.select(
-        F.col(id_col), F.col(vec_col), F.explode(F.array(*rows)).alias("ts")
-    ).select(id_col, vec_col, F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig"))
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(sig_arr).alias("table", "sig"),
+    )
 
 
 def assign_ivf_cells(

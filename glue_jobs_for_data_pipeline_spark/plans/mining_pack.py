@@ -1942,11 +1942,15 @@ def x_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lagged = ev.withColumn("prev", F.lag("ts").over(w_ord))
+    # Exact microsecond gap, matching the oracle's `ts - prev >
+    # INTERVAL 30 MINUTE`: cast-to-long truncates to whole seconds, so
+    # a gap in (1800s, 1801s) would floor to exactly 1800 and flip the
+    # session boundary vs the oracle.
     is_new = F.when(
         F.col("prev").isNull()
         | (
-            F.col("ts").cast("long") - F.col("prev").cast("long")
-            > 30 * 60
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev"))
+            > 30 * 60 * 1_000_000
         ),
         1,
     ).otherwise(0)
@@ -2087,7 +2091,51 @@ def x_events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@_q("x_graph_kcore")  # iterative peeling -> rows-only; property-tested
+# k-core peel as a recursive CTE: the shrinking fixpoint does not fit
+# UNION-dedup recursion (every later survivor set is a subset of round
+# 0, so the working table empties after one step), so the recursion is
+# UNION ALL over the surviving EDGE set tagged with a round counter.
+# Each step recomputes both endpoint degrees from the single working
+# table via window counts (the edge set is symmetric, so COUNT OVER
+# (PARTITION BY u) is deg(u)) and recurses only while some edge was
+# dropped (any_drop gate) — edge count strictly decreases, so it
+# terminates. The final SELECT applies ONE more peel filter: a no-op
+# when recursion stopped at the fixpoint, and exactly the missing last
+# step when it stopped because the next set was empty.
+_X_KCORE_SQL = """
+WITH RECURSIVE
+li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+cop AS (
+  SELECT a.p AS s, b.p AS t
+  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING COUNT(*) >= 2),
+sym AS (SELECT s AS u, t AS v FROM cop UNION ALL SELECT t AS u, s AS v FROM cop),
+walk(r, u, v) AS (
+  SELECT 0 AS r, u, v FROM sym
+  UNION ALL
+  SELECT r + 1, u, v FROM (
+    SELECT r, u, v, du, dv,
+           MAX(CASE WHEN du < 3 OR dv < 3 THEN 1 ELSE 0 END) OVER () AS any_drop
+    FROM (SELECT r, u, v,
+                 COUNT(*) OVER (PARTITION BY u) AS du,
+                 COUNT(*) OVER (PARTITION BY v) AS dv
+          FROM walk) t1) t2
+  WHERE du >= 3 AND dv >= 3 AND any_drop = 1),
+last AS (SELECT u, v FROM walk WHERE r = (SELECT MAX(r) FROM walk)),
+filt AS (
+  SELECT u, v FROM (
+    SELECT u, v,
+           COUNT(*) OVER (PARTITION BY u) AS du,
+           COUNT(*) OVER (PARTITION BY v) AS dv
+    FROM last) t3
+  WHERE du >= 3 AND dv >= 3)
+SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM filt GROUP BY u
+"""
+
+
+@_q("x_graph_kcore", _X_KCORE_SQL)
 def x_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the support-2 co-purchase graph (parts linked when
     they co-occur in >= 2 distinct orders — the same minimum-support
@@ -2095,11 +2143,12 @@ def x_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of near-regular): operators/graph.py::kcore peels nodes of
     degree < 3 in parallel rounds until the maximal subgraph where
     every survivor keeps >= 3 edges remains. Output (node,
-    core_degree). Iterative fixpoint — not SQL-expressible, so
-    rows-only at the driver; correctness is pinned by
+    core_degree). Oracle-checked since r09: the peel fixpoint is a
+    DuckDB recursive CTE over the surviving edge set (see
+    _X_KCORE_SQL's derivation note) — batch and sequential peeling
+    provably agree on the greatest fixpoint, additionally pinned by
     tests/test_graph.py's property test against a pure-Python
-    sequential peel on random graphs (batch and sequential peeling
-    provably agree on the greatest fixpoint)."""
+    sequential peel on random graphs."""
     from ..operators.graph import kcore
 
     li = load_table(spark, sf_dir, "lineitem").select(

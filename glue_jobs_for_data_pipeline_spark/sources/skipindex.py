@@ -10,7 +10,12 @@ summary does: each data file gets the SET of hash buckets (xxhash64 mod
 m) its key values occupy; a lookup consults the (tiny) index first and
 opens only files whose bucket set might contain the key. False
 positives cost an extra file read; false negatives are impossible —
-membership of the true bucket is exact.
+membership of the true bucket is exact, PROVIDED build and probe hash
+the value at the same type (xxhash64 output depends on input width:
+int and bigint hash differently). The index therefore records the
+column's dtype at build time and the probe casts its literal to that
+recorded dtype — the build/probe type contract is carried by the index
+itself, not by callers agreeing out of band.
 
 Spark-first shape: the index build is ONE groupBy over
 ``input_file_name()`` (an aggregation of per-file hash sets — map-side
@@ -42,26 +47,47 @@ DEFAULT_BUCKETS = 4096
 def build_hash_bucket_index(
     spark: SparkSession, table_path: str, col: str, m: int = DEFAULT_BUCKETS
 ) -> DataFrame:
-    """Index DataFrame (file, buckets): for every parquet file of
-    ``table_path``, the sorted distinct hash buckets of ``col``.
+    """Index DataFrame (file, buckets, dtype): for every parquet file of
+    ``table_path``, the sorted distinct hash buckets of ``col``, plus
+    the column's dtype so probes hash at exactly the build type.
     One scan, one groupBy on the file name; write next to the table
     (caller chooses the path) and rebuild per ingest batch — the build
     is incremental by construction (new files only, union the rest).
     """
-    df = spark.read.parquet(table_path).select(
+    raw = spark.read.parquet(table_path)
+    col_dtype = dict(raw.dtypes)[col]
+    df = raw.select(
         F.input_file_name().alias("file"),
         F.pmod(F.xxhash64(F.col(col)), F.lit(m)).alias("bucket"),
     )
-    return df.groupBy("file").agg(
-        F.array_sort(F.collect_set("bucket")).alias("buckets")
+    return (
+        df.groupBy("file")
+        .agg(F.array_sort(F.collect_set("bucket")).alias("buckets"))
+        .withColumn("dtype", F.lit(col_dtype))
     )
 
 
-def candidate_files(index: DataFrame, value, col_dtype: str, m: int) -> list[str]:
+def _index_dtype(index: DataFrame, fallback: str) -> str:
+    """The dtype the index was built at (authoritative when recorded —
+    probing at any other type silently yields false negatives).
+    ``fallback`` covers indexes persisted before the dtype column."""
+    if "dtype" in index.columns:
+        row = index.select("dtype").first()
+        if row is not None:
+            return row["dtype"]
+    return fallback
+
+
+def candidate_files(
+    index: DataFrame, value, col_dtype: str = "bigint", m: int = DEFAULT_BUCKETS
+) -> list[str]:
     """Files whose bucket set might contain ``value`` — the
     metadata-plane pruning decision (the collect is over the file
-    manifest, not data; same plane as partition-directory listing)."""
-    b = F.pmod(F.xxhash64(F.lit(value).cast(col_dtype)), F.lit(m))
+    manifest, not data; same plane as partition-directory listing).
+    The probe literal is cast to the index's recorded build dtype, so
+    build and probe always hash the same type."""
+    dtype = _index_dtype(index, col_dtype)
+    b = F.pmod(F.xxhash64(F.lit(value).cast(dtype)), F.lit(m))
     rows = index.filter(F.array_contains("buckets", b)).select("file").collect()
     return [r["file"] for r in rows]
 
@@ -73,17 +99,33 @@ def indexed_equality_scan(
     col: str,
     col_dtype: str = "bigint",
     m: int = DEFAULT_BUCKETS,
+    table_path: str | None = None,
 ) -> DataFrame:
     """Equality lookup that opens ONLY the index's candidate files,
     then applies the exact predicate (bucket membership is a
     may-contain; the residual filter restores exactness). Returns an
-    empty frame of the right shape when nothing can match."""
-    files = candidate_files(index, value, col_dtype, m)
+    empty frame of the right shape when nothing can match. An EMPTY
+    index (zero indexed files) carries no schema to shape that empty
+    result, so the caller must supply ``table_path`` as the schema
+    source — otherwise this raises ValueError rather than failing with
+    an opaque TypeError."""
+    dtype = _index_dtype(index, col_dtype)
+    files = candidate_files(index, value, dtype, m)
     if not files:
-        # derive the schema from one indexed file without reading rows
+        # derive the schema without reading data rows
         any_file = index.select("file").first()
-        base = spark.read.parquet(any_file["file"])
+        if any_file is not None:
+            base = spark.read.parquet(any_file["file"])
+        elif table_path is not None:
+            base = spark.read.parquet(table_path)
+        else:
+            raise ValueError(
+                "indexed_equality_scan: the skipping index is empty (zero "
+                "indexed files) and no table_path was given to derive the "
+                "result schema from; pass table_path= for an empty-index "
+                "fallback"
+            )
         return base.filter(F.lit(False))
     return spark.read.parquet(*files).filter(
-        F.col(col) == F.lit(value).cast(col_dtype)
+        F.col(col) == F.lit(value).cast(dtype)
     )

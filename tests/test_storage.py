@@ -224,3 +224,57 @@ def test_hash_skip_index_empty_on_absent_key(spark, sf_dir, tmp_path):
     out = indexed_equality_scan(spark, idx, -999_999_999, "o_custkey")
     assert out.count() == 0
     assert set(out.columns) == {"o_orderkey", "o_custkey"}
+
+
+def test_hash_skip_index_int_column_no_false_negatives(spark, sf_dir, tmp_path):
+    """Build/probe type contract: the index records the column dtype
+    (here int, not the probe default bigint) and the probe hashes at
+    that recorded type — a width mismatch would silently hash to a
+    different bucket and return zero candidates for a present key."""
+    from glue_jobs_for_data_pipeline_spark.sources.skipindex import (
+        build_hash_bucket_index,
+        indexed_equality_scan,
+    )
+
+    d = str(tmp_path / "orders_int")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").cast("int").alias("o_custkey")
+    ).repartitionByRange(4, "o_custkey").write.parquet(d)
+    idx = build_hash_bucket_index(spark, d, "o_custkey")
+    assert idx.select("dtype").first()["dtype"] == "int"
+    key = int(
+        spark.read.parquet(d).select("o_custkey").first()["o_custkey"]
+    )
+    # default col_dtype="bigint" is deliberately wrong; the recorded
+    # dtype must win
+    got = indexed_equality_scan(spark, idx, key, "o_custkey").count()
+    expect = (
+        spark.read.parquet(d).filter(F.col("o_custkey") == key).count()
+    )
+    assert got == expect > 0
+
+
+def test_hash_skip_index_empty_index(spark, sf_dir, tmp_path):
+    """Empty index: ValueError without a schema source, empty frame of
+    the table's shape with table_path= supplied."""
+    import pytest
+
+    from glue_jobs_for_data_pipeline_spark.sources.skipindex import (
+        build_hash_bucket_index,
+        indexed_equality_scan,
+    )
+
+    d = str(tmp_path / "orders_for_empty")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).limit(100).write.parquet(d)
+    empty_idx = build_hash_bucket_index(spark, d, "o_custkey").filter(
+        F.lit(False)
+    )
+    with pytest.raises(ValueError, match="empty"):
+        indexed_equality_scan(spark, empty_idx, 1, "o_custkey")
+    out = indexed_equality_scan(
+        spark, empty_idx, 1, "o_custkey", table_path=d
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"o_orderkey", "o_custkey"}
