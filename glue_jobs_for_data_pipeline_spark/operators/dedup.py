@@ -515,50 +515,77 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return spread(df).select(F.col(id_col).alias("doc"), sim.alias("simhash"))
 
 
+def hamming_band_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc",
+    sig_col: str = "sig",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """All pairs of 64-bit signatures within ``max_hamming`` — the
+    shared banding engine behind SimHash text near-dup and perceptual-
+    hash image near-dup.
+
+    Pigeonhole banding: split 64 bits into ``n_bands`` equal chunks; a
+    pair within hamming ``max_hamming`` < n_bands differs in at most
+    max_hamming chunks, so it must AGREE on >= 1 chunk -> equi-join per
+    chunk (co-located, no all-pairs), exact hamming verify via
+    bit_count(xor). Complete by construction (no false negatives),
+    asserted against a brute-force scan in tests.
+
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    assert 64 % n_bands == 0, "bands must evenly split the 64-bit signature"
+    # Completeness (no false negatives) holds iff max_hamming < n_bands;
+    # wider radii are allowed for diagnostics (relative-distance probes)
+    # where banding degrades to a recall-best-effort candidate generator.
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    chunks = sigs.select(
+        F.col(id_col).alias("doc"),
+        F.col(sig_col).alias("sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(sig_col), j * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("chunk", "ch"),
+    )
+    left = chunks.select(
+        F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"), "chunk", "ch"
+    )
+    right = chunks.select(
+        F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"), "chunk", "ch"
+    )
+    return (
+        left.join(right, ["chunk", "ch"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Pigeonhole banding: split 64 bits into 4 16-bit chunks; any pair
-    within hamming 3 must agree on >=1 chunk -> equi-join per chunk,
-    exact hamming verify via bit_count(xor).
+    Pigeonhole banding via hamming_band_pairs (4 x 16-bit chunks; any
+    pair within hamming 3 must agree on >= 1 chunk).
 
     No cache: the signature stage is pure codegen'd built-ins (a
     projection over the scan), so recomputing it on the join's second
     branch is cheaper than holding cached blocks for the session."""
     sigs = simhash_signatures(df, id_col, text_col)
-    chunks = sigs.select(
-        "doc",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("chunk"),
-                        F.shiftright("simhash", j * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("ch"),
-                    )
-                    for j in range(4)
-                ]
-            )
-        ).alias("c"),
-    ).select("doc", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ch").alias("ch"))
-    left = chunks.select(
-        F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a"), "chunk", "ch"
-    )
-    right = chunks.select(
-        F.col("doc").alias("doc_b"), F.col("simhash").alias("sim_b"), "chunk", "ch"
-    )
-    return (
-        left.join(right, ["chunk", "ch"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+    return hamming_band_pairs(
+        sigs, id_col="doc", sig_col="simhash", max_hamming=max_hamming, n_bands=4
     )
 
 

@@ -155,6 +155,174 @@ def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(decode_batches, DECODED_SCHEMA)
 
 
+def render_thumbnail(text: str) -> bytes:
+    """Deterministic 9x8 grayscale 'thumbnail' of a document: cell i's
+    luma is the min-hash (md5, stdlib) of the character 3-grams that
+    land in cell i. Fixture synthesis for the image-dedup tier — it
+    gives the documents table what stored images have: a raw-bitmap
+    payload that is SHIFT-INVARIANT (grams carry no positions, so an
+    insertion doesn't smear every later pixel the way a byte-stream
+    view does) and EDIT-LOCAL (a small edit changes few grams, so few
+    cells move). Real pipelines get these properties from decode +
+    resize; measured on the sf0.01 fixture this renderer separates
+    planted near-dups (Hamming 0-2) from unrelated docs (>= 13).
+    """
+    import hashlib
+
+    norm = " ".join(text.lower().split())
+    n_cells = _DHASH_W * _DHASH_H
+    cells: list[int | None] = [None] * n_cells
+    for i in range(max(len(norm) - 2, 1)):
+        g = norm[i : i + 3]
+        h = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
+        c = h % n_cells
+        v = (h >> 8) & 0xFF
+        if cells[c] is None or v < cells[c]:
+            cells[c] = v
+    return bytes(0 if v is None else v for v in cells)
+
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def attach_thumbnail_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, payload): render each document's deterministic raw
+    thumbnail via mapInPandas — the fixture's stand-in for an image
+    ingest column."""
+    import pandas as pd
+
+    def render_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [render_thumbnail(t) for t in pdf[text_col]],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(render_batches, THUMB_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+_DHASH_W, _DHASH_H = 9, 8  # 9x8 luma grid -> 8x8 = 64 difference bits
+
+
+def _luma_grid(payload: bytes) -> list[list[float]]:
+    """The decoded, downsampled grayscale grid dHash runs on.
+
+    Real path: PIL decode -> grayscale -> 9x8 resize when PIL is
+    installed and the payload is a decodable image. Fallback (this
+    container has no image libs): treat the payload bytes as an 8-bit
+    luma stream and average fixed cells — deterministic, total, and
+    LOCALITY-PRESERVING (a small byte edit perturbs only the cells it
+    lands in), which is the property the downstream Hamming tier needs.
+    """
+    if HAVE_PIL:
+        import io
+
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                small = im.convert("L").resize(
+                    (_DHASH_W, _DHASH_H), Image.LANCZOS
+                )
+                px = list(small.getdata())
+                return [
+                    [float(px[r * _DHASH_W + c] ) for c in range(_DHASH_W)]
+                    for r in range(_DHASH_H)
+                ]
+        except Exception:
+            pass
+    n = len(payload)
+    cells = _DHASH_W * _DHASH_H
+    if n == 0:
+        return [[0.0] * _DHASH_W for _ in range(_DHASH_H)]
+    grid = []
+    for r in range(_DHASH_H):
+        row = []
+        for c in range(_DHASH_W):
+            i = r * _DHASH_W + c
+            lo, hi = (i * n) // cells, ((i + 1) * n) // cells
+            if hi <= lo:
+                hi = lo + 1
+            seg = payload[lo:min(hi, n)]
+            row.append(sum(seg) / max(len(seg), 1))
+        grid.append(row)
+    return grid
+
+
+def dhash64(payload: bytes) -> int:
+    """64-bit difference hash: bit (r, c) = [grid[r][c] < grid[r][c+1]]
+    over the 9x8 luma grid — the standard dHash, returned as a SIGNED
+    64-bit int so it lands in a Spark LongType column."""
+    grid = _luma_grid(payload)
+    h = 0
+    bit = 0
+    for r in range(_DHASH_H):
+        for c in range(_DHASH_W - 1):
+            if grid[r][c] < grid[r][c + 1]:
+                h |= 1 << bit
+            bit += 1
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
+def phash_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, phash): perceptual dHash per payload via mapInPandas —
+    the ONE Python stage of the image-dedup pipeline (decode + resize
+    is genuinely per-item imperative work; everything after the 8-byte
+    signature is JVM-side banding in dedup.hamming_band_pairs)."""
+    import pandas as pd
+
+    def hash_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "phash": pd.Series(
+                        [dhash64(p) for p in pdf["payload"]], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(hash_batches, PHASH_SCHEMA)
+
+
+def phash_dup_pairs(
+    df: DataFrame, id_col: str = "doc_id", max_hamming: int = 6
+) -> DataFrame:
+    """Image content near-dup pairs: perceptual hash + banded Hamming
+    buckets — the multimodal analog of SimHash text dedup, sharing its
+    banding engine. 8 bands x 8 bits give a complete candidate set for
+    hamming <= 7 (pigeonhole); default threshold 6 of 64 bits is the
+    usual 'same image, re-encoded/retouched' operating point.
+
+    Scale shape: payload bytes cross into Python exactly once
+    (signature stage); the candidate join shuffles 8-byte hashes, never
+    pixels, and is equi-join-bucketed — no all-pairs anywhere.
+    """
+    from .dedup import hamming_band_pairs
+
+    sigs = phash_signatures(df, id_col)
+    return hamming_band_pairs(
+        sigs, id_col="doc_id", sig_col="phash",
+        max_hamming=max_hamming, n_bands=8,
+    )
+
+
 def sample_frames(
     df: DataFrame, id_col: str = "doc_id", every_n_bytes: int = 100
 ) -> DataFrame:

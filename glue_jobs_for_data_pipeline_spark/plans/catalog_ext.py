@@ -1213,6 +1213,28 @@ def x_mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media(d)
 
 
+@_q("x_mm_phash_dedup")  # decoded-pixel hash -> rows-only; property-tested
+def x_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image CONTENT near-dup pairs: perceptual dHash over the decoded
+    pixel grid via one mapInPandas stage, then banded Hamming buckets
+    reusing the SimHash banding engine (8 x 8-bit bands, complete for
+    hamming <= 7 by pigeonhole; threshold 6). Payloads are stored raw
+    thumbnails — rendered deterministically from the documents fixture
+    (render_thumbnail: shift-invariant + edit-local, the properties a
+    real decode+resize provides) and staged to parquet first, so the
+    dedup plan itself reads (id, payload) exactly as it would an image
+    table; planted near-dup docs land at Hamming 0-2 vs >= 13 for
+    unrelated, so this returns real pairs. Rows-only at the driver (the
+    hash depends on the decode stage, outside SQL); banding
+    completeness vs a brute-force Hamming scan and the edit-locality
+    property are pinned in tests/test_multimodal.py."""
+    d = _scratch_dir("spark_graft_phash_") + "/thumbs"
+    multimodal.attach_thumbnail_payload(
+        load_table(spark, sf_dir, "documents")
+    ).write.mode("overwrite").parquet(d)
+    return multimodal.phash_dup_pairs(spark.read.parquet(d))
+
+
 @_q(
     "x_mm_frame_sample",
     "SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, "

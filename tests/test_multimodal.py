@@ -87,6 +87,124 @@ def test_decode_one_falls_back_deterministically():
     assert fmt == "FAKE" and w >= 1 and h >= 1
 
 
+def test_dhash_deterministic_and_64bit():
+    p = b"some payload bytes " * 40
+    h1, h2 = multimodal.dhash64(p), multimodal.dhash64(p)
+    assert h1 == h2
+    assert -(1 << 63) <= h1 < (1 << 63)
+    assert multimodal.dhash64(b"") == 0
+
+
+def test_dhash_edit_locality():
+    """A small byte edit perturbs only the grid cells it lands in, so
+    the Hamming distance stays far below the unrelated-payload
+    distance — the property the banded near-dup tier operates on."""
+    import random
+
+    rng = random.Random(7)
+    base = bytes(rng.randrange(256) for _ in range(4000))
+    edited = bytearray(base)
+    for i in range(50, 60):  # 10-byte local retouch
+        edited[i] = (edited[i] + 90) % 256
+    unrelated = bytes(rng.randrange(256) for _ in range(4000))
+    d_edit = bin(
+        (multimodal.dhash64(base) ^ multimodal.dhash64(bytes(edited)))
+        & ((1 << 64) - 1)
+    ).count("1")
+    d_unrel = bin(
+        (multimodal.dhash64(base) ^ multimodal.dhash64(unrelated))
+        & ((1 << 64) - 1)
+    ).count("1")
+    assert d_edit <= 6, d_edit
+    assert d_unrel > 15, d_unrel
+
+
+def test_phash_dup_pairs_complete_vs_bruteforce(spark):
+    """The banded candidate set equals the brute-force all-pairs scan
+    at the same threshold — the pigeonhole no-false-negative guarantee,
+    end-to-end through the Spark operator."""
+    import random
+
+    rng = random.Random(11)
+    payloads = []
+    for i in range(30):
+        payloads.append((i, bytes(rng.randrange(256) for _ in range(2000))))
+    # planted near-dups: local edits of payload 0 and 3
+    for j, src in ((100, 0), (101, 0), (102, 3)):
+        b = bytearray(payloads[src][1])
+        for i in range(700, 708):
+            b[i] ^= 0x5A
+        payloads.append((j, bytes(b)))
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in multimodal.phash_dup_pairs(df, max_hamming=6).collect()
+    }
+    hashes = {i: multimodal.dhash64(p) & ((1 << 64) - 1) for i, p in payloads}
+    ids = sorted(hashes)
+    expect = {
+        (a, b)
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 6
+    }
+    assert got == expect
+    # recall: every planted near-dup pair is found
+    assert {(0, 100), (0, 101), (3, 102)} <= got
+
+
+def test_render_thumbnail_shift_invariant_and_edit_local():
+    """The renderer must give payloads the two properties decode+resize
+    gives real images: a prefix insertion (which shifts every byte)
+    leaves the thumbnail nearly unchanged, and a small in-place edit
+    moves only a few cells."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the forest for a very long time without stopping once"
+    )
+    h0 = multimodal.dhash64(multimodal.render_thumbnail(base))
+    h_shift = multimodal.dhash64(multimodal.render_thumbnail("padd " + base))
+    h_edit = multimodal.dhash64(
+        multimodal.render_thumbnail(base.replace("forest", "desert"))
+    )
+    h_other = multimodal.dhash64(
+        multimodal.render_thumbnail(
+            "completely different content about databases and query engines "
+            "processing analytical workloads at petabyte scale every day"
+        )
+    )
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(h0, h_shift) <= 6
+    assert ham(h0, h_edit) <= 10
+    assert ham(h0, h_other) > 10
+
+
+def test_phash_dedup_query_finds_fixture_neardups(spark, sf_dir):
+    """The catalog query returns real pairs on the fixture: planted
+    near-dup documents land within the Hamming-6 radius."""
+    from glue_jobs_for_data_pipeline_spark.plans import catalog_ext  # noqa: F401
+    from glue_jobs_for_data_pipeline_spark.plans.catalog import QUERIES
+
+    out = QUERIES["x_mm_phash_dedup"](spark, sf_dir).collect()
+    assert len(out) > 0
+    assert all(r["hamming"] <= 6 for r in out)
+
+
+def test_phash_python_stage_is_signature_only(spark, sf_dir):
+    """Plan audit: the only Python crossing in the image-dedup plan is
+    the Arrow signature stage (one FlatMapsInPandas/ArrowEvalPython
+    node); banding and verification stay JVM-side."""
+    from glue_jobs_for_data_pipeline_spark.plans import catalog_ext  # noqa: F401
+    from glue_jobs_for_data_pipeline_spark.plans.catalog import QUERIES
+
+    plan = QUERIES["x_mm_phash_dedup"](
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    n_python = plan.count("InPandas") + plan.count("BatchEvalPython")
+    assert n_python == 2, plan  # one per join branch of the same stage
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_decode_media_mixed_batch(spark):
     """The Spark operator over a mixed batch: real images decode to
     their true dimensions, non-image payloads take the fallback."""
