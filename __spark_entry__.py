@@ -20,6 +20,7 @@ from glue_jobs_for_data_pipeline_spark.plans import tpch_pack  # noqa: F401  (re
 from glue_jobs_for_data_pipeline_spark.plans import scale_pack  # noqa: F401  (registers skew-join/SQL-frontend/stream-topk)
 from glue_jobs_for_data_pipeline_spark.plans import analytics_pack  # noqa: F401  (registers funnel/retention/corr)
 from glue_jobs_for_data_pipeline_spark.plans import mining_pack  # noqa: F401  (registers graph/regression/skyline/asof-forward)
+from glue_jobs_for_data_pipeline_spark.plans import metrics_pack  # noqa: F401  (registers gini/diversity/fk-cascade/percentiles/phash-cc)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -37,10 +38,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # round. Then (b) the §2 parity cohort rotated out in r08
 # (j3/a3/a4/w1/v3/v4/m1b/m4, r05 evidence; s1/p8+f12, r07), then (c)
 # the r06 §2 cohort (f1–f11 function pack, a1, p6, l1) so no §2 key's
-# driver evidence ages past 3 rounds, then (d) x_graph_kcore — newly
-# GRADUATED from rows-only to a recursive-CTE oracle this round — and
-# the 5 oldest remaining r04 keys (the two bonus-source roundtrips +
-# three r04 x-keys). The 16 remaining r04 x-keys re-seat in r10.
+# driver evidence ages past 3 rounds, then (d) the round-9 additions
+# that have never seen a driver check — x_graph_kcore (newly GRADUATED
+# from rows-only to a recursive-CTE oracle) and the 4 new oracle-able
+# metrics-pack queries — plus the oldest bonus-source key. The r04
+# cohort (20 keys incl. the ORC roundtrip) re-seats in r10.
 # x_olap_freq_items stays OUT permanently — rows-only by design
 # (sketch output; superset property tested in tests/test_plans.py).
 # Entries rotated OUT keep a regression check via
@@ -94,13 +96,13 @@ _WINDOW_FIRST = [
     "a1_count_star",
     "p6_null_predicate",
     "l1_limit",
-    # (d) newly oracle-graduated + oldest r04 evidence (6)
+    # (d) never-driver-checked r09 additions + oldest bonus source (6)
     "x_graph_kcore",
+    "x_olap_gini",
+    "x_events_transition_diversity",
+    "x_validate_fk_cascade",
+    "x_events_interarrival_disc",
     "s1b_json_roundtrip",
-    "s1c_orc_roundtrip",
-    "x_sim_bruteforce_topk",
-    "x_decontam_report",
-    "x_corpus_prep",
 ]
 
 

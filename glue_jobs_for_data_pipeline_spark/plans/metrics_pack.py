@@ -1,0 +1,324 @@
+"""Round-9 metrics pack: inequality/diversity indices, whole-schema
+referential-integrity sweep, exact discrete latency percentiles, and
+the image-dedup clustering closure.
+
+Design rule carried from mining_pack/analytics_pack: every oracle-able
+query accumulates in exact integer/decimal space and assembles at most
+ONE double expression at the output boundary, with identical expression
+text on both engines — no library-dependent transcendentals (log/exp)
+inside hash-checked results (the PMI linear-lift rationale,
+mining_pack.py::x_text_pmi_collocations).
+
+No counterpart in the reference (the 4 Redshift scripts stop at
+validate/upsert/fact-populate); SURVEY §7 extension scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_events, load_table
+from .catalog import _q
+
+# --------------------------------------------------------------------------
+# Gini coefficient of customer revenue
+# --------------------------------------------------------------------------
+
+_X_GINI_SQL = """
+WITH rev AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(18,2)) AS r
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT r, CAST(ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS BIGINT) AS i
+  FROM rev),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r) AS DECIMAL(38,2)) AS s0,
+         CAST(SUM(CAST(i AS DECIMAL(18,0)) * r) AS DECIMAL(38,2)) AS s1
+  FROM ranked)
+SELECT n AS n_customers,
+       CAST(s0 AS DOUBLE) AS total_revenue,
+       CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) / CAST(n * s0 AS DOUBLE)
+         AS gini
+FROM s
+"""
+
+
+@_q("x_olap_gini", _X_GINI_SQL)
+def x_olap_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the standard
+    inequality index (0 = equal, ->1 = concentrated), the summary
+    statistic behind x_olap_revenue_concentration's decile curve.
+    Computed from the rank formula G = (2*sum(i*x_i) - (n+1)*sum(x)) /
+    (n*sum(x)) over revenue ranked ascending with a total (r, custkey)
+    tie order.
+
+    Scale shape: one map-side-combined aggregation to customer grain,
+    one global-order window over that already-aggregated input (rank i
+    must be global — at 1000 executors this is the same
+    customer-count-sized single-partition sort every exact-rank
+    statistic needs; the raw orders table never reaches it), then a
+    scalar fold. Decimal-exact until the single output division."""
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("r")
+        )
+    )
+    w = Window.orderBy("r", "o_custkey")
+    ranked = rev.select(
+        "r", F.row_number().over(w).cast("long").alias("i")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").cast("decimal(38,2)").alias("s0"),
+        F.sum(F.col("i").cast("decimal(18,0)") * F.col("r"))
+        .cast("decimal(38,2)")
+        .alias("s1"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("s0").cast("double").alias("total_revenue"),
+        (
+            (F.lit(2) * F.col("s1") - (F.col("n") + 1) * F.col("s0")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("s0")).cast("double")
+        ).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Transition diversity (Simpson index of the next-event distribution)
+# --------------------------------------------------------------------------
+
+_X_TDIV_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events),
+c AS (
+  SELECT event_type, nxt, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt),
+g AS (
+  SELECT event_type,
+         CAST(SUM(n) AS BIGINT) AS t,
+         CAST(SUM(n * n) AS BIGINT) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS n_next_types
+  FROM c GROUP BY event_type)
+SELECT event_type, t AS n_transitions, n_next_types,
+       CAST(t * t - sq AS DOUBLE) / CAST(t * t AS DOUBLE)
+         AS simpson_diversity
+FROM g
+"""
+
+
+@_q("x_events_transition_diversity", _X_TDIV_SQL)
+def x_events_transition_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How predictable is the next action after each event type: the
+    Simpson diversity 1 - sum(p^2) of the next-event distribution
+    (0 = always the same next step, ->1 = uniform over many). The
+    log-free counterpart of transition entropy — chosen exactly so the
+    statistic stays in integer space until one output division
+    ((t^2 - sum(c^2)) / t^2), hash-stable across engines.
+
+    Scale shape: one user-keyed window pass (the same exchange every
+    sessionization query reuses), two map-side-combined counts."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    c = seq.groupBy("event_type", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    g = c.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("t"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sq"),
+        F.count(F.lit(1)).alias("n_next_types"),
+    )
+    return g.select(
+        "event_type",
+        F.col("t").alias("n_transitions"),
+        "n_next_types",
+        (
+            (F.col("t") * F.col("t") - F.col("sq")).cast("double")
+            / (F.col("t") * F.col("t")).cast("double")
+        ).alias("simpson_diversity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Whole-schema referential-integrity cascade
+# --------------------------------------------------------------------------
+
+_FK_EDGES = [
+    # (child table, fk col, parent table, pk col)
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+]
+
+_X_FKCASCADE_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{child}.{fk}' AS edge, CAST(COUNT(*) AS BIGINT) AS n_child, "
+    f"CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    f"AS n_orphans "
+    f"FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p "
+    f"ON c.{fk} = p.{pk}"
+    for child, fk, parent, pk in _FK_EDGES
+)
+
+
+@_q("x_validate_fk_cascade", _X_FKCASCADE_SQL)
+def x_validate_fk_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity across EVERY foreign-key edge of the star
+    schema in one report: per edge, child row count and orphan count
+    (child rows whose parent key is absent). The schema-wide roll-up of
+    x_validate_fk_orphans' single-edge check — what a nightly data-
+    quality gate actually runs before publishing a warehouse snapshot.
+
+    Scale shape: one left join + count per edge; the three dim-parent
+    joins broadcast, the lineitem->orders join is the only large-large
+    exchange and it shuffles two key columns, never payloads. Each
+    edge's count is map-side-combined to a single row."""
+    out = None
+    for child, fk, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("_fk"))
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("_pk")
+        ).distinct()
+        if parent in ("region", "nation", "customer", "part", "supplier"):
+            p = F.broadcast(p)
+        edge = (
+            c.join(p, c["_fk"] == p["_pk"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(
+                    F.when(F.col("_pk").isNull(), 1).otherwise(0)
+                ).cast("long").alias("n_orphans"),
+            )
+            .select(
+                F.lit(f"{child}.{fk}").alias("edge"), "n_child", "n_orphans"
+            )
+        )
+        out = edge if out is None else out.unionAll(edge)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Exact discrete inter-arrival percentiles
+# --------------------------------------------------------------------------
+
+_X_IAT_SQL = """
+WITH gaps AS (
+  SELECT event_type, event_id,
+         CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id))
+           AS BIGINT) AS gap_us
+  FROM events),
+g AS (SELECT event_type, event_id, gap_us FROM gaps WHERE gap_us IS NOT NULL),
+ranked AS (
+  SELECT event_type, gap_us,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY gap_us, event_id) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM g)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                     THEN gap_us END) AS BIGINT) AS p50_us,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                     THEN gap_us END) AS BIGINT) AS p90_us,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                     THEN gap_us END) AS BIGINT) AS p99_us
+FROM ranked GROUP BY event_type
+"""
+
+
+@_q("x_events_interarrival_disc", _X_IAT_SQL)
+def x_events_interarrival_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISCRETE percentiles (p50/p90/p99) of per-user
+    inter-arrival gaps by event type, in microseconds — the latency-
+    distribution readout where approx_percentile's error bars are not
+    acceptable (SLA attestation). Discrete = value at rank ceil(q*n)
+    under a total (gap, event_id) tie order: integer-exact, engine-
+    independent, no interpolation arithmetic to diverge on.
+
+    Scale shape: one user-keyed window for the lag, one event_type-
+    keyed window for rank+count over the gap rows, one final rollup.
+    The percentile selection is rank equality — no sort at the driver,
+    no approx sketch."""
+    ev = load_events(spark, sf_dir)
+    w_lag = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = ev.select(
+        "event_type",
+        "event_id",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w_lag))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    w_rank = Window.partitionBy("event_type").orderBy("gap_us", "event_id")
+    w_n = Window.partitionBy("event_type")
+    ranked = gaps.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(w_rank).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+
+    def _at(q: float):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+                F.col("gap_us"),
+            )
+        ).cast("long")
+
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        _at(0.5).alias("p50_us"),
+        _at(0.9).alias("p90_us"),
+        _at(0.99).alias("p99_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Image near-dup clusters (phash pairs closed under transitivity)
+# --------------------------------------------------------------------------
+
+
+@_q("x_mm_phash_clusters")  # decode-dependent hash -> rows-only
+def x_mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-dedup end-to-end: perceptual-hash near-dup pairs
+    (x_mm_phash_dedup's tier) closed under transitivity via distributed
+    connected components — (doc_id, cluster_id) with cluster_id the
+    smallest reachable doc id, the same convention as
+    x_dedup_cc_clusters. This is the operator a multimodal corpus
+    actually deduplicates with: re-encode chains (A~B, B~C) collapse to
+    one canonical image even when A and C drift past the pair radius.
+    Rows-only (hash depends on the decode stage); the CC operator
+    itself is oracle-proven on the text tier."""
+    from ..operators import multimodal
+    from ..operators.graph import connected_components
+    from .catalog_ext import _scratch_dir
+
+    d = _scratch_dir("spark_graft_phash_") + "/thumbs_cc"
+    multimodal.attach_thumbnail_payload(
+        load_table(spark, sf_dir, "documents")
+    ).write.mode("overwrite").parquet(d)
+    pairs = multimodal.phash_dup_pairs(spark.read.parquet(d)).select(
+        "doc_a", "doc_b"
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
