@@ -41,8 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver evidence ages past 3 rounds, then (d) the round-9 additions
 # that have never seen a driver check — x_graph_kcore (newly GRADUATED
 # from rows-only to a recursive-CTE oracle) and the 4 new oracle-able
-# metrics-pack queries — plus the oldest bonus-source key. The r04
-# cohort (20 keys incl. the ORC roundtrip) re-seats in r10.
+# metrics-pack queries (incl. the snapshot-diff delta manifest).
+# The r04 cohort (21 keys incl. both bonus-source roundtrips)
+# re-seats in r10.
 # x_olap_freq_items stays OUT permanently — rows-only by design
 # (sketch output; superset property tested in tests/test_plans.py).
 # Entries rotated OUT keep a regression check via
@@ -96,13 +97,13 @@ _WINDOW_FIRST = [
     "a1_count_star",
     "p6_null_predicate",
     "l1_limit",
-    # (d) never-driver-checked r09 additions + oldest bonus source (6)
+    # (d) never-driver-checked r09 additions (6)
     "x_graph_kcore",
     "x_olap_gini",
     "x_events_transition_diversity",
     "x_validate_fk_cascade",
     "x_events_interarrival_disc",
-    "s1b_json_roundtrip",
+    "x_storage_snapshot_diff",
 ]
 
 

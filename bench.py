@@ -77,6 +77,13 @@ BENCH_QUERIES = [
     # passes + two rollups)
     "x_text_pmi_collocations",
     "x_events_attribution",
+    # r09 additions: perceptual-hash image dedup (Arrow render+hash
+    # stages + banded Hamming self-join), whole-schema FK cascade
+    # (7 join-count passes incl. the lineitem->orders exchange), Gini
+    # (customer-grain agg + global-rank window + scalar fold)
+    "x_mm_phash_dedup",
+    "x_validate_fk_cascade",
+    "x_olap_gini",
 ]
 
 

@@ -293,6 +293,66 @@ def x_events_interarrival_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Snapshot diff (derive a delta manifest from two full table versions)
+# --------------------------------------------------------------------------
+
+_X_SNAPDIFF_SQL = """
+WITH v0 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+v1 AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_custkey % 31 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_custkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+  FROM orders WHERE o_custkey % 113 = 0),
+j AS (
+  SELECT COALESCE(v0.o_orderkey, v1.o_orderkey) AS o_orderkey,
+         v0.o_orderkey IS NULL AS ins,
+         v1.o_orderkey IS NULL AS del,
+         v0.o_totalprice IS DISTINCT FROM v1.o_totalprice AS chg
+  FROM v0 FULL OUTER JOIN v1 ON v0.o_orderkey = v1.o_orderkey)
+SELECT o_orderkey,
+       CASE WHEN ins THEN 'insert' WHEN del THEN 'delete'
+            WHEN chg THEN 'update' END AS change_type
+FROM j WHERE ins OR del OR chg
+"""
+
+
+@_q("x_storage_snapshot_diff", _X_SNAPDIFF_SQL)
+def x_storage_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta manifest between two full snapshots of a keyed table
+    (operators/snapshot.py::snapshot_diff): v1 is a deterministic
+    mutation of orders — deletes (custkey % 97), price updates
+    (% 31), inserts (% 113, key-shifted) — and the diff recovers
+    exactly those inserts/deletes/updates via ONE key-partitioned full
+    outer join. Exact column comparison here so the oracle states the
+    same predicate; the 64-bit-fingerprint fast path is pinned to this
+    result in tests/test_snapshot.py."""
+    from ..operators.snapshot import snapshot_diff
+
+    v0 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    kept = v0.filter(F.col("o_custkey") % 97 != 0)
+    v1 = kept.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_custkey") % 31 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    ).unionAll(
+        v0.filter(F.col("o_custkey") % 113 == 0).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "o_custkey",
+            "o_totalprice",
+        )
+    )
+    return snapshot_diff(
+        v0, v1, keys=["o_orderkey"], compare_cols=["o_totalprice"], exact=True
+    )
+
+
+# --------------------------------------------------------------------------
 # Image near-dup clusters (phash pairs closed under transitivity)
 # --------------------------------------------------------------------------
 
