@@ -428,3 +428,81 @@ def kcore(
         sym.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
+
+
+def coreness(
+    edges: DataFrame,
+    max_iterations: int = 200,
+) -> DataFrame:
+    """(node, coreness) for every node: the largest k such that the
+    node survives the k-core peel — the full core decomposition in ONE
+    fixpoint instead of one peel per k. Coreness is the standard dense-
+    region coordinate (spam-ring tiers in near-dup graphs, engagement
+    tiers in interaction graphs); ``kcore(edges, k)`` answers one slice
+    of it, this answers all slices at once.
+
+    Algorithm — distributed h-index iteration (Lü et al. 2016, "The
+    H-index of a network node and its relation to degree and
+    coreness"): initialize c(u) = deg(u); repeat
+    c(u) <- H({c(v) : v adjacent u}), the largest h with >= h neighbors
+    whose estimate is >= h. Estimates only DECREASE and are bounded
+    below by the true coreness, and the fixpoint of the H-operator is
+    exactly the coreness vector (that paper's theorem) — so the sum of
+    estimates is a strictly decreasing integer until convergence, and
+    comparing it across rounds is both the termination check and the
+    certificate (one scalar to the driver per round, never data).
+
+    Scale shape per round: one edge-keyed join shipping a single int
+    per edge (the neighbor's current estimate), one per-node window
+    rank over neighbor multisets (key-partitioned; fan-in bounded by
+    max degree, the same skew the pair generators cap upstream), one
+    map-side-combined max. localCheckpoint truncates lineage per round;
+    rounds needed track the network's coreness "depth", observed
+    single-digits on real graphs.
+
+    Input contract as ``kcore``: undirected pair list (src, dst),
+    self-loops ignored, duplicates collapsed here.
+    """
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionAll(
+            edges.filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    c = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("est"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = c.agg(F.sum("est")).first()[0]
+    w = Window.partitionBy("src").orderBy(F.col("nb_est").desc())
+    for _ in range(max_iterations):
+        nb = sym.join(
+            c.select(F.col("src").alias("dst"), F.col("est").alias("nb_est")),
+            "dst",
+        ).select("src", "nb_est")
+        c_new = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .groupBy("src")
+            .agg(
+                F.max(
+                    F.when(F.col("nb_est") >= F.col("rn"), F.col("rn"))
+                ).alias("est")
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = c_new.agg(F.sum("est")).first()[0]
+        c = c_new
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"coreness did not converge in {max_iterations} iterations"
+        )
+    return c.select(F.col("src").alias("node"), F.col("est").alias("coreness"))

@@ -353,6 +353,39 @@ def x_storage_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Full core decomposition (coreness per node)
+# --------------------------------------------------------------------------
+
+
+@_q("x_graph_coreness")  # iterative h-index fixpoint -> rows-only
+def x_graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core decomposition of the support-2 co-purchase graph
+    (operators/graph.py::coreness): every node's largest surviving
+    peel depth in ONE h-index fixpoint instead of one peel per k —
+    x_graph_kcore answers the k=3 slice, this answers all slices.
+    Rows-only at the driver (iterative fixpoint); pinned by the
+    slice-consistency law {coreness >= 3} == 3-core membership against
+    the ORACLE-CHECKED x_graph_kcore, plus a sequential-peel
+    cross-validation on random graphs (tests/test_graph.py)."""
+    from ..operators.graph import coreness
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("t"))
+    sup = (
+        a.join(b, "ok")
+        .filter(F.col("s") < F.col("t"))
+        .groupBy("s", "t")
+        .agg(F.count_distinct("ok").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select(F.col("s").alias("src"), F.col("t").alias("dst"))
+    )
+    return coreness(sup)
+
+
+# --------------------------------------------------------------------------
 # Image near-dup clusters (phash pairs closed under transitivity)
 # --------------------------------------------------------------------------
 

@@ -259,3 +259,85 @@ def test_kcore_fixture_query_matches_sequential_peel(spark, sf_dir):
         for r in x_graph_kcore(spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --- coreness: agree with the textbook sequential decomposition ---------
+
+
+def _py_coreness(edges):
+    """Reference core decomposition: repeatedly strip all nodes of
+    degree <= k for k = 0, 1, 2, ... — each node's coreness is the k
+    at which it leaves."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    core = {}
+    k = 0
+    while adj:
+        drop = [n for n, nb in adj.items() if len(nb) <= k]
+        if not drop:
+            k += 1
+            continue
+        for n in drop:
+            core[n] = k
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    return core
+
+
+def _spark_coreness(spark, pairs):
+    from glue_jobs_for_data_pipeline_spark.operators.graph import coreness
+
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    return {r["node"]: r["coreness"] for r in coreness(df).collect()}
+
+
+def test_coreness_triangle_plus_tail(spark):
+    # triangle nodes have coreness 2; the tail path has coreness 1
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    assert _spark_coreness(spark, pairs) == {1: 2, 2: 2, 3: 2, 4: 1, 5: 1}
+
+
+def test_coreness_clique(spark):
+    pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _spark_coreness(spark, pairs) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=st.lists(_edge, min_size=1, max_size=25))
+def test_coreness_agrees_with_sequential_decomposition(spark, edges):
+    pairs = [(int(a), int(b)) for a, b in edges]
+    got = _spark_coreness(spark, pairs)
+    want = _py_coreness(pairs)
+    # the reference assigns coreness to every node incl. isolated-by-
+    # self-loop ones it never saw an edge for; restrict to shared keys
+    assert got == {n: c for n, c in want.items()}
+
+
+def test_coreness_slice_matches_kcore_query(spark, sf_dir):
+    """{coreness >= 3} must equal the 3-core's node set on the fixture
+    graph — ties the rows-only coreness query to the ORACLE-CHECKED
+    x_graph_kcore."""
+    from glue_jobs_for_data_pipeline_spark.plans.metrics_pack import (
+        x_graph_coreness,
+    )
+    from glue_jobs_for_data_pipeline_spark.plans.mining_pack import (
+        x_graph_kcore,
+    )
+
+    cg = {
+        r["node"]: r["coreness"]
+        for r in x_graph_coreness(spark, sf_dir).collect()
+    }
+    core3 = {r["node"] for r in x_graph_kcore(spark, sf_dir).collect()}
+    assert {n for n, c in cg.items() if c >= 3} == core3
