@@ -157,29 +157,46 @@ def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def render_thumbnail(text: str) -> bytes:
     """Deterministic 9x8 grayscale 'thumbnail' of a document: cell i's
-    luma is the min-hash (md5, stdlib) of the character 3-grams that
-    land in cell i. Fixture synthesis for the image-dedup tier — it
-    gives the documents table what stored images have: a raw-bitmap
-    payload that is SHIFT-INVARIANT (grams carry no positions, so an
-    insertion doesn't smear every later pixel the way a byte-stream
-    view does) and EDIT-LOCAL (a small edit changes few grams, so few
-    cells move). Real pipelines get these properties from decode +
-    resize; measured on the sf0.01 fixture this renderer separates
-    planted near-dups (Hamming 0-2) from unrelated docs (>= 13).
-    """
-    import hashlib
+    luma is the min-hash of the byte 3-grams that land in cell i.
+    Fixture synthesis for the image-dedup tier — it gives the documents
+    table what stored images have: a raw-bitmap payload that is
+    SHIFT-INVARIANT (grams carry no positions, so an insertion doesn't
+    smear every later pixel the way a byte-stream view does) and
+    EDIT-LOCAL (a small edit changes few grams, so few cells move).
+    Real pipelines get these properties from decode + resize; measured
+    on the sf0.01 fixture this renderer separates planted near-dups
+    (Hamming 0-3) from unrelated docs (>= 14).
 
-    norm = " ".join(text.lower().split())
+    Vectorized: each byte 3-gram packs INJECTIVELY into a 24-bit code
+    (no collisions at the gram level), a splitmix-style uint64 mix
+    (wraparound arithmetic) assigns it a cell and a luma, and
+    np.minimum.at takes the per-cell min — ~100x the per-gram-md5 form
+    this replaces (render dominated the phash bench entry; the only
+    hash-quality requirement here is cell uniformity, which the mix
+    provides).
+    """
+    import numpy as np
+
+    norm = " ".join(text.lower().split()).encode("utf-8", "ignore")
+    if len(norm) < 3:
+        norm = norm + b"\x00" * (3 - len(norm))
+    a = np.frombuffer(norm, dtype=np.uint8).astype(np.uint64)
+    code = np.unique(
+        a[:-2] | (a[1:-1] << np.uint64(8)) | (a[2:] << np.uint64(16))
+    )
+    z = (code * np.uint64(0x9E3779B97F4A7C15)) + np.uint64(0x2545F4914F6CDD1D)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
     n_cells = _DHASH_W * _DHASH_H
-    cells: list[int | None] = [None] * n_cells
-    for i in range(max(len(norm) - 2, 1)):
-        g = norm[i : i + 3]
-        h = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
-        c = h % n_cells
-        v = (h >> 8) & 0xFF
-        if cells[c] is None or v < cells[c]:
-            cells[c] = v
-    return bytes(0 if v is None else v for v in cells)
+    cells = (z % np.uint64(n_cells)).astype(np.int64)
+    vals = ((z >> np.uint64(8)) & np.uint64(0xFF)).astype(np.int64)
+    grid = np.full(n_cells, 999, dtype=np.int64)
+    np.minimum.at(grid, cells, vals)
+    grid[grid == 999] = 0
+    return bytes(grid.astype(np.uint8))
 
 
 THUMB_SCHEMA = T.StructType(
@@ -312,11 +329,17 @@ def phash_dup_pairs(
 
     Scale shape: payload bytes cross into Python exactly once
     (signature stage); the candidate join shuffles 8-byte hashes, never
-    pixels, and is equi-join-bucketed — no all-pairs anywhere.
+    pixels, and is equi-join-bucketed — no all-pairs anywhere. The
+    signature frame is cached before banding: unlike SimHash (pure
+    codegen'd built-ins, cheaper to recompute than to cache), this
+    signature stage decodes payloads in Python, and the band join's
+    two branches would otherwise run it twice. Cached blocks are 16
+    bytes/image; bench/sweep loops release them via
+    dedup.release_caches().
     """
-    from .dedup import hamming_band_pairs
+    from .dedup import _cached, hamming_band_pairs
 
-    sigs = phash_signatures(df, id_col)
+    sigs = _cached(phash_signatures(df, id_col))
     return hamming_band_pairs(
         sigs, id_col="doc_id", sig_col="phash",
         max_hamming=max_hamming, n_bands=8,
