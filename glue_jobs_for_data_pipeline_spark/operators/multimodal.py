@@ -155,6 +155,11 @@ def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(decode_batches, DECODED_SCHEMA)
 
 
+# Affine gram-hash family for render_thumbnail — chosen < 2^31 so the
+# DuckDB oracle can restate the arithmetic exactly in BIGINT.
+PHASH_A, PHASH_B, PHASH_P = 1103515245, 12345, 2147483647
+
+
 def render_thumbnail(text: str) -> bytes:
     """Deterministic 9x8 grayscale 'thumbnail' of a document: cell i's
     luma is the min-hash of the byte 3-grams that land in cell i.
@@ -165,34 +170,29 @@ def render_thumbnail(text: str) -> bytes:
     EDIT-LOCAL (a small edit changes few grams, so few cells move).
     Real pipelines get these properties from decode + resize; measured
     on the sf0.01 fixture this renderer separates planted near-dups
-    (Hamming 0-3) from unrelated docs (>= 14).
+    (Hamming 0-2) from unrelated docs (>= 10).
 
-    Vectorized: each byte 3-gram packs INJECTIVELY into a 24-bit code
-    (no collisions at the gram level), a splitmix-style uint64 mix
-    (wraparound arithmetic) assigns it a cell and a luma, and
-    np.minimum.at takes the per-cell min — ~100x the per-gram-md5 form
-    this replaces (render dominated the phash bench entry; the only
-    hash-quality requirement here is cell uniformity, which the mix
-    provides).
+    Vectorized AND SQL-reproducible: each byte 3-gram packs INJECTIVELY
+    into a 24-bit code (no collisions at the gram level) and an affine
+    hash (code*A + B) mod P with P = 2^31 - 1 assigns cell and luma —
+    every intermediate stays below 2^56, so a DuckDB oracle can state
+    the identical arithmetic in plain BIGINT (catalog_ext's
+    _X_PHASH_SIG_CTE does, making the whole image-dedup tier
+    hash-checkable end-to-end; that is why this is affine-mod-prime
+    and not a 64-bit wraparound mix). ~100x the per-gram-md5 form this
+    replaced; the only hash-quality requirement is cell uniformity.
     """
     import numpy as np
 
     norm = " ".join(text.lower().split()).encode("utf-8", "ignore")
     if len(norm) < 3:
         norm = norm + b"\x00" * (3 - len(norm))
-    a = np.frombuffer(norm, dtype=np.uint8).astype(np.uint64)
-    code = np.unique(
-        a[:-2] | (a[1:-1] << np.uint64(8)) | (a[2:] << np.uint64(16))
-    )
-    z = (code * np.uint64(0x9E3779B97F4A7C15)) + np.uint64(0x2545F4914F6CDD1D)
-    z ^= z >> np.uint64(30)
-    z *= np.uint64(0xBF58476D1CE4E5B9)
-    z ^= z >> np.uint64(27)
-    z *= np.uint64(0x94D049BB133111EB)
-    z ^= z >> np.uint64(31)
+    a = np.frombuffer(norm, dtype=np.uint8).astype(np.int64)
+    code = np.unique(a[:-2] | (a[1:-1] << 8) | (a[2:] << 16))
+    h = (code * PHASH_A + PHASH_B) % PHASH_P
     n_cells = _DHASH_W * _DHASH_H
-    cells = (z % np.uint64(n_cells)).astype(np.int64)
-    vals = ((z >> np.uint64(8)) & np.uint64(0xFF)).astype(np.int64)
+    cells = h % n_cells
+    vals = (h // n_cells) % 256
     grid = np.full(n_cells, 999, dtype=np.int64)
     np.minimum.at(grid, cells, vals)
     grid[grid == 999] = 0
