@@ -505,4 +505,6 @@ def coreness(
         raise RuntimeError(
             f"coreness did not converge in {max_iterations} iterations"
         )
-    return c.select(F.col("src").alias("node"), F.col("est").alias("coreness"))
+    return c.select(
+        F.col("src").alias("node"), F.col("est").cast("long").alias("coreness")
+    )

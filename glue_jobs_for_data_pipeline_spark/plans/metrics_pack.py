@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.rank import distributed_row_number
 from ..sources.readers import load_events, load_table
 from .catalog import _q
 
@@ -56,11 +57,13 @@ def x_olap_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie order.
 
     Scale shape: one map-side-combined aggregation to customer grain,
-    one global-order window over that already-aggregated input (rank i
-    must be global — at 1000 executors this is the same
-    customer-count-sized single-partition sort every exact-rank
-    statistic needs; the raw orders table never reaches it), then a
-    scalar fold. Decimal-exact until the single output division."""
+    then the distributed exact-rank kernel (operators/rank.py): range-
+    partitioned sort + monotonically_increasing_id + broadcast
+    partition-count offsets — exact global rank with NO single-
+    partition WindowExec, so the customer grain can be billions of rows
+    and the sort stays fully parallel (the only driver traffic is one
+    long per partition). Then a scalar fold. Decimal-exact until the
+    single output division."""
     rev = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -70,10 +73,10 @@ def x_olap_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r")
         )
     )
-    w = Window.orderBy("r", "o_custkey")
-    ranked = rev.select(
-        "r", F.row_number().over(w).cast("long").alias("i")
+    ranked, _n = distributed_row_number(
+        rev, [F.col("r").asc(), F.col("o_custkey").asc()], out_col="i"
     )
+    ranked = ranked.select("r", "i")
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("r").cast("decimal(38,2)").alias("s0"),
@@ -357,16 +360,59 @@ def x_storage_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@_q("x_graph_coreness")  # iterative h-index fixpoint -> rows-only
+# Coreness as a recursive CTE: the same h-index fixpoint the Spark
+# operator runs (c(u) <- H of neighbor estimates, monotone decreasing,
+# fixpoint = coreness — Lü et al. 2016), expressed over a static edge
+# CTE. Each recursive step joins the previous round's estimates to the
+# symmetric edge list (wv.u = s.v ships each neighbor's estimate),
+# ranks neighbor estimates descending per node (ROW_NUMBER — tie order
+# irrelevant, H depends only on the sorted multiset), takes
+# h = MAX(rk where est >= rk), and recurses only while some estimate
+# changed (any_drop-style gate, as _X_KCORE_SQL). Both engines stop at
+# the same greatest fixpoint, so values agree exactly.
+_X_CORENESS_SQL = """
+WITH RECURSIVE
+li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+cop AS (
+  SELECT a.p AS s, b.p AS t
+  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING COUNT(*) >= 2),
+sym AS (SELECT s AS u, t AS v FROM cop UNION ALL SELECT t AS u, s AS v FROM cop),
+walk(r, u, est) AS (
+  SELECT 0 AS r, u, COUNT(*) AS est FROM sym GROUP BY u
+  UNION ALL
+  SELECT z.r + 1, z.u, z.newest FROM (
+    SELECT h.r, h.u, h.newest, w.est,
+           MAX(CASE WHEN h.newest <> w.est THEN 1 ELSE 0 END) OVER () AS any_change
+    FROM (
+      SELECT t.r, t.u,
+             MAX(CASE WHEN t.nb_est >= t.rk THEN t.rk ELSE 0 END) AS newest
+      FROM (
+        SELECT wv.r, s.u, wv.est AS nb_est,
+               ROW_NUMBER() OVER (PARTITION BY s.u ORDER BY wv.est DESC) AS rk
+        FROM sym s JOIN walk wv ON wv.u = s.v
+      ) t GROUP BY t.r, t.u
+    ) h JOIN walk w ON w.u = h.u AND w.r = h.r
+  ) z WHERE z.any_change = 1
+)
+SELECT u AS node, CAST(est AS BIGINT) AS coreness
+FROM walk WHERE r = (SELECT MAX(r) FROM walk)
+"""
+
+
+@_q("x_graph_coreness", _X_CORENESS_SQL)
 def x_graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full core decomposition of the support-2 co-purchase graph
     (operators/graph.py::coreness): every node's largest surviving
     peel depth in ONE h-index fixpoint instead of one peel per k —
     x_graph_kcore answers the k=3 slice, this answers all slices.
-    Rows-only at the driver (iterative fixpoint); pinned by the
-    slice-consistency law {coreness >= 3} == 3-core membership against
-    the ORACLE-CHECKED x_graph_kcore, plus a sequential-peel
-    cross-validation on random graphs (tests/test_graph.py)."""
+    ORACLE-CHECKED since r10: the h-index fixpoint restates as a
+    DuckDB recursive CTE (_X_CORENESS_SQL above — the same route
+    x_graph_kcore graduated by in r09); additionally pinned by the
+    slice-consistency law {coreness >= 3} == 3-core membership and a
+    sequential-peel cross-validation on random graphs
+    (tests/test_graph.py)."""
     from ..operators.graph import coreness
 
     li = load_table(spark, sf_dir, "lineitem").select(

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
+from ..operators.rank import distributed_ntile
 from ..sources.readers import load_events, load_table, spread
 from .catalog import _q
 
@@ -956,20 +957,26 @@ FROM r GROUP BY decile
 @_q("x_olap_revenue_concentration", _X_CONC_SQL)
 def x_olap_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whale-curve / revenue-concentration report: customers ranked
-    into spend deciles (NTILE with a total tie order), each decile's
-    exact revenue and share of total. The fact collapses to |customers|
-    rows first; the decile window sorts that aggregate (at extreme
-    scale: range-partitioned sort + broadcast boundary offsets); the
-    grand total is a 1-row broadcast scalar. Exact cent sums; doubles
-    assembled once."""
+    into spend deciles (exact NTILE semantics with a total tie order),
+    each decile's exact revenue and share of total. The fact collapses
+    to |customers| rows first; the decile then comes from the
+    distributed exact-rank kernel (operators/rank.py: range-partitioned
+    sort + broadcast partition-count offsets + integer NTILE
+    arithmetic) — NO single-partition WindowExec, so the customer grain
+    can be billions of rows; the grand total is a 1-row broadcast
+    scalar. Exact cent sums; doubles assembled once."""
     od = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cents = (
         (F.col("o_totalprice").cast("decimal(18,2)") * F.lit(100))
         .cast("decimal(38,0)")
     )
     c = od.groupBy("o_custkey").agg(F.sum(cents).alias("rev"))
-    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey").asc())
-    r = c.withColumn("decile", F.ntile(10).over(w))
+    r = distributed_ntile(
+        c,
+        [F.col("rev").desc(), F.col("o_custkey").asc()],
+        buckets=10,
+        out_col="decile",
+    )
     total = c.agg(F.sum("rev").cast("double").alias("grand"))
     return (
         r.groupBy("decile")

@@ -161,6 +161,24 @@ def test_profile_plan_single_scan_expand(spark, sf_dir):
     assert "Expand" in plan
 
 
+def test_exact_rank_queries_have_no_window_exec(spark, sf_dir):
+    """x_olap_gini / x_olap_revenue_concentration rank a data-
+    proportional grain (customers) — they must use the distributed
+    rank kernel (operators/rank.py), never an unpartitioned WindowExec
+    (single-task sort of billions of rows at 100 TB)."""
+    from glue_jobs_for_data_pipeline_spark.plans import metrics_pack as mp
+    from glue_jobs_for_data_pipeline_spark.plans import mining_pack as mk
+
+    for fn in (mp.x_olap_gini, mk.x_olap_revenue_concentration):
+        plan = _plan(fn(spark, sf_dir))
+        assert "Window" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # the partition-count offsets join broadcasts; the ranked side
+        # never re-shuffles after its range exchange
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        assert "Exchange rangepartitioning" in plan, fn.__name__
+
+
 def test_anomaly_plan_broadcast_stats_no_python(spark, sf_dir):
     plan = _plan(cx.x_events_anomaly_zscore(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,85 @@
+"""Distributed exact-rank kernel (operators/rank.py): global
+row_number / ntile computed with NO single-partition WindowExec must be
+value-identical to the Window versions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from glue_jobs_for_data_pipeline_spark.operators.rank import (
+    distributed_ntile,
+    distributed_row_number,
+    ntile_from_rank,
+)
+
+
+def _demo(spark, n=977, dup_every=7):
+    # deliberate ties on v (every dup_every-th value repeats) so the
+    # total-order tiebreaker (k) is load-bearing
+    return spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % dup_every).alias("v")
+    )
+
+
+def test_row_number_matches_window(spark):
+    df = _demo(spark)
+    order = [F.col("v").asc(), F.col("k").asc()]
+    got, total = distributed_row_number(df, order, out_col="i", num_partitions=8)
+    assert total == 977
+    w = Window.orderBy("v", "k")
+    want = df.withColumn("i", F.row_number().over(w).cast("long"))
+    assert got.select("k", "v", "i").exceptAll(want.select("k", "v", "i")).count() == 0
+    assert want.select("k", "v", "i").exceptAll(got.select("k", "v", "i")).count() == 0
+
+
+def test_row_number_descending_order(spark):
+    df = _demo(spark, n=301)
+    order = [F.col("v").desc(), F.col("k").asc()]
+    got, total = distributed_row_number(df, order, out_col="i", num_partitions=5)
+    assert total == 301
+    w = Window.orderBy(F.col("v").desc(), F.col("k").asc())
+    want = df.withColumn("i", F.row_number().over(w).cast("long"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+@pytest.mark.parametrize("n,buckets", [(977, 10), (100, 7), (5, 10), (9, 3)])
+def test_ntile_matches_window(spark, n, buckets):
+    # covers: uneven buckets, exact division, and N < buckets
+    df = _demo(spark, n=n)
+    order = [F.col("v").asc(), F.col("k").asc()]
+    got = distributed_ntile(df, order, buckets, out_col="b", num_partitions=4)
+    w = Window.orderBy("v", "k")
+    want = df.withColumn("b", F.ntile(buckets).over(w).cast("long"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_ntile_from_rank_pure_arithmetic(spark):
+    # stand-alone check of the integer NTILE formula over every rank
+    n, b = 23, 4
+    df = spark.range(1, n + 1).select((F.col("id")).cast("long").alias("i"))
+    got = df.select("i", ntile_from_rank(F.col("i"), n, b).alias("t"))
+    w = Window.orderBy("i")
+    want = df.withColumn("t", F.ntile(b).over(w).cast("long"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_empty_input(spark):
+    df = _demo(spark).where(F.lit(False))
+    got, total = distributed_row_number(
+        df, [F.col("v").asc(), F.col("k").asc()], out_col="i"
+    )
+    assert total == 0 and got.count() == 0 and "i" in got.columns
+    nt = distributed_ntile(df, [F.col("v").asc()], 10, out_col="b")
+    assert nt.count() == 0 and "b" in nt.columns
+
+
+def test_no_window_node_in_plan(spark):
+    df = _demo(spark)
+    got, _ = distributed_row_number(
+        df, [F.col("v").asc(), F.col("k").asc()], out_col="i", num_partitions=8
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan  # offsets join broadcast, big side stays put
