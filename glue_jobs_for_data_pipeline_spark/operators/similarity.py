@@ -196,23 +196,51 @@ def assign_ivf_cells(
 ) -> DataFrame:
     """Assign each vector to its n_probe nearest centroids by cosine.
 
-    Centroids are broadcast (there are k of them); assignment is a
-    map-side scored join + per-vector top-n_probe window. Output:
-    (id, vec, cell, cell_rank).
+    MAP-ONLY since r10: the centroid set is k rows by construction, so
+    it collects to the driver (one tiny job — every caller builds it
+    from a driver-side list or a limit-k anyway) and ships as ONE SQL
+    struct-array literal (the _with_signatures plan-size trick: a
+    nested F.lit-per-element form would cost k*dim Py4J calls). Each
+    vector scores all k centroids in a single transform(), sorts the
+    (negated-cosine, cell) structs lexicographically — sim DESC, cell
+    ASC tie order, identical to the previous window's — and explodes
+    the first n_probe. The earlier form crossJoined (k-fold row
+    inflation) and ranked through a per-vector window (a full keyed
+    shuffle of every vector); this touches each vector once and
+    shuffles nothing. Output: (id, vec, cell, cell_rank).
     """
-    c = F.broadcast(
-        centroids.select(
-            F.col("cell"), F.col(vec_col).alias("_cvec")
+    cents = [
+        (int(r["cell"]), [float(x) for x in r[vec_col]])
+        for r in centroids.collect()
+    ]
+    items = ",".join(
+        "named_struct('cell',{},'v',array({}))".format(
+            cell, ",".join(repr(x) + "D" for x in vec)
         )
+        for cell, vec in cents
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("cell"))
+    lit = F.expr(f"array({items})")
+    vec = F.col(vec_col)
+    scored = F.transform(
+        lit,
+        lambda s: F.struct(
+            (-cosine(vec, s["v"])).alias("negsim"), s["cell"].alias("cell")
+        ),
+    )
     return (
         vectors.select(id_col, vec_col)
-        .crossJoin(c)
-        .withColumn("_csim", cosine(F.col(vec_col), F.col("_cvec")))
-        .withColumn("cell_rank", F.row_number().over(w))
-        .filter(F.col("cell_rank") <= n_probe)
-        .select(id_col, vec_col, "cell", "cell_rank")
+        .withColumn("_top", F.slice(F.array_sort(scored), 1, n_probe))
+        .select(
+            id_col,
+            vec_col,
+            F.posexplode("_top").alias("_pos", "_s"),
+        )
+        .select(
+            id_col,
+            vec_col,
+            F.col("_s")["cell"].alias("cell"),
+            (F.col("_pos") + 1).cast("int").alias("cell_rank"),
+        )
     )
 
 
@@ -270,7 +298,9 @@ def ivf_topk(
     partition/probe plumbing is shared). Probe cost ~= n_probe/n_cells
     of the corpus.
     """
-    centroids = F.broadcast(
+    # no broadcast hint: assign_ivf_cells collects these k rows and
+    # inlines them as a literal; the 25-row Window here is k-bounded
+    centroids = (
         corpus.orderBy(id_col)
         .limit(n_cells)
         .select(
@@ -305,59 +335,74 @@ def kmeans_fit(
     """Distributed Lloyd k-means over the embedding column — the IVF
     coarse quantizer the naive first-n-vectors init approximates.
 
-    Iteration = one broadcast-assign pass (map-side nearest centroid by
-    cosine, no shuffle of vectors beyond the elementwise-mean groupBy)
-    + one elementwise-mean update (posexplode -> map-side-combined
-    avg per (cell, dim) -> k x dim tiny rows). Centroids collect to the
+    Iteration = one map-only assign pass (nearest centroid by cosine
+    against the centroid literal — no join, no window, vectors never
+    shuffle; see assign_ivf_cells) + one elementwise-mean update
+    (posexplode -> map-side-combined avg per (cell, dim) -> k x dim
+    tiny rows; a dim-wide SUM(vec[i]) form was measured SLOWER — the
+    centroid literal changes every round, so wide aggregate codegen
+    recompiles per iteration, a ~2s/round constant, while the explode's
+    data cost is combined map-side anyway). Centroids collect to the
     driver between iterations — k x dim doubles, the same contract as
     any production k-means (MLlib does exactly this); corpus vectors
-    never leave the executors. Init is deterministic: the n_cells
-    lowest xxhash64(id) vectors, a seedless uniform sample.
+    never leave the executors. The projected corpus is persisted across
+    the n_iters passes (the standard iterative-ML cache: at 100 TB the
+    training scan is the dominant per-round cost, and Lloyd re-reads it
+    every round) and unpersisted before return. Init is deterministic:
+    the n_cells lowest xxhash64(id) vectors, a seedless uniform sample.
 
     Returns a (cell, <vec_col>) centroid DataFrame for
     assign_ivf_cells / ivf_topk.
     """
     spark = corpus.sparkSession
-    init = (
-        corpus.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(n_cells)
-        .select(F.col(vec_col))
-        .collect()
-    )
-    centroids = [
-        (i + 1, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
-    ]
-    # dim comes from the init rows already collected — no extra
-    # plan-construction-time Spark job (see _with_signatures' warning)
-    dim = len(centroids[0][1])
-
-    for _ in range(n_iters):
-        cdf = spark.createDataFrame(
-            centroids, f"cell int, {vec_col} array<double>"
-        )
-        assigned = assign_ivf_cells(corpus, cdf, id_col, vec_col, 1)
-        means = (
-            assigned.select("cell", F.posexplode(vec_col).alias("idx", "val"))
-            .groupBy("cell", "idx")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "m"))),
-                    lambda s: s["m"],
-                ).alias("vec")
-            )
+    proj = corpus.select(F.col(id_col), F.col(vec_col)).persist()
+    try:
+        init = (
+            proj.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            .limit(n_cells)
+            .select(F.col(vec_col))
             .collect()
         )
-        updated = {r["cell"]: [float(x) for x in r["vec"]] for r in means}
-        # empty cells keep their previous centroid
         centroids = [
-            (cell, updated.get(cell, vec)) for cell, vec in centroids
+            (i + 1, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
         ]
-        assert all(len(v) == dim for _, v in centroids)
+        # dim comes from the init rows already collected — no extra
+        # plan-construction-time Spark job (see _with_signatures' warning)
+        dim = len(centroids[0][1])
 
-    return F.broadcast(
-        spark.createDataFrame(centroids, f"cell int, {vec_col} array<double>")
+        for _ in range(n_iters):
+            cdf = spark.createDataFrame(
+                centroids, f"cell int, {vec_col} array<double>"
+            )
+            assigned = assign_ivf_cells(proj, cdf, id_col, vec_col, 1)
+            means = (
+                assigned.select(
+                    "cell", F.posexplode(vec_col).alias("idx", "val")
+                )
+                .groupBy("cell", "idx")
+                .agg(F.avg(F.col("val").cast("double")).alias("m"))
+                .groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("idx", "m"))),
+                        lambda s: s["m"],
+                    ).alias("vec")
+                )
+                .collect()
+            )
+            updated = {r["cell"]: [float(x) for x in r["vec"]] for r in means}
+            # empty cells keep their previous centroid
+            centroids = [
+                (cell, updated.get(cell, vec)) for cell, vec in centroids
+            ]
+            assert all(len(v) == dim for _, v in centroids)
+    finally:
+        proj.unpersist()
+
+    # no broadcast hint: consumers (assign_ivf_cells) collect the k
+    # rows and inline them as a literal, never join against this frame
+    return spark.createDataFrame(
+        centroids, f"cell int, {vec_col} array<double>"
     )
 
 
