@@ -29,81 +29,80 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate consumes exactly the FIRST 50 keys of
-# queries(), so registration order is the coverage knob. Round 9
-# priority order: (a) the 20 late-round-8 oracle-able keys that landed
-# after the r08 window filled — every one has NEVER been
-# driver-hash-checked (sweep-green at two SFs only); two of them
-# (x_events_attribution — exact-microsecond session gap fix,
-# x_storage_hash_skip_index — dtype-carrying index) also CHANGED this
-# round. Then (b) the §2 parity cohort rotated out in r08
-# (j3/a3/a4/w1/v3/v4/m1b/m4, r05 evidence; s1/p8+f12, r07), then (c)
-# the r06 §2 cohort (f1–f11 function pack, a1, p6, l1) so no §2 key's
-# driver evidence ages past 3 rounds, then (d) the round-9 additions
-# that have never seen a driver check — x_graph_kcore (newly GRADUATED
-# from rows-only to a recursive-CTE oracle) and the 4 new oracle-able
-# metrics-pack queries (incl. the snapshot-diff delta manifest).
-# The r04 cohort (21 keys incl. both bonus-source roundtrips)
-# re-seats in r10.
+# queries(), so registration order is the coverage knob. Round 10
+# priority order: (a) the queries that are NEW or GRADUATED from
+# rows-only to oracle-checked this round (coreness h-index CTE; phash
+# dedup + clusters via the BIGINT signature CTE; the snapshot-payloads
+# companion; the exact-rank kernel's raw ranking) — never
+# driver-hash-checked; (b) the 3 oracle-able keys
+# whose PLAN changed this round (gini + revenue_concentration moved to
+# the distributed exact-rank kernel; fk_cascade dropped the forced
+# broadcasts on SF-proportional parents); (c) the r04-evidence cohort
+# (21 keys incl. both bonus-source roundtrips) — the oldest driver
+# evidence in the catalog, scheduled for r10 since last round; (d) 22
+# of the 23 r05-evidence keys (x_text_vocab_topk carries to r11) so
+# nothing oracle-able keeps pre-r05 driver evidence.
 # x_olap_freq_items stays OUT permanently — rows-only by design
 # (sketch output; superset property tested in tests/test_plans.py).
 # Entries rotated OUT keep a regression check via
 # tools/oracle_check.py over ALL keys — run pre-commit, full sweep
 # committed per round as ORACLE_SWEEP_r{N}.json.
 _WINDOW_FIRST = [
-    # (a) late-r08 oracle-able, never driver-checked (20)
-    "x_events_attribution",
-    "x_storage_hash_skip_index",
-    "x_text_array_kernels",
-    "x_olap_date_kernels",
-    "x_ts_bounce_rate",
-    "x_olap_latency_hist",
-    "x_text_lm_coverage",
-    "x_validate_fd_profile",
-    "x_olap_benford",
-    "x_olap_window_frames",
-    "x_text_pmi_collocations",
-    "x_validate_drift_chisq",
-    "x_ts_autocorr",
-    "x_validate_skew_report",
-    "x_events_cumulative_users",
-    "x_validate_join_planner",
-    "x_olap_windowed_distinct",
-    "x_ts_interpolate",
-    "x_validate_join_cardinality",
-    "x_validate_table_checksum",
-    # (b) §2 cohort rotated out in r08 (10)
-    "j3_left_semi_join",
-    "a3_having",
-    "a4_distinct",
-    "w1_row_number",
-    "v3_registry_membership",
-    "v4_validation_report",
-    "m1b_scd2_delta_upsert",
-    "m4_update_where",
-    "s1_csv_bulk_load",
-    "p8_f12_table_dispatch",
-    # (c) r06 §2 cohort — functions + a1/p6/l1 (14)
-    "f1_extract_year",
-    "f2_extract_quarter",
-    "f3_extract_month",
-    "f4_extract_day",
-    "f5_extract_dow",
-    "f6_extract_week",
-    "f7_date_plus_int",
-    "f8_yesterday",
-    "f9_cast_string_date",
-    "f10_load_date_default",
-    "f11_decimal_multiply",
-    "a1_count_star",
-    "p6_null_predicate",
-    "l1_limit",
-    # (d) never-driver-checked r09 additions (6)
-    "x_graph_kcore",
+    # (a) new/graduated oracle-checked in r10, never driver-checked (5)
+    "x_graph_coreness",
+    "x_mm_phash_dedup",
+    "x_mm_phash_clusters",
+    "x_storage_snapshot_payloads",
+    "x_olap_global_rank",
+    # (b) plan changed in r10 (3)
     "x_olap_gini",
-    "x_events_transition_diversity",
+    "x_olap_revenue_concentration",
     "x_validate_fk_cascade",
-    "x_events_interarrival_disc",
-    "x_storage_snapshot_diff",
+    # (c) r04-evidence cohort (21)
+    "s1b_json_roundtrip",
+    "s1c_orc_roundtrip",
+    "x_corpus_prep",
+    "x_decontam_filter",
+    "x_decontam_report",
+    "x_ingest_incremental_agg",
+    "x_olap_cube",
+    "x_olap_moving_agg",
+    "x_olap_q18_style",
+    "x_olap_q3_style",
+    "x_olap_q5_style",
+    "x_sample_domain_mix",
+    "x_sample_shard_positions",
+    "x_sim_bruteforce_topk",
+    "x_stream_stream_join",
+    "x_text_fingerprint",
+    "x_text_lang_id",
+    "x_text_quality",
+    "x_text_quality_ntile",
+    "x_text_repetition",
+    "x_text_stats",
+    # (d) r05-evidence cohort, 21 of 23 (x_text_vocab_topk and
+    # x_text_pii_redact -> r11)
+    "x_corpus_stats",
+    "x_dedup_embedding_cosine",
+    "x_dedup_substring_spans",
+    "x_emb_centroid_elements",
+    "x_mm_decode_metadata",
+    "x_mm_frame_sample",
+    "x_olap_analytic_window",
+    "x_olap_anti_join",
+    "x_olap_count_distinct",
+    "x_olap_grouping_sets",
+    "x_olap_left_outer_join",
+    "x_olap_pivot",
+    "x_olap_rollup",
+    "x_olap_set_ops",
+    "x_olap_topk_per_group",
+    "x_olap_window_nav",
+    "x_sample_hash",
+    "x_sample_stratified",
+    "x_storage_time_travel",
+    "x_stream_scd2_apply",
+    "x_text_chunking",
 ]
 
 

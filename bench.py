@@ -84,6 +84,13 @@ BENCH_QUERIES = [
     "x_mm_phash_dedup",
     "x_validate_fk_cascade",
     "x_olap_gini",
+    # r10 additions: full coreness decomposition (h-index fixpoint, the
+    # heaviest iterative shape), IVF-PQ ANN (map-only cell assignment +
+    # ADC probe, this round's constant-cost fix), revenue-concentration
+    # deciles (the distributed exact-rank kernel's NTILE path)
+    "x_graph_coreness",
+    "x_sim_ivfpq_topk",
+    "x_olap_revenue_concentration",
 ]
 
 

@@ -530,15 +530,28 @@ def hamming_band_pairs(
     pair within hamming ``max_hamming`` < n_bands differs in at most
     max_hamming chunks, so it must AGREE on >= 1 chunk -> equi-join per
     chunk (co-located, no all-pairs), exact hamming verify via
-    bit_count(xor). Complete by construction (no false negatives),
-    asserted against a brute-force scan in tests.
+    bit_count(xor). Complete by construction (no false negatives)
+    WHEN max_hamming < n_bands — asserted against a brute-force scan
+    in tests; wider radii warn (see below) and degrade to a
+    recall-best-effort candidate generator.
 
     Output: (doc_a, doc_b, hamming), doc_a < doc_b.
     """
     assert 64 % n_bands == 0, "bands must evenly split the 64-bit signature"
-    # Completeness (no false negatives) holds iff max_hamming < n_bands;
-    # wider radii are allowed for diagnostics (relative-distance probes)
-    # where banding degrades to a recall-best-effort candidate generator.
+    if max_hamming >= n_bands:
+        # the pigeonhole guarantee needs max_hamming < n_bands: a pair
+        # can then differ in EVERY chunk and never collide on a band —
+        # silent false negatives. Allowed (diagnostic relative-distance
+        # probes use wide radii deliberately) but never silently.
+        import warnings
+
+        warnings.warn(
+            f"hamming_band_pairs: max_hamming={max_hamming} >= "
+            f"n_bands={n_bands} loses the pigeonhole completeness "
+            "guarantee — the candidate set may have false negatives; "
+            "raise n_bands for an exact result",
+            stacklevel=2,
+        )
     width = 64 // n_bands
     mask = (1 << width) - 1
     chunks = sigs.select(

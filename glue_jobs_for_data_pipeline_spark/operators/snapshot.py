@@ -55,7 +55,14 @@ def snapshot_diff(
 
     def _sided(df: DataFrame, side: str) -> DataFrame:
         cols = [F.col(k) for k in keys]
-        if exact:
+        if not compare_cols:
+            # pure link/membership table (every shared column is a key):
+            # there is nothing to compare, so classification is
+            # presence-only — insert/delete, never update. Without this
+            # guard the fingerprint mode would call xxhash64() with zero
+            # arguments, which fails Spark analysis.
+            payload = []
+        elif exact:
             payload = [
                 F.col(c).alias(f"{side}_{c}") for c in compare_cols
             ]
@@ -75,7 +82,9 @@ def snapshot_diff(
     n = _sided(new, "new")
     j = o.join(n, keys, "full_outer")
 
-    if exact:
+    if not compare_cols:
+        changed = F.lit(False)
+    elif exact:
         changed = F.lit(False)
         for c in compare_cols:
             changed = changed | ~F.col(f"old_{c}").eqNullSafe(
@@ -94,3 +103,27 @@ def snapshot_diff(
         .filter(F.col("change_type").isNotNull())
         .select(*keys, "change_type")
     )
+
+
+def changed_payloads(
+    new: DataFrame,
+    manifest: DataFrame,
+    keys: list[str],
+    change_types: tuple[str, ...] = ("insert", "update"),
+) -> DataFrame:
+    """Wide rows of the NEW snapshot for keys the diff manifest marks
+    as changed — the companion the module docstring promises: callers
+    who need payloads semi-join the manifest back, so wide-row traffic
+    stays proportional to the DELTA, never the table.
+
+    Plan shape (asserted in tests/test_plans.py): the manifest is
+    filtered to the requested change types BEFORE the join, and the
+    join is left_semi on the keys — the wide snapshot is probed by
+    (typically broadcast) keys only, no wide column ever enters a
+    shuffle for unchanged rows, and column pruning on the snapshot
+    side is unaffected by the manifest's schema.
+    """
+    m = manifest.filter(F.col("change_type").isin(*change_types)).select(
+        *keys
+    )
+    return new.join(m, keys, "left_semi")

@@ -1213,7 +1213,69 @@ def x_mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media(d)
 
 
-@_q("x_mm_phash_dedup")  # decoded-pixel hash -> rows-only; property-tested
+# The dHash signature chain restated in plain BIGINT SQL — possible
+# because render_thumbnail is affine-mod-prime BY DESIGN (all
+# intermediates < 2^56; see its docstring) and the 72-byte payload is
+# its own luma grid (the _luma_grid fallback averages 1-byte cells, an
+# identity). Stages mirror the Python exactly: whitespace-normalize ->
+# injective 24-bit byte-3-gram codes (ASCII fixture: ord == byte) ->
+# DISTINCT (np.unique) -> (code*A + B) mod P -> min-luma per cell,
+# empty cells 0 -> dHash bit (r,c) = [grid[r][c] < grid[r][c+1]] ->
+# signed-64 assembly (bit 63 contributes -2^63). The pair stage needs
+# NO banding restatement: banding is complete for hamming <= 6 < 8
+# bands (pigeonhole), so ground truth is simply ALL pairs within the
+# radius — which is exactly what completeness promises the Spark side
+# returns.
+_X_PHASH_SIG_BODY = r"""norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         CAST(ord(substr(s, CAST(i AS INTEGER), 1)) AS BIGINT)
+         + CAST(ord(substr(s, CAST(i AS INTEGER) + 1, 1)) AS BIGINT) * 256
+         + CAST(ord(substr(s, CAST(i AS INTEGER) + 2, 1)) AS BIGINT) * 65536
+           AS code
+  FROM norm, UNNEST(range(1, length(s) - 1)) AS t(i)),
+hashed AS (
+  SELECT doc_id, (code * 1103515245 + 12345) % 2147483647 AS h FROM grams),
+grid AS (
+  SELECT doc_id, h % 72 AS cell, MIN((h // 72) % 256) AS luma
+  FROM hashed GROUP BY doc_id, h % 72),
+full_grid AS (
+  SELECT d.doc_id, i.cell, COALESCE(g.luma, 0) AS luma
+  FROM (SELECT DISTINCT doc_id FROM norm) d
+  CROSS JOIN (SELECT unnest(range(0, 72)) AS cell) i
+  LEFT JOIN grid g ON g.doc_id = d.doc_id AND g.cell = i.cell),
+bits AS (
+  SELECT a.doc_id, ((a.cell // 9) * 8 + (a.cell % 9)) AS bit
+  FROM full_grid a JOIN full_grid b
+    ON a.doc_id = b.doc_id AND b.cell = a.cell + 1
+  WHERE a.cell % 9 < 8 AND a.luma < b.luma),
+sig AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(SUM(CASE WHEN b.bit < 63
+                  THEN (CAST(1 AS BIGINT) << CAST(b.bit AS INTEGER)) END), 0)
+              + COALESCE(MAX(CASE WHEN b.bit = 63
+                  THEN CAST(-9223372036854775808 AS BIGINT) END), 0)
+              AS BIGINT) AS phash
+  FROM (SELECT DISTINCT doc_id FROM norm) d
+  LEFT JOIN bits b ON b.doc_id = d.doc_id
+  GROUP BY d.doc_id)"""
+
+_X_PHASH_SIG_CTE = "WITH " + _X_PHASH_SIG_BODY
+
+_X_PHASH_DEDUP_SQL = (
+    _X_PHASH_SIG_CTE
+    + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 6
+"""
+)
+
+
+@_q("x_mm_phash_dedup", _X_PHASH_DEDUP_SQL)
 def x_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image CONTENT near-dup pairs: perceptual dHash over the decoded
     pixel grid via one mapInPandas stage, then banded Hamming buckets
@@ -1224,10 +1286,13 @@ def x_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     real decode+resize provides) and staged to parquet first, so the
     dedup plan itself reads (id, payload) exactly as it would an image
     table; planted near-dup docs land at Hamming 0-2 vs >= 13 for
-    unrelated, so this returns real pairs. Rows-only at the driver (the
-    hash depends on the decode stage, outside SQL); banding
-    completeness vs a brute-force Hamming scan and the edit-locality
-    property are pinned in tests/test_multimodal.py."""
+    unrelated, so this returns real pairs. ORACLE-CHECKED since r10:
+    render_thumbnail's affine-mod-prime hash restates in BIGINT SQL
+    (_X_PHASH_SIG_CTE above) and banding completeness lets the oracle
+    state ground truth as ALL pairs within the radius — so the driver
+    hash-checks decode, signature, AND candidate join end-to-end.
+    Banding completeness vs a brute-force Hamming scan and the
+    edit-locality property remain pinned in tests/test_multimodal.py."""
     d = _scratch_dir("spark_graft_phash_") + "/thumbs"
     multimodal.attach_thumbnail_payload(
         load_table(spark, sf_dir, "documents")

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..operators.rank import distributed_row_number
 from ..sources.readers import load_events, load_table
 from .catalog import _q
+from .catalog_ext import _X_PHASH_SIG_BODY
 
 # --------------------------------------------------------------------------
 # Gini coefficient of customer revenue
@@ -94,6 +95,51 @@ def x_olap_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("s0")).cast("double")
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Global revenue ranking (the exact-rank kernel's raw output)
+# --------------------------------------------------------------------------
+
+_X_GRANK_SQL = """
+WITH rev AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(18,2)) AS revenue
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, revenue,
+       CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey) AS BIGINT)
+         AS rnk
+FROM rev
+"""
+
+
+@_q("x_olap_global_rank", _X_GRANK_SQL)
+def x_olap_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global revenue ranking of every customer — the
+    distributed exact-rank kernel's RAW output hash-checked against
+    ROW_NUMBER() OVER (ORDER BY ...), row by row (x_olap_gini and
+    x_olap_revenue_concentration verify it only through aggregates).
+    Scale shape: operators/rank.py — range exchange + local sort +
+    id-derived local rank + broadcast partition-offset join; no Window
+    node, no single-partition sort, one long per partition to the
+    driver."""
+    from ..operators.rank import distributed_row_number
+
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("revenue")
+        )
+    )
+    ranked, _n = distributed_row_number(
+        rev,
+        [F.col("revenue").desc(), F.col("o_custkey").asc()],
+        out_col="rnk",
+    )
+    return ranked.select("o_custkey", "revenue", "rnk")
 
 
 # --------------------------------------------------------------------------
@@ -188,17 +234,24 @@ def x_validate_fk_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_validate_fk_orphans' single-edge check — what a nightly data-
     quality gate actually runs before publishing a warehouse snapshot.
 
-    Scale shape: one left join + count per edge; the three dim-parent
-    joins broadcast, the lineitem->orders join is the only large-large
-    exchange and it shuffles two key columns, never payloads. Each
-    edge's count is map-side-combined to a single row."""
+    Scale shape: one left join + count per edge. Only the
+    CONSTANT-SIZE parents (region 5, nation 25) get a broadcast HINT —
+    F.broadcast bypasses autoBroadcastJoinThreshold, and forcing it on
+    SF-proportional parents (customer/part/supplier key sets grow with
+    the data: ~SF x 150k customer keys) would mandate a driver-side
+    collect of multi-hundred-MB key sets at large SF (ADVICE r09).
+    Those edges are left to AQE: below the threshold they still
+    broadcast; past it they degrade gracefully to a key-only shuffle —
+    like the lineitem->orders edge, which shuffles two key columns,
+    never payloads. Each edge's count is map-side-combined to a single
+    row."""
     out = None
     for child, fk, parent, pk in _FK_EDGES:
         c = load_table(spark, sf_dir, child).select(F.col(fk).alias("_fk"))
         p = load_table(spark, sf_dir, parent).select(
             F.col(pk).alias("_pk")
         ).distinct()
-        if parent in ("region", "nation", "customer", "part", "supplier"):
+        if parent in ("region", "nation"):
             p = F.broadcast(p)
         edge = (
             c.join(p, c["_fk"] == p["_pk"], "left")
@@ -299,7 +352,7 @@ def x_events_interarrival_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Snapshot diff (derive a delta manifest from two full table versions)
 # --------------------------------------------------------------------------
 
-_X_SNAPDIFF_SQL = """
+_X_SNAP_BODY = """
 WITH v0 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
 v1 AS (
   SELECT o_orderkey, o_custkey,
@@ -314,12 +367,15 @@ j AS (
          v0.o_orderkey IS NULL AS ins,
          v1.o_orderkey IS NULL AS del,
          v0.o_totalprice IS DISTINCT FROM v1.o_totalprice AS chg
-  FROM v0 FULL OUTER JOIN v1 ON v0.o_orderkey = v1.o_orderkey)
-SELECT o_orderkey,
-       CASE WHEN ins THEN 'insert' WHEN del THEN 'delete'
-            WHEN chg THEN 'update' END AS change_type
-FROM j WHERE ins OR del OR chg
+  FROM v0 FULL OUTER JOIN v1 ON v0.o_orderkey = v1.o_orderkey),
+manifest AS (
+  SELECT o_orderkey,
+         CASE WHEN ins THEN 'insert' WHEN del THEN 'delete'
+              WHEN chg THEN 'update' END AS change_type
+  FROM j WHERE ins OR del OR chg)
 """
+
+_X_SNAPDIFF_SQL = _X_SNAP_BODY + "SELECT o_orderkey, change_type FROM manifest"
 
 
 @_q("x_storage_snapshot_diff", _X_SNAPDIFF_SQL)
@@ -353,6 +409,48 @@ def x_storage_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         v0, v1, keys=["o_orderkey"], compare_cols=["o_totalprice"], exact=True
     )
+
+
+_X_SNAPPAY_SQL = _X_SNAP_BODY + """
+SELECT v1.o_orderkey, v1.o_custkey, v1.o_totalprice
+FROM v1 JOIN manifest m ON v1.o_orderkey = m.o_orderkey
+WHERE m.change_type IN ('insert', 'update')
+"""
+
+
+@_q("x_storage_snapshot_payloads", _X_SNAPPAY_SQL)
+def x_storage_snapshot_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wide-row companion to x_storage_snapshot_diff
+    (operators/snapshot.py::changed_payloads): the full new-snapshot
+    rows for exactly the keys the manifest marks insert/update — the
+    operator an incremental publisher actually ships. Plan shape is
+    the module's scale claim made checkable: manifest filtered to the
+    requested change types BEFORE the join, then a LEFT SEMI join on
+    the key probes the wide snapshot — wide rows proportional to the
+    delta, never the table (asserted in tests/test_plans.py: the wide
+    projection sits above a LeftSemi join, no full-width full-outer)."""
+    from ..operators.snapshot import changed_payloads, snapshot_diff
+
+    v0 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    kept = v0.filter(F.col("o_custkey") % 97 != 0)
+    v1 = kept.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_custkey") % 31 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    ).unionAll(
+        v0.filter(F.col("o_custkey") % 113 == 0).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "o_custkey",
+            "o_totalprice",
+        )
+    )
+    manifest = snapshot_diff(
+        v0, v1, keys=["o_orderkey"], compare_cols=["o_totalprice"], exact=True
+    )
+    return changed_payloads(v1, manifest, keys=["o_orderkey"])
 
 
 # --------------------------------------------------------------------------
@@ -436,7 +534,30 @@ def x_graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@_q("x_mm_phash_clusters")  # decode-dependent hash -> rows-only
+# phash pairs (catalog_ext._X_PHASH_SIG_BODY, all pairs within
+# hamming 6 — banding-completeness ground truth) as the edge set of
+# the min-reachable-label CC walk (same recursion as catalog_ext's
+# _CC_SQL_T; tractable because near-dup components are small).
+_X_PHASH_CC_SQL = (
+    "WITH RECURSIVE "
+    + _X_PHASH_SIG_BODY
+    + """,
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 6),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+walk(u, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.u)
+SELECT u AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY u
+"""
+)
+
+
+@_q("x_mm_phash_clusters", _X_PHASH_CC_SQL)
 def x_mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-dedup end-to-end: perceptual-hash near-dup pairs
     (x_mm_phash_dedup's tier) closed under transitivity via distributed
@@ -445,8 +566,10 @@ def x_mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_dedup_cc_clusters. This is the operator a multimodal corpus
     actually deduplicates with: re-encode chains (A~B, B~C) collapse to
     one canonical image even when A and C drift past the pair radius.
-    Rows-only (hash depends on the decode stage); the CC operator
-    itself is oracle-proven on the text tier."""
+    ORACLE-CHECKED since r10 (with x_mm_phash_dedup): the BIGINT
+    signature CTE supplies the edge set and the min-reachable-label
+    recursive walk states the closure — decode, pairs, AND clustering
+    all hash-verified."""
     from ..operators import multimodal
     from ..operators.graph import connected_components
     from .catalog_ext import _scratch_dir

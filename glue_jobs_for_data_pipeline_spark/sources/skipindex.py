@@ -78,6 +78,17 @@ def _index_dtype(index: DataFrame, fallback: str) -> str:
     return fallback
 
 
+def _candidate_files_resolved(
+    index: DataFrame, value, dtype: str, m: int
+) -> list[str]:
+    """candidate_files with the build dtype ALREADY resolved — callers
+    that have run _index_dtype themselves (indexed_equality_scan) use
+    this so each probe costs ONE metadata job, not two (ADVICE r09)."""
+    b = F.pmod(F.xxhash64(F.lit(value).cast(dtype)), F.lit(m))
+    rows = index.filter(F.array_contains("buckets", b)).select("file").collect()
+    return [r["file"] for r in rows]
+
+
 def candidate_files(
     index: DataFrame, value, col_dtype: str = "bigint", m: int = DEFAULT_BUCKETS
 ) -> list[str]:
@@ -87,9 +98,7 @@ def candidate_files(
     The probe literal is cast to the index's recorded build dtype, so
     build and probe always hash the same type."""
     dtype = _index_dtype(index, col_dtype)
-    b = F.pmod(F.xxhash64(F.lit(value).cast(dtype)), F.lit(m))
-    rows = index.filter(F.array_contains("buckets", b)).select("file").collect()
-    return [r["file"] for r in rows]
+    return _candidate_files_resolved(index, value, dtype, m)
 
 
 def indexed_equality_scan(
@@ -110,7 +119,7 @@ def indexed_equality_scan(
     source — otherwise this raises ValueError rather than failing with
     an opaque TypeError."""
     dtype = _index_dtype(index, col_dtype)
-    files = candidate_files(index, value, dtype, m)
+    files = _candidate_files_resolved(index, value, dtype, m)
     if not files:
         # derive the schema without reading data rows
         any_file = index.select("file").first()

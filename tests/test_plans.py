@@ -179,6 +179,23 @@ def test_exact_rank_queries_have_no_window_exec(spark, sf_dir):
         assert "Exchange rangepartitioning" in plan, fn.__name__
 
 
+def test_snapshot_payloads_semi_join_before_wide_projection(spark, sf_dir):
+    """changed_payloads' scale claim: the wide snapshot is probed by a
+    LEFT SEMI join on the keys — wide rows never ride the full-outer
+    diff join, so payload traffic is proportional to the delta."""
+    from glue_jobs_for_data_pipeline_spark.plans import metrics_pack as mp
+
+    plan = _plan(mp.x_storage_snapshot_payloads(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the manifest side projects keys only before joining: no wide
+    # column appears in the full-outer diff branch's projections
+    import re
+
+    fo = [ln for ln in plan.splitlines() if "FullOuter" in ln]
+    assert fo and all("o_totalprice" not in ln for ln in fo)
+
+
 def test_anomaly_plan_broadcast_stats_no_python(spark, sf_dir):
     plan = _plan(cx.x_events_anomaly_zscore(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -83,3 +83,46 @@ def test_null_transitions_are_updates(spark):
         for r in snapshot_diff(old, new, keys=["id"], exact=True).collect()
     }
     assert got == {1: "update", 2: "update"}
+
+
+def test_pure_link_table_presence_only(spark):
+    """Every shared column is a key (membership table): classification
+    is presence-only — insert/delete, never update, and the fingerprint
+    path must not call xxhash64 with zero args (ADVICE r09)."""
+    old = spark.createDataFrame([(1, 10), (2, 20)], "a long, b long")
+    new = spark.createDataFrame([(2, 20), (3, 30)], "a long, b long")
+    for exact in (False, True):
+        got = {
+            (r["a"], r["b"]): r["change_type"]
+            for r in snapshot_diff(
+                old, new, keys=["a", "b"], exact=exact
+            ).collect()
+        }
+        assert got == {(1, 10): "delete", (3, 30): "insert"}
+
+
+def test_changed_payloads_returns_delta_wide_rows(spark):
+    from glue_jobs_for_data_pipeline_spark.operators.snapshot import (
+        changed_payloads,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+        "id long, v double, w string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 21.0, "b"), (4, 40.0, "d")],
+        "id long, v double, w string",
+    )
+    manifest = snapshot_diff(old, new, keys=["id"], exact=True)
+    got = {
+        (r["id"], r["v"], r["w"])
+        for r in changed_payloads(new, manifest, keys=["id"]).collect()
+    }
+    # update (2) and insert (4) payloads from NEW; delete (3) has no
+    # new-side payload; unchanged (1) excluded
+    assert got == {(2, 21.0, "b"), (4, 40.0, "d")}
+    dels = changed_payloads(
+        new, manifest, keys=["id"], change_types=("delete",)
+    ).count()
+    assert dels == 0
