@@ -222,11 +222,14 @@ def pagerank(
 
     Scale shape per iteration: ONE fact-sized shuffle (contributions
     grouped by dst; the ranks->edges join is a join on src against a
-    node-sized table, sharing the edges' src layout cached once) plus
-    two scalar aggregates (dangling mass; no convergence check — fixed
-    iteration count, the common production contract). localCheckpoint
-    per iteration truncates the otherwise linearly-growing lineage
-    exactly as in connected_components. Ranks are doubles; per-node
+    node-sized table, sharing the edges' src layout cached once). The
+    dangling mass rides the SAME job as a broadcast 1-row aggregate
+    (anti-join + scalar agg cross-joined into the update expression) —
+    since r10 there is NO per-iteration driver collect; the only
+    per-round action is the localCheckpoint that truncates the
+    otherwise linearly-growing lineage, exactly as in
+    connected_components. No convergence check — fixed iteration
+    count, the common production contract. Ranks are doubles; per-node
     sums depend on partial-agg order, so PageRank is rows-only under
     the driver's value-hash gate — its numerics are pinned by the
     pure-Python differential test instead (tests/test_graph.py).
@@ -256,26 +259,28 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        # dangling mass = total rank minus rank held by nodes WITH
-        # out-edges (one anti-join + scalar agg; the collect is a single
-        # double, not data-proportional)
-        row = (
+        # dangling mass = rank held by nodes with NO out-edges: an
+        # anti-join + scalar agg that rides the SAME job as the update
+        # via a broadcast 1-row cross join — no driver round-trip per
+        # iteration. Arithmetic order matches the previous driver-side
+        # fold ((1-d)/n + (d*m)/n, then + d*contrib) so the pure-Python
+        # differential stays bit-tight.
+        dangling_df = (
             ranks.join(
                 deg.select(F.col("src").alias("node")), "node", "left_anti"
             )
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
-        dangling = row[0][0]
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(
                 contribs.withColumnRenamed("dst", "node"), "node", "left_outer"
             )
+            .crossJoin(F.broadcast(dangling_df))
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("_dm") / F.lit(float(n))
                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )
