@@ -81,7 +81,9 @@ _WINDOW_FIRST = [
     "x_text_repetition",
     "x_text_stats",
     # (d) r05-evidence cohort, 21 of 23 (x_text_vocab_topk and
-    # x_text_pii_redact -> r11)
+    # x_text_pii_redact -> r11, with the two late-r10 rank-kernel
+    # corpus queries x_corpus_epoch_shuffle / x_pack_length_buckets —
+    # both-SF sweep-green this round, driver-seated next)
     "x_corpus_stats",
     "x_dedup_embedding_cosine",
     "x_dedup_substring_spans",

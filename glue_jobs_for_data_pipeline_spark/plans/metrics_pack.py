@@ -143,6 +143,104 @@ def x_olap_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Deterministic epoch shuffle (seeded global shuffle positions)
+# --------------------------------------------------------------------------
+
+_X_ESHUF_SQL = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || '#epoch-1'), doc_id
+       ) AS BIGINT) AS position
+FROM documents
+"""
+
+
+@_q("x_corpus_epoch_shuffle", _X_ESHUF_SQL)
+def x_corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded GLOBAL shuffle of the corpus — the epoch
+    reshuffle a training pipeline needs: every epoch visits all docs in
+    a different but REPRODUCIBLE order (restartable jobs, bit-identical
+    re-runs, no RNG state to checkpoint). Order key = md5(doc_id #
+    seed) — the md5-twin trick, so DuckDB states the identical
+    permutation and the driver hash-checks every (doc_id, position)
+    pair; a production variant would swap in xxhash64 for cheaper
+    keys, same plan.
+
+    Scale shape: the distributed exact-rank kernel (operators/rank.py)
+    over the hash key — range exchange + local sort + broadcast
+    partition offsets. A 100 TB corpus gets exact shuffle positions
+    with no single-partition sort; writers then range-partition on
+    `position` to emit epoch shards in order."""
+    from ..operators.rank import distributed_row_number
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = d.withColumn(
+        "_k",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#epoch-1"))),
+    )
+    ranked, _n = distributed_row_number(
+        keyed,
+        [F.col("_k").asc(), F.col("doc_id").asc()],
+        out_col="position",
+    )
+    return ranked.select("doc_id", "position")
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batching (distributed NTILE over token counts)
+# --------------------------------------------------------------------------
+
+_X_LENBUCKET_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST(NTILE(16) OVER (ORDER BY n_tokens, doc_id) AS BIGINT)
+           AS bucket
+  FROM t)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM b GROUP BY bucket
+"""
+
+
+@_q("x_pack_length_buckets", _X_LENBUCKET_SQL)
+def x_pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching prep: docs ranked by token count into
+    16 equal-size buckets (exact NTILE semantics, total tie order) so a
+    trainer batches similar-length sequences together — the standard
+    padding-waste reducer; each bucket's doc count and token range
+    reported. Bucket assignment via the distributed exact-rank kernel
+    (operators/rank.py::distributed_ntile): no single-partition
+    WindowExec, so the bucketing holds at corpus scale; the roll-up is
+    one map-side-combined aggregation."""
+    from ..functions.text import token_count
+    from ..operators.rank import distributed_ntile
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    b = distributed_ntile(
+        d,
+        [F.col("n_tokens").asc(), F.col("doc_id").asc()],
+        buckets=16,
+        out_col="bucket",
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Transition diversity (Simpson index of the next-event distribution)
 # --------------------------------------------------------------------------
 
