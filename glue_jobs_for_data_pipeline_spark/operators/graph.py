@@ -486,12 +486,14 @@ def coreness(
     )
     prev_sum = c.agg(F.sum("est")).first()[0]
     w = Window.partitionBy("src").orderBy(F.col("nb_est").desc())
-    for _ in range(max_iterations):
+
+    def _h_step(cur: DataFrame) -> DataFrame:
+        """One application of the H operator as a lazy plan segment."""
         nb = sym.join(
-            c.select(F.col("src").alias("dst"), F.col("est").alias("nb_est")),
+            cur.select(F.col("src").alias("dst"), F.col("est").alias("nb_est")),
             "dst",
         ).select("src", "nb_est")
-        c_new = (
+        return (
             nb.withColumn("rn", F.row_number().over(w))
             .groupBy("src")
             .agg(
@@ -499,8 +501,17 @@ def coreness(
                     F.when(F.col("nb_est") >= F.col("rn"), F.col("rn"))
                 ).alias("est")
             )
-            .localCheckpoint(eager=True)
         )
+
+    for _ in range(max_iterations):
+        # TWO H applications per materialized round: the per-round cost
+        # here is fixed job/checkpoint overhead, not data (the inner
+        # join+window chains in one plan), so halving the number of
+        # materializations ~halves wall-clock while the fixpoint — and
+        # the sum-based certificate — are unchanged: H is monotone
+        # non-increasing, so sum(H^2(c)) == sum(c) forces both
+        # sub-steps to be no-ops, i.e. the fixpoint.
+        c_new = _h_step(_h_step(c)).localCheckpoint(eager=True)
         cur_sum = c_new.agg(F.sum("est")).first()[0]
         c = c_new
         if cur_sum == prev_sum:
