@@ -906,13 +906,77 @@ def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("x_dedup_embedding_cosine_lsh")  # hyperplane-bucketed -> rows-only
+# Reusable DuckDB cosine over the 64-wide embedding columns — the same
+# sequential left-fold the Spark kernel runs (functions/vectors.py);
+# list_sum over the ordered product list is bit-identical to
+# aggregate(zip_with(...)) (proven by x_sim_bruteforce_topk since r04).
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, 65),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform(range(1, 65),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform(range(1, 65),"
+        f" i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
+    )
+
+
+def _hyperplane_sigs_cte(n_tables: int = 16, n_bits: int = 4, dim: int = 64) -> str:
+    """The deterministic hyperplane family is Python floats
+    (similarity._hp_weight_val), so the SAME values embed in the SQL as
+    a VALUES table of per-(table, bit) weight lists — signature bit j =
+    [projection > 0] via the ordered-list fold, signature = sum of 2^j
+    (pure integer agg, order-free). repr() round-trips each weight
+    exactly and DECIMAL-parse -> DOUBLE preserves it (<= 17 significant
+    digits). Shared by the ANN top-k and embedding-dedup LSH oracles."""
+    from ..operators.similarity import _hp_weight_val
+
+    rows = ",\n".join(
+        "({}, {}, [{}])".format(
+            t, j, ",".join(repr(_hp_weight_val(t, j, d)) for d in range(dim))
+        )
+        for t in range(n_tables)
+        for j in range(n_bits)
+    )
+    return f"""
+WITH planes(t, j, w) AS (VALUES
+{rows}),
+sigs AS (
+  SELECT e.vec_id, e.embedding, p.t AS tbl,
+         CAST(SUM(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.w[i] AS DOUBLE))) > 0
+                  THEN (1 << p.j) ELSE 0 END) AS INTEGER) AS sig
+  FROM embeddings e, planes p
+  GROUP BY e.vec_id, e.embedding, p.t)
+"""
+
+
+
+_X_EMB_LSH_SQL = _hyperplane_sigs_cte() + """,
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig
+  WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos FROM (
+  SELECT cand.id_a, cand.id_b,
+         """ + _sql_cos("ae.embedding", "be.embedding") + """ AS cos
+  FROM cand
+  JOIN embeddings ae ON ae.vec_id = cand.id_a
+  JOIN embeddings be ON be.vec_id = cand.id_b) t
+WHERE cos >= 0.4
+"""
+
+
+@_q("x_dedup_embedding_cosine_lsh", _X_EMB_LSH_SQL)
 def x_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dup: hyperplane-LSH buckets generate
     candidates (sum-of-bucket^2 per table, not n^2), exact cosine
     verifies. Recall vs the brute tier asserted in tests/test_dedup.py.
     n_bits=4 matches the fixture's weak similarities (max cosine ~0.51);
-    corpora with true near-dups raise n_bits for sharper buckets."""
+    corpora with true near-dups raise n_bits for sharper buckets.
+    ORACLE-CHECKED since r10: the shared hyperplane-signature CTE
+    states buckets, candidate set, and verification cosine — the LSH
+    dedup tier is value-checked end-to-end, not just recall-tested."""
     return dedup.embedding_dup_pairs_lsh(
         load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         threshold=0.4, dim=64, n_bits=4,
@@ -954,21 +1018,92 @@ def x_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("x_sim_lsh_topk")  # candidate set depends on hyperplane family -> rows-only
+def _lsh_topk_sql(k: int = 10) -> str:
+    """ANN-LSH oracle: hyperplane signatures (shared CTE above),
+    candidates by (table, sig) equality, brute-force cosine re-rank —
+    every stage of the ANN tier value-checked."""
+    return _hyperplane_sigs_cte() + f""",
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_sql_cos('qe.embedding', 'ce.embedding')} AS cos
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= {k}
+"""
+
+
+@_q("x_sim_lsh_topk", _lsh_topk_sql())
 def x_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 via deterministic hyperplane LSH + exact re-rank; recall
-    vs brute force is asserted in tests/test_similarity.py. dim passed
-    from the fixture schema — no driver-side probe job during planning."""
+    """ANN top-10 via deterministic hyperplane LSH + exact re-rank;
+    recall vs brute force is asserted in tests/test_similarity.py. dim
+    passed from the fixture schema — no driver-side probe job during
+    planning. ORACLE-CHECKED since r10: the hyperplane family embeds in
+    the SQL verbatim (_lsh_topk_sql), so the candidate set AND the
+    ranking are value-checked, not just recall-tested."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=10, dim=64
     )
 
 
-@_q("x_sim_ivf_topk")  # centroid choice is an impl detail -> rows-only
+# The full IVF chain in SQL: centroids = first 16 corpus vectors by id,
+# every vector scores all 16 (the same fold-cosine), corpus lives in
+# its argmax cell (cos DESC, cell ASC — the map-only assigner's struct
+# order), queries probe their top 4, candidates re-rank by exact
+# cosine. Cell boundaries, probe membership, and final ranking are all
+# value-checked bit-for-bit.
+_X_IVF_TOPK_SQL = f"""
+WITH cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS cell,
+         embedding AS cent
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+scored_all AS (
+  SELECT v.vec_id, v.embedding, c.cell,
+         {_sql_cos('v.embedding', 'c.cent')} AS cs
+  FROM embeddings v, cents c),
+corpus_cells AS (
+  SELECT vec_id AS neighbor_id, embedding AS cvec, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, cell) AS rk
+    FROM scored_all) t WHERE rk = 1),
+query_cells AS (
+  SELECT vec_id AS query_id, embedding AS qvec, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, cell) AS rk
+    FROM scored_all WHERE vec_id < 10) t WHERE rk <= 4),
+cand AS (
+  SELECT q.query_id, q.qvec, s.neighbor_id, s.cvec
+  FROM query_cells q JOIN corpus_cells s USING (cell)
+  WHERE q.query_id <> s.neighbor_id),
+scored AS (
+  SELECT query_id, neighbor_id, {_sql_cos('qvec', 'cvec')} AS cos FROM cand)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 10
+"""
+
+
+@_q("x_sim_ivf_topk", _X_IVF_TOPK_SQL)
 def x_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via IVF cells (16 cells, 4 probes) + exact re-rank;
-    recall vs brute force asserted in tests/test_similarity.py."""
+    recall vs brute force asserted in tests/test_similarity.py.
+    ORACLE-CHECKED since r10: centroid choice is deterministic (first
+    16 by id) and assignment/probe/re-rank are pure fold-cosine
+    arithmetic, so the whole chain restates in SQL (_X_IVF_TOPK_SQL) —
+    verified bit-exact including the cosine doubles."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
 
