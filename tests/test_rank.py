@@ -83,3 +83,28 @@ def test_no_window_node_in_plan(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan  # offsets join broadcast, big side stays put
+
+
+def test_rank_deterministic_across_runs_on_skewed_input(spark):
+    """The kernel runs two jobs over the same range exchange (counts,
+    then the ranked result) — the zipWithIndex contract. Determinism of
+    the seeded range sampling must make independent evaluations agree
+    bit-for-bit, including on skewed, duplicate-heavy keys."""
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        # heavy skew: 80% of rows share 3 values of v
+        F.when(F.col("id") % 5 < 4, F.col("id") % 3)
+        .otherwise(F.col("id"))
+        .alias("v"),
+    )
+    order = [F.col("v").asc(), F.col("k").asc()]
+    a, na = distributed_row_number(df, order, out_col="i", num_partitions=8)
+    b, nb = distributed_row_number(df, order, out_col="i", num_partitions=8)
+    assert na == nb == 2000
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # and it is the true global rank
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v", "k")
+    want = df.withColumn("i", F.row_number().over(w).cast("long"))
+    assert a.exceptAll(want).count() == 0 and want.exceptAll(a).count() == 0
