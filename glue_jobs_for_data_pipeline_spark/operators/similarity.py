@@ -208,6 +208,13 @@ def assign_ivf_cells(
     inflation) and ranked through a per-vector window (a full keyed
     shuffle of every vector); this touches each vector once and
     shuffles nothing. Output: (id, vec, cell, cell_rank).
+
+    Boundary: the literal is k x dim doubles of SQL text (~20 bytes
+    each) — fine through k ~ 4096 at dim 64 (~5 MB plan). An IVF
+    coarse quantizer past that (e.g. 2^16 cells for 10^10 vectors)
+    should switch to a broadcast-join + min_by aggregation instead of
+    this literal; the probe stays map-side either way because the
+    centroid table broadcasts.
     """
     cents = [
         (int(r["cell"]), [float(x) for x in r[vec_col]])

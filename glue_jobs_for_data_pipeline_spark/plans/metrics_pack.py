@@ -143,6 +143,76 @@ def x_olap_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Range-bucketed checksums (anti-entropy: LOCALIZE a replica mismatch)
+# --------------------------------------------------------------------------
+
+_X_CKRANGES_SQL = """
+WITH h AS (
+  SELECT CAST(o_orderkey // 1000 AS BIGINT) AS bucket,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+              CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus), 1, 15))
+         AS BIGINT) AS h
+  FROM orders)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS cksum_xor,
+       CAST(SUM(CAST(h AS DECIMAL(32,0))) % 2305843009213693951 AS BIGINT)
+         AS cksum_sum_mod
+FROM h GROUP BY bucket
+"""
+
+
+@_q("x_storage_checksum_ranges", _X_CKRANGES_SQL)
+def x_storage_checksum_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy range checksums: x_validate_table_checksum's
+    order-independent row fold, bucketed by key range (width 1000) —
+    the Merkle-ish tier that LOCALIZES a replica mismatch instead of
+    just detecting it. Two replicas compare this per-bucket table;
+    only buckets whose (count, xor, mod-sum) triple differs need a
+    row-level diff (snapshot_diff over that key range) — repair
+    traffic proportional to the damage, never the table. Same hash
+    discipline as the whole-table gate (md5 of the canonical string,
+    15-hex window inside positive BIGINT, xor + Mersenne-mod sum to
+    cover each other's blind spots); one map-side-combined
+    aggregation, shuffle carries one row per bucket."""
+    o = load_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit("|"),
+                    F.col("o_custkey").cast("string"),
+                    F.lit("|"),
+                    F.col("o_orderstatus"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        o.select(
+            F.floor(F.col("o_orderkey") / F.lit(1000)).cast("long").alias("bucket"),
+            h.alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor("h").cast("long").alias("cksum_xor"),
+            (
+                F.sum(F.col("h").cast("decimal(32,0)"))
+                % F.lit(2305843009213693951).cast("decimal(32,0)")
+            )
+            .cast("long")
+            .alias("cksum_sum_mod"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Deterministic epoch shuffle (seeded global shuffle positions)
 # --------------------------------------------------------------------------
 
