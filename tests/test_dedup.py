@@ -64,7 +64,11 @@ def test_simhash_identical_zero_distance(docs):
 def test_simhash_near_dup_closer_than_unrelated(docs):
     # For 13-token docs a 1-token change flips many low-margin bits, so
     # compare distances at a wide radius instead of expecting <=3.
-    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=40)
+    # max_hamming=40 >= n_bands=4 deliberately forfeits pigeonhole
+    # completeness — the operator must SAY so (r10 guard), and this
+    # test pins that the warning fires for exactly this usage.
+    with pytest.warns(UserWarning, match="pigeonhole completeness"):
+        pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=40)
     got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
     assert (0, 3) in got
     if (0, 4) in got:
