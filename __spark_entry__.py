@@ -39,8 +39,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the distributed exact-rank kernel; fk_cascade dropped the forced
 # broadcasts on SF-proportional parents); (c) the r04-evidence cohort
 # (21 keys incl. both bonus-source roundtrips) — the oldest driver
-# evidence in the catalog, scheduled for r10 since last round; (d) 22
-# of the 23 r05-evidence keys (x_text_vocab_topk carries to r11) so
+# evidence in the catalog, scheduled for r10 since last round; (d) 21
+# of the 23 r05-evidence keys (x_text_vocab_topk and x_text_pii_redact
+# carry to r11) so
 # nothing oracle-able keeps pre-r05 driver evidence.
 # x_olap_freq_items stays OUT permanently — rows-only by design
 # (sketch output; superset property tested in tests/test_plans.py).

@@ -29,13 +29,19 @@ Correctness preconditions (both asserted/documented, not silent):
   as the business key). Range partitioning sends equal keys to one
   partition, so a total order also guarantees no tie straddles a
   partition boundary.
-- The per-partition-count job and the final job each evaluate the
-  range exchange; pids agree across the two because Spark's range
-  sampling is seeded per input partition (RangePartitioner.sketch) and
-  the parquet input order is deterministic — the same determinism
-  contract `RDD.zipWithIndex` ships with. Pass an explicit
+- The tagged frame is CACHED before the count job (registered with
+  dedup's release_caches pool, like the phash signature stage), so the
+  counts and the final result read the SAME materialization — pids
+  cannot drift between the two jobs even when the upstream is a
+  shuffle whose reduce-side fetch order is nondeterministic (every
+  production caller here feeds the kernel from a groupBy, not a
+  parquet scan, so the bare zipWithIndex determinism argument would
+  not cover them). The cache also means the upstream
+  scan+aggregate+exchange runs once, not twice. Cost: the ranked
+  grain is held at MEMORY_AND_DISK for the query's lifetime —
+  data-volume-equal to the sort itself. Pass an explicit
   `num_partitions` (we always do) so AQE never re-coalesces the
-  user-specified exchange between the two jobs.
+  user-specified exchange.
 
 Reference scope: the reference's 4 Redshift scripts have no ranked
 statistic at all; this kernel backs the extension queries
@@ -88,11 +94,17 @@ def distributed_row_number(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
+    from .dedup import _cached
+
     ranged = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
         *order_cols
     )
-    tagged = ranged.withColumn("__rk_mid", F.monotonically_increasing_id()).withColumn(
-        "__rk_pid", F.shiftright(F.col("__rk_mid"), _PID_BITS).cast("long")
+    tagged = _cached(
+        ranged.withColumn(
+            "__rk_mid", F.monotonically_increasing_id()
+        ).withColumn(
+            "__rk_pid", F.shiftright(F.col("__rk_mid"), _PID_BITS).cast("long")
+        )
     )
 
     counts = _counts_by_partition(tagged, "__rk_pid")

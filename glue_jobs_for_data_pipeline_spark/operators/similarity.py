@@ -187,9 +187,20 @@ def _with_signatures(
     )
 
 
+def _collect_centroids(centroids, vec_col: str) -> list[tuple[int, list[float]]]:
+    """Normalize a centroid source (tiny DataFrame or already-collected
+    list) to [(cell, [floats])]."""
+    if isinstance(centroids, list):
+        return centroids
+    return [
+        (int(r["cell"]), [float(x) for x in r[vec_col]])
+        for r in centroids.collect()
+    ]
+
+
 def assign_ivf_cells(
     vectors: DataFrame,
-    centroids: DataFrame,
+    centroids,
     id_col: str,
     vec_col: str,
     n_probe: int = 1,
@@ -215,11 +226,13 @@ def assign_ivf_cells(
     should switch to a broadcast-join + min_by aggregation instead of
     this literal; the probe stays map-side either way because the
     centroid table broadcasts.
+
+    ``centroids`` may also be a pre-collected ``[(cell, [floats])]``
+    list — callers that assign twice against the same centroid set
+    (_ivf_probe_topk, ivf_pq_topk) collect once and reuse, so the
+    centroid-building job runs once per query, not per assignment.
     """
-    cents = [
-        (int(r["cell"]), [float(x) for x in r[vec_col]])
-        for r in centroids.collect()
-    ]
+    cents = _collect_centroids(centroids, vec_col)
     items = ",".join(
         "named_struct('cell',{},'v',array({}))".format(
             cell, ",".join(repr(x) + "D" for x in vec)
@@ -265,10 +278,11 @@ def _ivf_probe_topk(
     by exact cosine. No distinct is needed (unlike the LSH multi-table
     path): each corpus vector lives in exactly ONE cell, so a
     (query, neighbor) pair can only arise once."""
-    corpus_cells = assign_ivf_cells(corpus, centroids, id_col, vec_col, 1).select(
+    cents = _collect_centroids(centroids, vec_col)  # one job, two uses
+    corpus_cells = assign_ivf_cells(corpus, cents, id_col, vec_col, 1).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
     )
-    query_cells = assign_ivf_cells(queries, centroids, id_col, vec_col, n_probe).select(
+    query_cells = assign_ivf_cells(queries, cents, id_col, vec_col, n_probe).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cell"
     )
     cand = (
@@ -637,7 +651,9 @@ def ivf_pq_topk(
     and only the k*refine ADC survivors per query have their raw
     vectors touched for the exact-cosine re-rank.
     """
-    centroids = kmeans_fit(corpus, id_col, vec_col, n_cells, n_iters)
+    centroids = _collect_centroids(
+        kmeans_fit(corpus, id_col, vec_col, n_cells, n_iters), vec_col
+    )  # one job, reused by both assignments
     corpus_cells = assign_ivf_cells(corpus, centroids, id_col, vec_col, 1)
     enc = pq_encode(corpus_cells, codebooks, vec_col).select(
         F.col(id_col).alias("neighbor_id"),

@@ -1361,9 +1361,23 @@ def x_mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bands (pigeonhole), so ground truth is simply ALL pairs within the
 # radius — which is exactly what completeness promises the Spark side
 # returns.
-_X_PHASH_SIG_BODY = r"""norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+_X_PHASH_SIG_BODY = r"""norm0 AS (
+  -- explicit class, not \s: Python str.split() includes \x0b
+  -- (vertical tab) where RE2's \s does not; the fixture is ASCII
+  -- (verified), so matching the 6 ASCII whitespace chars matches
+  -- Python exactly
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS s
   FROM documents),
+norm AS (
+  -- mirror render_thumbnail's NUL padding: texts shorter than one
+  -- 3-gram pad with \x00 so they still emit exactly one gram (without
+  -- this, range(1, len-1) is empty and the signature silently drops
+  -- to 0 while Python hashes the padded gram)
+  SELECT doc_id,
+         CASE WHEN length(s) < 3
+              THEN s || repeat(chr(0), 3 - length(s)) ELSE s END AS s
+  FROM norm0),
 grams AS (
   SELECT DISTINCT doc_id,
          CAST(ord(substr(s, CAST(i AS INTEGER), 1)) AS BIGINT)

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.rank import distributed_row_number
+from ..operators.rank import distributed_ntile, distributed_row_number
 from ..sources.readers import load_events, load_table
 from .catalog import _q
 from .catalog_ext import _X_PHASH_SIG_BODY
@@ -123,8 +123,6 @@ def x_olap_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-derived local rank + broadcast partition-offset join; no Window
     node, no single-partition sort, one long per partition to the
     driver."""
-    from ..operators.rank import distributed_row_number
-
     rev = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -241,8 +239,6 @@ def x_corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition offsets. A 100 TB corpus gets exact shuffle positions
     with no single-partition sort; writers then range-partition on
     `position` to emit epoch shards in order."""
-    from ..operators.rank import distributed_row_number
-
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     keyed = d.withColumn(
         "_k",
@@ -291,7 +287,6 @@ def x_pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowExec, so the bucketing holds at corpus scale; the roll-up is
     one map-side-combined aggregation."""
     from ..functions.text import token_count
-    from ..operators.rank import distributed_ntile
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
@@ -520,6 +515,11 @@ def x_events_interarrival_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Snapshot diff (derive a delta manifest from two full table versions)
 # --------------------------------------------------------------------------
 
+# Insert keys shift by 10^10, not 10^7: TPC-H o_orderkey tops out at
+# 6,000,000 x SF, so a 10^7 shift collides with genuine keys past
+# SF ~1.7 — duplicate keys would fan the full-outer diff out and split
+# the Spark left_semi from the oracle's inner join. 10^10 keeps the
+# synthetic inserts disjoint through SF ~1666.
 _X_SNAP_BODY = """
 WITH v0 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
 v1 AS (
@@ -528,7 +528,7 @@ v1 AS (
               ELSE o_totalprice END AS o_totalprice
   FROM orders WHERE o_custkey % 97 <> 0
   UNION ALL
-  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+  SELECT o_orderkey + 10000000000, o_custkey, o_totalprice
   FROM orders WHERE o_custkey % 113 = 0),
 j AS (
   SELECT COALESCE(v0.o_orderkey, v1.o_orderkey) AS o_orderkey,
@@ -546,6 +546,32 @@ manifest AS (
 _X_SNAPDIFF_SQL = _X_SNAP_BODY + "SELECT o_orderkey, change_type FROM manifest"
 
 
+def _snapshot_versions(spark: SparkSession, sf_dir: str):
+    """The deterministic v0/v1 snapshot pair both snapshot queries
+    mutate from — ONE Spark statement of the recipe _X_SNAP_BODY states
+    in SQL (deletes %97, price bumps %31, key-shifted inserts %113);
+    keeping it single-sourced means the modulus constants and the 10^10
+    key shift cannot desynchronize between the diff and payloads
+    queries."""
+    v0 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    kept = v0.filter(F.col("o_custkey") % 97 != 0)
+    v1 = kept.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_custkey") % 31 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    ).unionAll(
+        v0.filter(F.col("o_custkey") % 113 == 0).select(
+            (F.col("o_orderkey") + 10_000_000_000).alias("o_orderkey"),
+            "o_custkey",
+            "o_totalprice",
+        )
+    )
+    return v0, v1
+
+
 @_q("x_storage_snapshot_diff", _X_SNAPDIFF_SQL)
 def x_storage_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta manifest between two full snapshots of a keyed table
@@ -558,22 +584,7 @@ def x_storage_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     result in tests/test_snapshot.py."""
     from ..operators.snapshot import snapshot_diff
 
-    v0 = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    kept = v0.filter(F.col("o_custkey") % 97 != 0)
-    v1 = kept.withColumn(
-        "o_totalprice",
-        F.when(
-            F.col("o_custkey") % 31 == 0, F.col("o_totalprice") + F.lit(1.0)
-        ).otherwise(F.col("o_totalprice")),
-    ).unionAll(
-        v0.filter(F.col("o_custkey") % 113 == 0).select(
-            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
-            "o_custkey",
-            "o_totalprice",
-        )
-    )
+    v0, v1 = _snapshot_versions(spark, sf_dir)
     return snapshot_diff(
         v0, v1, keys=["o_orderkey"], compare_cols=["o_totalprice"], exact=True
     )
@@ -599,22 +610,7 @@ def x_storage_snapshot_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection sits above a LeftSemi join, no full-width full-outer)."""
     from ..operators.snapshot import changed_payloads, snapshot_diff
 
-    v0 = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    kept = v0.filter(F.col("o_custkey") % 97 != 0)
-    v1 = kept.withColumn(
-        "o_totalprice",
-        F.when(
-            F.col("o_custkey") % 31 == 0, F.col("o_totalprice") + F.lit(1.0)
-        ).otherwise(F.col("o_totalprice")),
-    ).unionAll(
-        v0.filter(F.col("o_custkey") % 113 == 0).select(
-            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
-            "o_custkey",
-            "o_totalprice",
-        )
-    )
+    v0, v1 = _snapshot_versions(spark, sf_dir)
     manifest = snapshot_diff(
         v0, v1, keys=["o_orderkey"], compare_cols=["o_totalprice"], exact=True
     )

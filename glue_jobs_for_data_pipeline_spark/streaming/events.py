@@ -54,6 +54,14 @@ def drain_stream(
     8, identical rows). A production deployment sizes this to
     sustained input rate x state size — raise it; correctness is
     partitioning-invariant either way. None = leave the session value.
+
+    The override is SESSION-scoped while the drain runs (Spark offers
+    no per-query knob for stateful shuffle partitions): a batch query
+    planned concurrently from another thread would pick it up. This
+    harness drives queries driver-sequentially, so that never happens
+    here; a concurrent multi-stream deployment should pass None (or
+    isolate streams in their own sessions) rather than rely on this
+    drain helper.
     """
     import atexit
     import shutil
