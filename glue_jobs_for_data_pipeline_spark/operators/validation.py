@@ -99,3 +99,59 @@ def validate_or_raise(df: DataFrame, table: str, pk: str | list[str]) -> None:
     if failed:
         detail = ", ".join(f"{name}={n}" for name, n in failed)
         raise ValidationError(f"validation failed for {table}: {detail}")
+
+
+def range_checksums(
+    df: DataFrame,
+    key_col: str,
+    cols: list[str],
+    bucket_width: int = 1000,
+) -> DataFrame:
+    """Anti-entropy range checksums: an order-independent row fold per
+    key-range bucket — the Merkle-ish tier that LOCALIZES a replica
+    mismatch instead of just detecting it (x_validate_table_checksum is
+    the whole-table root; this is one level of fan-out below it).
+
+    Per bucket (key // bucket_width): row count, bit-XOR of a 60-bit
+    md5-derived row hash, and the exact decimal row-hash sum reduced
+    mod the Mersenne prime 2^61-1 — xor catches any single-row change,
+    the mod-sum catches xor's blind spot (an even number of identical
+    changes), and the count catches pure cardinality drift. Two
+    replicas compare this table; only buckets whose triple differs need
+    a row-level diff (snapshot_diff restricted to that key range), so
+    repair traffic is proportional to the damage, never the table.
+
+    ``cols`` are canonicalized with '|' separators via F.concat (NULL
+    propagates — cast-to-string columns here are non-null by schema;
+    a production profile canonicalizes nullable/float columns first,
+    the same discipline the whole-table gate documents). One
+    map-side-combined aggregation; the shuffle carries one row per
+    bucket.
+    """
+    parts: list = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit("|"))
+        parts.append(F.col(c).cast("string"))
+    h = F.conv(F.substring(F.md5(F.concat(*parts)), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return (
+        df.select(
+            F.floor(F.col(key_col) / F.lit(bucket_width))
+            .cast("long")
+            .alias("bucket"),
+            h.alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor("h").cast("long").alias("cksum_xor"),
+            (
+                F.sum(F.col("h").cast("decimal(32,0)"))
+                % F.lit(2305843009213693951).cast("decimal(32,0)")
+            )
+            .cast("long")
+            .alias("cksum_sum_mod"),
+        )
+    )

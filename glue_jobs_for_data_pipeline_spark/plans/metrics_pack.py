@@ -172,41 +172,16 @@ def x_storage_checksum_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as the whole-table gate (md5 of the canonical string,
     15-hex window inside positive BIGINT, xor + Mersenne-mod sum to
     cover each other's blind spots); one map-side-combined
-    aggregation, shuffle carries one row per bucket."""
-    o = load_table(spark, sf_dir, "orders")
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("o_orderkey").cast("string"),
-                    F.lit("|"),
-                    F.col("o_custkey").cast("string"),
-                    F.lit("|"),
-                    F.col("o_orderstatus"),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
-    return (
-        o.select(
-            F.floor(F.col("o_orderkey") / F.lit(1000)).cast("long").alias("bucket"),
-            h.alias("h"),
-        )
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.bit_xor("h").cast("long").alias("cksum_xor"),
-            (
-                F.sum(F.col("h").cast("decimal(32,0)"))
-                % F.lit(2305843009213693951).cast("decimal(32,0)")
-            )
-            .cast("long")
-            .alias("cksum_sum_mod"),
-        )
+    aggregation, shuffle carries one row per bucket. The localization
+    property — a single-row mutation moves exactly one bucket's
+    triple — is pinned in tests/test_validation.py."""
+    from ..operators.validation import range_checksums
+
+    return range_checksums(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderkey",
+        ["o_orderkey", "o_custkey", "o_orderstatus"],
+        bucket_width=1000,
     )
 
 

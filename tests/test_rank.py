@@ -108,3 +108,32 @@ def test_rank_deterministic_across_runs_on_skewed_input(spark):
     w = Window.orderBy("v", "k")
     want = df.withColumn("i", F.row_number().over(w).cast("long"))
     assert a.exceptAll(want).count() == 0 and want.exceptAll(a).count() == 0
+
+
+def test_ntile_formula_matches_sql_semantics_exhaustively():
+    """Pure-Python exhaustive check of the integer NTILE formula over
+    every (N, B, rank) in a dense grid — the arithmetic contract
+    ntile_from_rank implements, independent of Spark evaluation: the
+    first N mod B buckets take ceil(N/B) rows, the rest floor(N/B)."""
+
+    def formula(i, n, b):
+        q, r = divmod(n, b)
+        head = r * (q + 1)
+        if i <= head:
+            return (i + q) // (q + 1)
+        return r + (i - head + q - 1) // q
+
+    def sql_ntile(i, n, b):
+        q, r = divmod(n, b)
+        total = 0
+        for bucket in range(1, b + 1):
+            size = q + 1 if bucket <= r else q
+            total += size
+            if i <= total:
+                return bucket
+        raise AssertionError("rank out of range")
+
+    for n in range(1, 60):
+        for b in range(1, 20):
+            for i in range(1, n + 1):
+                assert formula(i, n, b) == sql_ntile(i, n, b), (i, n, b)

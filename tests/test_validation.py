@@ -61,3 +61,51 @@ def test_validate_or_raise(dirty, spark):
         validate_or_raise(dirty, "t", "id")
     clean = spark.createDataFrame([(1, "x"), (2, "y")], "id int, name string")
     validate_or_raise(clean, "t", "id")  # no raise
+
+
+def test_range_checksums_localize_a_single_row_change(spark):
+    """The anti-entropy property: mutating ONE row changes exactly one
+    bucket's (count, xor, mod-sum) triple; all other buckets stay
+    byte-identical, so repair can target the damaged range only."""
+    from glue_jobs_for_data_pipeline_spark.operators.validation import (
+        range_checksums,
+    )
+
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(i, i * 7, f"s{i % 5}") for i in range(200)], "k long, v long, s string"
+    )
+    mutated = base.withColumn(
+        "v", F.when(F.col("k") == 57, F.lit(999999)).otherwise(F.col("v"))
+    )
+    a = {
+        r["bucket"]: (r["n_rows"], r["cksum_xor"], r["cksum_sum_mod"])
+        for r in range_checksums(base, "k", ["k", "v", "s"], 50).collect()
+    }
+    b = {
+        r["bucket"]: (r["n_rows"], r["cksum_xor"], r["cksum_sum_mod"])
+        for r in range_checksums(mutated, "k", ["k", "v", "s"], 50).collect()
+    }
+    assert set(a) == set(b) == {0, 1, 2, 3}
+    diff = [bk for bk in a if a[bk] != b[bk]]
+    assert diff == [1]  # k=57 -> bucket 57//50 = 1, and only that one
+    # counts never change for an update-in-place
+    assert all(a[bk][0] == b[bk][0] for bk in a)
+
+
+def test_range_checksums_detect_even_duplicate_changes_via_mod_sum(spark):
+    """xor's blind spot: TWO identical new rows xor to a no-op against
+    each other; the Mersenne-mod sum (and the count) must still move."""
+    from glue_jobs_for_data_pipeline_spark.operators.validation import (
+        range_checksums,
+    )
+
+    base = spark.createDataFrame([(i, "x") for i in range(10)], "k long, s string")
+    twice = base.unionAll(
+        spark.createDataFrame([(3, "x"), (3, "x")], "k long, s string")
+    )
+    a = range_checksums(base, "k", ["k", "s"], 100).collect()[0]
+    b = range_checksums(twice, "k", ["k", "s"], 100).collect()[0]
+    assert a["cksum_xor"] == b["cksum_xor"]  # the blind spot, by design
+    assert a["n_rows"] != b["n_rows"] and a["cksum_sum_mod"] != b["cksum_sum_mod"]
