@@ -155,3 +155,39 @@ def range_checksums(
             .alias("cksum_sum_mod"),
         )
     )
+
+
+def constraint_quarantine(
+    df: DataFrame, constraints: dict[str, "F.Column"]
+) -> tuple[DataFrame, DataFrame]:
+    """Split rows into (valid, quarantined-with-reasons) by a named
+    constraint set — the batch dead-letter pattern: a nightly load
+    ships the valid side and routes violators to a quarantine table
+    with machine-readable reasons, instead of failing the whole batch
+    (validate_or_raise) or silently dropping rows (a bare filter).
+
+    NULL follows SQL CHECK semantics: a constraint evaluating to NULL
+    (unknown) PASSES — only a definite FALSE quarantines, so a nullable
+    column never flags rows the equivalent CHECK would admit. The
+    violation array preserves the dict's insertion order,
+    deterministically.
+
+    One map-only projection builds the reasons array; both returned
+    frames share it, so a caller materializing the two sides scans the
+    input once per side with no shuffle (or once total if it caches the
+    tagged frame). Quarantined rows keep every input column plus
+    ``violations`` (array<string>).
+    """
+    viol = F.filter(
+        F.array(
+            *[
+                F.when(~F.coalesce(c, F.lit(True)), F.lit(name))
+                for name, c in constraints.items()
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    tagged = df.withColumn("violations", viol)
+    valid = tagged.filter(F.size("violations") == 0).drop("violations")
+    quarantined = tagged.filter(F.size("violations") > 0)
+    return valid, quarantined

@@ -186,6 +186,57 @@ def x_storage_checksum_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Constraint quarantine (batch dead-letter split with reasons)
+# --------------------------------------------------------------------------
+
+_X_QUAR_SQL = """
+WITH t AS (
+  SELECT o_orderkey,
+         list_filter([
+           CASE WHEN NOT COALESCE(o_totalprice <= 300000, TRUE)
+                THEN 'price_cap' END,
+           CASE WHEN NOT COALESCE(o_orderpriority <> '1-URGENT', TRUE)
+                THEN 'no_urgent' END,
+           CASE WHEN NOT COALESCE(o_orderstatus <> 'P', TRUE)
+                THEN 'no_pending' END],
+           x -> x IS NOT NULL) AS v
+  FROM orders)
+SELECT o_orderkey, array_to_string(v, ',') AS violations
+FROM t WHERE len(v) > 0
+"""
+
+
+@_q("x_validate_quarantine", _X_QUAR_SQL)
+def x_validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch dead-letter split (operators/validation.py::
+    constraint_quarantine): rows violating a named constraint set are
+    quarantined WITH machine-readable reasons instead of failing the
+    batch or being silently dropped — the third validation posture next
+    to report (V4) and gate (validate_or_raise). Demo constraints pick
+    real violators in the fixture (price cap, no-urgent, no-pending);
+    NULL follows SQL CHECK semantics (unknown passes), pinned in
+    tests/test_validation.py. Map-only reasons projection, no shuffle;
+    the oracle states the same CASE/coalesce/list_filter chain."""
+    from ..operators.validation import constraint_quarantine
+
+    o = load_table(spark, sf_dir, "orders")
+    _valid, quarantined = constraint_quarantine(
+        o,
+        {
+            "price_cap": F.col("o_totalprice") <= 300000,
+            "no_urgent": F.col("o_orderpriority") != "1-URGENT",
+            "no_pending": F.col("o_orderstatus") != "P",
+        },
+    )
+    # the driver value-hashes scalar columns only — emit the reasons
+    # array in its canonical comma-joined form (order is the constraint
+    # dict's insertion order on both engines)
+    return quarantined.select(
+        "o_orderkey", F.array_join("violations", ",").alias("violations")
+    )
+
+
+# --------------------------------------------------------------------------
 # Deterministic epoch shuffle (seeded global shuffle positions)
 # --------------------------------------------------------------------------
 

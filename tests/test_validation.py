@@ -109,3 +109,30 @@ def test_range_checksums_detect_even_duplicate_changes_via_mod_sum(spark):
     b = range_checksums(twice, "k", ["k", "s"], 100).collect()[0]
     assert a["cksum_xor"] == b["cksum_xor"]  # the blind spot, by design
     assert a["n_rows"] != b["n_rows"] and a["cksum_sum_mod"] != b["cksum_sum_mod"]
+
+
+def test_constraint_quarantine_null_follows_check_semantics(spark):
+    """SQL CHECK: NULL (unknown) passes — only definite FALSE
+    quarantines; reasons keep the constraint dict's order."""
+    from pyspark.sql import functions as F
+
+    from glue_jobs_for_data_pipeline_spark.operators.validation import (
+        constraint_quarantine,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, None, "b"), (3, -5, None), (4, -1, "zz")],
+        "k long, v long, s string",
+    )
+    valid, quarantined = constraint_quarantine(
+        df,
+        {
+            "v_positive": F.col("v") > 0,
+            "s_short": F.length("s") <= 1,
+        },
+    )
+    q = {r["k"]: r["violations"] for r in quarantined.collect()}
+    # row 2: v NULL -> unknown -> passes; row 3: s NULL passes s_short
+    assert set(r["k"] for r in valid.collect()) == {1, 2}
+    assert q == {3: ["v_positive"], 4: ["v_positive", "s_short"]}
+    assert "violations" not in valid.columns
