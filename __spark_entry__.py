@@ -81,10 +81,13 @@ _WINDOW_FIRST = [
     "x_text_quality_ntile",
     "x_text_repetition",
     "x_text_stats",
-    # (d) r05-evidence cohort, 21 of 23 (x_text_vocab_topk and
-    # x_text_pii_redact -> r11, with the two late-r10 rank-kernel
-    # corpus queries x_corpus_epoch_shuffle / x_pack_length_buckets —
-    # both-SF sweep-green this round, driver-seated next)
+    # (d) r05-evidence cohort, 21 of 23. Carrying to the r11 window
+    # (all both-SF sweep-green this round, never driver-hash-checked):
+    # x_text_vocab_topk, x_text_pii_redact (rotated r05 keys), the
+    # late-r10 additions x_corpus_epoch_shuffle, x_pack_length_buckets,
+    # x_storage_checksum_ranges, x_validate_quarantine, and the three
+    # late-r10 ANN oracle graduations x_sim_lsh_topk, x_sim_ivf_topk,
+    # x_dedup_embedding_cosine_lsh.
     "x_corpus_stats",
     "x_dedup_embedding_cosine",
     "x_dedup_substring_spans",
