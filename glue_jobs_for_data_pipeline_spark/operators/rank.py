@@ -130,6 +130,14 @@ def distributed_row_number(
     return out, total
 
 
+def _ntile_params(total_rows: int, buckets: int) -> tuple[int, int, int]:
+    """(q, r, head) for the integer NTILE formula — factored out so the
+    exhaustive arithmetic test exercises the SAME constants the Column
+    expression folds in (tests/test_rank.py)."""
+    q, r = divmod(total_rows, buckets)
+    return q, r, r * (q + 1)
+
+
 def ntile_from_rank(rank: Column, total_rows: int, buckets: int) -> Column:
     """NTILE(buckets) as pure integer arithmetic over a global rank.
 
@@ -146,9 +154,7 @@ def ntile_from_rank(rank: Column, total_rows: int, buckets: int) -> Column:
     the dead division never runs. LongType throughout: hash-stable
     across engines.
     """
-    q = total_rows // buckets
-    r = total_rows % buckets
-    head = r * (q + 1)
+    q, r, head = _ntile_params(total_rows, buckets)
     first = F.floor((rank + F.lit(q)) / F.lit(q + 1)).cast("long")
     rest = (
         F.lit(r) + F.floor((rank - F.lit(head) + F.lit(q - 1)) / F.lit(q))

@@ -101,6 +101,54 @@ def validate_or_raise(df: DataFrame, table: str, pk: str | list[str]) -> None:
         raise ValidationError(f"validation failed for {table}: {detail}")
 
 
+def row_hash_expr(cols: list[str]) -> "F.Column":
+    """The shared 60-bit order-independent-foldable row hash both
+    checksum tiers use (whole-table gate x_validate_table_checksum,
+    range tier range_checksums — a Merkle relationship only holds if
+    parent and child hash identically).
+
+    Canonicalization is INJECTIVE and NULL-SAFE: each column emits
+    'n|' when NULL, else 'v<charlen>:<value>|' — the length prefix
+    makes embedded '|'/':' harmless (('a|b','c') vs ('a','b|c') no
+    longer collide), and the explicit null marker is distinct from
+    every real value (bare '|'-joins hash NULL rows to NULL, silently
+    blinding xor AND sum — an integrity check must never skip rows).
+    md5 of the canonical string, first 15 hex digits (inside positive
+    BIGINT on Spark and DuckDB), conv to long. Restated verbatim by
+    the oracles (_row_hash_sql)."""
+    segs: list = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        segs.append(
+            F.when(F.col(c).isNull(), F.lit("n|")).otherwise(
+                F.concat(
+                    F.lit("v"),
+                    F.length(s).cast("string"),
+                    F.lit(":"),
+                    s,
+                    F.lit("|"),
+                )
+            )
+        )
+    return F.conv(F.substring(F.md5(F.concat(*segs)), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def row_hash_sql(sql_cols: list[str]) -> str:
+    """DuckDB restatement of row_hash_expr's canonical string + hash —
+    generated next to the Spark expression so the two cannot drift.
+    ``sql_cols`` are SQL expressions (already cast to VARCHAR where
+    needed)."""
+    segs = " || ".join(
+        f"(CASE WHEN {c} IS NULL THEN 'n|' ELSE 'v' || "
+        f"CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR) || ':' || "
+        f"CAST({c} AS VARCHAR) || '|' END)"
+        for c in sql_cols
+    )
+    return f"CAST(('0x' || substr(md5({segs}), 1, 15)) AS BIGINT)"
+
+
 def range_checksums(
     df: DataFrame,
     key_col: str,
@@ -110,39 +158,37 @@ def range_checksums(
     """Anti-entropy range checksums: an order-independent row fold per
     key-range bucket — the Merkle-ish tier that LOCALIZES a replica
     mismatch instead of just detecting it (x_validate_table_checksum is
-    the whole-table root; this is one level of fan-out below it).
+    the whole-table root; this is one level of fan-out below it, on the
+    SAME row hash — row_hash_expr).
 
-    Per bucket (key // bucket_width): row count, bit-XOR of a 60-bit
-    md5-derived row hash, and the exact decimal row-hash sum reduced
-    mod the Mersenne prime 2^61-1 — xor catches any single-row change,
-    the mod-sum catches xor's blind spot (an even number of identical
-    changes), and the count catches pure cardinality drift. Two
-    replicas compare this table; only buckets whose triple differs need
-    a row-level diff (snapshot_diff restricted to that key range), so
-    repair traffic is proportional to the damage, never the table.
-
-    ``cols`` are canonicalized with '|' separators via F.concat (NULL
-    propagates — cast-to-string columns here are non-null by schema;
-    a production profile canonicalizes nullable/float columns first,
-    the same discipline the whole-table gate documents). One
+    Per bucket (key floor-div bucket_width — exact integer arithmetic,
+    so 64-bit snowflake-scale keys never misbucket the way a double
+    division would past 2^53, and the repair step's integer range
+    predicate sees the same buckets): row count, bit-XOR of the row
+    hash, and the exact decimal row-hash sum reduced mod the Mersenne
+    prime 2^61-1 — xor catches any single-row change, the mod-sum
+    catches xor's blind spot (an even number of identical changes),
+    and the count catches pure cardinality drift. Two replicas compare
+    this table; only buckets whose triple differs need a row-level
+    diff (snapshot_diff restricted to that key range), so repair
+    traffic is proportional to the damage, never the table. NULLs and
+    embedded separators are safe — see row_hash_expr. One
     map-side-combined aggregation; the shuffle carries one row per
     bucket.
     """
-    parts: list = []
-    for i, c in enumerate(cols):
-        if i:
-            parts.append(F.lit("|"))
-        parts.append(F.col(c).cast("string"))
-    h = F.conv(F.substring(F.md5(F.concat(*parts)), 1, 15), 16, 10).cast(
-        "long"
-    )
+    h = row_hash_expr(cols)
+    k = F.col(key_col)
+    w = F.lit(bucket_width)
+    # exact floor division: (k - pmod(k, w)) is a multiple of w, and
+    # pmod keeps floor semantics for negative keys (matching DuckDB's
+    # //). The division runs in DECIMAL, not double — a double loses
+    # low bits past 2^53 and can misbucket snowflake-scale keys.
+    bucket = (
+        (k.cast("decimal(38,0)") - F.pmod(k, w).cast("decimal(38,0)"))
+        / w.cast("decimal(38,0)")
+    ).cast("long")
     return (
-        df.select(
-            F.floor(F.col(key_col) / F.lit(bucket_width))
-            .cast("long")
-            .alias("bucket"),
-            h.alias("h"),
-        )
+        df.select(bucket.alias("bucket"), h.alias("h"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -176,8 +222,16 @@ def constraint_quarantine(
     frames share it, so a caller materializing the two sides scans the
     input once per side with no shuffle (or once total if it caches the
     tagged frame). Quarantined rows keep every input column plus
-    ``violations`` (array<string>).
+    ``violations`` (array<string>). An input that ALREADY has a
+    ``violations`` column (e.g. re-quarantining a quarantine table)
+    raises rather than silently overwriting the earlier reasons.
     """
+    if "violations" in df.columns:
+        raise ValueError(
+            "constraint_quarantine: input already has a 'violations' "
+            "column — rename it first (re-quarantining would silently "
+            "overwrite the earlier reasons)"
+        )
     viol = F.filter(
         F.array(
             *[

@@ -144,13 +144,17 @@ def x_olap_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Range-bucketed checksums (anti-entropy: LOCALIZE a replica mismatch)
 # --------------------------------------------------------------------------
 
-_X_CKRANGES_SQL = """
+def _ckranges_sql() -> str:
+    """Generated from the shared row-hash restatement so the oracle
+    cannot drift from operators/validation.py::row_hash_expr."""
+    from ..operators.validation import row_hash_sql
+
+    h = row_hash_sql(["o_orderkey", "o_custkey", "o_orderstatus"])
+    return f"""
 WITH h AS (
   SELECT CAST(o_orderkey // 1000 AS BIGINT) AS bucket,
-         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
-              CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus), 1, 15))
-         AS BIGINT) AS h
-  FROM orders)
+         {h} AS h
+  FROM orders)""" + """
 SELECT bucket,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(bit_xor(h) AS BIGINT) AS cksum_xor,
@@ -158,6 +162,9 @@ SELECT bucket,
          AS cksum_sum_mod
 FROM h GROUP BY bucket
 """
+
+
+_X_CKRANGES_SQL = _ckranges_sql()
 
 
 @_q("x_storage_checksum_ranges", _X_CKRANGES_SQL)

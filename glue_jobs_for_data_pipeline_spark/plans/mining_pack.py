@@ -2468,12 +2468,16 @@ def x_validate_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Order-independent table checksum (migration / replication equality)
 # --------------------------------------------------------------------------
 
-_X_CKSUM_SQL = """
-WITH h AS (
-  SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
-              CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus), 1, 15))
-         AS BIGINT) AS h
-  FROM orders)
+def _cksum_sql() -> str:
+    """Generated from the shared row-hash restatement
+    (operators/validation.py::row_hash_sql) so the whole-table gate and
+    the range tier (x_storage_checksum_ranges) hash identically — the
+    Merkle parent/child relationship only holds on one hash."""
+    from ..operators.validation import row_hash_sql
+
+    h = row_hash_sql(["o_orderkey", "o_custkey", "o_orderstatus"])
+    return f"""
+WITH h AS (SELECT {h} AS h FROM orders)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(bit_xor(h) AS BIGINT) AS cksum_xor,
        CAST(SUM(CAST(h AS DECIMAL(32,0))) % 2305843009213693951 AS BIGINT)
@@ -2482,46 +2486,31 @@ FROM h
 """
 
 
-@_q("x_validate_table_checksum", _X_CKSUM_SQL)
+@_q("x_validate_table_checksum", _cksum_sql())
 def x_validate_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-independent table checksum: per-row md5 over a
-    canonicalized key string, folded with BOTH xor (order-insensitive,
-    detects any single-row change) and an exact decimal sum reduced
-    mod the Mersenne prime 2^61-1 (catches the xor blind spot — an
-    even number of identical row changes — while landing in BIGINT on
-    both engines; the unreduced sum would widen past DECIMAL(18), the
-    cross-engine wide-decimal trap).
+    """Order-independent table checksum: per-row md5 over an INJECTIVE,
+    NULL-SAFE canonical string (operators/validation.py::row_hash_expr
+    since r10 — length-prefixed fields so embedded separators can't
+    alias, explicit null markers so a NULL never blinds the fold; the
+    same hash the range tier x_storage_checksum_ranges buckets, making
+    the pair a real Merkle parent/child), folded with BOTH xor
+    (order-insensitive, detects any single-row change) and an exact
+    decimal sum reduced mod the Mersenne prime 2^61-1 (catches the xor
+    blind spot — an even number of identical row changes — while
+    landing in BIGINT on both engines; the unreduced sum would widen
+    past DECIMAL(18), the cross-engine wide-decimal trap).
     This is the replicate/migrate equality gate: run on source and
     target, compare three numbers instead of sorting and diffing 100 TB
     on both sides. Map-side-combined fold, constant aggregate state,
-    zero shuffle beyond the final 1-row reduce. Columns are restricted
-    to integer/string fields — float formatting is engine- and
-    locale-dependent, so a production checksum canonicalizes doubles
-    via decimal cast first (the same discipline the oracle queries
-    use). The 15-hex-digit window keeps the parsed value inside the
-    positive BIGINT range on both engines (conv() here, '0x' cast in
-    DuckDB — verified equal against Python's int(md5[:15], 16))."""
+    zero shuffle beyond the final 1-row reduce. Float columns still
+    need decimal canonicalization first (engine/locale-dependent
+    formatting). The 15-hex-digit window keeps the parsed value inside
+    the positive BIGINT range on both engines (conv() here, '0x' cast
+    in DuckDB)."""
+    from ..operators.validation import row_hash_expr
+
     o = load_table(spark, sf_dir, "orders")
-    h = F.conv(
-        F.substring(
-            # F.concat, not concat_ws: concat_ws SKIPS nulls while the
-            # oracle's || propagates them — same-string-or-both-null is
-            # the contract (key columns here are non-null by schema)
-            F.md5(
-                F.concat(
-                    F.col("o_orderkey").cast("string"),
-                    F.lit("|"),
-                    F.col("o_custkey").cast("string"),
-                    F.lit("|"),
-                    F.col("o_orderstatus"),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = row_hash_expr(["o_orderkey", "o_custkey", "o_orderstatus"])
     return o.select(h.alias("h")).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.bit_xor("h").cast("long").alias("cksum_xor"),

@@ -111,14 +111,19 @@ def test_rank_deterministic_across_runs_on_skewed_input(spark):
 
 
 def test_ntile_formula_matches_sql_semantics_exhaustively():
-    """Pure-Python exhaustive check of the integer NTILE formula over
-    every (N, B, rank) in a dense grid — the arithmetic contract
-    ntile_from_rank implements, independent of Spark evaluation: the
-    first N mod B buckets take ceil(N/B) rows, the rest floor(N/B)."""
+    """Exhaustive check of the integer NTILE formula over every
+    (N, B, rank) in a dense grid, against first-principles SQL bucket
+    sizes (first N mod B buckets take ceil(N/B) rows, the rest
+    floor(N/B)). The formula's constants come from the PRODUCTION
+    helper _ntile_params — the same values ntile_from_rank folds into
+    its Column expression — so a regression in the q/r/head derivation
+    fails here, not only in the (sampled) Spark-vs-Window tests."""
+    from glue_jobs_for_data_pipeline_spark.operators.rank import (
+        _ntile_params,
+    )
 
     def formula(i, n, b):
-        q, r = divmod(n, b)
-        head = r * (q + 1)
+        q, r, head = _ntile_params(n, b)
         if i <= head:
             return (i + q) // (q + 1)
         return r + (i - head + q - 1) // q

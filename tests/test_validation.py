@@ -136,3 +136,15 @@ def test_constraint_quarantine_null_follows_check_semantics(spark):
     assert set(r["k"] for r in valid.collect()) == {1, 2}
     assert q == {3: ["v_positive"], 4: ["v_positive", "s_short"]}
     assert "violations" not in valid.columns
+
+
+def test_constraint_quarantine_refuses_existing_violations_column(spark):
+    from pyspark.sql import functions as F
+
+    from glue_jobs_for_data_pipeline_spark.operators.validation import (
+        constraint_quarantine,
+    )
+
+    df = spark.createDataFrame([(1, ["old"])], "k long, violations array<string>")
+    with pytest.raises(ValueError, match="violations"):
+        constraint_quarantine(df, {"pos": F.col("k") > 0})
