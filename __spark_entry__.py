@@ -85,7 +85,8 @@ _WINDOW_FIRST = [
     # (all both-SF sweep-green this round, never driver-hash-checked):
     # x_text_vocab_topk, x_text_pii_redact (rotated r05 keys), the
     # late-r10 additions x_corpus_epoch_shuffle, x_pack_length_buckets,
-    # x_storage_checksum_ranges, x_validate_quarantine, and the three
+    # x_storage_checksum_ranges, x_validate_quarantine,
+    # x_scd2_late_arriving, and the three
     # late-r10 ANN oracle graduations x_sim_lsh_topk, x_sim_ivf_topk,
     # x_dedup_embedding_cosine_lsh.
     "x_corpus_stats",

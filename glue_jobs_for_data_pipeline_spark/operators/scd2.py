@@ -181,3 +181,44 @@ def scd2_upsert(
         .select(*out_cols)
     )
     return expired.unionByName(new_rows)
+
+
+def infer_late_members(
+    dim: DataFrame,
+    fact_keys: DataFrame,
+    business_key: str,
+    defaults: dict[str, object],
+    flag_col: str = "is_inferred",
+) -> DataFrame:
+    """Late-arriving dimension handling: business keys the FACT feed
+    references before the dim feed has delivered them get INFERRED
+    placeholder members, so fact population never drops or orphans a
+    row — the standard Kimball pattern the reference's star ETL lacks
+    (its fact join silently inner-joins orphans away,
+    populate_fact.py:89-136). When the real dim row finally arrives,
+    the normal SCD-2 upsert expires the placeholder like any changed
+    row — no special repair path.
+
+    ``defaults`` fills the placeholder's attribute columns (e.g.
+    'UNKNOWN'); dim columns not listed come out NULL. All existing
+    members carry ``flag_col`` = false, inferred ones true, so
+    downstream can report/repair inferred counts.
+
+    Scale shape: distinct fact keys (map-side-combined — the fact is
+    reduced to its key set before anything joins), one left_anti
+    against the dim's key projection (dim keys broadcast when small,
+    AQE decides), one unionByName. The fact's payload columns never
+    move; the dim is scanned once.
+    """
+    missing = (
+        fact_keys.select(F.col(business_key))
+        .distinct()
+        .join(dim.select(business_key), business_key, "left_anti")
+    )
+    inferred = missing.select(
+        F.col(business_key),
+        *[F.lit(v).alias(c) for c, v in defaults.items()],
+        F.lit(True).alias(flag_col),
+    )
+    existing = dim.withColumn(flag_col, F.lit(False))
+    return existing.unionByName(inferred, allowMissingColumns=True)

@@ -193,6 +193,55 @@ def x_storage_checksum_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Late-arriving dimension members (Kimball inferred-member pattern)
+# --------------------------------------------------------------------------
+
+_X_LATEDIM_SQL = """
+WITH dim AS (
+  SELECT c_custkey, c_name, c_mktsegment FROM customer
+  WHERE c_custkey % 41 <> 0),
+missing AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM dim))
+SELECT c_custkey, c_name, c_mktsegment, FALSE AS is_inferred FROM dim
+UNION ALL
+SELECT c_custkey, 'UNKNOWN' AS c_name, 'UNKNOWN' AS c_mktsegment,
+       TRUE AS is_inferred
+FROM missing
+"""
+
+
+@_q("x_scd2_late_arriving", _X_LATEDIM_SQL)
+def x_scd2_late_arriving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling (operators/scd2.py::
+    infer_late_members): the customer dim is lagged deterministically
+    (every 41st key withheld, simulating a dim feed behind the fact
+    feed), and orders keys the lagged dim lacks get inferred 'UNKNOWN'
+    placeholder members flagged is_inferred — so fact population never
+    orphans a row (the reference's inner star join silently DROPS such
+    facts; this is the standard Kimball fix). The real row's later
+    arrival flows through the normal SCD-2 upsert. Scale shape: fact
+    reduced to a distinct key set map-side, one left_anti against the
+    dim keys, one union — fact payloads never move."""
+    from ..operators.scd2 import infer_late_members
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .filter(F.col("c_custkey") % 41 != 0)
+    )
+    facts = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return infer_late_members(
+        dim,
+        facts,
+        "c_custkey",
+        {"c_name": "UNKNOWN", "c_mktsegment": "UNKNOWN"},
+    )
+
+
+# --------------------------------------------------------------------------
 # Constraint quarantine (batch dead-letter split with reasons)
 # --------------------------------------------------------------------------
 

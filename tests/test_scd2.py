@@ -131,3 +131,35 @@ def test_upsert_sequence_invariants(spark):
             assert a["EndDate"] < b["StartDate"] or a["EndDate"] <= b["StartDate"]
         for r in versions:
             assert r["StartDate"] <= r["EndDate"]
+
+
+def test_infer_late_members_flags_and_fills(spark):
+    """Keys the fact references before the dim has them get inferred
+    placeholder members; unlisted dim columns come out NULL; existing
+    members are untouched and flagged false."""
+    from pyspark.sql import functions as F
+
+    from glue_jobs_for_data_pipeline_spark.operators.scd2 import (
+        infer_late_members,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "alice", "AUTO"), (2, "bob", "BIKE")],
+        "k long, name string, seg string",
+    )
+    facts = spark.createDataFrame(
+        [(1,), (3,), (3,), (4,)], "k long"
+    )
+    out = infer_late_members(dim, facts, "k", {"name": "UNKNOWN"})
+    rows = {r["k"]: (r["name"], r["seg"], r["is_inferred"]) for r in out.collect()}
+    assert rows == {
+        1: ("alice", "AUTO", False),
+        2: ("bob", "BIKE", False),   # dim-only member survives
+        3: ("UNKNOWN", None, True),  # inferred; unlisted col -> NULL
+        4: ("UNKNOWN", None, True),
+    }
+    # idempotent: a second pass infers nothing new
+    again = infer_late_members(
+        out.drop("is_inferred"), facts, "k", {"name": "UNKNOWN"}
+    )
+    assert again.filter(F.col("is_inferred")).count() == 0
