@@ -427,6 +427,68 @@ def kmeans_fit(
     )
 
 
+def kmeans_fit_sample(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_iters: int = 10,
+    sample_n: int = 4096,
+) -> list[tuple[int, list[float]]]:
+    """Coarse-quantizer training on a driver-side hash-sample — the
+    FAISS production recipe (train IVF on ~39*n_cells..256*n_cells
+    sampled points, never the full corpus; faiss clustering.cpp warns
+    and subsamples above that). One Spark job collects the sample
+    (lowest-xxhash64 rows, same deterministic seedless sample pq_fit
+    uses); Lloyd then runs in numpy on k x dim doubles, microseconds
+    against the ~2-3 s/round constant of the distributed trainer
+    (per-round codegen of a fresh centroid literal + 2 shuffles +
+    collect). Semantics mirror kmeans_fit exactly: init = the n_cells
+    lowest-hash vectors, assignment by max cosine (ties to the lowest
+    cell id), elementwise-mean update, empty cells keep their previous
+    centroid.
+
+    Use this for IVF-PQ and any pipeline where the quantizer feeds an
+    approximate probe anyway; keep kmeans_fit when full-corpus
+    distributed Lloyd is itself the product (x_sim_ivf_kmeans_topk).
+    At 100 TB the sample collect is a TakeOrdered over the scan — no
+    shuffle of vectors, driver traffic = sample_n * dim doubles.
+
+    Returns a pre-collected [(cell, [floats])] list — exactly the form
+    assign_ivf_cells and _ivf_probe_topk take without running another
+    centroid-collect job.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(max(sample_n, n_cells))
+        .select(vec_col)
+        .collect()
+    )
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    if x.shape[0] < n_cells:
+        raise ValueError(
+            f"kmeans_fit_sample needs >= n_cells={n_cells} training "
+            f"vectors, got {x.shape[0]}"
+        )
+    cb = x[:n_cells].copy()  # init: the n_cells lowest-hash vectors
+    xn = np.linalg.norm(x, axis=1)
+    xn[xn == 0.0] = 1.0
+    for _ in range(n_iters):
+        cn = np.linalg.norm(cb, axis=1)
+        cn[cn == 0.0] = 1.0
+        cos = (x @ cb.T) / xn[:, None] / cn[None, :]
+        # max cosine, ties to the LOWEST cell id: argmax returns the
+        # first maximal index, matching the (negsim, cell) struct sort
+        assign = cos.argmax(axis=1)
+        for c in range(n_cells):
+            mask = assign == c
+            if mask.any():
+                cb[c] = x[mask].mean(axis=0)
+    return [(i + 1, [float(v) for v in row]) for i, row in enumerate(cb)]
+
+
 def ivf_kmeans_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -517,17 +579,51 @@ def pq_fit(
     return books
 
 
-def _codebook_lit(book: list[list[float]]) -> F.Column:
-    return F.array(*[F.array(*[F.lit(v) for v in row]) for row in book])
+def _book_sql(book: list[list[float]]) -> str:
+    """The codebook as SQL array-literal TEXT (assign_ivf_cells' plan-
+    size trick). Building these trees with Column ops costs hundreds of
+    Py4J round trips per codebook — with m=8 books each used twice
+    (encode + LUT) that profiled as ~3 s of pure plan-construction
+    constant per query; one expr string per subspace is ~16 Py4J calls
+    total and milliseconds of JVM parse."""
+    return "array({})".format(
+        ",".join(
+            "array({})".format(",".join(repr(float(v)) + "D" for v in row))
+            for row in book
+        )
+    )
 
 
-def _sub_slice(vec: F.Column, i: int, sub: int) -> F.Column:
-    return F.slice(vec, i * sub + 1, sub)
+def _sq_l2_sql(vec_sql: str, other: str) -> str:
+    """Squared L2 between two array exprs, as SQL text."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {other}, "
+        "(x, y) -> CAST(x AS DOUBLE) - y), 0D, (a, v) -> a + v * v)"
+    )
 
 
-def _sq_l2(a: F.Column, b: F.Column) -> F.Column:
-    diff = F.zip_with(a, b, lambda x, y: x.cast("double") - y)
-    return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
+def _sub_slice_sql(vec_col: str, i: int, sub: int) -> str:
+    return f"slice(`{vec_col}`, {i * sub + 1}, {sub})"
+
+
+def _argmin_code_sql(vec_col: str, i: int, book: list[list[float]]) -> str:
+    """Nearest-codeword id for subspace i: transform the codebook into
+    (dist, idx) structs, array_sort lexicographically (ties break to
+    the lowest code id), take [0].j."""
+    sub = len(book[0])
+    sq = _sq_l2_sql(_sub_slice_sql(vec_col, i, sub), "c")
+    return (
+        f"array_sort(transform({_book_sql(book)}, "
+        f"(c, j) -> named_struct('d', {sq}, 'j', j)))[0].j"
+    )
+
+
+def _lut_sql(vec_col: str, i: int, book: list[list[float]]) -> str:
+    """Per-subspace ADC lookup table: distance from the query's
+    sub-vector to every codeword, as array<double> SQL text."""
+    sub = len(book[0])
+    sq = _sq_l2_sql(_sub_slice_sql(vec_col, i, sub), "c")
+    return f"transform({_book_sql(book)}, c -> {sq})"
 
 
 def pq_encode(
@@ -546,22 +642,16 @@ def pq_encode(
     and the codes are 4-16 bytes vs KBs for the raw vector — THE point
     of PQ at 100 TB: downstream candidate scans read codes only.
     """
-    sub = len(codebooks[0][0])
-
-    def _argmin(i: int, book: list[list[float]]) -> F.Column:
-        # closure factory: PySpark counts default-arg params as lambda
-        # arity, so the subspace index must bind via closure, not `_i=i`
-        scored = F.transform(
-            _codebook_lit(book),
-            lambda c, j: F.struct(
-                _sq_l2(_sub_slice(F.col(vec_col), i, sub), c).alias("d"),
-                j.alias("j"),
-            ),
-        )
-        return F.array_sort(scored)[0]["j"]
-
     return df.withColumn(
-        code_col, F.array(*[_argmin(i, b) for i, b in enumerate(codebooks)])
+        code_col,
+        F.expr(
+            "array({})".format(
+                ",".join(
+                    _argmin_code_sql(vec_col, i, b)
+                    for i, b in enumerate(codebooks)
+                )
+            )
+        ),
     )
 
 
@@ -587,24 +677,19 @@ def pq_adc_topk(
     At 10^9+ vectors compose with IVF (assign_ivf_cells) so ADC scans a
     cell, not the corpus; the plumbing here is the per-cell inner loop.
     """
-    sub = len(codebooks[0][0])
     enc = pq_encode(corpus, codebooks, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         F.col("pq_code"),
     )
-    def _lut(i: int, book: list[list[float]]) -> F.Column:
-        return F.transform(
-            _codebook_lit(book),
-            lambda c: _sq_l2(_sub_slice(F.col(vec_col), i, sub), c),
-        )
-
-    luts = [_lut(i, b) for i, b in enumerate(codebooks)]
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
-            *[lut.alias(f"_lut{i}") for i, lut in enumerate(luts)],
+            *[
+                F.expr(_lut_sql(vec_col, i, b)).alias(f"_lut{i}")
+                for i, b in enumerate(codebooks)
+            ],
         )
     )
     adc = sum(
@@ -639,6 +724,7 @@ def ivf_pq_topk(
     n_probe: int = 4,
     n_iters: int = 3,
     refine: int = 4,
+    train_sample_n: int | None = 4096,
 ) -> DataFrame:
     """IVF-PQ: the composition both halves document as their scale path.
 
@@ -650,10 +736,22 @@ def ivf_pq_topk(
     equi-join on cell id, ADC scoring is m array lookups per candidate,
     and only the k*refine ADC survivors per query have their raw
     vectors touched for the exact-cosine re-rank.
+
+    The coarse quantizer trains on a driver-side hash-sample by default
+    (kmeans_fit_sample — the FAISS recipe, one Spark job instead of
+    n_iters rounds of distributed Lloyd, which profiled as ~8 s of
+    pure constant at ANY scale factor); pass train_sample_n=None to
+    train on the full corpus with the distributed trainer.
     """
-    centroids = _collect_centroids(
-        kmeans_fit(corpus, id_col, vec_col, n_cells, n_iters), vec_col
-    )  # one job, reused by both assignments
+    if train_sample_n is not None:
+        centroids = kmeans_fit_sample(
+            corpus, id_col, vec_col, n_cells,
+            n_iters=max(n_iters, 10), sample_n=train_sample_n,
+        )  # already a collected list — no extra job
+    else:
+        centroids = _collect_centroids(
+            kmeans_fit(corpus, id_col, vec_col, n_cells, n_iters), vec_col
+        )  # one job, reused by both assignments
     corpus_cells = assign_ivf_cells(corpus, centroids, id_col, vec_col, 1)
     enc = pq_encode(corpus_cells, codebooks, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -661,21 +759,16 @@ def ivf_pq_topk(
         "cell",
         "pq_code",
     )
-    sub = len(codebooks[0][0])
-
-    def _lut(i: int, book: list[list[float]]) -> F.Column:
-        return F.transform(
-            _codebook_lit(book),
-            lambda c: _sq_l2(_sub_slice(F.col(vec_col), i, sub), c),
-        )
-
     query_cells = assign_ivf_cells(
         queries, centroids, id_col, vec_col, n_probe
     ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         "cell",
-        *[_lut(i, b).alias(f"_lut{i}") for i, b in enumerate(codebooks)],
+        *[
+            F.expr(_lut_sql(vec_col, i, b)).alias(f"_lut{i}")
+            for i, b in enumerate(codebooks)
+        ],
     )
     adc = sum(
         F.element_at(F.col(f"_lut{i}"), F.col("pq_code")[i] + 1)
