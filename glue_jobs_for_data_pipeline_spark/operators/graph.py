@@ -366,10 +366,27 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def _symmetrize(edges: DataFrame, canonical: bool) -> DataFrame:
+    """Undirected pair list -> symmetric edge set. With
+    ``canonical=True`` the caller asserts the input is already in
+    canonical form (src < dst, one row per undirected edge) — then the
+    two union legs are disjoint BY CONSTRUCTION (src < dst vs
+    src > dst) and self-loop-free, so the dedup shuffle is provably
+    redundant and skipped: at scale that removes a full-edge-set
+    exchange from the one stage every iterative graph operator pays
+    before its first round."""
+    base = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    sym = base.unionAll(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return sym if canonical else sym.distinct()
+
+
 def kcore(
     edges: DataFrame,
     k: int,
     max_iterations: int = 100,
+    canonical: bool = False,
 ) -> DataFrame:
     """(node, core_degree) for the k-core: the maximal subgraph in
     which every node has degree >= k, with each survivor's degree
@@ -401,25 +418,17 @@ def kcore(
     No counterpart in the reference (no graph queries in the 4 Redshift
     scripts); LLM-pipeline scope.
     """
-    sym = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .unionAll(
-            edges.filter(F.col("src") != F.col("dst")).select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    prev_edges = sym.count()
+    sym = _symmetrize(edges, canonical).localCheckpoint(eager=False)
+    prev_edges = sym.count()  # materializes the lazy checkpoint
     for _ in range(max_iterations):
         deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("src")
         pruned = sym.join(keep, "src", "left_semi").join(
             keep.select(F.col("src").alias("dst")), "dst", "left_semi"
         )
-        pruned = pruned.localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence COUNT is the action that
+        # materializes it — one job per round, not checkpoint + count
+        pruned = pruned.localCheckpoint(eager=False)
         cur_edges = pruned.count()
         sym = pruned
         if cur_edges == prev_edges:
@@ -438,6 +447,7 @@ def kcore(
 def coreness(
     edges: DataFrame,
     max_iterations: int = 200,
+    canonical: bool = False,
 ) -> DataFrame:
     """(node, coreness) for every node: the largest k such that the
     node survives the k-core peel — the full core decomposition in ONE
@@ -468,21 +478,11 @@ def coreness(
     Input contract as ``kcore``: undirected pair list (src, dst),
     self-loops ignored, duplicates collapsed here.
     """
-    sym = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .unionAll(
-            edges.filter(F.col("src") != F.col("dst")).select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    sym = _symmetrize(edges, canonical).localCheckpoint(eager=True)
     c = (
         sym.groupBy("src")
         .agg(F.count(F.lit(1)).alias("est"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by the sum below
     )
     prev_sum = c.agg(F.sum("est")).first()[0]
     w = Window.partitionBy("src").orderBy(F.col("nb_est").desc())
@@ -504,14 +504,17 @@ def coreness(
         )
 
     for _ in range(max_iterations):
-        # TWO H applications per materialized round: the per-round cost
-        # here is fixed job/checkpoint overhead, not data (the inner
-        # join+window chains in one plan), so halving the number of
-        # materializations ~halves wall-clock while the fixpoint — and
-        # the sum-based certificate — are unchanged: H is monotone
-        # non-increasing, so sum(H^2(c)) == sum(c) forces both
-        # sub-steps to be no-ops, i.e. the fixpoint.
-        c_new = _h_step(_h_step(c)).localCheckpoint(eager=True)
+        # THREE H applications per materialized round: the per-round
+        # cost here is fixed job/checkpoint overhead, not data (the
+        # inner join+window chains compose in one plan), so cutting the
+        # number of materializations cuts wall-clock while the fixpoint
+        # — and the sum-based certificate — are unchanged: H is
+        # monotone non-increasing, so sum(H^3(c)) == sum(c) forces
+        # every sub-step to be a no-op, i.e. the fixpoint. The
+        # checkpoint is LAZY and the certificate sum is the action that
+        # materializes it — one job per round instead of an eager-
+        # checkpoint job followed by a sum job.
+        c_new = _h_step(_h_step(_h_step(c))).localCheckpoint(eager=False)
         cur_sum = c_new.agg(F.sum("est")).first()[0]
         c = c_new
         if cur_sum == prev_sum:

@@ -758,21 +758,9 @@ def x_graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential-peel cross-validation on random graphs
     (tests/test_graph.py)."""
     from ..operators.graph import coreness
+    from .mining_pack import _support2_edges
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("t"))
-    sup = (
-        a.join(b, "ok")
-        .filter(F.col("s") < F.col("t"))
-        .groupBy("s", "t")
-        .agg(F.count_distinct("ok").alias("w"))
-        .filter(F.col("w") >= 2)
-        .select(F.col("s").alias("src"), F.col("t").alias("dst"))
-    )
-    return coreness(sup)
+    return coreness(_support2_edges(spark, sf_dir), canonical=True)
 
 
 # --------------------------------------------------------------------------

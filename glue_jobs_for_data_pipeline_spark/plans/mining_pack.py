@@ -48,6 +48,33 @@ e AS (
 """
 
 
+def _support2_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-2 co-purchase graph: parts linked when they co-occur in
+    >= 2 distinct orders (shared by x_graph_kcore / x_graph_coreness).
+    DISTINCT (order, part) FIRST: collapses duplicate lineitems before
+    the self-join (smaller fan-out) and turns the per-pair support
+    count into a plain one-pass COUNT(*) instead of the two-phase
+    COUNT(DISTINCT ok) keyed on (s, t, ok) — after the distinct, each
+    order contributes each pair exactly once, so the counts are
+    provably equal; this also mirrors the oracle CTEs'
+    `SELECT DISTINCT ... / COUNT(*)` shape literally."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), "l_partkey")
+        .distinct()
+    )
+    a = li.select("ok", F.col("l_partkey").alias("s"))
+    b = li.select("ok", F.col("l_partkey").alias("t"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("s") < F.col("t"))
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select(F.col("s").alias("src"), F.col("t").alias("dst"))
+    )
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
@@ -2158,20 +2185,7 @@ def x_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential peel on random graphs."""
     from ..operators.graph import kcore
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("t"))
-    sup = (
-        a.join(b, "ok")
-        .filter(F.col("s") < F.col("t"))
-        .groupBy("s", "t")
-        .agg(F.count_distinct("ok").alias("w"))
-        .filter(F.col("w") >= 2)
-        .select(F.col("s").alias("src"), F.col("t").alias("dst"))
-    )
-    return kcore(sup, k=3)
+    return kcore(_support2_edges(spark, sf_dir), k=3, canonical=True)
 
 
 # --------------------------------------------------------------------------

@@ -341,3 +341,30 @@ def test_coreness_slice_matches_kcore_query(spark, sf_dir):
     }
     core3 = {r["node"] for r in x_graph_kcore(spark, sf_dir).collect()}
     assert {n for n, c in cg.items() if c >= 3} == core3
+
+
+def test_canonical_flag_equivalent_on_canonical_input(spark):
+    """canonical=True only skips the symmetrize dedup shuffle — on an
+    input that IS canonical (src < dst, unique) results must be
+    identical to the default path for both kcore and coreness."""
+    from glue_jobs_for_data_pipeline_spark.operators.graph import (
+        coreness,
+        kcore,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)],
+        "src long, dst long",
+    )
+    a = {(r["node"], r["core_degree"]) for r in kcore(edges, 2).collect()}
+    b = {
+        (r["node"], r["core_degree"])
+        for r in kcore(edges, 2, canonical=True).collect()
+    }
+    assert a == b and a
+    ca = {(r["node"], r["coreness"]) for r in coreness(edges).collect()}
+    cb = {
+        (r["node"], r["coreness"])
+        for r in coreness(edges, canonical=True).collect()
+    }
+    assert ca == cb and ca
