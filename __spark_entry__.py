@@ -86,9 +86,10 @@ _WINDOW_FIRST = [
     # x_text_vocab_topk, x_text_pii_redact (rotated r05 keys), the
     # late-r10 additions x_corpus_epoch_shuffle, x_pack_length_buckets,
     # x_storage_checksum_ranges, x_validate_quarantine,
-    # x_scd2_late_arriving, and the three
-    # late-r10 ANN oracle graduations x_sim_lsh_topk, x_sim_ivf_topk,
-    # x_dedup_embedding_cosine_lsh.
+    # x_scd2_late_arriving, the Kimball snapshot-fact pair
+    # x_fact_accumulating_snapshot + x_fact_periodic_snapshot, and the
+    # three late-r10 ANN oracle graduations x_sim_lsh_topk,
+    # x_sim_ivf_topk, x_dedup_embedding_cosine_lsh.
     "x_corpus_stats",
     "x_dedup_embedding_cosine",
     "x_dedup_substring_spans",

@@ -818,3 +818,161 @@ def x_mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Kimball fact-type trio completion: accumulating + periodic snapshots
+# (m2 is the TRANSACTION fact; these are the other two canonical fact
+# grains a star warehouse carries — reference scope populate_fact.py
+# builds only the transaction grain.)
+# --------------------------------------------------------------------------
+
+_X_ACCUM_SQL = """
+WITH l AS (
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         MIN(CASE WHEN CAST(l_shipdate AS DATE) <= DATE '1998-06-30'
+                  THEN CAST(l_shipdate AS DATE) END) AS first_ship_date,
+         MAX(CASE WHEN CAST(l_shipdate AS DATE) <= DATE '1998-06-30'
+                  THEN CAST(l_shipdate AS DATE) END) AS last_ship_date,
+         CASE WHEN COUNT(*) = SUM(CASE WHEN CAST(l_shipdate AS DATE)
+                                            <= DATE '1998-06-30'
+                                       THEN 1 ELSE 0 END)
+              THEN MAX(CAST(l_shipdate AS DATE)) END AS completed_date
+  FROM lineitem GROUP BY l_orderkey)
+SELECT o.o_orderkey AS order_key,
+       CAST(o.o_orderdate AS DATE) AS order_date,
+       o.o_orderstatus AS order_status,
+       l.n_lines, l.first_ship_date, l.last_ship_date, l.completed_date,
+       CASE WHEN l.completed_date IS NOT NULL THEN 'complete'
+            WHEN l.first_ship_date IS NOT NULL THEN 'partial'
+            ELSE 'open' END AS stage,
+       CASE WHEN l.completed_date IS NOT NULL
+            THEN CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                l.completed_date) AS INTEGER)
+       END AS days_to_complete
+FROM orders o JOIN l ON o.o_orderkey = l.l_orderkey
+"""
+
+
+@_q("x_fact_accumulating_snapshot", _X_ACCUM_SQL)
+def x_fact_accumulating_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Accumulating-snapshot fact (Kimball fact type 3): one row per
+    order carrying its lifecycle MILESTONES as of a fixed snapshot
+    date — milestones that have not happened yet are NULL, and each
+    reload overwrites the row as the pipeline progresses (the classic
+    'one wide row per process instance, updated until done' grain the
+    reference's transaction-grain populate_fact.py never models).
+    Milestones here: ordered -> first ship -> fully shipped
+    (completed = every line shipped by the as-of date), plus the
+    stage tag and the ordered->completed day lag.
+
+    Scale shape: lineitem aggregates to ORDER grain first (map-side-
+    combined conditional min/max/count — milestone gating is plain
+    conditional aggregation, no window), and only then joins orders
+    1:1 on the order key; at warehouse scale both sides arrive
+    order-keyed so the join co-partitions (bucketed tables make it
+    shuffle-free). No data-proportional window, no skew pivot."""
+    asof = F.lit("1998-06-30").cast("date")
+    ship = F.col("l_shipdate").cast("date")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min(F.when(ship <= asof, ship)).alias("first_ship_date"),
+            F.max(F.when(ship <= asof, ship)).alias("last_ship_date"),
+            F.when(
+                F.count(F.lit(1))
+                == F.sum(F.when(ship <= asof, 1).otherwise(0)),
+                F.max(ship),
+            ).alias("completed_date"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_orderstatus").alias("order_status"),
+    )
+    return o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_orderkey").alias("order_key"),
+        "order_date",
+        "order_status",
+        "n_lines",
+        "first_ship_date",
+        "last_ship_date",
+        "completed_date",
+        F.when(F.col("completed_date").isNotNull(), F.lit("complete"))
+        .when(F.col("first_ship_date").isNotNull(), F.lit("partial"))
+        .otherwise(F.lit("open"))
+        .alias("stage"),
+        F.when(
+            F.col("completed_date").isNotNull(),
+            F.datediff(F.col("completed_date"), F.col("order_date")),
+        )
+        .cast("int")
+        .alias("days_to_complete"),
+    )
+
+
+_X_PERIODIC_SQL = """
+WITH m AS (
+  SELECT l_partkey AS part_key,
+         CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
+           AS month_start,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS qty_shipped,
+         CAST(COUNT(*) AS BIGINT) AS n_shipments
+  FROM lineitem GROUP BY 1, 2)
+SELECT part_key, month_start, qty_shipped, n_shipments,
+       CAST(SUM(qty_shipped) OVER (PARTITION BY part_key
+                                   ORDER BY month_start)
+            AS DECIMAL(18,2)) AS cum_qty_shipped
+FROM m
+"""
+
+
+@_q("x_fact_periodic_snapshot", _X_PERIODIC_SQL)
+def x_fact_periodic_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodic-snapshot fact (Kimball fact type 2): part x month grain
+    with the month's shipped quantity and the cumulative-to-date
+    position — the 'regular heartbeat photo' grain (month-end
+    inventory/balance tables) that completes the fact-type trio next
+    to m2 (transaction) and x_fact_accumulating_snapshot.
+
+    Scale shape: one map-side-combined aggregation to (part, month),
+    then a window partitioned BY PART ordered by month for the running
+    position — per-partition fan-in is bounded by the calendar (tens
+    of months), never by data volume, so the window is skew-safe at
+    any corpus size. Decimal-exact accumulation end to end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = (
+        li.groupBy(
+            F.col("l_partkey").alias("part_key"),
+            F.trunc(F.col("l_shipdate").cast("date"), "month").alias(
+                "month_start"
+            ),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("qty_shipped"),
+            F.count(F.lit(1)).alias("n_shipments"),
+        )
+    )
+    w = (
+        Window.partitionBy("part_key")
+        .orderBy("month_start")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return m.select(
+        "part_key",
+        "month_start",
+        "qty_shipped",
+        "n_shipments",
+        F.sum("qty_shipped").over(w).cast("decimal(18,2)").alias(
+            "cum_qty_shipped"
+        ),
+    )
