@@ -222,3 +222,150 @@ def infer_late_members(
     )
     existing = dim.withColumn(flag_col, F.lit(False))
     return existing.unionByName(inferred, allowMissingColumns=True)
+
+
+def scd1_overwrite(
+    dim: DataFrame | None,
+    source: DataFrame,
+    business_key: str,
+    columns: Sequence[str],
+    surrogate_key: str,
+    key_mode: str = "rownum",
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """SCD Type-1: overwrite in place, no history — the taxonomy slot
+    BELOW the reference's type-2 pipeline (dynamic_upsert.py versions
+    every change; type-1 is the contract for corrections/typos where
+    history is noise). Matched keys take the batch's attribute values
+    but KEEP their surrogate key — downstream facts keep joining;
+    unmatched dim rows pass through untouched; unseen keys insert with
+    fresh surrogates (same assigner as SCD-2). Output grain: exactly
+    one row per business key.
+
+    Scale shape: one left join of the dim against the staged batch on
+    the business key (batch broadcast by default — incremental batches
+    are small next to the dim; pass broadcast_batch=False to let AQE
+    decide for dim-sized batches), one anti-join for inserts, one
+    union. No window over data-proportional grain in hash key_mode.
+    """
+    attrs = [c for c in columns if c != business_key]
+    staged = source.select(*columns).distinct()
+    if dim is None:
+        return assign_surrogate_keys(
+            staged, None, business_key, surrogate_key, key_mode
+        ).select(surrogate_key, *columns)
+
+    b = staged.select(
+        business_key,
+        F.lit(True).alias("_matched"),
+        *[F.col(c).alias(f"_new_{c}") for c in attrs],
+    )
+    if broadcast_batch:
+        b = F.broadcast(b)
+    updated = dim.join(b, on=business_key, how="left").select(
+        surrogate_key,
+        business_key,
+        *[
+            F.when(F.col("_matched").isNotNull(), F.col(f"_new_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in attrs
+        ],
+    )
+    inserts = assign_surrogate_keys(
+        staged.join(dim.select(business_key), business_key, "left_anti"),
+        dim,
+        business_key,
+        surrogate_key,
+        key_mode,
+    ).select(surrogate_key, business_key, *attrs)
+    return updated.unionByName(inserts)
+
+
+def scd3_update(
+    dim: DataFrame,
+    source: DataFrame,
+    business_key: str,
+    columns: Sequence[str],
+    tracked: Sequence[str],
+    surrogate_key: str,
+    run_date: dt.date | str | None = None,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """SCD Type-3: previous-value columns — the taxonomy slot between
+    type-1 (no history) and type-2 (full history): each ``tracked``
+    column keeps exactly ONE prior value in ``Prev<col>`` plus the date
+    it changed in ``<col>ChangeDate``, while untracked attributes
+    overwrite type-1 style (the standard mixed-SCD3 contract for
+    'current vs previous territory/segment' reporting). A dim that has
+    never been through this operator (no Prev columns yet) is accepted:
+    missing Prev/ChangeDate columns start as NULL.
+
+    Per matched key: tracked column's new value differs (null-safe) ->
+    Prev<col> = old value, <col>ChangeDate = run_date, value
+    overwritten; unchanged -> value, Prev, and ChangeDate all carry
+    forward. Inserts get NULL Prev/ChangeDate. Output grain: one row
+    per business key (like type-1 — no row versioning).
+
+    Scale shape identical to scd1_overwrite: one broadcast-able left
+    join + one anti-join + union; change detection is a null-safe
+    column comparison inside the join projection, never a shuffle of
+    its own.
+    """
+    attrs = [c for c in columns if c != business_key]
+    staged = source.select(*columns).distinct()
+    b = staged.select(
+        business_key,
+        F.lit(True).alias("_matched"),
+        *[F.col(c).alias(f"_new_{c}") for c in attrs],
+    )
+    if broadcast_batch:
+        b = F.broadcast(b)
+
+    def _existing(col: str, like: str) -> F.Column:
+        if col in dim.columns:
+            return F.col(col)
+        return F.lit(None).cast(dim.schema[like].dataType)
+
+    matched = F.col("_matched").isNotNull()
+    out: list[F.Column] = [F.col(surrogate_key), F.col(business_key)]
+    for c in attrs:
+        new_val = F.when(matched, F.col(f"_new_{c}")).otherwise(F.col(c))
+        out.append(new_val.alias(c))
+    for c in tracked:
+        changed = matched & ~F.col(f"_new_{c}").eqNullSafe(F.col(c))
+        out.append(
+            F.when(changed, F.col(c))
+            .otherwise(_existing(f"Prev{c}", c))
+            .alias(f"Prev{c}")
+        )
+        out.append(
+            F.when(changed, run_date_col(run_date))
+            .otherwise(
+                _existing(f"{c}ChangeDate", c).cast("date")
+                if f"{c}ChangeDate" in dim.columns
+                else F.lit(None).cast("date")
+            )
+            .alias(f"{c}ChangeDate")
+        )
+    updated = dim.join(b, on=business_key, how="left").select(*out)
+    inserts = assign_surrogate_keys(
+        staged.join(dim.select(business_key), business_key, "left_anti"),
+        dim,
+        business_key,
+        surrogate_key,
+        "rownum",
+    ).select(
+        F.col(surrogate_key),
+        F.col(business_key),
+        *[F.col(c) for c in attrs],
+        *[
+            col
+            for c in tracked
+            for col in (
+                F.lit(None).cast(dim.schema[c].dataType).alias(f"Prev{c}"),
+                F.lit(None).cast("date").alias(f"{c}ChangeDate"),
+            )
+        ],
+    )
+    return updated.unionByName(inserts)

@@ -976,3 +976,151 @@ def x_fact_periodic_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_qty_shipped"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# SCD taxonomy completion: Type-1 overwrite and Type-3 previous-value
+# (with m1/m1b type-2 naive+delta, x_scd2_late_arriving, and
+# x_scd2_point_in_time this closes the full slowly-changing-dimension
+# family; the reference implements only naive type-2.)
+# --------------------------------------------------------------------------
+
+def _scd_fixture_sql() -> tuple[str, str]:
+    from . import tpch_fixtures as fx
+
+    scd1 = """
+WITH src0 AS ({src}),
+init AS (SELECT * FROM src0 WHERE CustomerID % 3 <> 0),
+dim0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY CustomerID) AS BIGINT)
+           AS CustomerKey,
+         CustomerID, Name, NationKey, AcctBal, MktSegment
+  FROM init),
+batch AS (
+  SELECT DISTINCT CustomerID, Name || ' v2' AS Name, NationKey, AcctBal,
+         MktSegment
+  FROM src0 WHERE CustomerID % 2 = 0),
+updated AS (
+  SELECT d.CustomerKey, d.CustomerID,
+         CASE WHEN b.CustomerID IS NOT NULL THEN b.Name
+              ELSE d.Name END AS Name,
+         CASE WHEN b.CustomerID IS NOT NULL THEN b.NationKey
+              ELSE d.NationKey END AS NationKey,
+         CASE WHEN b.CustomerID IS NOT NULL THEN b.AcctBal
+              ELSE d.AcctBal END AS AcctBal,
+         CASE WHEN b.CustomerID IS NOT NULL THEN b.MktSegment
+              ELSE d.MktSegment END AS MktSegment
+  FROM dim0 d LEFT JOIN batch b ON d.CustomerID = b.CustomerID),
+mx AS (SELECT COUNT(*) AS mk FROM dim0),
+ins AS (
+  SELECT CAST(mk + ROW_NUMBER() OVER (ORDER BY CustomerID) AS BIGINT)
+           AS CustomerKey,
+         CustomerID, Name, NationKey, AcctBal, MktSegment
+  FROM batch, mx
+  WHERE CustomerID NOT IN (SELECT CustomerID FROM dim0))
+SELECT * FROM updated UNION ALL SELECT * FROM ins
+""".format(src=fx.SQL_CUSTOMERS)
+
+    scd3 = """
+WITH src0 AS ({src}),
+init AS (SELECT * FROM src0 WHERE CustomerID % 3 <> 0),
+dim0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY CustomerID) AS BIGINT)
+           AS CustomerKey,
+         CustomerID, Name, NationKey, AcctBal, MktSegment
+  FROM init),
+batch AS (
+  SELECT DISTINCT CustomerID, Name || ' v2' AS Name, NationKey, AcctBal,
+         CASE WHEN CustomerID % 4 = 0 THEN 'RELOCATED'
+              ELSE MktSegment END AS MktSegment
+  FROM src0 WHERE CustomerID % 2 = 0),
+updated AS (
+  SELECT d.CustomerKey, d.CustomerID,
+         CASE WHEN b.CustomerID IS NOT NULL THEN b.Name
+              ELSE d.Name END AS Name,
+         CASE WHEN b.CustomerID IS NOT NULL THEN b.NationKey
+              ELSE d.NationKey END AS NationKey,
+         CASE WHEN b.CustomerID IS NOT NULL THEN b.AcctBal
+              ELSE d.AcctBal END AS AcctBal,
+         CASE WHEN b.CustomerID IS NOT NULL THEN b.MktSegment
+              ELSE d.MktSegment END AS MktSegment,
+         CASE WHEN b.CustomerID IS NOT NULL
+                   AND b.MktSegment IS DISTINCT FROM d.MktSegment
+              THEN d.MktSegment END AS PrevMktSegment,
+         CASE WHEN b.CustomerID IS NOT NULL
+                   AND b.MktSegment IS DISTINCT FROM d.MktSegment
+              THEN DATE '1995-06-01' END AS MktSegmentChangeDate
+  FROM dim0 d LEFT JOIN batch b ON d.CustomerID = b.CustomerID),
+mx AS (SELECT COUNT(*) AS mk FROM dim0),
+ins AS (
+  SELECT CAST(mk + ROW_NUMBER() OVER (ORDER BY CustomerID) AS BIGINT)
+           AS CustomerKey,
+         CustomerID, Name, NationKey, AcctBal, MktSegment,
+         CAST(NULL AS VARCHAR) AS PrevMktSegment,
+         CAST(NULL AS DATE) AS MktSegmentChangeDate
+  FROM batch, mx
+  WHERE CustomerID NOT IN (SELECT CustomerID FROM dim0))
+SELECT * FROM updated UNION ALL SELECT * FROM ins
+""".format(src=fx.SQL_CUSTOMERS)
+    return scd1, scd3
+
+
+_X_SCD1_SQL, _X_SCD3_SQL = _scd_fixture_sql()
+
+
+@_q("x_scd1_overwrite", _X_SCD1_SQL)
+def x_scd1_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-1 overwrite (operators/scd2.py::scd1_overwrite) on the
+    shared m1 customer fixture: matched keys take the batch's values
+    but keep their surrogate (facts keep joining), new keys insert —
+    no history rows, one row per business key. The taxonomy slot the
+    reference's always-version type-2 pipeline cannot express
+    (corrections where history is noise)."""
+    from . import tpch_fixtures as fx
+    from ..operators.scd2 import scd1_overwrite
+
+    src = fx.ref_customers(spark, sf_dir)
+    cols = list(fx.CUSTOMER_COLS)
+    init = src.filter(F.col("CustomerID") % 3 != 0)
+    dim0 = scd1_overwrite(None, init, "CustomerID", cols, "CustomerKey")
+    batch = src.filter(F.col("CustomerID") % 2 == 0).withColumn(
+        "Name", F.concat(F.col("Name"), F.lit(" v2"))
+    )
+    return scd1_overwrite(dim0, batch, "CustomerID", cols, "CustomerKey")
+
+
+@_q("x_scd3_prev_value", _X_SCD3_SQL)
+def x_scd3_prev_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-3 previous-value tracking (operators/scd2.py::
+    scd3_update) on the shared m1 customer fixture, tracking
+    MktSegment: every 4th batch key relocates segment -> old value
+    lands in PrevMktSegment with MktSegmentChangeDate stamped;
+    untracked attributes overwrite type-1 style; unchanged tracked
+    values carry their Prev/ChangeDate forward (NULL here — fresh
+    dim). Completes the SCD family: 1, 2 naive, 2 delta, 3,
+    late-arriving members, point-in-time read."""
+    from . import tpch_fixtures as fx
+    from ..operators.scd2 import scd1_overwrite, scd3_update
+
+    src = fx.ref_customers(spark, sf_dir)
+    cols = list(fx.CUSTOMER_COLS)
+    init = src.filter(F.col("CustomerID") % 3 != 0)
+    dim0 = scd1_overwrite(None, init, "CustomerID", cols, "CustomerKey")
+    batch = (
+        src.filter(F.col("CustomerID") % 2 == 0)
+        .withColumn("Name", F.concat(F.col("Name"), F.lit(" v2")))
+        .withColumn(
+            "MktSegment",
+            F.when(F.col("CustomerID") % 4 == 0, F.lit("RELOCATED"))
+            .otherwise(F.col("MktSegment")),
+        )
+    )
+    return scd3_update(
+        dim0,
+        batch,
+        "CustomerID",
+        cols,
+        ["MktSegment"],
+        "CustomerKey",
+        run_date=fx.SECOND_BATCH_DATE,
+    )

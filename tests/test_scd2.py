@@ -163,3 +163,79 @@ def test_infer_late_members_flags_and_fills(spark):
         out.drop("is_inferred"), facts, "k", {"name": "UNKNOWN"}
     )
     assert again.filter(F.col("is_inferred")).count() == 0
+
+
+def test_scd1_overwrite_semantics(spark):
+    """Matched keys take batch values but KEEP their surrogate;
+    unmatched dim rows pass through; new keys insert with fresh
+    contiguous surrogates."""
+    from glue_jobs_for_data_pipeline_spark.operators.scd2 import (
+        scd1_overwrite,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, 10, "alice", "AUTO"), (2, 20, "bob", "BIKE")],
+        "CustomerKey long, CustomerID long, Name string, Seg string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "alice2", "AUTO"), (30, "carol", "SHIP")],
+        "CustomerID long, Name string, Seg string",
+    )
+    out = scd1_overwrite(
+        dim, batch, "CustomerID", ["CustomerID", "Name", "Seg"],
+        "CustomerKey",
+    )
+    rows = {r["CustomerID"]: (r["CustomerKey"], r["Name"], r["Seg"])
+            for r in out.collect()}
+    assert rows == {
+        10: (1, "alice2", "AUTO"),  # overwritten, surrogate kept
+        20: (2, "bob", "BIKE"),     # untouched passthrough
+        30: (3, "carol", "SHIP"),   # insert, max+1
+    }
+
+
+def test_scd3_prev_carries_forward(spark):
+    """First change stamps Prev/ChangeDate; a second application with
+    an UNCHANGED tracked value carries both forward; a second CHANGE
+    overwrites Prev with the value it displaced (one level of
+    history, by contract)."""
+    from pyspark.sql import functions as F
+
+    from glue_jobs_for_data_pipeline_spark.operators.scd2 import (
+        scd3_update,
+    )
+
+    cols = ["CustomerID", "Seg"]
+    dim = spark.createDataFrame(
+        [(1, 10, "AUTO"), (2, 20, "BIKE")],
+        "CustomerKey long, CustomerID long, Seg string",
+    )
+    b1 = spark.createDataFrame(
+        [(10, "SHIP"), (20, "BIKE")], "CustomerID long, Seg string"
+    )
+    d1 = scd3_update(
+        dim, b1, "CustomerID", cols, ["Seg"], "CustomerKey",
+        run_date="1995-06-01",
+    )
+    r1 = {r["CustomerID"]: (r["Seg"], r["PrevSeg"],
+                            str(r["SegChangeDate"] or ""))
+          for r in d1.collect()}
+    assert r1 == {
+        10: ("SHIP", "AUTO", "1995-06-01"),  # changed -> prev stamped
+        20: ("BIKE", None, ""),              # unchanged -> no prev
+    }
+    # second run: 10 unchanged (prev carries), 20 changes now
+    b2 = spark.createDataFrame(
+        [(10, "SHIP"), (20, "RAIL")], "CustomerID long, Seg string"
+    )
+    d2 = scd3_update(
+        d1, b2, "CustomerID", cols, ["Seg"], "CustomerKey",
+        run_date="1995-07-01",
+    )
+    r2 = {r["CustomerID"]: (r["Seg"], r["PrevSeg"],
+                            str(r["SegChangeDate"] or ""))
+          for r in d2.collect()}
+    assert r2 == {
+        10: ("SHIP", "AUTO", "1995-06-01"),  # carried forward verbatim
+        20: ("RAIL", "BIKE", "1995-07-01"),  # second change stamped
+    }
