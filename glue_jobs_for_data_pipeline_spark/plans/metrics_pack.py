@@ -1124,3 +1124,89 @@ def x_scd3_prev_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CustomerKey",
         run_date=fx.SECOND_BATCH_DATE,
     )
+
+
+# --------------------------------------------------------------------------
+# Survivorship / golden-record merge (MDM column-level fusion)
+# --------------------------------------------------------------------------
+
+def _golden_sql() -> str:
+    from . import tpch_fixtures as fx
+
+    return """
+WITH src0 AS ({src}),
+a AS (
+  SELECT CustomerID, Name, NationKey, AcctBal, MktSegment,
+         CustomerID * 10 AS rid, DATE '1995-01-01' AS LoadDate
+  FROM src0),
+b AS (
+  SELECT CustomerID, Name || ' v2' AS Name, NationKey,
+         CAST(NULL AS DOUBLE) AS AcctBal,
+         CASE WHEN CustomerID % 4 = 0 THEN 'RELOCATED'
+              ELSE MktSegment END AS MktSegment,
+         CustomerID * 10 + 1 AS rid, DATE '1995-06-01' AS LoadDate
+  FROM src0 WHERE CustomerID % 2 = 0),
+stack AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+SELECT CustomerID,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       (max({{'f': CASE WHEN Name IS NULL THEN 0 ELSE 1 END,
+             'l': COALESCE(LENGTH(Name), 0),
+             'k': COALESCE(Name, ''), 'i': rid, 'v': Name}})).v AS Name,
+       (max({{'f': CASE WHEN AcctBal IS NULL THEN 0 ELSE 1 END,
+             'k': LoadDate, 'i': rid, 'v': AcctBal}})).v AS AcctBal,
+       (max({{'k': LoadDate, 'i': rid, 'v': MktSegment}})).v AS MktSegment,
+       (max({{'f': CASE WHEN NationKey IS NULL THEN 0 ELSE 1 END,
+             'k': COALESCE(NationKey, 0), 'i': rid,
+             'v': NationKey}})).v AS NationKey
+FROM stack GROUP BY CustomerID
+""".format(src=fx.SQL_CUSTOMERS)
+
+
+_X_GOLDEN_SQL = _golden_sql()
+
+
+@_q("x_dedup_golden_record", _X_GOLDEN_SQL)
+def x_dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge (operators/survivorship.py::golden_record):
+    two customer 'source feeds' (the original load and a newer partial
+    feed with longer names, missing balances, and some relocated
+    segments) stack into ER clusters keyed by CustomerID, and the
+    golden record fuses each column by its own rule — Name: longest;
+    AcctBal: most recent NON-NULL (the newer feed's null must NOT
+    win); MktSegment: latest; NationKey: max. The survivor can be
+    better than every input row — the MDM step the row-pick dedup
+    tiers (dedup_by_clusters_best) cannot express. One map-side-
+    combined groupBy, every rule a null-guarded struct-ordered
+    aggregate; no window, no self-join."""
+    from . import tpch_fixtures as fx
+    from ..operators.survivorship import golden_record
+
+    src = fx.ref_customers(spark, sf_dir)
+    a = src.select(
+        "CustomerID", "Name", "NationKey", "AcctBal", "MktSegment",
+        (F.col("CustomerID") * 10).alias("rid"),
+        F.lit("1995-01-01").cast("date").alias("LoadDate"),
+    )
+    b = src.filter(F.col("CustomerID") % 2 == 0).select(
+        "CustomerID",
+        F.concat(F.col("Name"), F.lit(" v2")).alias("Name"),
+        "NationKey",
+        F.lit(None).cast("double").alias("AcctBal"),
+        F.when(F.col("CustomerID") % 4 == 0, F.lit("RELOCATED"))
+        .otherwise(F.col("MktSegment"))
+        .alias("MktSegment"),
+        (F.col("CustomerID") * 10 + 1).alias("rid"),
+        F.lit("1995-06-01").cast("date").alias("LoadDate"),
+    )
+    return golden_record(
+        a.unionByName(b),
+        "CustomerID",
+        "rid",
+        {
+            "Name": "longest",
+            "AcctBal": "non_null_latest",
+            "MktSegment": "latest",
+            "NationKey": "max",
+        },
+        recency_col="LoadDate",
+    )

@@ -76,9 +76,17 @@ def _support2_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    # DISTINCT (order, part) BEFORE the self-join (the _support2_edges
+    # rationale): duplicate lineitems multiply the join fan-out
+    # quadratically per (order, part) pair, and the pair-level distinct
+    # afterwards still has to shuffle that inflated intermediate.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), "l_partkey")
+        .distinct()
+    )
+    a = li.select("ok", F.col("l_partkey").alias("src"))
+    b = li.select("ok", F.col("l_partkey").alias("dst"))
     return (
         a.join(b, "ok")
         .filter(F.col("src") != F.col("dst"))
