@@ -89,7 +89,8 @@ _WINDOW_FIRST = [
     # x_scd2_late_arriving, the Kimball snapshot-fact pair
     # x_fact_accumulating_snapshot + x_fact_periodic_snapshot, the SCD
     # taxonomy completions x_scd1_overwrite + x_scd3_prev_value, the
-    # survivorship merge x_dedup_golden_record, and the
+    # survivorship merge x_dedup_golden_record, the Z-order layout
+    # x_storage_zorder_layout, and the
     # three late-r10 ANN oracle graduations x_sim_lsh_topk,
     # x_sim_ivf_topk, x_dedup_embedding_cosine_lsh.
     "x_corpus_stats",

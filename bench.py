@@ -88,6 +88,13 @@ BENCH_QUERIES = [
     # heaviest iterative shape), IVF-PQ ANN (map-only cell assignment +
     # ADC probe, this round's constant-cost fix), revenue-concentration
     # deciles (the distributed exact-rank kernel's NTILE path)
+    # r10 late batch: accumulating snapshot (conditional milestone agg
+    # + 1:1 order-grain join), periodic snapshot (two-phase agg +
+    # calendar-bounded per-part window), golden-record survivorship
+    # (one groupBy of struct-ordered rule aggregates)
+    "x_fact_accumulating_snapshot",
+    "x_fact_periodic_snapshot",
+    "x_dedup_golden_record",
     "x_graph_coreness",
     "x_sim_ivfpq_topk",
     "x_olap_revenue_concentration",

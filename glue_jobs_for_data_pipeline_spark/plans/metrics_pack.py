@@ -1210,3 +1210,68 @@ def x_dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         recency_col="LoadDate",
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering layout (multi-column data skipping)
+# --------------------------------------------------------------------------
+
+def _zorder_sql() -> str:
+    from ..operators.zorder import zvalue_sql
+
+    z = zvalue_sql(
+        {"pl": "pl", "sl": "sl"},
+        8,
+    )
+    return f"""
+WITH b AS (
+  SELECT MIN(l_partkey) AS plo, MAX(l_partkey) AS phi,
+         MIN(l_suppkey) AS slo, MAX(l_suppkey) AS shi
+  FROM lineitem),
+lv AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(FLOOR((l_partkey - plo) * 256 / (phi - plo + 1)) AS BIGINT)
+           AS pl,
+         CAST(FLOOR((l_suppkey - slo) * 256 / (shi - slo + 1)) AS BIGINT)
+           AS sl
+  FROM lineitem, b),
+z AS (SELECT l_partkey, l_suppkey, {z} AS zkey FROM lv)
+SELECT zkey >> 8 AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(l_partkey) AS part_min, MAX(l_partkey) AS part_max,
+       MIN(l_suppkey) AS supp_min, MAX(l_suppkey) AS supp_max
+FROM z GROUP BY 1
+"""
+
+
+_X_ZORDER_SQL = _zorder_sql()
+
+
+@_q("x_storage_zorder_layout", _X_ZORDER_SQL)
+def x_storage_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering layout (operators/zorder.py): Morton-
+    interleave (l_partkey, l_suppkey) at 8 bits each, group rows into
+    'files' by the z-key's high bits, and emit each file's min/max BOX
+    on BOTH columns — the statistics a min/max skipping reader prunes
+    with. Z-ordering makes every box tight in every interleaved
+    dimension (a single-column sort is tight in one), so predicates on
+    EITHER column skip most files; the whole layout decision is plain
+    integer arithmetic, restated term-for-term in the oracle.
+    Scale shape: one 2-longs-per-column bounds agg, one map-only z-key
+    scan, one map-side-combined groupBy; a writer materializes the
+    layout with repartitionByRange(zkey) — a single range exchange."""
+    from ..operators.zorder import zorder_keys
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    z = zorder_keys(li, ["l_partkey", "l_suppkey"], bits=8)
+    return z.groupBy(
+        F.shiftright(F.col("zkey"), 8).alias("file_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_partkey").alias("part_min"),
+        F.max("l_partkey").alias("part_max"),
+        F.min("l_suppkey").alias("supp_min"),
+        F.max("l_suppkey").alias("supp_max"),
+    )
