@@ -1213,16 +1213,19 @@ def x_dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Z-order clustering layout (multi-column data skipping)
+# Z-order clustering layout (multi-column data skipping, oracle tier)
 # --------------------------------------------------------------------------
 
-def _zorder_sql() -> str:
-    from ..operators.zorder import zvalue_sql
+_Z_LEVELS_SQL = (
+    "CAST(FLOOR((l_partkey - plo) * 256 / (phi - plo + 1)) AS BIGINT)",
+    "CAST(FLOOR((l_suppkey - slo) * 256 / (shi - slo + 1)) AS BIGINT)",
+)
 
-    z = zvalue_sql(
-        {"pl": "pl", "sl": "sl"},
-        8,
-    )
+
+def _zorder_sql() -> str:
+    from ..sources.zorder import zvalue_sql
+
+    z = zvalue_sql({"pl": "pl", "sl": "sl"}, 8)
     return f"""
 WITH b AS (
   SELECT MIN(l_partkey) AS plo, MAX(l_partkey) AS phi,
@@ -1230,10 +1233,8 @@ WITH b AS (
   FROM lineitem),
 lv AS (
   SELECT l_partkey, l_suppkey,
-         CAST(FLOOR((l_partkey - plo) * 256 / (phi - plo + 1)) AS BIGINT)
-           AS pl,
-         CAST(FLOOR((l_suppkey - slo) * 256 / (shi - slo + 1)) AS BIGINT)
-           AS sl
+         {_Z_LEVELS_SQL[0]} AS pl,
+         {_Z_LEVELS_SQL[1]} AS sl
   FROM lineitem, b),
 z AS (SELECT l_partkey, l_suppkey, {z} AS zkey FROM lv)
 SELECT zkey >> 8 AS file_id,
@@ -1244,28 +1245,49 @@ FROM z GROUP BY 1
 """
 
 
-_X_ZORDER_SQL = _zorder_sql()
+_X_ZORDER_LAYOUT_SQL = _zorder_sql()
 
 
-@_q("x_storage_zorder_layout", _X_ZORDER_SQL)
+@_q("x_storage_zorder_layout", _X_ZORDER_LAYOUT_SQL)
 def x_storage_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order clustering layout (operators/zorder.py): Morton-
-    interleave (l_partkey, l_suppkey) at 8 bits each, group rows into
-    'files' by the z-key's high bits, and emit each file's min/max BOX
-    on BOTH columns — the statistics a min/max skipping reader prunes
-    with. Z-ordering makes every box tight in every interleaved
-    dimension (a single-column sort is tight in one), so predicates on
-    EITHER column skip most files; the whole layout decision is plain
-    integer arithmetic, restated term-for-term in the oracle.
-    Scale shape: one 2-longs-per-column bounds agg, one map-only z-key
-    scan, one map-side-combined groupBy; a writer materializes the
-    layout with repartitionByRange(zkey) — a single range exchange."""
-    from ..operators.zorder import zorder_keys
+    """Hash-checkable Z-order tier (sources/zorder.py::zvalue_sql —
+    the SQL-text twin of the write path's _interleave): Morton-
+    interleave (l_partkey, l_suppkey) at 8 bits each over equal-width
+    integer levels, group rows into 'files' by the z-key's high bits,
+    and emit each file's min/max BOX on BOTH columns — the statistics
+    a min/max skipping reader prunes with, tight in EVERY interleaved
+    dimension (a single-column sort is tight in one). Spark executes
+    the IDENTICAL expression text the DuckDB oracle runs (level
+    scaling and every interleave term), so the clustering decision is
+    verified bit for bit; x_storage_zorder_roundtrip separately checks
+    the physical parquet write path (permutation + footer stats).
+    Scale shape: one 2-values-per-column bounds agg (broadcast), one
+    map-only z-key scan, one map-side-combined groupBy."""
+    from ..sources.zorder import zvalue_sql
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey"
     )
-    z = zorder_keys(li, ["l_partkey", "l_suppkey"], bits=8)
+    bounds = li.agg(
+        F.min("l_partkey").alias("plo"),
+        F.max("l_partkey").alias("phi"),
+        F.min("l_suppkey").alias("slo"),
+        F.max("l_suppkey").alias("shi"),
+    )
+    z = (
+        li.crossJoin(F.broadcast(bounds))
+        .selectExpr(
+            "l_partkey",
+            "l_suppkey",
+            f"{_Z_LEVELS_SQL[0]} AS pl",
+            f"{_Z_LEVELS_SQL[1]} AS sl",
+        )
+        .selectExpr(
+            "l_partkey",
+            "l_suppkey",
+            f"{zvalue_sql({'pl': 'pl', 'sl': 'sl'}, 8)} AS zkey",
+        )
+    )
     return z.groupBy(
         F.shiftright(F.col("zkey"), 8).alias("file_id")
     ).agg(

@@ -117,3 +117,28 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zvalue_sql(levels: dict[str, str], bits: int) -> str:
+    """The Morton interleave as ANSI-SQL TEXT: ``levels`` maps a
+    column alias to the SQL expression of its integer level in
+    [0, 2^bits). This is ``_interleave`` restated term for term so a
+    DuckDB oracle can hash-check a clustering decision end to end
+    (x_storage_zorder_layout pairs it with equal-width integer levels,
+    whose scaling both engines state identically; the write path's
+    double-scaled _rank_expr keeps its permutation + footer-stats
+    checks instead). Bit i of column j lands at position i * n + j,
+    exactly as _interleave places it."""
+    exprs = list(levels.values())
+    n = len(exprs)
+    if bits * n > 63:
+        raise ValueError(
+            f"bits*cols = {bits}*{n} exceeds the 63-bit Morton budget"
+        )
+    terms = []
+    for i in range(bits):
+        for j, e in enumerate(exprs):
+            # outer parens are load-bearing: '+' binds tighter than
+            # '<<', so unparenthesized terms re-associate when joined
+            terms.append(f"(((({e}) >> {i}) & 1) << {i * n + j})")
+    return " + ".join(terms)
