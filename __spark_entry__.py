@@ -90,7 +90,8 @@ _WINDOW_FIRST = [
     # x_fact_accumulating_snapshot + x_fact_periodic_snapshot, the SCD
     # taxonomy completions x_scd1_overwrite + x_scd3_prev_value, the
     # survivorship merge x_dedup_golden_record, the Z-order layout
-    # x_storage_zorder_layout, and the
+    # x_storage_zorder_layout, the drift-repair + CRM pair
+    # x_ingest_conform_schema + x_olap_rfm_scores, and the
     # three late-r10 ANN oracle graduations x_sim_lsh_topk,
     # x_sim_ivf_topk, x_dedup_embedding_cosine_lsh.
     "x_corpus_stats",

@@ -1297,3 +1297,122 @@ def x_storage_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey").alias("supp_min"),
         F.max("l_suppkey").alias("supp_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# Schema conformance (ingestion drift repair) + RFM segmentation
+# --------------------------------------------------------------------------
+
+_X_CONFORM_SQL = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       o_custkey,
+       o_orderstatus,
+       CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE) AS o_totalprice,
+       CAST(NULL AS VARCHAR) AS o_clerk,
+       o_orderpriority
+FROM orders
+"""
+
+
+@_q("x_ingest_conform_schema", _X_CONFORM_SQL)
+def x_ingest_conform_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema conformance (sources/conform.py): a drifted orders feed
+    — order key narrowed to INT upstream, status arriving under a
+    legacy name, price as FLOAT, a target column (o_clerk) the feed
+    no longer ships — aligns onto the canonical schema via rename ->
+    typed-NULL fill -> safe widening (int->bigint, float->double),
+    with anything unsafe rejected loudly (tests). The aligned output
+    is a single map-only SELECT of casts; the decision logic runs on
+    schemas, not data."""
+    from pyspark.sql import types as T
+
+    from ..sources.conform import conform_schema
+
+    drifted = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        "o_custkey",
+        F.col("o_orderstatus").alias("status_legacy"),
+        F.col("o_totalprice").cast("float").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    target = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_clerk", T.StringType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    return conform_schema(
+        drifted, target, renames={"status_legacy": "o_orderstatus"}
+    )
+
+
+_X_RFM_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS revenue
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, last_order, n_orders, revenue,
+       CAST(NTILE(5) OVER (ORDER BY last_order, o_custkey) AS BIGINT)
+         AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY n_orders, o_custkey) AS BIGINT)
+         AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY revenue, o_custkey) AS BIGINT)
+         AS m_score
+FROM cust
+"""
+
+
+@_q("x_olap_rfm_scores", _X_RFM_SQL)
+def x_olap_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles per
+    customer — the standard CRM scoring grid), built on the
+    distributed exact-rank kernel: each of the three NTILE(5)s is a
+    range-partitioned global rank (operators/rank.py — no
+    single-partition WindowExec anywhere), so the customer grain can
+    be billions of rows and all three rankings stay fully parallel.
+    Ties carry the customer key, so both engines assign identical
+    quintiles. 5 = most recent / most frequent / highest revenue."""
+    from ..operators.rank import distributed_ntile
+
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("revenue"),
+        )
+    )
+    out = distributed_ntile(
+        cust,
+        [F.col("last_order").asc(), F.col("o_custkey").asc()],
+        5,
+        out_col="r_score",
+    )
+    out = distributed_ntile(
+        out,
+        [F.col("n_orders").asc(), F.col("o_custkey").asc()],
+        5,
+        out_col="f_score",
+    )
+    out = distributed_ntile(
+        out,
+        [F.col("revenue").asc(), F.col("o_custkey").asc()],
+        5,
+        out_col="m_score",
+    )
+    return out.select(
+        "o_custkey", "last_order", "n_orders", "revenue",
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+    )
