@@ -1416,3 +1416,159 @@ def x_olap_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f_score").cast("long").alias("f_score"),
         F.col("m_score").cast("long").alias("m_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kimball dimensional patterns: junk dimension, bridge table,
+# role-playing dates (completes the pattern set next to the fact trio,
+# the SCD family, and the conformed-dim fixture mapping)
+# --------------------------------------------------------------------------
+
+_X_JUNK_SQL = """
+WITH junk AS (
+  SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders),
+keyed AS (
+  SELECT CAST(DENSE_RANK() OVER (ORDER BY o_orderstatus, o_orderpriority)
+              AS BIGINT) AS junk_key,
+         o_orderstatus, o_orderpriority
+  FROM junk)
+SELECT k.junk_key, k.o_orderstatus, k.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN keyed k ON o.o_orderstatus = k.o_orderstatus
+            AND o.o_orderpriority = k.o_orderpriority
+GROUP BY 1, 2, 3
+"""
+
+
+@_q("x_dim_junk", _X_JUNK_SQL)
+def x_dim_junk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Junk dimension (Kimball): the low-cardinality flag columns
+    (status x priority) collapse into one keyed dimension so the fact
+    carries a single surrogate instead of N flag columns. The keying
+    window runs over the DISTINCT flag combinations — bounded by the
+    flag domain product (15 here), never by fact volume — and the
+    fact joins the junk dim by broadcast. Output: the dim plus each
+    combo's usage count (proving the join back)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    junk = o.distinct()
+    w = Window.orderBy("o_orderstatus", "o_orderpriority")
+    keyed = junk.withColumn(
+        "junk_key", F.dense_rank().over(w).cast("long")
+    )
+    return (
+        o.join(
+            F.broadcast(keyed), ["o_orderstatus", "o_orderpriority"]
+        )
+        .groupBy("junk_key", "o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_X_BRIDGE_SQL = """
+WITH lp AS (
+  SELECT l_orderkey, l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS qty
+  FROM lineitem GROUP BY 1, 2),
+tot AS (
+  SELECT l_orderkey, CAST(SUM(qty) AS DECIMAL(18,2)) AS total_qty
+  FROM lp GROUP BY 1)
+SELECT lp.l_orderkey AS order_key, lp.l_partkey AS part_key, lp.qty,
+       CAST(lp.qty AS DOUBLE) / CAST(t.total_qty AS DOUBLE) AS allocation
+FROM lp JOIN tot t ON lp.l_orderkey = t.l_orderkey
+"""
+
+
+@_q("x_fact_order_part_bridge", _X_BRIDGE_SQL)
+def x_fact_order_part_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridge table with allocation factor (Kimball many-to-many):
+    the order<->part relationship carries each part's quantity share
+    of its order, so downstream rollups can allocate order-level
+    amounts over parts without double counting (the weights sum to 1
+    per order by construction). Scale shape: two aggregations and a
+    join ALL keyed on the order key — one co-partitioned exchange
+    end to end (bucketed warehouse tables make it shuffle-free);
+    decimal-exact until the single output division."""
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_partkey").alias("part_key"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("qty")
+        )
+    )
+    tot = lp.groupBy("order_key").agg(
+        F.sum("qty").cast("decimal(18,2)").alias("total_qty")
+    )
+    return lp.join(tot, "order_key").select(
+        "order_key",
+        "part_key",
+        "qty",
+        (F.col("qty").cast("double") / F.col("total_qty").cast("double"))
+        .alias("allocation"),
+    )
+
+
+_X_ROLEPLAY_SQL = """
+WITH dd AS (
+  SELECT CAST(d AS DATE) AS d, CAST(EXTRACT(year FROM d) AS INTEGER) AS yr
+  FROM generate_series(DATE '1995-01-01', DATE '1995-01-01' + INTERVAL 2599 DAY,
+                       INTERVAL 1 DAY) AS t(d)),
+f AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS od, CAST(l.l_shipdate AS DATE) AS sd
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT d_ord.yr AS order_year, d_ship.yr AS ship_year,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM f
+JOIN dd d_ord  ON f.od = d_ord.d
+JOIN dd d_ship ON f.sd = d_ship.d
+GROUP BY 1, 2
+"""
+
+
+@_q("x_olap_role_playing_dates", _X_ROLEPLAY_SQL)
+def x_olap_role_playing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-playing dimension (Kimball): ONE physical calendar
+    dimension joined twice under different roles — order date and
+    ship date — via aliases, never a second copy of the dim (the m3
+    generator builds it once; both roles broadcast). Output: the
+    order-year x ship-year shipping-lag matrix. At warehouse scale
+    the pattern matters because the calendar dim stays a single
+    broadcast artifact no matter how many date roles the fact has."""
+    import datetime as dt
+
+    from ..operators.dates_dim import generate_dim_dates
+
+    dd = generate_dim_dates(
+        spark, start=dt.date(1995, 1, 1), n_days=2600
+    ).select("Date", "Year")
+    f = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", F.col("l_shipdate").cast("date").alias("sd"))
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                F.col("o_orderdate").cast("date").alias("od"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    d_ord = F.broadcast(
+        dd.select(F.col("Date").alias("od"), F.col("Year").alias("order_year"))
+    )
+    d_ship = F.broadcast(
+        dd.select(F.col("Date").alias("sd"), F.col("Year").alias("ship_year"))
+    )
+    return (
+        f.join(d_ord, "od")
+        .join(d_ship, "sd")
+        .groupBy("order_year", "ship_year")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
