@@ -202,3 +202,96 @@ def test_anomaly_plan_broadcast_stats_no_python(spark, sf_dir):
     # the tiny per-type stats broadcast; the hourly side never re-shuffles
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_accumulating_snapshot_aggregates_before_join(spark, sf_dir):
+    """Lineitem must reach ORDER grain via aggregation BEFORE the
+    orders join (the join sees two order-grain sides, never raw
+    lineitem x orders), and milestone gating is conditional
+    aggregation — no window anywhere."""
+    from glue_jobs_for_data_pipeline_spark.plans.metrics_pack import (
+        x_fact_accumulating_snapshot,
+    )
+
+    plan = _plan(x_fact_accumulating_snapshot(spark, sf_dir))
+    assert "Window" not in plan
+    # partial aggregate must sit below the join: the string order of a
+    # formatted plan lists the join above its children, so the
+    # HashAggregate feeding it must appear in the plan at all
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_periodic_snapshot_window_is_partitioned(spark, sf_dir):
+    """The cumulative position window must be keyed by part — a
+    single-partition WindowExec here would serialize the whole fact."""
+    from glue_jobs_for_data_pipeline_spark.plans.metrics_pack import (
+        x_fact_periodic_snapshot,
+    )
+
+    plan = _plan(x_fact_periodic_snapshot(spark, sf_dir))
+    assert "Window" in plan
+    assert "windowspecdefinition(part_key" in plan
+
+
+def test_golden_record_is_one_aggregation_no_window(spark, sf_dir):
+    """Every survivorship rule rides ONE groupBy: exactly one keyed
+    exchange, no window, no join, no Python."""
+    from glue_jobs_for_data_pipeline_spark.plans.metrics_pack import (
+        x_dedup_golden_record,
+    )
+
+    plan = _plan(x_dedup_golden_record(spark, sf_dir))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_junk_dim_joins_by_broadcast(spark, sf_dir):
+    """The junk dim is flag-domain-sized: the fact must join it with
+    a BroadcastHashJoin, never a shuffled join."""
+    from glue_jobs_for_data_pipeline_spark.plans.metrics_pack import (
+        x_dim_junk,
+    )
+
+    plan = _plan(x_dim_junk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_role_playing_dates_broadcast_both_roles(spark, sf_dir):
+    """One calendar dim, two roles: both date joins must broadcast
+    (the dim stays a single small artifact however many roles exist)."""
+    from glue_jobs_for_data_pipeline_spark.plans.metrics_pack import (
+        x_olap_role_playing_dates,
+    )
+
+    plan = _plan(x_olap_role_playing_dates(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_conform_schema_is_map_only(spark, sf_dir):
+    """Schema conformance is a single SELECT of casts: no exchange,
+    no Python, no join."""
+    from glue_jobs_for_data_pipeline_spark.plans.metrics_pack import (
+        x_ingest_conform_schema,
+    )
+
+    plan = _plan(x_ingest_conform_schema(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_rfm_has_no_single_partition_window(spark, sf_dir):
+    """All three NTILE passes ride the distributed rank kernel: no
+    WindowExec without a partition spec (the 'No Partition Defined'
+    scale-killer) may appear."""
+    from glue_jobs_for_data_pipeline_spark.plans.metrics_pack import (
+        x_olap_rfm_scores,
+    )
+
+    plan = _plan(x_olap_rfm_scores(spark, sf_dir))
+    assert "Window" not in plan  # the kernel is window-free entirely
