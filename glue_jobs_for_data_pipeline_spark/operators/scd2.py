@@ -290,6 +290,7 @@ def scd3_update(
     tracked: Sequence[str],
     surrogate_key: str,
     run_date: dt.date | str | None = None,
+    key_mode: str = "rownum",
     broadcast_batch: bool = True,
 ) -> DataFrame:
     """SCD Type-3: previous-value columns — the taxonomy slot between
@@ -354,7 +355,7 @@ def scd3_update(
         dim,
         business_key,
         surrogate_key,
-        "rownum",
+        key_mode,
     ).select(
         F.col(surrogate_key),
         F.col(business_key),
