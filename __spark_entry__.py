@@ -93,7 +93,8 @@ _WINDOW_FIRST = [
     # x_storage_zorder_layout, the drift-repair + CRM pair
     # x_ingest_conform_schema + x_olap_rfm_scores, the dimensional-
     # pattern trio x_dim_junk + x_fact_order_part_bridge +
-    # x_olap_role_playing_dates, and the
+    # x_olap_role_playing_dates, the drill-across report
+    # x_olap_drill_across, and the
     # three late-r10 ANN oracle graduations x_sim_lsh_topk,
     # x_sim_ivf_topk, x_dedup_embedding_cosine_lsh.
     "x_corpus_stats",

@@ -1572,3 +1572,75 @@ def x_olap_role_playing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("order_year", "ship_year")
         .agg(F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+# --------------------------------------------------------------------------
+# Drill-across report (multi-fact merge on conformed dims)
+# --------------------------------------------------------------------------
+
+_X_DRILL_SQL = """
+WITH f1 AS (
+  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+           AS month_start,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS booked
+  FROM orders GROUP BY 1),
+f2 AS (
+  SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
+           AS month_start,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS shipped_qty,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1)
+SELECT COALESCE(f1.month_start, f2.month_start) AS month_start,
+       f1.n_orders, f1.booked, f2.shipped_qty, f2.n_lines
+FROM f1 FULL OUTER JOIN f2 ON f1.month_start = f2.month_start
+"""
+
+
+@_q("x_olap_drill_across", _X_DRILL_SQL)
+def x_olap_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drill-across (Kimball multi-fact report): bookings (orders
+    fact) vs shipments (lineitem fact) per month. Each fact
+    aggregates to the CONFORMED grain separately and the results
+    merge with a full outer join on the dim key — the raw facts are
+    NEVER joined to each other, which is the pattern's whole point:
+    a direct orders x lineitem join fans out order-grain measures
+    across line rows and double-counts them. Scale shape: two
+    map-side-combined aggregations to calendar grain; the merge
+    touches calendar-sized inputs only."""
+    f1 = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.trunc(F.col("o_orderdate").cast("date"), "month").alias(
+                "month_start"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("booked"),
+        )
+    )
+    f2 = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.trunc(F.col("l_shipdate").cast("date"), "month").alias(
+                "month_start"
+            )
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("shipped_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    return (
+        f1.join(f2, "month_start", "full_outer")
+        .select(
+            "month_start", "n_orders", "booked", "shipped_qty", "n_lines"
+        )
+    )

@@ -79,3 +79,92 @@ def test_bad_rule_and_missing_recency_raise(spark):
         golden_record(df, "cluster", "rid", {"name": "best"})
     with pytest.raises(ValueError, match="needs recency_col"):
         golden_record(df, "cluster", "rid", {"name": "latest"})
+
+
+# --------------------------------------------------------------------------
+# Property test: fusion agrees with a pure-Python reference on random
+# clusters (nulls, ties, singletons included)
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),            # cluster
+        st.one_of(st.none(), st.sampled_from(["a", "bb", "ccc", "bb"])),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
+        st.integers(min_value=1, max_value=31),           # day of month
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _ref(rows, rule, col_i):
+    """Pure-Python survivorship for one rule over (cluster, name,
+    val, day) rows with rid = index."""
+    out = {}
+    by_cluster: dict = {}
+    for rid, r in enumerate(rows):
+        by_cluster.setdefault(r[0], []).append((rid, r))
+    for c, members in by_cluster.items():
+        if rule == "latest":
+            k = max(members, key=lambda m: (m[1][3], m[0]))
+            out[c] = k[1][col_i]
+        elif rule == "non_null_latest":
+            k = max(
+                members,
+                key=lambda m: (m[1][col_i] is not None, m[1][3], m[0]),
+            )
+            out[c] = k[1][col_i]
+        elif rule == "max":
+            k = max(
+                members,
+                key=lambda m: (
+                    m[1][col_i] is not None,
+                    m[1][col_i] if m[1][col_i] is not None else 0,
+                    m[0],
+                ),
+            )
+            out[c] = k[1][col_i]
+        elif rule == "longest":
+            k = max(
+                members,
+                key=lambda m: (
+                    m[1][col_i] is not None,
+                    len(m[1][col_i]) if m[1][col_i] is not None else 0,
+                    m[1][col_i] if m[1][col_i] is not None else "",
+                    m[0],
+                ),
+            )
+            out[c] = k[1][col_i]
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_rows)
+def test_golden_record_agrees_with_python_reference(spark, rows):
+    df = spark.createDataFrame(
+        [(c, i, n, v, f"1995-01-{d:02d}") for i, (c, n, v, d) in enumerate(rows)],
+        "cluster long, rid long, name string, val long, load string",
+    ).selectExpr("cluster", "rid", "name", "val", "CAST(load AS DATE) AS load")
+    got = {
+        r["cluster"]: (r["name"], r["val"])
+        for r in golden_record(
+            df,
+            "cluster",
+            "rid",
+            {"name": "longest", "val": "non_null_latest"},
+            recency_col="load",
+        ).collect()
+    }
+    want_name = _ref(rows, "longest", 1)
+    want_val = _ref(rows, "non_null_latest", 2)
+    assert got == {
+        c: (want_name[c], want_val[c]) for c in want_name
+    }
