@@ -95,6 +95,12 @@ BENCH_QUERIES = [
     "x_fact_accumulating_snapshot",
     "x_fact_periodic_snapshot",
     "x_dedup_golden_record",
+    # r10 close-out: RFM (three distributed-NTILE rank-kernel passes),
+    # order-part bridge (co-keyed agg+join chain), drill-across
+    # (two-fact conformed-grain merge)
+    "x_olap_rfm_scores",
+    "x_fact_order_part_bridge",
+    "x_olap_drill_across",
     "x_graph_coreness",
     "x_sim_ivfpq_topk",
     "x_olap_revenue_concentration",
