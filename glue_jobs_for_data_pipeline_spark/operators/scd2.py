@@ -115,9 +115,16 @@ def assign_surrogate_keys(
     """
     if key_mode == "hash":
         # staged carries the run date as LoadDate at this point (it becomes
-        # StartDate downstream, dynamic_upsert.py:137-139 column-positional)
-        version_date = "LoadDate" if "LoadDate" in staged.columns else SCD2_START
-        key = F.xxhash64(F.col(business_key), F.col(version_date))
+        # StartDate downstream, dynamic_upsert.py:137-139 column-positional).
+        # KEY-GRAIN writers (scd1_overwrite / scd3_update) stage no
+        # version date at all — their rows are one-per-key, so the
+        # business key alone is the hash input.
+        if "LoadDate" in staged.columns:
+            key = F.xxhash64(F.col(business_key), F.col("LoadDate"))
+        elif SCD2_START in staged.columns:
+            key = F.xxhash64(F.col(business_key), F.col(SCD2_START))
+        else:
+            key = F.xxhash64(F.col(business_key))
         return staged.withColumn(surrogate_key, key)
     w = Window.orderBy(business_key)
     base = F.lit(0)
@@ -220,8 +227,57 @@ def infer_late_members(
         *[F.lit(v).alias(c) for c, v in defaults.items()],
         F.lit(True).alias(flag_col),
     )
-    existing = dim.withColumn(flag_col, F.lit(False))
+    if flag_col in dim.columns:
+        # a dim that already persisted the flag keeps it: a placeholder
+        # from an earlier run that is STILL unrepaired must stay
+        # flagged, or the repair report silently loses it forever
+        existing = dim.withColumn(
+            flag_col, F.coalesce(F.col(flag_col), F.lit(False))
+        )
+    else:
+        existing = dim.withColumn(flag_col, F.lit(False))
     return existing.unionByName(inferred, allowMissingColumns=True)
+
+
+def _stage_key_grain(
+    source: DataFrame, business_key: str, columns: Sequence[str]
+) -> DataFrame:
+    """Stage a batch for the KEY-GRAIN writers (type-1 / type-3):
+    distinct rows, then collapse to exactly one row per business key.
+    A feed can legitimately carry two different updates for the same
+    key in one batch; without this collapse the dim join fans out and
+    the one-row-per-key output contract silently breaks (duplicate
+    surrogates, double-counting fact joins). Resolution is
+    deterministic — the lexicographically greatest attribute tuple
+    wins (struct max over the columns in declared order) — and costs
+    one map-side-combined aggregate keyed the same as the join that
+    follows."""
+    attrs = [c for c in columns if c != business_key]
+    if not attrs:  # key-only feed: distinct IS the key grain
+        return source.select(business_key).distinct()
+    return (
+        source.select(*columns)
+        .distinct()
+        .groupBy(business_key)
+        .agg(F.max(F.struct(*[F.col(c) for c in attrs])).alias("_p"))
+        .select(business_key, *[F.col("_p")[c].alias(c) for c in attrs])
+    )
+
+
+def _matched_batch(
+    staged: DataFrame,
+    business_key: str,
+    attrs: Sequence[str],
+    broadcast_batch: bool,
+):
+    """The staged batch shaped for the dim left join: key, a match
+    marker, and the new attribute values under collision-free names."""
+    b = staged.select(
+        business_key,
+        F.lit(True).alias("_matched"),
+        *[F.col(c).alias(f"_new_{c}") for c in attrs],
+    )
+    return F.broadcast(b) if broadcast_batch else b
 
 
 def scd1_overwrite(
@@ -249,19 +305,13 @@ def scd1_overwrite(
     union. No window over data-proportional grain in hash key_mode.
     """
     attrs = [c for c in columns if c != business_key]
-    staged = source.select(*columns).distinct()
+    staged = _stage_key_grain(source, business_key, columns)
     if dim is None:
         return assign_surrogate_keys(
             staged, None, business_key, surrogate_key, key_mode
         ).select(surrogate_key, *columns)
 
-    b = staged.select(
-        business_key,
-        F.lit(True).alias("_matched"),
-        *[F.col(c).alias(f"_new_{c}") for c in attrs],
-    )
-    if broadcast_batch:
-        b = F.broadcast(b)
+    b = _matched_batch(staged, business_key, attrs, broadcast_batch)
     updated = dim.join(b, on=business_key, how="left").select(
         surrogate_key,
         business_key,
@@ -314,14 +364,8 @@ def scd3_update(
     its own.
     """
     attrs = [c for c in columns if c != business_key]
-    staged = source.select(*columns).distinct()
-    b = staged.select(
-        business_key,
-        F.lit(True).alias("_matched"),
-        *[F.col(c).alias(f"_new_{c}") for c in attrs],
-    )
-    if broadcast_batch:
-        b = F.broadcast(b)
+    staged = _stage_key_grain(source, business_key, columns)
+    b = _matched_batch(staged, business_key, attrs, broadcast_batch)
 
     def _existing(col: str, like: str) -> F.Column:
         if col in dim.columns:

@@ -586,6 +586,16 @@ def _book_sql(book: list[list[float]]) -> str:
     (encode + LUT) that profiled as ~3 s of pure plan-construction
     constant per query; one expr string per subspace is ~16 Py4J calls
     total and milliseconds of JVM parse."""
+    import math
+
+    if any(not math.isfinite(float(v)) for row in book for v in row):
+        # repr(nan/inf) + 'D' is unparseable SQL; fail with the cause
+        # (degenerate training data) instead of a ParseException later
+        raise ValueError(
+            "codebook contains non-finite values (NaN/inf) — the PQ "
+            "training data is degenerate; clean the embedding column "
+            "before pq_fit"
+        )
     return "array({})".format(
         ",".join(
             "array({})".format(",".join(repr(float(v)) + "D" for v in row))
@@ -595,14 +605,27 @@ def _book_sql(book: list[list[float]]) -> str:
 
 
 def _sq_l2_sql(vec_sql: str, other: str) -> str:
-    """Squared L2 between two array exprs, as SQL text."""
+    """Squared L2 between two array exprs, as SQL text. Lambda
+    parameters use collision-improbable names: SQL lambda variables
+    SHADOW outer columns, so a plain ``(x, y) -> ...`` would silently
+    capture a data column named x/y referenced inside ``vec_sql``
+    (the Column-closure form this replaced was immune — guard kept)."""
     return (
         f"aggregate(zip_with({vec_sql}, {other}, "
-        "(x, y) -> CAST(x AS DOUBLE) - y), 0D, (a, v) -> a + v * v)"
+        "(__sq_x, __sq_y) -> CAST(__sq_x AS DOUBLE) - __sq_y), 0D, "
+        "(__sq_a, __sq_v) -> __sq_a + __sq_v * __sq_v)"
     )
 
 
+_SQL_LAMBDA_NAMES = ("__sq_x", "__sq_y", "__sq_a", "__sq_v", "__pq_c", "__pq_j")
+
+
 def _sub_slice_sql(vec_col: str, i: int, sub: int) -> str:
+    if vec_col in _SQL_LAMBDA_NAMES:
+        raise ValueError(
+            f"vector column name {vec_col!r} collides with an internal "
+            "SQL lambda variable; rename the column"
+        )
     return f"slice(`{vec_col}`, {i * sub + 1}, {sub})"
 
 
@@ -611,10 +634,10 @@ def _argmin_code_sql(vec_col: str, i: int, book: list[list[float]]) -> str:
     (dist, idx) structs, array_sort lexicographically (ties break to
     the lowest code id), take [0].j."""
     sub = len(book[0])
-    sq = _sq_l2_sql(_sub_slice_sql(vec_col, i, sub), "c")
+    sq = _sq_l2_sql(_sub_slice_sql(vec_col, i, sub), "__pq_c")
     return (
         f"array_sort(transform({_book_sql(book)}, "
-        f"(c, j) -> named_struct('d', {sq}, 'j', j)))[0].j"
+        f"(__pq_c, __pq_j) -> named_struct('d', {sq}, 'j', __pq_j)))[0].j"
     )
 
 
@@ -622,8 +645,8 @@ def _lut_sql(vec_col: str, i: int, book: list[list[float]]) -> str:
     """Per-subspace ADC lookup table: distance from the query's
     sub-vector to every codeword, as array<double> SQL text."""
     sub = len(book[0])
-    sq = _sq_l2_sql(_sub_slice_sql(vec_col, i, sub), "c")
-    return f"transform({_book_sql(book)}, c -> {sq})"
+    sq = _sq_l2_sql(_sub_slice_sql(vec_col, i, sub), "__pq_c")
+    return f"transform({_book_sql(book)}, __pq_c -> {sq})"
 
 
 def pq_encode(
@@ -725,6 +748,7 @@ def ivf_pq_topk(
     n_iters: int = 3,
     refine: int = 4,
     train_sample_n: int | None = 4096,
+    train_iters: int = 10,
 ) -> DataFrame:
     """IVF-PQ: the composition both halves document as their scale path.
 
@@ -741,12 +765,15 @@ def ivf_pq_topk(
     (kmeans_fit_sample — the FAISS recipe, one Spark job instead of
     n_iters rounds of distributed Lloyd, which profiled as ~8 s of
     pure constant at ANY scale factor); pass train_sample_n=None to
-    train on the full corpus with the distributed trainer.
+    train on the full corpus with the distributed trainer. The two
+    paths take separate iteration knobs — ``train_iters`` for the
+    (cheap numpy) sampled path, ``n_iters`` for the distributed one —
+    so an explicit n_iters is always honored by the path it governs.
     """
     if train_sample_n is not None:
         centroids = kmeans_fit_sample(
             corpus, id_col, vec_col, n_cells,
-            n_iters=max(n_iters, 10), sample_n=train_sample_n,
+            n_iters=train_iters, sample_n=train_sample_n,
         )  # already a collected list — no extra job
     else:
         centroids = _collect_centroids(

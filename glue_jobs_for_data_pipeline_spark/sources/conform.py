@@ -73,18 +73,32 @@ def conform_schema(
             raise ValueError(f"conform_schema: rename sources absent: {missing}")
         for old, new in renames.items():
             df = df.withColumnRenamed(old, new)
+    # resolve names the way Spark does by default: CASE-INSENSITIVELY.
+    # A case-sensitive dict here would treat a feed's 'O_OrderKey' as
+    # missing and silently null out the whole column — the exact silent
+    # poisoning this module exists to refuse.
     src_types = {f.name: f.dataType for f in df.schema.fields}
+    by_folded: dict[str, list[str]] = {}
+    for n in src_types:
+        by_folded.setdefault(n.lower(), []).append(n)
+    ambiguous = {k: v for k, v in by_folded.items() if len(v) > 1}
+    if ambiguous:
+        raise ValueError(
+            "conform_schema: source columns differ only by case "
+            f"(ambiguous under Spark's default resolver): {ambiguous}"
+        )
     out: list[F.Column] = []
     for field in target.fields:
         name, want = field.name, field.dataType
-        if name not in src_types:
+        src_name = by_folded.get(name.lower(), [None])[0]
+        if src_name is None:
             out.append(F.lit(None).cast(want).alias(name))
             continue
-        have = src_types[name]
+        have = src_types[src_name]
         if have == want:
-            out.append(F.col(name))
+            out.append(F.col(src_name).alias(name))
         elif _widens(have, want):
-            out.append(F.col(name).cast(want).alias(name))
+            out.append(F.col(src_name).cast(want).alias(name))
         else:
             raise ValueError(
                 f"conform_schema: column {name!r} is {have.simpleString()} "

@@ -64,3 +64,27 @@ def test_missing_rename_source_rejected(spark):
             T.StructType([T.StructField("k", T.LongType())]),
             renames={"nope": "k"},
         )
+
+
+def test_case_insensitive_resolution_and_ambiguity(spark):
+    """Spark resolves names case-insensitively by default; conformance
+    must too (a case-variant feed column passes through under the
+    target's spelling, not silently nulled), and source columns
+    differing only by case are rejected as ambiguous."""
+    df = spark.createDataFrame([(1, "a")], "K int, NAME string")
+    out = conform_schema(
+        df,
+        T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("name", T.StringType()),
+            ]
+        ),
+    )
+    assert out.columns == ["k", "name"]
+    assert out.collect()[0]["k"] == 1  # widened + re-spelled, NOT nulled
+    dup = spark.createDataFrame([(1, 2)], "k int, K int")
+    with pytest.raises(ValueError, match="differ only by case"):
+        conform_schema(
+            dup, T.StructType([T.StructField("k", T.LongType())])
+        )

@@ -239,3 +239,84 @@ def test_scd3_prev_carries_forward(spark):
         10: ("SHIP", "AUTO", "1995-06-01"),  # carried forward verbatim
         20: ("RAIL", "BIKE", "1995-07-01"),  # second change stamped
     }
+
+
+def test_scd1_and_scd3_hash_key_mode(spark):
+    """key_mode='hash' must work for the key-grain writers (they stage
+    no version date — the hash falls back to the business key alone),
+    deterministic across invocations."""
+    from glue_jobs_for_data_pipeline_spark.operators.scd2 import (
+        scd1_overwrite,
+        scd3_update,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, 10, "alice")], "CustomerKey long, CustomerID long, Name string"
+    )
+    batch = spark.createDataFrame(
+        [(20, "bob")], "CustomerID long, Name string"
+    )
+    out1 = scd1_overwrite(
+        dim, batch, "CustomerID", ["CustomerID", "Name"], "CustomerKey",
+        key_mode="hash",
+    ).collect()
+    out2 = scd1_overwrite(
+        dim, batch, "CustomerID", ["CustomerID", "Name"], "CustomerKey",
+        key_mode="hash",
+    ).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    keys = {r["CustomerID"]: r["CustomerKey"] for r in out1}
+    assert keys[10] == 1          # existing surrogate kept
+    assert keys[20] not in (None, 1)
+    out3 = scd3_update(
+        dim, batch, "CustomerID", ["CustomerID", "Name"], ["Name"],
+        "CustomerKey", run_date="1995-06-01", key_mode="hash",
+    ).collect()
+    assert {r["CustomerID"] for r in out3} == {10, 20}
+
+
+def test_scd1_duplicate_key_batch_collapses_deterministically(spark):
+    """Two conflicting updates for one key in a single batch must
+    yield ONE output row (greatest attribute tuple wins), preserving
+    the one-row-per-key contract."""
+    from glue_jobs_for_data_pipeline_spark.operators.scd2 import (
+        scd1_overwrite,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, 10, "alice")], "CustomerKey long, CustomerID long, Name string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "zed"), (10, "alice2"), (30, "carol"), (30, "bo")],
+        "CustomerID long, Name string",
+    )
+    out = scd1_overwrite(
+        dim, batch, "CustomerID", ["CustomerID", "Name"], "CustomerKey"
+    )
+    rows = {r["CustomerID"]: (r["CustomerKey"], r["Name"])
+            for r in out.collect()}
+    assert out.count() == 2
+    assert rows[10] == (1, "zed")      # greatest tuple, surrogate kept
+    assert rows[30][1] == "carol"      # greatest tuple for the insert
+
+
+def test_infer_late_members_preserves_persisted_flag(spark):
+    """A dim that already persisted is_inferred keeps it: a
+    still-unrepaired placeholder from run 1 must stay flagged in
+    run 2, or the repair report silently loses it."""
+    from pyspark.sql import functions as F
+
+    from glue_jobs_for_data_pipeline_spark.operators.scd2 import (
+        infer_late_members,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "alice", "AUTO")], "k long, name string, seg string"
+    )
+    facts = spark.createDataFrame([(1,), (3,)], "k long")
+    run1 = infer_late_members(dim, facts, "k", {"name": "UNKNOWN"})
+    assert {r["k"] for r in run1.filter(F.col("is_inferred")).collect()} == {3}
+    # run 2 on the PERSISTED dim (flag kept), same still-missing feed
+    run2 = infer_late_members(run1, facts, "k", {"name": "UNKNOWN"})
+    flagged = {r["k"] for r in run2.filter(F.col("is_inferred")).collect()}
+    assert flagged == {3}  # placeholder stays flagged, no clobber to False

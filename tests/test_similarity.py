@@ -220,3 +220,45 @@ def test_pq_fit_dedupes_initial_centroids(spark):
     for book in books:
         distinct = {tuple(row) for row in book}
         assert len(distinct) >= 3, f"codebook collapsed to {len(distinct)} centroids"
+
+
+def test_pq_sql_lambdas_do_not_capture_vector_column(spark):
+    """SQL lambda variables shadow outer columns; the PQ expression
+    text must keep working when the vector column is named like a
+    natural lambda variable ('c'), and must refuse the reserved
+    internal names outright."""
+    import pytest
+
+    emb = (
+        spark.read.parquet(f"{spark.conf.get('spark.graft.sfdir')}/embeddings.parquet")
+        if spark.conf.get("spark.graft.sfdir", None)
+        else None
+    )
+    if emb is None:
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb_c = emb.withColumnRenamed("embedding", "c")
+    books = similarity.pq_fit(emb, m=8, n_codes=16, n_iters=2, sample_n=128)
+    enc_ref = {
+        r["vec_id"]: r["pq_code"]
+        for r in similarity.pq_encode(emb, books)
+        .select("vec_id", "pq_code").collect()
+    }
+    enc_c = {
+        r["vec_id"]: r["pq_code"]
+        for r in similarity.pq_encode(emb_c, books, vec_col="c")
+        .select("vec_id", "pq_code").collect()
+    }
+    assert enc_ref == enc_c  # renaming the column must not change codes
+    with pytest.raises(ValueError, match="collides with an internal"):
+        similarity.pq_encode(
+            emb.withColumnRenamed("embedding", "__pq_c"), books,
+            vec_col="__pq_c",
+        )
+
+
+def test_book_sql_rejects_non_finite_codebooks():
+    import pytest
+
+    bad = [[1.0, float("nan")], [0.0, 1.0]]
+    with pytest.raises(ValueError, match="non-finite"):
+        similarity._book_sql(bad)
