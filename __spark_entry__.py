@@ -29,95 +29,85 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate consumes exactly the FIRST 50 keys of
-# queries(), so registration order is the coverage knob. Round 10
-# priority order: (a) the queries that are NEW or GRADUATED from
-# rows-only to oracle-checked this round (coreness h-index CTE; phash
-# dedup + clusters via the BIGINT signature CTE; the snapshot-payloads
-# companion; the exact-rank kernel's raw ranking) — never
-# driver-hash-checked; (b) the 3 oracle-able keys
-# whose PLAN changed this round (gini + revenue_concentration moved to
-# the distributed exact-rank kernel; fk_cascade dropped the forced
-# broadcasts on SF-proportional parents); (c) the r04-evidence cohort
-# (21 keys incl. both bonus-source roundtrips) — the oldest driver
-# evidence in the catalog, scheduled for r10 since last round; (d) 21
-# of the 23 r05-evidence keys (x_text_vocab_topk and x_text_pii_redact
-# carry to r11) so
-# nothing oracle-able keeps pre-r05 driver evidence.
+# queries(), so registration order is the coverage knob. Round 11
+# priority order: (a) the 21 r10-created/graduated keys that have NEVER
+# been driver-hash-checked — the documented r10 carry list, led by
+# x_olap_global_rank (the r10 red row: the rank kernel's pids depended
+# on a cache surviving between jobs; rebuilt this round as literal
+# boundary searchsorted — operators/rank.py) and including its kernel
+# consumers x_olap_rfm_scores, x_corpus_epoch_shuffle,
+# x_pack_length_buckets; (b) the last two keys with pre-r05 driver
+# evidence (x_text_vocab_topk, x_text_pii_redact); (c) oracle-able keys
+# whose PLAN changed this round: the remaining kernel consumers
+# x_olap_gini + x_olap_revenue_concentration, and
+# m2_j2_fact_population (size-gated dim broadcasts); (d) the r06-
+# evidence cohort (19 keys) — the oldest driver evidence left in the
+# catalog; (e) x_pack_sequences — oracle-GRADUATED this round (md5
+# pack-group + recursive-CTE twin), never driver-hash-checked; (f)
+# flex slots from the r07 cohort.
 # x_olap_freq_items stays OUT permanently — rows-only by design
 # (sketch output; superset property tested in tests/test_plans.py).
 # Entries rotated OUT keep a regression check via
 # tools/oracle_check.py over ALL keys — run pre-commit, full sweep
 # committed per round as ORACLE_SWEEP_r{N}.json.
 _WINDOW_FIRST = [
-    # (a) new/graduated oracle-checked in r10, never driver-checked (5)
-    "x_graph_coreness",
-    "x_mm_phash_dedup",
-    "x_mm_phash_clusters",
-    "x_storage_snapshot_payloads",
+    # (a) never driver-hash-checked (21; r10 carry list)
     "x_olap_global_rank",
-    # (b) plan changed in r10 (3)
+    "x_olap_rfm_scores",
+    "x_corpus_epoch_shuffle",
+    "x_pack_length_buckets",
+    "x_scd1_overwrite",
+    "x_scd3_prev_value",
+    "x_scd2_late_arriving",
+    "x_fact_accumulating_snapshot",
+    "x_fact_periodic_snapshot",
+    "x_dedup_golden_record",
+    "x_dedup_embedding_cosine_lsh",
+    "x_dim_junk",
+    "x_fact_order_part_bridge",
+    "x_olap_role_playing_dates",
+    "x_olap_drill_across",
+    "x_ingest_conform_schema",
+    "x_sim_lsh_topk",
+    "x_sim_ivf_topk",
+    "x_storage_checksum_ranges",
+    "x_storage_zorder_layout",
+    "x_validate_quarantine",
+    # (b) last pre-r05 driver evidence (2)
+    "x_text_vocab_topk",
+    "x_text_pii_redact",
+    # (c) plan changed in r11 (3): gini + revenue_concentration ride the
+    # rebuilt rank kernel; m2's dim broadcasts are now size-gated
     "x_olap_gini",
     "x_olap_revenue_concentration",
-    "x_validate_fk_cascade",
-    # (c) r04-evidence cohort (21)
-    "s1b_json_roundtrip",
-    "s1c_orc_roundtrip",
-    "x_corpus_prep",
-    "x_decontam_filter",
-    "x_decontam_report",
-    "x_ingest_incremental_agg",
-    "x_olap_cube",
-    "x_olap_moving_agg",
-    "x_olap_q18_style",
-    "x_olap_q3_style",
-    "x_olap_q5_style",
-    "x_sample_domain_mix",
-    "x_sample_shard_positions",
-    "x_sim_bruteforce_topk",
-    "x_stream_stream_join",
-    "x_text_fingerprint",
-    "x_text_lang_id",
-    "x_text_quality",
-    "x_text_quality_ntile",
-    "x_text_repetition",
-    "x_text_stats",
-    # (d) r05-evidence cohort, 21 of 23. Carrying to the r11 window
-    # (all both-SF sweep-green this round, never driver-hash-checked):
-    # x_text_vocab_topk, x_text_pii_redact (rotated r05 keys), the
-    # late-r10 additions x_corpus_epoch_shuffle, x_pack_length_buckets,
-    # x_storage_checksum_ranges, x_validate_quarantine,
-    # x_scd2_late_arriving, the Kimball snapshot-fact pair
-    # x_fact_accumulating_snapshot + x_fact_periodic_snapshot, the SCD
-    # taxonomy completions x_scd1_overwrite + x_scd3_prev_value, the
-    # survivorship merge x_dedup_golden_record, the Z-order layout
-    # x_storage_zorder_layout, the drift-repair + CRM pair
-    # x_ingest_conform_schema + x_olap_rfm_scores, the dimensional-
-    # pattern trio x_dim_junk + x_fact_order_part_bridge +
-    # x_olap_role_playing_dates, the drill-across report
-    # x_olap_drill_across, and the
-    # three late-r10 ANN oracle graduations x_sim_lsh_topk,
-    # x_sim_ivf_topk, x_dedup_embedding_cosine_lsh.
-    "x_corpus_stats",
-    "x_dedup_embedding_cosine",
-    "x_dedup_substring_spans",
-    "x_emb_centroid_elements",
-    "x_mm_decode_metadata",
-    "x_mm_frame_sample",
-    "x_olap_analytic_window",
-    "x_olap_anti_join",
-    "x_olap_count_distinct",
-    "x_olap_grouping_sets",
-    "x_olap_left_outer_join",
-    "x_olap_pivot",
-    "x_olap_rollup",
-    "x_olap_set_ops",
-    "x_olap_topk_per_group",
-    "x_olap_window_nav",
-    "x_sample_hash",
-    "x_sample_stratified",
-    "x_storage_time_travel",
-    "x_stream_scd2_apply",
-    "x_text_chunking",
+    "m2_j2_fact_population",
+    # (d) r06-evidence cohort (19)
+    "x_corpus_build_full",
+    "x_corpus_dedup_cc",
+    "x_dedup_cc_clusters",
+    "x_emb_quantize_int8",
+    "x_ingest_cdc_apply",
+    "x_ingest_incremental_dedup",
+    "x_ingest_latest_by_key",
+    "x_ingest_schema_evolution",
+    "x_json_extract",
+    "x_olap_correlated_scalar",
+    "x_olap_percentiles",
+    "x_olap_range_frame",
+    "x_olap_unpivot",
+    "x_sample_token_budget",
+    "x_split_neardup_leakage",
+    "x_stream_window_agg",
+    "x_ts_asof_join",
+    "x_ts_range_join",
+    "x_ts_sessionize_batch",
+    # (e) oracle-graduated in r11, never driver-hash-checked (1)
+    "x_pack_sequences",
+    # (f) flex slots from the r07 cohort (4)
+    "x_dedup_exact",
+    "x_dedup_minhash_md5",
+    "x_dedup_ngram_jaccard",
+    "x_dedup_simhash_md5",
 ]
 
 

@@ -21,6 +21,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from glue_jobs_for_data_pipeline_spark.session import get_spark  # noqa: E402
 
+# The exact r01 headline set (git 28a9e27): cross-round comparisons use
+# this subtotal — the full-suite total is incomparable round-over-round
+# because the cohort grows (37 -> 46 -> ...); the driver's 2x perf gate
+# is judged on this like-for-like number.
+R01_BASELINE_QUERIES = [
+    "m2_j2_fact_population",
+    "m1_scd2_upsert",
+    "v1_null_counts",
+    "v2_pk_duplicates",
+    "a2_groupby_count",
+    "j1_inner_equijoin",
+    "m3_dim_dates",
+    "x_dedup_exact",
+    "x_dedup_minhash_lsh",
+    "x_sim_bruteforce_topk",
+    "x_text_fingerprint",
+    "x_stream_window_agg",
+]
+
 BENCH_QUERIES = [
     "m2_j2_fact_population",
     "m1_scd2_upsert",
@@ -159,6 +178,10 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        # like-for-like cross-round number (see R01_BASELINE_QUERIES)
+        "r01_baseline_total": round(
+            sum(timings[q] for q in R01_BASELINE_QUERIES if q in timings), 3
+        ),
         "calib": {
             "query": "m3_dim_dates",
             "min": timings["m3_dim_dates"],

@@ -147,48 +147,61 @@ def pack_chunks(
     share a context window instead of wasting it on padding).
 
     Packing is inherently sequential, so it runs greedy-first-fit PER
-    PARTITION inside one Arrow mapInPandas pass: bin state carries
-    across the partition's batches, bin ids are globally unique via a
-    partition-id prefix, and the input is hash-partitioned + sorted on
-    (doc, chunk) first so the assignment is a pure function of the
-    data. The cost of partition-local (vs global) packing is at most
-    one partially-filled trailing bin per partition — negligible
-    against any real partition's row count, and the price that makes
-    packing embarrassingly parallel. Chunks longer than the context
-    get a bin of their own (never split here; chunking upstream owns
+    PACK-GROUP inside one Arrow mapInPandas pass. The pack-group id is
+    an md5-derived bucket of the document key (r11) — a PURE FUNCTION
+    of the data, so the assignment is engine- and execution-independent
+    (the previous spark_partition_id tagging was deterministic only for
+    a fixed hash-partitioner; the md5 bucket makes the whole operator
+    SQL-statable and lets the catalog query graduate from rows-only to
+    an oracle hash check). Rows are hash-partitioned on the group id
+    and sorted (group, doc, chunk); the packer resets its running bin
+    whenever the group changes, and bin ids are globally unique via a
+    group-id prefix. The cost of group-local (vs global) packing is at
+    most one partially-filled trailing bin per group — negligible
+    against any real group's row count, and the price that makes
+    packing embarrassingly parallel. Chunks longer than the context get
+    a bin of their own (never split here; chunking upstream owns
     lengths).
     """
     import pandas as pd
 
-    # NOTE: n_partitions is part of the RESULT's identity (each
-    # partition packs independently and prefixes its bin ids), so
-    # pipelines that need machine-independent bins must pin it — the
-    # registered catalog query does. The defaultParallelism fallback is
-    # for ad-hoc use only.
+    # NOTE: n_partitions is part of the RESULT's identity (each group
+    # packs independently and prefixes its bin ids), so pipelines that
+    # need machine-independent bins must pin it — the registered
+    # catalog query does. The defaultParallelism fallback is for ad-hoc
+    # use only.
     n = n_partitions or chunks.sparkSession.sparkContext.defaultParallelism
+    # 15 hex digits of md5 parse into a positive BIGINT on both engines
+    # (conv() here, '0x' cast in DuckDB — the table-checksum pattern)
+    pid = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % F.lit(n)
+    )
     prepared = (
         chunks.select(id_col, idx_col, n_tokens_col)
-        .repartition(n, id_col)
-        .sortWithinPartitions(id_col, idx_col)
-        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_pid", pid)
+        .repartition(n, "_pid")
+        .sortWithinPartitions("_pid", id_col, idx_col)
     )
 
     def pack(batches):
         state = {"pid": None, "bin": 0, "used": 0}
         for pdf in batches:
             out = {"bin_id": [], "doc_id": [], "chunk_idx": [], "n_tokens": []}
-            for doc, idx, nt, pid in zip(
+            for doc, idx, nt, g in zip(
                 pdf[id_col], pdf[idx_col], pdf[n_tokens_col], pdf["_pid"]
             ):
-                if state["pid"] is None:
-                    state["pid"] = int(pid)
+                g = int(g)
+                if state["pid"] != g:  # group boundary: fresh bin state
+                    state["pid"], state["bin"], state["used"] = g, 0, 0
                 if state["used"] + int(nt) > context_tokens and state["used"] > 0:
                     state["bin"] += 1
                     state["used"] = 0
                 state["used"] += int(nt)
-                # 2^40 bins per partition before collision (bin_id is a
-                # long; a 1e6 prefix would alias adjacent partitions
-                # once a partition packs >1M bins)
+                # 2^40 bins per group before collision (bin_id is a
+                # long; a 1e6 prefix would alias adjacent groups once a
+                # group packs >1M bins)
                 out["bin_id"].append((state["pid"] << 40) + state["bin"])
                 out["doc_id"].append(int(doc))
                 out["chunk_idx"].append(int(idx))

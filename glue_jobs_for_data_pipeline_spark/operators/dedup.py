@@ -45,9 +45,14 @@ def _cached(df: DataFrame) -> DataFrame:
 
 
 def release_caches() -> None:
-    """Unpersist every DataFrame cached by this module's operators."""
+    """Unpersist every DataFrame cached by this module's operators,
+    plus every registered localCheckpoint (operators/ckpt.py) — one
+    call site cleans both pools."""
     while _CACHED:
         _CACHED.pop().unpersist()
+    from .ckpt import release_checkpoints
+
+    release_checkpoints()
 
 # --------------------------------------------------------------------------
 # Exact dedup

@@ -11,13 +11,15 @@ staging table, S4/S7 removed):
      (EndDate = '9999-12-31') and OrderDate -> DateKey
      (populate_fact.py:117-124, J2+P4+P5)
 
-Scale posture: the fact side is the 100TB table; every dimension is
-broadcast (dims are orders of magnitude smaller), so the star join is a
-map-side-only pipeline with NO shuffle of the fact — one
-WholeStageCodegen span over the fact scan with four broadcast-hash
-joins. The current-row filter is applied to each dim BEFORE the
-broadcast so only current rows ship. Output is partitionable by
-OrderDateKey for downstream partition pruning.
+Scale posture: the fact side is the 100TB table; the catalog-bounded
+dims (stores, products, the 731-row date calendar) are broadcast-
+hinted, so those star legs are map-side-only with NO shuffle of the
+fact. The SF-proportional customer dim is left to AQE (see
+populate_fact) — at fixture scale it still broadcasts, at 100 TB it
+degrades to a key-only shuffled join instead of a forced driver-side
+hash-relation build. The current-row filter is applied to each dim
+BEFORE the broadcast so only current rows ship. Output is
+partitionable by OrderDateKey for downstream partition pruning.
 """
 
 from __future__ import annotations
@@ -75,8 +77,21 @@ def populate_fact(
     s.OrderDate = dd.Date WHERE <current-row filters>``
     (populate_fact.py:117-124). Current-row filters are pushed below the
     broadcast, not left as residual WHERE predicates.
+
+    Broadcast policy (size-gated, r11): only the CATALOG-BOUNDED dims
+    carry an explicit broadcast hint — stores and products are catalog
+    tables, dim_dates is the generated 731-row calendar (S8). The
+    customer dim is SF-PROPORTIONAL (it grows with the business, like
+    TPC-H customer: ~SF x 150k current rows), and F.broadcast bypasses
+    autoBroadcastJoinThreshold, so forcing it would mandate a
+    driver-side build of a multi-GB hash relation at 100 TB — the same
+    hazard removed from x_validate_fk_cascade in r10
+    (plans/metrics_pack.py: only region/nation hinted). AQE decides for
+    customers instead: below the threshold it still broadcasts (the
+    plan test pins BHJ at fixture scale), past it it degrades to a
+    shuffled hash join of two key columns, never a driver collapse.
     """
-    dc = F.broadcast(current_rows(dim_customers).select("CustomerID", "CustomerKey"))
+    dc = current_rows(dim_customers).select("CustomerID", "CustomerKey")
     ds = F.broadcast(current_rows(dim_stores).select("StoreID", "StoreKey"))
     dp = F.broadcast(current_rows(dim_products).select("ProductID", "ProductKey"))
     dd = F.broadcast(dim_dates.select(F.col("Date").alias("OrderDate"), "DateKey"))

@@ -76,6 +76,8 @@ def connected_components(
     # (measured 13.7s -> 2.5s on the sf0.01 cluster query from this one
     # line). localCheckpoint also cuts the upstream lineage out of every
     # subsequent plan.
+    from . import ckpt
+
     sym = sym.localCheckpoint(eager=True)
     lab = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -112,8 +114,17 @@ def connected_components(
         ).select("node", F.col("_ll").alias("label"))
         halved = halved.localCheckpoint(eager=True)
         cur_sum = _sum(halved)
+        # round N's labels are superseded the moment round N+1 is
+        # materialized (eager checkpoint above) — free the blocks NOW
+        # instead of letting dead copies pile up across iterations and
+        # queries (operators/ckpt.py module doc: the r10 bench
+        # regression). The FINAL table is registered for release at
+        # release_caches() time, after the caller materializes.
+        ckpt.free(lab)
         lab = halved
         if cur_sum == prev_sum:
+            ckpt.free(sym)
+            ckpt.register(lab)
             return lab.select("node", F.col("label").alias("component"))
         prev_sum = cur_sum
     raise RuntimeError(
@@ -240,17 +251,21 @@ def pagerank(
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    from . import ckpt
+
     nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         # empty edge list -> empty ranking (not a ZeroDivisionError at
         # plan-build time)
+        ckpt.register(nodes)
         return nodes.select("node", F.lit(0.0).alias("rank"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # edges annotated with out-degree once, cached partitioned on src —
     # every iteration's join reuses this layout instead of recomputing
     ed = e.join(deg, "src").localCheckpoint(eager=True)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    prev_ranks = None
     for _ in range(iterations):
         out = ranks.withColumnRenamed("node", "src")
         contribs = (
@@ -286,6 +301,17 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        # the new eager checkpoint no longer reads last round's blocks
+        if prev_ranks is not None:
+            ckpt.free(prev_ranks)
+        prev_ranks = ranks
+    if prev_ranks is not None:  # iterations >= 1: ranks is a checkpoint
+        ckpt.free(nodes)
+        ckpt.free(ed)
+        ckpt.register(ranks)
+    else:  # iterations == 0: ranks still reads nodes' blocks
+        ckpt.register(nodes)
+        ckpt.free(ed)
     return ranks
 
 
@@ -337,10 +363,17 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     lo_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
-    oriented = ranked.select(
-        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).localCheckpoint(eager=True)
+    from . import ckpt
+
+    # checkpoint() (not bare localCheckpoint): the returned lazy plan
+    # reads `oriented` three ways, so the blocks must live until the
+    # caller materializes — registered for release_caches().
+    oriented = ckpt.checkpoint(
+        ranked.select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
     # out-adjacency, sorted so array_intersect merges linearly
     adj = oriented.groupBy("u").agg(
         F.array_sort(F.collect_list("v")).alias("nbrs")
@@ -418,6 +451,8 @@ def kcore(
     No counterpart in the reference (no graph queries in the 4 Redshift
     scripts); LLM-pipeline scope.
     """
+    from . import ckpt
+
     sym = _symmetrize(edges, canonical).localCheckpoint(eager=False)
     prev_edges = sym.count()  # materializes the lazy checkpoint
     for _ in range(max_iterations):
@@ -430,6 +465,7 @@ def kcore(
         # materializes it — one job per round, not checkpoint + count
         pruned = pruned.localCheckpoint(eager=False)
         cur_edges = pruned.count()
+        ckpt.free(sym)  # superseded: pruned is materialized by the count
         sym = pruned
         if cur_edges == prev_edges:
             break
@@ -438,6 +474,7 @@ def kcore(
         raise RuntimeError(
             f"kcore did not converge in {max_iterations} iterations"
         )
+    ckpt.register(sym)  # the returned roll-up reads the final edge set
     return (
         sym.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("core_degree"))
@@ -478,6 +515,8 @@ def coreness(
     Input contract as ``kcore``: undirected pair list (src, dst),
     self-loops ignored, duplicates collapsed here.
     """
+    from . import ckpt
+
     sym = _symmetrize(edges, canonical).localCheckpoint(eager=True)
     c = (
         sym.groupBy("src")
@@ -516,6 +555,7 @@ def coreness(
         # checkpoint job followed by a sum job.
         c_new = _h_step(_h_step(_h_step(c))).localCheckpoint(eager=False)
         cur_sum = c_new.agg(F.sum("est")).first()[0]
+        ckpt.free(c)  # superseded: c_new materialized by the sum action
         c = c_new
         if cur_sum == prev_sum:
             break
@@ -524,6 +564,8 @@ def coreness(
         raise RuntimeError(
             f"coreness did not converge in {max_iterations} iterations"
         )
+    ckpt.free(sym)
+    ckpt.register(c)
     return c.select(
         F.col("src").alias("node"), F.col("est").cast("long").alias("coreness")
     )

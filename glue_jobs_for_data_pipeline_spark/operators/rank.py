@@ -1,132 +1,212 @@
 """Distributed exact-rank kernel: global ROW_NUMBER / NTILE without a
-single-partition sort.
+single-partition sort — and with partition ids that are a PURE FUNCTION
+of the row values, so the result is deterministic across re-executions.
 
 `Window.orderBy(...)` with no partition spec funnels every row through
 ONE task — fine on a 150k-customer aggregate at sf0.1, a genuine
 scale-killer when the ranked grain grows with the data (customers are
 billions of rows at 100 TB TPC-H shape). Exact global rank does not
-need that funnel: it is computable fully in parallel as
+need that funnel:
 
-    repartitionByRange(order)            # globally ordered partitions
-      -> sortWithinPartitions(order)     # each partition sorted locally
-      -> monotonically_increasing_id()   # pid (high 31 bits) +
-                                         # local offset (low 33 bits),
-                                         # assigned in sorted order
-      -> per-partition counts            # map-side-combined agg over
-                                         # ~num_partitions rows; ONE
-                                         # scalar-per-partition collect
-      -> broadcast offset join           # rank = offset[pid] + local + 1
+    boundary sample (ONE collect)     # p-1 key tuples, picked from a
+                                      # deterministic hash sample and
+                                      # folded into the plan as LITERALS
+      -> pid = searchsorted(key)      # count of literal boundaries the
+                                      # row's key exceeds — a pure
+                                      # column expression, no execution
+                                      # state involved
+      -> per-pid counts               # map-side-combined agg; ONE
+                                      # scalar-per-partition collect
+      -> local row_number             # Window.partitionBy(pid) — a
+                                      # HASH exchange over ~p balanced
+                                      # groups, never a global sort
+      -> rank = offset[pid] + local   # offsets as a literal map
 
-which is exactly the RDD `zipWithIndex` pattern lifted to DataFrames:
-the big side crosses the wire once (the range exchange), the driver
-sees `num_partitions` longs, and the physical plan contains NO Window
-node at all. NTILE(B) then derives from (rank, N) with pure integer
-arithmetic — N is already known from the collected counts, so the
-bucket expression is a literal-folded column, no second pass.
+Determinism argument (this is the point of the design): every later
+stage consumes only literal boundaries + literal offsets + row values.
+If any upstream stage is recomputed (cache eviction, executor churn,
+shuffle-fetch order drift), the pid of every row is unchanged because
+it depends on nothing but the row itself and constants already burned
+into the plan. The previous design derived pids from
+`monotonically_increasing_id()` on a range exchange and pinned them
+with a cache; a recomputed block re-sampled the range boundaries and
+every rank past the first boundary shifted (observed as the r10 driver
+hash mismatch on x_olap_global_rank). No cache is needed now — which
+also removes the MEMORY_AND_DISK copy of the ranked grain that chained
+callers (x_olap_rfm_scores: three NTILEs) used to compound.
 
-Correctness preconditions (both asserted/documented, not silent):
-- `order_cols` must be a TOTAL order (append a unique tiebreaker such
-  as the business key). Range partitioning sends equal keys to one
-  partition, so a total order also guarantees no tie straddles a
-  partition boundary.
-- The tagged frame is CACHED before the count job (registered with
-  dedup's release_caches pool, like the phash signature stage), so the
-  counts and the final result read the SAME materialization — pids
-  cannot drift between the two jobs even when the upstream is a
-  shuffle whose reduce-side fetch order is nondeterministic (every
-  production caller here feeds the kernel from a groupBy, not a
-  parquet scan, so the bare zipWithIndex determinism argument would
-  not cover them). The cache also means the upstream
-  scan+aggregate+exchange runs once, not twice. Cost: the ranked
-  grain is held at MEMORY_AND_DISK for the query's lifetime —
-  data-volume-equal to the sort itself. Pass an explicit
-  `num_partitions` (we always do) so AQE never re-coalesces the
-  user-specified exchange.
+Cost model: 3 driver jobs before the caller's action — a count
+(map-side partial agg), the boundary-sample collect
+(~p*samples_per_partition key tuples), and the per-pid count collect
+(~p longs). All three re-read the upstream lineage, but Spark reuses
+shuffle map outputs across jobs in one plan, so a groupBy upstream
+shuffles once and the extra jobs are skipped-stage reads.
+
+Correctness preconditions (documented, not silent):
+- `order_by` must be a TOTAL order (append a unique tiebreaker such as
+  the business key). Equal keys compare equal to at most one boundary
+  and land in one pid, so no tie straddles a partition boundary.
+- Order columns must be NON-NULL: the boundary comparator uses plain
+  `>`/`<`/`==`, and a null key would collapse to pid 0 regardless of
+  sort direction. Every production caller ranks aggregate outputs of
+  non-null keys.
+
+Skew note: like Spark's own RangePartitioner, an equal-key mass all
+lands in one pid; the tiebreaker column (always unique here) restores
+balance because boundaries are sampled from the full tuple.
 
 Reference scope: the reference's 4 Redshift scripts have no ranked
 statistic at all; this kernel backs the extension queries
-`x_olap_gini` (plans/metrics_pack.py) and
-`x_olap_revenue_concentration` (plans/mining_pack.py).
+`x_olap_gini`, `x_olap_global_rank`, `x_olap_rfm_scores`
+(plans/metrics_pack.py), `x_olap_revenue_concentration`
+(plans/mining_pack.py), `x_corpus_epoch_shuffle`, and
+`x_pack_length_buckets`.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_PID_BITS = 33  # monotonically_increasing_id: low 33 bits = local offset
-_LOCAL_MASK = (1 << _PID_BITS) - 1
+# Denominator for the deterministic hash sample: pid boundaries come
+# from rows where xxhash64(key) mod _SAMPLE_DENOM < rate*_SAMPLE_DENOM.
+_SAMPLE_DENOM = 1 << 20
+
+OrderSpec = tuple[str, bool]  # (column name, ascending)
 
 
-def _counts_by_partition(tagged: DataFrame, pid_col: str) -> list[tuple[int, int]]:
-    """Per-range-partition row counts, sorted by pid.
+def _sort_cols(order_by: list[OrderSpec]) -> list[Column]:
+    return [
+        F.col(name).asc() if asc else F.col(name).desc()
+        for name, asc in order_by
+    ]
 
-    A map-side-combined COUNT over the pid column: the shuffle carries
-    ~num_partitions rows, the collect returns one (pid, count) pair per
-    partition — scalars, never data."""
-    rows = (
-        tagged.groupBy(pid_col)
-        .agg(F.count(F.lit(1)).alias("__rk_cnt"))
-        .collect()
-    )
-    return sorted((r[pid_col], r["__rk_cnt"]) for r in rows)
+
+def _py_sort(rows: list[tuple], order_by: list[OrderSpec]) -> list[tuple]:
+    """Sort collected key tuples driver-side under the same total order
+    the kernel ranks by: repeated stable sorts, last key first."""
+    out = list(rows)
+    for i in range(len(order_by) - 1, -1, -1):
+        _, asc = order_by[i]
+        out.sort(key=lambda t, i=i: t[i], reverse=not asc)
+    return out
+
+
+def _pick_boundaries(
+    sample: list[tuple], num_partitions: int
+) -> list[tuple]:
+    """Evenly spaced, strictly increasing boundary tuples (≤ p-1)."""
+    if not sample or num_partitions <= 1:
+        return []
+    n = len(sample)
+    bounds: list[tuple] = []
+    for i in range(1, num_partitions):
+        cand = sample[min(n - 1, (i * n) // num_partitions)]
+        if not bounds or cand != bounds[-1]:
+            bounds.append(cand)
+    return bounds
+
+
+def _gt_boundary(order_by: list[OrderSpec], bvals: tuple) -> Column:
+    """key > boundary, lexicographic under the per-column directions.
+
+    Built innermost-last-column-first:
+        gt_i OR (eq_i AND <comparison of the remaining suffix>)
+    `desc` flips the strict comparison; equality is direction-free."""
+    cond: Column = F.lit(False)
+    for (name, asc), bv in zip(reversed(order_by), reversed(bvals)):
+        c = F.col(name)
+        lit = F.lit(bv)
+        strict = (c > lit) if asc else (c < lit)
+        cond = strict | ((c == lit) & cond)
+    return cond
+
+
+def _pid_expr(order_by: list[OrderSpec], bounds: list[tuple]) -> Column:
+    """searchsorted: pid = number of literal boundaries the key exceeds.
+    A sum of O(p) boolean terms, each O(n_keys) comparisons — all
+    literal-folded, whole-stage-codegen friendly."""
+    pid: Column = F.lit(0)
+    for bvals in bounds:
+        pid = pid + _gt_boundary(order_by, bvals).cast("int")
+    return pid.cast("int")
 
 
 def distributed_row_number(
     df: DataFrame,
-    order_cols: list[Column],
+    order_by: list[OrderSpec],
     out_col: str = "i",
     num_partitions: int | None = None,
+    samples_per_partition: int = 32,
 ) -> tuple[DataFrame, int]:
-    """Exact global ROW_NUMBER over `order_cols`, fully parallel.
+    """Exact global ROW_NUMBER over `order_by`, fully parallel and
+    deterministic across re-executions.
 
-    `order_cols` are Column objects and may carry sort direction
-    (`F.col("rev").desc()`); they MUST form a total order — append a
-    unique tiebreaker. Returns `(df_with_rank, total_rows)`; the rank
-    column `out_col` is LongType, 1-based, identical to
+    `order_by` is a list of `(column_name, ascending)` pairs that MUST
+    form a total order over non-null columns — append a unique
+    tiebreaker. Returns `(df_with_rank, total_rows)`; the rank column
+    `out_col` is LongType, 1-based, identical to
     `ROW_NUMBER() OVER (ORDER BY ...)`.
 
-    The total row count comes free from the offset computation and is
+    The total row count comes free from the boundary computation and is
     returned so callers (NTILE, percentile cutoffs) never run a second
     count job.
     """
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    key_names = [name for name, _ in order_by]
 
-    from .dedup import _cached
+    total = df.count()
+    if total == 0:
+        return df.withColumn(out_col, F.lit(None).cast("long")), 0
 
-    ranged = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
-        *order_cols
-    )
-    tagged = _cached(
-        ranged.withColumn(
-            "__rk_mid", F.monotonically_increasing_id()
-        ).withColumn(
-            "__rk_pid", F.shiftright(F.col("__rk_mid"), _PID_BITS).cast("long")
+    bounds: list[tuple] = []
+    if num_partitions > 1:
+        # Deterministic hash sample: membership depends only on the key
+        # values, never on execution order. Collected ONCE; after this
+        # point the boundaries are plan literals.
+        rate = min(1.0, (num_partitions * samples_per_partition) / total)
+        thresh = max(1, int(rate * _SAMPLE_DENOM))
+        sample_rows = (
+            df.select(*key_names)
+            .filter(
+                F.pmod(F.xxhash64(*[F.col(k) for k in key_names]), F.lit(_SAMPLE_DENOM))
+                < F.lit(thresh)
+            )
+            .collect()
         )
-    )
+        sample = _py_sort([tuple(r) for r in sample_rows], order_by)
+        bounds = _pick_boundaries(sample, num_partitions)
 
-    counts = _counts_by_partition(tagged, "__rk_pid")
+    tagged = df.withColumn("__rk_pid", _pid_expr(order_by, bounds))
+
+    # Per-pid counts: map-side-combined agg, ~p scalar rows collected.
+    counts = sorted(
+        (r["__rk_pid"], r["__rk_cnt"])
+        for r in tagged.groupBy("__rk_pid")
+        .agg(F.count(F.lit(1)).alias("__rk_cnt"))
+        .collect()
+    )
     offsets: list[tuple[int, int]] = []
     acc = 0
     for pid, cnt in counts:
         offsets.append((pid, acc))
         acc += cnt
-    total = acc
+    assert acc == total, f"rank kernel count drift: {acc} != {total}"
 
-    if not offsets:  # empty input: rank column exists, zero rows
-        return tagged.withColumn(out_col, F.lit(None).cast("long")).drop(
-            "__rk_mid", "__rk_pid"
-        ), 0
+    # Offsets as a literal map — no join, no shuffle, plan-constant.
+    pairs: list[Column] = []
+    for pid, off in offsets:
+        pairs.extend((F.lit(pid), F.lit(off)))
+    off_expr = F.element_at(F.create_map(*pairs), F.col("__rk_pid"))
 
-    offs_df = spark.createDataFrame(offsets, "__rk_pid long, __rk_off long")
-    local = F.col("__rk_mid").bitwiseAND(F.lit(_LOCAL_MASK)).cast("long")
-    out = (
-        tagged.join(F.broadcast(offs_df), "__rk_pid")
-        .withColumn(out_col, (F.col("__rk_off") + local + F.lit(1)).cast("long"))
-        .drop("__rk_mid", "__rk_pid", "__rk_off")
+    local = F.row_number().over(
+        Window.partitionBy("__rk_pid").orderBy(*_sort_cols(order_by))
     )
+    out = tagged.withColumn(
+        out_col, (off_expr + local.cast("long")).cast("long")
+    ).drop("__rk_pid")
     return out, total
 
 
@@ -164,17 +244,17 @@ def ntile_from_rank(rank: Column, total_rows: int, buckets: int) -> Column:
 
 def distributed_ntile(
     df: DataFrame,
-    order_cols: list[Column],
+    order_by: list[OrderSpec],
     buckets: int,
     out_col: str = "bucket",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """NTILE(buckets) OVER (ORDER BY order_cols) without the
+    """NTILE(buckets) OVER (ORDER BY order_by) without the
     single-partition WindowExec: distributed_row_number supplies the
     exact global rank AND the total count (no extra job), then the
     bucket is a literal-folded integer expression."""
     ranked, total = distributed_row_number(
-        df, order_cols, out_col="__rk_i", num_partitions=num_partitions
+        df, order_by, out_col="__rk_i", num_partitions=num_partitions
     )
     if total == 0:
         return ranked.withColumn(out_col, F.lit(None).cast("long")).drop("__rk_i")

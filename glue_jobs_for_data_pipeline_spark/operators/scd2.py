@@ -287,7 +287,7 @@ def scd1_overwrite(
     columns: Sequence[str],
     surrogate_key: str,
     key_mode: str = "rownum",
-    broadcast_batch: bool = True,
+    broadcast_batch: bool = False,
 ) -> DataFrame:
     """SCD Type-1: overwrite in place, no history — the taxonomy slot
     BELOW the reference's type-2 pipeline (dynamic_upsert.py versions
@@ -299,10 +299,13 @@ def scd1_overwrite(
     one row per business key.
 
     Scale shape: one left join of the dim against the staged batch on
-    the business key (batch broadcast by default — incremental batches
-    are small next to the dim; pass broadcast_batch=False to let AQE
-    decide for dim-sized batches), one anti-join for inserts, one
-    union. No window over data-proportional grain in hash key_mode.
+    the business key, one anti-join for inserts, one union. AQE decides
+    the join strategy by default (r11: the default flipped from forced
+    broadcast — F.broadcast bypasses autoBroadcastJoinThreshold, and an
+    SF-proportional batch would mandate a driver-side hash-relation
+    build at large SF, the x_validate_fk_cascade hazard). Pass
+    broadcast_batch=True only for KNOWN-SMALL incremental batches. No
+    window over data-proportional grain in hash key_mode.
     """
     attrs = [c for c in columns if c != business_key]
     staged = _stage_key_grain(source, business_key, columns)
@@ -341,7 +344,7 @@ def scd3_update(
     surrogate_key: str,
     run_date: dt.date | str | None = None,
     key_mode: str = "rownum",
-    broadcast_batch: bool = True,
+    broadcast_batch: bool = False,
 ) -> DataFrame:
     """SCD Type-3: previous-value columns — the taxonomy slot between
     type-1 (no history) and type-2 (full history): each ``tracked``
@@ -358,8 +361,9 @@ def scd3_update(
     forward. Inserts get NULL Prev/ChangeDate. Output grain: one row
     per business key (like type-1 — no row versioning).
 
-    Scale shape identical to scd1_overwrite: one broadcast-able left
-    join + one anti-join + union; change detection is a null-safe
+    Scale shape identical to scd1_overwrite: one left join (strategy
+    AQE-decided by default; broadcast_batch=True only for known-small
+    batches) + one anti-join + union; change detection is a null-safe
     column comparison inside the join projection, never a shuffle of
     its own.
     """

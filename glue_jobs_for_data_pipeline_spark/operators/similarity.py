@@ -232,7 +232,21 @@ def assign_ivf_cells(
     (_ivf_probe_topk, ivf_pq_topk) collect once and reuse, so the
     centroid-building job runs once per query, not per assignment.
     """
+    import math
+
     cents = _collect_centroids(centroids, vec_col)
+    if any(
+        not math.isfinite(float(x)) for _, vec in cents for x in vec
+    ):
+        # repr(nan/inf) + 'D' is unparseable SQL; fail with the cause
+        # (a degenerate centroid, e.g. NaN from a zero-norm embedding
+        # propagating through k-means means) instead of a
+        # ParseException far from it — same guard as _book_sql.
+        raise ValueError(
+            "centroid set contains non-finite values (NaN/inf) — "
+            "normalize or drop zero-norm embeddings before IVF "
+            "training"
+        )
     items = ",".join(
         "named_struct('cell',{},'v',array({}))".format(
             cell, ",".join(repr(x) + "D" for x in vec)

@@ -837,11 +837,74 @@ def x_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("x_pack_sequences")  # per-partition sequential greedy -> rows-only
+# Greedy sequence packing stated in SQL (r11 oracle graduation): the
+# pack-group id is the md5 bucket pack_chunks derives (pure function of
+# doc_id), the greedy "maximal prefix with running sum <= 512" bin
+# boundaries come from a recursive CTE that closes one bin per group
+# per step (each chunk is <= 128 tokens, so a bin always takes at least
+# one chunk and the COALESCE fallback is safety only), and each chunk's
+# bin is the smallest boundary at-or-after its row number. bin_id
+# arithmetic (group << 40 | bin) matches operators/corpus.py.
+_X_PACK_SQL = r"""
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents),
+chunks AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(w) - 16 - 1, 0) + 2, 112)) AS s,
+         w
+  FROM w),
+c AS (
+  SELECT doc_id,
+         CAST((s - 1) / 112 AS INTEGER) AS chunk_idx,
+         CAST(len(list_slice(w, s, s + 127)) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 16 AS pid
+  FROM chunks),
+t AS (
+  SELECT pid, doc_id, chunk_idx, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY pid
+                            ORDER BY doc_id, chunk_idx) AS rn,
+         SUM(n_tokens) OVER (PARTITION BY pid
+                             ORDER BY doc_id, chunk_idx) AS s
+  FROM c),
+bins AS (
+  SELECT pid, CAST(-1 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS end_rn,
+         CAST(0 AS BIGINT) AS s_end
+  FROM (SELECT DISTINCT pid FROM t)
+  UNION ALL
+  SELECT b.pid, b.bin + 1,
+         (SELECT COALESCE(MAX(t.rn), b.end_rn + 1) FROM t
+           WHERE t.pid = b.pid AND t.rn > b.end_rn
+             AND t.s - b.s_end <= 512) AS end_rn,
+         (SELECT t.s FROM t
+           WHERE t.pid = b.pid
+             AND t.rn = (SELECT COALESCE(MAX(t2.rn), b.end_rn + 1) FROM t t2
+                          WHERE t2.pid = b.pid AND t2.rn > b.end_rn
+                            AND t2.s - b.s_end <= 512)) AS s_end
+  FROM bins b
+  WHERE EXISTS (SELECT 1 FROM t WHERE t.pid = b.pid AND t.rn > b.end_rn)),
+assigned AS (
+  SELECT t.pid, t.n_tokens,
+         (SELECT MIN(b.bin) FROM bins b
+           WHERE b.pid = t.pid AND b.bin >= 0 AND b.end_rn >= t.rn) AS bin
+  FROM t)
+SELECT CAST(pid * 1099511627776 + bin AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+FROM assigned
+GROUP BY 1
+"""
+
+
+@_q("x_pack_sequences", _X_PACK_SQL)
 def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk (128/16) then greedily pack into 512-token context bins —
-    the chunk->pack training-batch prep chain. Per-bin summary output;
-    bin-capacity and determinism invariants tested in
+    the chunk->pack training-batch prep chain. Per-bin summary output.
+    Oracle-checked since r11: pack_chunks' group id is an md5 bucket
+    (pure function of doc_id), so the greedy assignment is statable as
+    a recursive CTE (one closed bin per group per step). Bin-capacity
+    and determinism invariants additionally tested in
     tests/test_text.py."""
     from ..operators.corpus import chunk_documents, pack_chunks
 
@@ -849,9 +912,9 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(load_table(spark, sf_dir, "documents")),
         "doc_id", "text", chunk_tokens=128, overlap=16,
     )
-    # n_partitions pinned: the per-partition greedy makes the partition
-    # count part of the result's identity, and the gate must see the
-    # same bins on any host
+    # n_partitions pinned: the per-group greedy makes the group count
+    # part of the result's identity, and the gate must see the same
+    # bins on any host
     packed = pack_chunks(chunks, context_tokens=512, n_partitions=16)
     return (
         packed.groupBy("bin_id")

@@ -576,7 +576,9 @@ def x_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four consumers (total, supports, both pair sides) — materialize
     # the distinct basket set once instead of re-running scan+distinct
     # per consumer
-    op = li.distinct().localCheckpoint(eager=True)
+    from ..operators.ckpt import checkpoint
+
+    op = checkpoint(li.distinct())  # released at release_caches()
     n_orders = op.agg(F.countDistinct("ok").alias("n_total"))
     item = op.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
     a = op.select(F.col("ok"), F.col("pk").alias("item_a"))
@@ -1008,7 +1010,7 @@ def x_olap_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = od.groupBy("o_custkey").agg(F.sum(cents).alias("rev"))
     r = distributed_ntile(
         c,
-        [F.col("rev").desc(), F.col("o_custkey").asc()],
+        [("rev", False), ("o_custkey", True)],
         buckets=10,
         out_col="decile",
     )
@@ -1652,6 +1654,8 @@ def x_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. Shuffles move distinct terms/pairs, never corpus rows; the
     c_ab >= 5 support floor is applied before the joins so rare-pair
     fan-out never reaches the dictionary join at scale."""
+    from ..operators.ckpt import checkpoint
+
     d = spread(load_table(spark, sf_dir, "documents"))
     t = d.select(tx.tokens(F.lower(F.col("text"))).alias("l"))
     # The two count tables are REDUCED (vocab- / distinct-bigram-sized)
@@ -1665,8 +1669,8 @@ def x_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.select(F.explode("l").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
     )
+    uni = checkpoint(uni)  # released at release_caches()
     bi = (
         t.select(
             F.explode(
@@ -1680,8 +1684,8 @@ def x_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .localCheckpoint(eager=True)
     )
+    bi = checkpoint(bi)  # released at release_caches()
     # totals are taken over the UNFILTERED count tables (p(ab) is
     # relative to all bigrams, not just frequent ones); the support
     # floor then prunes the pair table before the dictionary joins

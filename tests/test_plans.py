@@ -171,12 +171,19 @@ def test_exact_rank_queries_have_no_window_exec(spark, sf_dir):
 
     for fn in (mp.x_olap_gini, mk.x_olap_revenue_concentration):
         plan = _plan(fn(spark, sf_dir))
-        assert "Window" not in plan, fn.__name__
+        # the r11 kernel: pid = literal searchsorted expression, local
+        # rank via Window.partitionBy(pid) — a HASH exchange over ~p
+        # balanced groups. EVERY window spec in the plan must be
+        # pid-partitioned (an unpartitioned ORDER BY window would show
+        # a windowspecdefinition without the pid column and an Exchange
+        # SinglePartition funnel beneath it; the only SinglePartition
+        # allowed is the query's own 1-row scalar fold).
+        for ln in plan.splitlines():
+            if "windowspecdefinition(" in ln:
+                assert "__rk_pid" in ln, (fn.__name__, ln)
+        assert "hashpartitioning(__rk_pid" in plan, fn.__name__
+        assert "Exchange rangepartitioning" not in plan, fn.__name__
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-        # the partition-count offsets join broadcasts; the ranked side
-        # never re-shuffles after its range exchange
-        assert "BroadcastHashJoin" in plan, fn.__name__
-        assert "Exchange rangepartitioning" in plan, fn.__name__
 
 
 def test_snapshot_payloads_semi_join_before_wide_projection(spark, sf_dir):
@@ -294,4 +301,10 @@ def test_rfm_has_no_single_partition_window(spark, sf_dir):
     )
 
     plan = _plan(x_olap_rfm_scores(spark, sf_dir))
-    assert "Window" not in plan  # the kernel is window-free entirely
+    # every Window is partitioned by the kernel's pid — never a global
+    # ORDER BY (which would funnel through an Exchange SinglePartition)
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln:
+            assert "__rk_pid" in ln, ln
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(__rk_pid" in plan

@@ -1,6 +1,7 @@
 """Distributed exact-rank kernel (operators/rank.py): global
 row_number / ntile computed with NO single-partition WindowExec must be
-value-identical to the Window versions."""
+value-identical to the Window versions, and deterministic across
+independent executions (pids are pure functions of the row values)."""
 
 from __future__ import annotations
 
@@ -9,6 +10,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from glue_jobs_for_data_pipeline_spark.operators.rank import (
+    _pick_boundaries,
+    _py_sort,
     distributed_ntile,
     distributed_row_number,
     ntile_from_rank,
@@ -25,30 +28,34 @@ def _demo(spark, n=977, dup_every=7):
 
 def test_row_number_matches_window(spark):
     df = _demo(spark)
-    order = [F.col("v").asc(), F.col("k").asc()]
+    order = [("v", True), ("k", True)]
     got, total = distributed_row_number(df, order, out_col="i", num_partitions=8)
     assert total == 977
     w = Window.orderBy("v", "k")
     want = df.withColumn("i", F.row_number().over(w).cast("long"))
     assert got.select("k", "v", "i").exceptAll(want.select("k", "v", "i")).count() == 0
     assert want.select("k", "v", "i").exceptAll(got.select("k", "v", "i")).count() == 0
+    # invariant guard: ranks are a dense 1..total permutation
+    assert got.agg(F.max("i")).first()[0] == total
+    assert got.select("i").distinct().count() == total
 
 
 def test_row_number_descending_order(spark):
     df = _demo(spark, n=301)
-    order = [F.col("v").desc(), F.col("k").asc()]
+    order = [("v", False), ("k", True)]
     got, total = distributed_row_number(df, order, out_col="i", num_partitions=5)
     assert total == 301
     w = Window.orderBy(F.col("v").desc(), F.col("k").asc())
     want = df.withColumn("i", F.row_number().over(w).cast("long"))
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert got.agg(F.max("i")).first()[0] == total
 
 
 @pytest.mark.parametrize("n,buckets", [(977, 10), (100, 7), (5, 10), (9, 3)])
 def test_ntile_matches_window(spark, n, buckets):
     # covers: uneven buckets, exact division, and N < buckets
     df = _demo(spark, n=n)
-    order = [F.col("v").asc(), F.col("k").asc()]
+    order = [("v", True), ("k", True)]
     got = distributed_ntile(df, order, buckets, out_col="b", num_partitions=4)
     w = Window.orderBy("v", "k")
     want = df.withColumn("b", F.ntile(buckets).over(w).cast("long"))
@@ -68,28 +75,34 @@ def test_ntile_from_rank_pure_arithmetic(spark):
 def test_empty_input(spark):
     df = _demo(spark).where(F.lit(False))
     got, total = distributed_row_number(
-        df, [F.col("v").asc(), F.col("k").asc()], out_col="i"
+        df, [("v", True), ("k", True)], out_col="i"
     )
     assert total == 0 and got.count() == 0 and "i" in got.columns
-    nt = distributed_ntile(df, [F.col("v").asc()], 10, out_col="b")
+    nt = distributed_ntile(df, [("v", True)], 10, out_col="b")
     assert nt.count() == 0 and "b" in nt.columns
 
 
-def test_no_window_node_in_plan(spark):
+def test_no_global_sort_in_plan(spark):
+    """The executed plan must contain no single-partition funnel: any
+    Window node present must be partitioned by the kernel's pid, never
+    a global ORDER BY window; and there must be no rangepartitioning
+    exchange (the r10 design) nor a SortMergeJoin on the big side."""
     df = _demo(spark)
     got, _ = distributed_row_number(
-        df, [F.col("v").asc(), F.col("k").asc()], out_col="i", num_partitions=8
+        df, [("v", True), ("k", True)], out_col="i", num_partitions=8
     )
     plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan
-    assert "BroadcastHashJoin" in plan  # offsets join broadcast, big side stays put
+    # per-pid window => hashpartitioning exchange, never rangepartitioning
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning(__rk_pid" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoop" not in plan
 
 
 def test_rank_deterministic_across_runs_on_skewed_input(spark):
-    """The kernel runs two jobs over the same range exchange (counts,
-    then the ranked result) — the zipWithIndex contract. Determinism of
-    the seeded range sampling must make independent evaluations agree
-    bit-for-bit, including on skewed, duplicate-heavy keys."""
+    """Partition ids are literal-folded searchsorted expressions over
+    the row values, so two independent evaluations — and any internal
+    recomputation — must agree bit-for-bit, including on skewed,
+    duplicate-heavy keys."""
     df = spark.range(2000).select(
         F.col("id").alias("k"),
         # heavy skew: 80% of rows share 3 values of v
@@ -97,17 +110,55 @@ def test_rank_deterministic_across_runs_on_skewed_input(spark):
         .otherwise(F.col("id"))
         .alias("v"),
     )
-    order = [F.col("v").asc(), F.col("k").asc()]
+    order = [("v", True), ("k", True)]
     a, na = distributed_row_number(df, order, out_col="i", num_partitions=8)
     b, nb = distributed_row_number(df, order, out_col="i", num_partitions=8)
     assert na == nb == 2000
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # re-evaluating the SAME frame twice (the r10 failure mode: a later
+    # action after cache loss) must also be stable
+    assert a.exceptAll(a).count() == 0
+    h1 = a.agg(F.sum(F.xxhash64("k", "v", "i").cast("decimal(38,0)"))).first()[0]
+    h2 = a.agg(F.sum(F.xxhash64("k", "v", "i").cast("decimal(38,0)"))).first()[0]
+    assert h1 == h2
     # and it is the true global rank
-    from pyspark.sql import Window
-
     w = Window.orderBy("v", "k")
     want = df.withColumn("i", F.row_number().over(w).cast("long"))
     assert a.exceptAll(want).count() == 0 and want.exceptAll(a).count() == 0
+
+
+def test_boundary_helpers_pure_python():
+    """Driver-side helpers: multi-key mixed-direction sort and strictly
+    increasing evenly spaced boundary selection."""
+    rows = [(1, "b"), (2, "a"), (1, "a"), (2, "b"), (1, "a")]
+    got = _py_sort(rows, [("x", False), ("y", True)])
+    assert got == [(2, "a"), (2, "b"), (1, "a"), (1, "a"), (1, "b")]
+    sample = [(i // 3,) for i in range(30)]  # 0..9 each thrice
+    bounds = _pick_boundaries(sample, 5)
+    assert bounds == sorted(set(bounds)) and len(bounds) <= 4
+    assert _pick_boundaries([], 8) == []
+    assert _pick_boundaries(sample, 1) == []
+    # constant key: all candidates equal -> collapses to at most one
+    assert len(_pick_boundaries([(7,)] * 40, 8)) <= 1
+
+
+def test_rank_on_decimal_and_date_keys(spark):
+    """Boundary literals must round-trip Decimal and date values (the
+    production callers rank decimal revenue and date recency)."""
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        (F.col("id").cast("decimal(18,2)") * F.lit(1.37)).cast(
+            "decimal(18,2)"
+        ).alias("rev"),
+        F.date_add(F.lit("2020-01-01").cast("date"), (F.col("id") % 97).cast("int")).alias("d"),
+    )
+    got, total = distributed_row_number(
+        df, [("rev", False), ("d", True), ("k", True)], out_col="i", num_partitions=6
+    )
+    assert total == 500
+    w = Window.orderBy(F.col("rev").desc(), F.col("d").asc(), F.col("k").asc())
+    want = df.withColumn("i", F.row_number().over(w).cast("long"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
 def test_ntile_formula_matches_sql_semantics_exhaustively():

@@ -3,11 +3,20 @@ oracle_sql() in DuckDB and compare row count, sorted column names, and
 order-insensitive canonicalized values — a strict local mirror of the
 driver's correctness gate.
 
-Usage: python tools/oracle_check.py [--json OUT.json] [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--json OUT.json] [--repeat N]
+                                    [sf_dir] [query ...]
 
 --json writes a per-query record (status, row counts, match flags,
 seconds) — used to commit the full-catalog sweep as a round artifact
 (ORACLE_SWEEP_r{N}.json) auditable by the judge.
+
+--repeat N re-executes each query's Spark side N times (clearing the
+session cache between runs) and fails on any canonicalized-value drift
+between executions — the flake harness for queries whose plans carry
+multi-job determinism assumptions (the r10 x_olap_global_rank split:
+sweep green once, driver red later, because the rank kernel's pids
+depended on a cache surviving between jobs). Run it on every
+kernel-backed / multi-job key before committing a sweep.
 """
 
 from __future__ import annotations
@@ -134,8 +143,12 @@ def unhashable_cols(schema) -> list[str]:
 def main() -> int:
     args = sys.argv[1:]
     json_out = None
-    if args and args[0] == "--json":
-        json_out = args[1]
+    repeat = 1
+    while args and args[0] in ("--json", "--repeat"):
+        if args[0] == "--json":
+            json_out = args[1]
+        else:
+            repeat = int(args[1])
         args = args[2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
@@ -163,6 +176,32 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
+            drift = None
+            for rep in range(1, repeat):
+                # fresh plan, cold cache: the driver's failure mode is a
+                # LATER execution disagreeing with the first one
+                release_caches()
+                spark.catalog.clearCache()
+                rdf = fn(spark, sf_dir)
+                rrows = rdf.collect()
+                a = rows_canon([c.lower() for c in scols], [tuple(r) for r in srows])
+                b = rows_canon(
+                    [c.lower() for c in rdf.columns], [tuple(r) for r in rrows]
+                )
+                if a != b:
+                    drift = rep
+                    break
+            if drift is not None:
+                print(
+                    f"FAIL  {name}: NONDETERMINISTIC — rerun {drift + 1}/"
+                    f"{repeat} produced different canonicalized values"
+                )
+                report[name] = {
+                    "status": "fail",
+                    "err": f"nondeterministic across {repeat} reruns",
+                }
+                failures += 1
+                continue
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark raised {type(ex).__name__}: {ex}")
             report[name] = {"status": "fail", "err": f"spark: {ex}"}
