@@ -21,6 +21,7 @@ from glue_jobs_for_data_pipeline_spark.plans import scale_pack  # noqa: F401  (r
 from glue_jobs_for_data_pipeline_spark.plans import analytics_pack  # noqa: F401  (registers funnel/retention/corr)
 from glue_jobs_for_data_pipeline_spark.plans import mining_pack  # noqa: F401  (registers graph/regression/skyline/asof-forward)
 from glue_jobs_for_data_pipeline_spark.plans import metrics_pack  # noqa: F401  (registers gini/diversity/fk-cascade/percentiles/phash-cc)
+from glue_jobs_for_data_pipeline_spark.plans import curation_pack  # noqa: F401  (registers winnowing/url-dedup/temperature-mix/matryoshka/compaction)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -81,7 +82,10 @@ _WINDOW_FIRST = [
     "x_olap_gini",
     "x_olap_revenue_concentration",
     "m2_j2_fact_population",
-    # (d) r06-evidence cohort (19)
+    # (d) r06-evidence cohort (16 of 19; x_ts_range_join +
+    # x_ts_sessionize_batch + x_ts_asof_join carry to r12 — displaced
+    # by the never-checked r11-new cohort below, all sweep-green at
+    # both SFs)
     "x_corpus_build_full",
     "x_corpus_dedup_cc",
     "x_dedup_cc_clusters",
@@ -98,16 +102,18 @@ _WINDOW_FIRST = [
     "x_sample_token_budget",
     "x_split_neardup_leakage",
     "x_stream_window_agg",
-    "x_ts_asof_join",
-    "x_ts_range_join",
-    "x_ts_sessionize_batch",
-    # (e) oracle-graduated in r11, never driver-hash-checked (1)
+    # (e) r11-NEW / oracle-graduated, never driver-hash-checked (8):
+    # the rows-only graduation (pack_sequences) and the curation pack
+    # (winnowing fingerprints + decontam, normalized dedup, temperature
+    # mixing, matryoshka truncation, compaction planning)
     "x_pack_sequences",
-    # (f) flex slots from the r07 cohort (4)
-    "x_dedup_exact",
-    "x_dedup_minhash_md5",
-    "x_dedup_ngram_jaccard",
-    "x_dedup_simhash_md5",
+    "x_text_winnow_stats",
+    "x_decontam_winnow",
+    "x_dedup_normalized_text",
+    "x_corpus_temperature_mix",
+    "x_emb_matryoshka",
+    "x_storage_compaction_plan",
+    "x_dedup_winnow_pairs",
 ]
 
 

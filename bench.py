@@ -123,6 +123,12 @@ BENCH_QUERIES = [
     "x_graph_coreness",
     "x_sim_ivfpq_topk",
     "x_olap_revenue_concentration",
+    # r11 additions: winnowing fingerprint digest (map-side array
+    # kernel), winnowing clone pairs (capped inverted-index self-join),
+    # temperature mixture plan (integer-exact, one corpus scan)
+    "x_text_winnow_stats",
+    "x_dedup_winnow_pairs",
+    "x_corpus_temperature_mix",
 ]
 
 

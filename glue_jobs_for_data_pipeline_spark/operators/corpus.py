@@ -253,3 +253,60 @@ def build_corpus(
         kept, "source", id_col, mix_rates or {}, default_rate
     )
     return shard_positions(mixed, id_col, n_shards, seed)
+
+
+def greedy_pack_by_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    size_col: str,
+    capacity: int,
+    out_schema: str,
+) -> DataFrame:
+    """Sequential greedy packing per GROUP — the generalized core of
+    pack_chunks, reused by the small-file compaction planner
+    (plans/curation_pack.py): within each group, items in order_cols
+    order accumulate into bins of <= capacity; an item that would
+    overflow a non-empty bin closes it; oversized items get a bin of
+    their own. Bin numbering restarts per group (output carries the
+    group column, so (group, bin) is the unique key).
+
+    Scale shape: hash exchange on the group key, sort within
+    partitions, ONE Arrow mapInPandas pass with state carried across
+    batches and reset at group boundaries — identical to pack_chunks.
+    The assignment is a pure function of (group, order, size), so it is
+    engine-portable and SQL-statable (the recursive-CTE oracle
+    pattern). ``out_schema`` must list: group_col, 'bin', *order_cols,
+    size_col — in that order.
+    """
+    import pandas as pd
+
+    prepared = (
+        df.select(group_col, *order_cols, size_col)
+        .repartition(group_col)
+        .sortWithinPartitions(group_col, *order_cols)
+    )
+    out_cols = [group_col, "bin", *order_cols, size_col]
+
+    def pack(batches):
+        state = {"g": None, "bin": 0, "used": 0}
+        for pdf in batches:
+            out = {c: [] for c in out_cols}
+            for vals in zip(
+                pdf[group_col], *(pdf[c] for c in order_cols), pdf[size_col]
+            ):
+                g, middle, size = vals[0], vals[1:-1], int(vals[-1])
+                if state["g"] is None or state["g"] != g:
+                    state["g"], state["bin"], state["used"] = g, 0, 0
+                if state["used"] + size > capacity and state["used"] > 0:
+                    state["bin"] += 1
+                    state["used"] = 0
+                state["used"] += size
+                out[group_col].append(g)
+                out["bin"].append(state["bin"])
+                for c, v in zip(order_cols, middle):
+                    out[c].append(v)
+                out[size_col].append(size)
+            yield pd.DataFrame(out)
+
+    return prepared.mapInPandas(pack, out_schema)

@@ -114,3 +114,66 @@ def decontaminate(
         .distinct()
     )
     return docs.join(dirty, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS-style local document fingerprinting)
+# --------------------------------------------------------------------------
+
+# Winnowing parameters are part of the fingerprint identity:
+#   k = tokens per gram; w = grams per window.  Any shared substring of
+# >= w + k - 1 tokens is GUARANTEED to share a selected fingerprint
+# (the winnowing theorem) — unlike plain n-gram sampling, misses are
+# impossible above the threshold while only ~2/(w+1) of grams are kept.
+_WINNOW_POS_BITS = 20  # positions per doc < 2^20 (1M grams)
+_WINNOW_POS_BASE = 1 << _WINNOW_POS_BITS
+
+
+def winnow_fingerprints(
+    text: F.Column, k: int = 5, w: int = 4
+) -> F.Column:
+    """Array of winnowing fingerprints of ``text`` — Schleimer,
+    Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting" (SIGMOD 2003), the MOSS algorithm.
+
+    Each element encodes (gram hash, gram position) in one BIGINT:
+    ``hash * 2^20 + pos`` with hash = the first 10 md5 hex digits of
+    the space-joined k-token gram (< 2^40, so the combined value stays
+    in positive BIGINT and is portable SQL text on any engine — the
+    table-checksum '0x'-cast pattern). Selection = min combined value
+    of every w-gram window, deduplicated; the position term makes the
+    min TOTAL (no tie ambiguity), exactly the robust-winnowing
+    determinism requirement.
+
+    ENTIRELY map-side: token array -> gram hash array (two-arg
+    transform gives the position) -> per-window array_min over a
+    sequence of slices -> array_distinct. Zero shuffle, zero UDF; the
+    per-doc cost is O(grams x w). Documents shorter than one full
+    window yield the min of what exists (one window); documents with
+    fewer than k tokens yield [].
+    """
+    toks = F.split(F.trim(text), r"\s+")
+    m = F.size(toks) - F.lit(k - 1)  # number of k-grams
+    grams = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    combined = F.transform(
+        grams,
+        lambda g, i: F.conv(F.substring(F.md5(g), 1, 10), 16, 10).cast("long")
+        * F.lit(_WINNOW_POS_BASE)
+        + (i + F.lit(1)).cast("long"),
+    )
+    sels = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - F.lit(w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(combined, j, w)),
+    )
+    return F.when(m >= 1, F.array_distinct(sels)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def winnow_hash(fp: F.Column) -> F.Column:
+    """The gram-hash half of a combined fingerprint (drops position):
+    the join key for cross-document matching."""
+    return F.shiftright(fp, _WINNOW_POS_BITS).cast("long")

@@ -107,29 +107,62 @@ def _pick_boundaries(
     return bounds
 
 
-def _gt_boundary(order_by: list[OrderSpec], bvals: tuple) -> Column:
-    """key > boundary, lexicographic under the per-column directions.
+def _sql_lit(v) -> str:
+    """Render a collected boundary value as a SQL literal. Covers every
+    type the kernel's callers rank by (long/int, Decimal, date,
+    timestamp, string, float, bool); rejects non-finite floats before
+    they become unparseable text (the assign_ivf_cells guard)."""
+    import datetime as _dt
+    import decimal as _dec
+    import math as _math
 
-    Built innermost-last-column-first:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if not _math.isfinite(v):
+            raise ValueError("non-finite float in rank boundary sample")
+        return repr(v) + "D"
+    if isinstance(v, _dec.Decimal):
+        return f"{v:f}BD"  # exact decimal literal, no float round-trip
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    raise TypeError(f"unsupported rank boundary type: {type(v).__name__}")
+
+
+def _gt_boundary_sql(order_by: list[OrderSpec], bvals: tuple) -> str:
+    """key > boundary (lexicographic under the per-column directions) as
+    SQL text, built innermost-last-column-first:
         gt_i OR (eq_i AND <comparison of the remaining suffix>)
     `desc` flips the strict comparison; equality is direction-free."""
-    cond: Column = F.lit(False)
+    cond = "FALSE"
     for (name, asc), bv in zip(reversed(order_by), reversed(bvals)):
-        c = F.col(name)
-        lit = F.lit(bv)
-        strict = (c > lit) if asc else (c < lit)
-        cond = strict | ((c == lit) & cond)
+        lit = _sql_lit(bv)
+        op = ">" if asc else "<"
+        cond = f"(`{name}` {op} {lit} OR (`{name}` = {lit} AND {cond}))"
     return cond
 
 
 def _pid_expr(order_by: list[OrderSpec], bounds: list[tuple]) -> Column:
     """searchsorted: pid = number of literal boundaries the key exceeds.
     A sum of O(p) boolean terms, each O(n_keys) comparisons — all
-    literal-folded, whole-stage-codegen friendly."""
-    pid: Column = F.lit(0)
-    for bvals in bounds:
-        pid = pid + _gt_boundary(order_by, bvals).cast("int")
-    return pid.cast("int")
+    literal-folded, whole-stage-codegen friendly. Assembled as ONE SQL
+    text expression: the Column-op form cost ~10 Py4J round trips per
+    boundary (~0.8 s of pure driver-side plan construction per kernel
+    call at p=32, tripled in chained callers like RFM — the same
+    plan-size constant assign_ivf_cells/_book_sql eliminate)."""
+    if not bounds:
+        return F.expr("CAST(0 AS INT)")
+    terms = " + ".join(
+        f"(CASE WHEN {_gt_boundary_sql(order_by, bvals)} THEN 1 ELSE 0 END)"
+        for bvals in bounds
+    )
+    return F.expr(f"CAST({terms} AS INT)")
 
 
 def distributed_row_number(
@@ -138,6 +171,7 @@ def distributed_row_number(
     out_col: str = "i",
     num_partitions: int | None = None,
     samples_per_partition: int = 32,
+    known_total: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Exact global ROW_NUMBER over `order_by`, fully parallel and
     deterministic across re-executions.
@@ -150,14 +184,29 @@ def distributed_row_number(
 
     The total row count comes free from the boundary computation and is
     returned so callers (NTILE, percentile cutoffs) never run a second
-    count job.
+    count job. ``known_total`` skips the kernel's own count job when the
+    caller already knows the row count (rank-preserving chains like
+    RFM's three NTILEs over one grain) — the kernel still verifies it
+    against the pid-count sum.
     """
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     key_names = [name for name, _ in order_by]
 
-    total = df.count()
+    # Cache the input for the kernel's three driver jobs (count, sample,
+    # pid-counts) plus the caller's action: the upstream is typically a
+    # groupBy whose REDUCE side would otherwise re-execute per job (map
+    # shuffle files are reused across jobs, reduce aggregation is not).
+    # Unlike the r10 design this cache is a pure PERFORMANCE hint —
+    # correctness no longer depends on it, because pids/offsets are
+    # literals and any eviction-triggered recompute reproduces identical
+    # values. Released via dedup.release_caches() like every operator
+    # scratch cache.
+    from .dedup import _cached
+
+    df = _cached(df)
+    total = known_total if known_total is not None else df.count()
     if total == 0:
         return df.withColumn(out_col, F.lit(None).cast("long")), 0
 
@@ -248,13 +297,18 @@ def distributed_ntile(
     buckets: int,
     out_col: str = "bucket",
     num_partitions: int | None = None,
+    known_total: int | None = None,
 ) -> DataFrame:
     """NTILE(buckets) OVER (ORDER BY order_by) without the
     single-partition WindowExec: distributed_row_number supplies the
     exact global rank AND the total count (no extra job), then the
     bucket is a literal-folded integer expression."""
     ranked, total = distributed_row_number(
-        df, order_by, out_col="__rk_i", num_partitions=num_partitions
+        df,
+        order_by,
+        out_col="__rk_i",
+        num_partitions=num_partitions,
+        known_total=known_total,
     )
     if total == 0:
         return ranked.withColumn(out_col, F.lit(None).cast("long")).drop("__rk_i")

@@ -1,0 +1,505 @@
+"""Round-11 curation pack: winnowing fingerprints (MOSS), URL-normalized
+dedup, temperature-based domain mixing, matryoshka embedding truncation,
+and small-file compaction planning — the data-curation operations a
+large-scale training pipeline runs between raw ingestion and corpus
+assembly.
+
+Design rules carried from the other packs: every oracle-able query
+accumulates in exact integer/decimal space and assembles at most ONE
+double expression at the output boundary with identical expression text
+on both engines (no library transcendentals inside hash-checked
+results); hash literals ride the 15/10-hex-digit md5 window that parses
+into positive BIGINT on both engines (conv() in Spark, '0x' cast in
+DuckDB).
+
+No counterpart in the reference (the 4 Redshift scripts stop at
+validate/upsert/fact-populate); SURVEY §6/§7 extension scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table, spread
+from .catalog import _q
+
+_MERSENNE61 = 2305843009213693951
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprint stats (the raw operator, hash-checked per doc)
+# --------------------------------------------------------------------------
+
+# Shared CTE: k=5 token grams, w=4 windows, fingerprint = min combined
+# (hash*2^20 + pos) per window, deduplicated — the exact arithmetic of
+# operators/decontam.py::winnow_fingerprints.
+_WINNOW_CTE = r"""
+tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+       FROM documents),
+wg AS (SELECT doc_id, toks, len(toks) - 4 AS m FROM tk),
+cb AS (SELECT doc_id, m,
+         list_transform(range(1, m + 1), i ->
+           CAST(('0x' || substr(md5(array_to_string(
+                  list_slice(toks, i, i + 4), ' ')), 1, 10)) AS BIGINT)
+             * 1048576 + i) AS comb
+       FROM wg WHERE m >= 1),
+fp AS (SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(m - 3, 1) + 1),
+           j -> list_aggregate(list_slice(comb, j, j + 3), 'min'))) AS fps
+       FROM cb)
+"""
+
+_X_WINNOW_STATS_SQL = (
+    "WITH " + _WINNOW_CTE + """,
+e AS (SELECT doc_id, unnest(fps) AS f FROM fp)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_fps,
+       CAST(MIN(f // 1048576) AS BIGINT) AS min_hash,
+       CAST(MAX(f // 1048576) AS BIGINT) AS max_hash,
+       CAST(CAST(SUM(f // 1048576) AS HUGEINT)
+            % 2305843009213693951 AS BIGINT) AS hash_sum_mod
+FROM e GROUP BY doc_id
+"""
+)
+
+
+@_q("x_text_winnow_stats", _X_WINNOW_STATS_SQL)
+def x_text_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint digest (MOSS — Schleimer/
+    Wilkerson/Aiken SIGMOD 2003): count, hash range, and a Mersenne-mod
+    hash sum of the selected fingerprints. The winnowing guarantee —
+    any shared run of >= w+k-1 = 8 tokens shares a fingerprint — with
+    only ~2/(w+1) of grams kept, is what makes fingerprint-based
+    contamination/clone detection tractable at corpus scale.
+
+    Scale shape: fingerprint selection is ENTIRELY map-side (token
+    array -> gram-hash array -> per-window array_min -> distinct, all
+    inside whole-stage codegen — operators/decontam.py::
+    winnow_fingerprints); the only shuffle is the per-doc digest
+    aggregation, map-side-combined. Integer-exact throughout."""
+    from ..operators.decontam import winnow_fingerprints, winnow_hash
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    e = d.select(
+        "doc_id",
+        F.explode(winnow_fingerprints(F.col("text"), k=5, w=4)).alias("f"),
+    ).select("doc_id", winnow_hash(F.col("f")).alias("h"))
+    return e.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("h").alias("min_hash"),
+        F.max("h").alias("max_hash"),
+        (F.sum(F.col("h").cast("decimal(32,0)")) % F.lit(_MERSENNE61))
+        .cast("long")
+        .alias("hash_sum_mod"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Winnowing-based decontamination report
+# --------------------------------------------------------------------------
+
+_X_WINNOW_DECONTAM_SQL = (
+    "WITH " + _WINNOW_CTE + """,
+hs AS (SELECT doc_id, list_distinct(list_transform(fps, f -> f // 1048576))
+                AS hset
+       FROM fp),
+ev AS (SELECT DISTINCT unnest(hset) AS h FROM hs WHERE doc_id % 29 = 0),
+co AS (SELECT doc_id, unnest(hset) AS h FROM hs WHERE doc_id % 29 <> 0)
+SELECT co.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM co JOIN ev USING (h)
+GROUP BY co.doc_id
+"""
+)
+
+
+@_q("x_decontam_winnow", _X_WINNOW_DECONTAM_SQL)
+def x_decontam_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-level contamination audit: corpus docs sharing any
+    winnowing fingerprint hash with the pseudo-eval set (doc_id % 29 ==
+    0 — the x_decontam_report convention), with the shared-fingerprint
+    count per doc. Complements the exact 8-gram report: winnowing keeps
+    ~2/(w+1) of grams yet still GUARANTEES detection of any shared run
+    >= 8 tokens, so the index is ~2.5x smaller at equal recall — the
+    practical choice when the eval suite is large.
+
+    Scale shape: per-doc hash sets are map-side arrays (no corpus
+    shuffle to dedup); the benchmark-sized eval hash set broadcasts;
+    zero-hit docs die in the join; the per-doc count is
+    map-side-combined."""
+    from ..operators.decontam import winnow_fingerprints, winnow_hash
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    hs = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                winnow_fingerprints(F.col("text"), k=5, w=4),
+                lambda f: winnow_hash(f),
+            )
+        ).alias("hset"),
+    )
+    ev = (
+        hs.filter(F.col("doc_id") % 29 == 0)
+        .select(F.explode("hset").alias("h"))
+        .distinct()
+    )
+    co = hs.filter(F.col("doc_id") % 29 != 0).select(
+        "doc_id", F.explode("hset").alias("h")
+    )
+    return (
+        co.join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Normalized-text exact dedup (case/punctuation/whitespace-insensitive)
+# --------------------------------------------------------------------------
+
+_X_NORMDUP_SQL = r"""
+WITH n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_key
+  FROM documents)
+SELECT norm_key,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM n GROUP BY norm_key HAVING COUNT(*) >= 2
+"""
+
+
+@_q("x_dedup_normalized_text", _X_NORMDUP_SQL)
+def x_dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-insensitive exact dedup: documents identical after
+    lowercasing, punctuation strip, and whitespace collapse form one
+    group (kept representative = min doc_id) — the curation tier
+    between byte-exact dedup (x_dedup_exact) and near-dup MinHash:
+    catches trivially re-encoded mirrors (case changes, smart quotes,
+    reflow) at exact-dedup cost.
+
+    Scale shape identical to exact_dedup: the normalization chain and
+    md5 run map-side inside codegen; the groupBy ships 32-char digests,
+    never document bodies; map-side combine collapses per-partition
+    duplicates before the exchange."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    norm = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    return (
+        d.select(norm.alias("norm_key"), "doc_id")
+        .groupBy("norm_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# Temperature-based domain mixing plan (integer-exact, t = 0.5)
+# --------------------------------------------------------------------------
+
+_X_TEMPMIX_SQL = """
+WITH d AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS weight
+  FROM d),
+t AS (SELECT CAST(SUM(weight) AS BIGINT) AS sum_w FROM w),
+r AS (
+  SELECT w.source, w.n_docs, w.weight,
+         CAST((100 * w.weight * 65536) / (t.sum_w * w.n_docs) AS BIGINT)
+           AS thresh16
+  FROM w, t)
+SELECT r.source, r.n_docs, r.weight, r.thresh16,
+       CAST((SELECT COUNT(*) FROM documents dd
+              WHERE dd.source = r.source
+                AND CAST(('0x' || substr(md5(CAST(dd.doc_id AS VARCHAR)
+                                         || '#mix'), 1, 4)) AS BIGINT)
+                    < r.thresh16) AS BIGINT) AS n_sampled
+FROM r
+"""
+
+
+@_q("x_corpus_temperature_mix", _X_TEMPMIX_SQL)
+def x_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixture (t = 0.5, the multilingual-
+    sampling rule of mBERT/XLM-R/PaLM): target domain weights
+    proportional to sqrt(n_docs) flatten the natural distribution so
+    small domains are not drowned, then each domain gets a
+    deterministic md5-threshold sampling rate sized for a 100-doc
+    budget. EVERYTHING is integer-exact: weight = floor(sqrt(n)) is
+    exact for BIGINT n < 2^50 (doubles represent n exactly and sqrt is
+    correctly rounded), and the per-domain threshold is pure BIGINT
+    arithmetic over a 16-bit hash space — no float sum whose order
+    could differ between engines. Output: the mixture plan plus the
+    realized per-domain sample counts.
+
+    Scale shape: one map-side-combined count to domain grain (domains
+    are catalog-sized), a broadcast of the tiny plan back onto the
+    corpus scan for the realized counts, map-side md5 thresholding —
+    one corpus scan, zero corpus shuffle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = counts.withColumn(
+        "weight",
+        F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long"),
+    )
+    sum_w = w.agg(F.sum("weight").cast("long").alias("sum_w"))
+    plan = (
+        w.crossJoin(F.broadcast(sum_w))
+        .withColumn(
+            "thresh16",
+            (
+                (F.lit(100) * F.col("weight") * F.lit(65536))
+                / (F.col("sum_w") * F.col("n_docs"))
+            ).cast("long"),
+        )
+        .select("source", "n_docs", "weight", "thresh16")
+    )
+    h16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#mix"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    sampled = (
+        d.withColumn("_h", h16)
+        .join(F.broadcast(plan), "source")
+        .filter(F.col("_h") < F.col("thresh16"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return plan.join(sampled, "source", "left").select(
+        "source",
+        "n_docs",
+        "weight",
+        "thresh16",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias("n_sampled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka embedding truncation (MRL prefix + renormalize, digest)
+# --------------------------------------------------------------------------
+
+_X_MATRYOSHKA_SQL = """
+WITH s AS (
+  SELECT vec_id,
+         list_transform(list_slice(embedding, 1, 16),
+                        x -> CAST(x AS DOUBLE)) AS p
+  FROM embeddings),
+n AS (
+  SELECT vec_id, p,
+         sqrt(list_sum(list_transform(p, x -> x * x))) AS norm16
+  FROM s)
+SELECT vec_id, norm16,
+       list_sum(list_transform(p, x -> x / norm16)) AS renorm_sum,
+       list_aggregate(list_transform(p, x -> x / norm16), 'min')
+         AS renorm_min,
+       list_aggregate(list_transform(p, x -> x / norm16), 'max')
+         AS renorm_max
+FROM n
+"""
+
+
+@_q("x_emb_matryoshka", _X_MATRYOSHKA_SQL)
+def x_emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) embedding truncation: keep the first 16 of 64
+    dims and renormalize to unit length — the standard
+    dimension-adaptive retrieval trick (Kusupati et al. 2022): MRL-
+    trained prefixes are themselves valid embeddings, and a 4x narrower
+    vector cuts ANN memory/compute 4x for a small recall loss. Output
+    is a per-vector digest (prefix norm + renormalized sum/min/max)
+    that pins every element of the renormalized vector arithmetic
+    without shipping 16 rows per vector through the gate.
+
+    Scale shape: map-only — slice/transform/aggregate inside codegen,
+    one sequential double fold per vector (deterministic order, the
+    functions/vectors.py contract), no shuffle at all."""
+    from ..functions.vectors import _d
+
+    p = F.transform(F.slice(F.col("embedding"), 1, 16), lambda x: _d(x))
+    norm16 = F.sqrt(
+        F.aggregate(p, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", p.alias("p"), norm16.alias("norm16")
+    )
+    r = F.transform(F.col("p"), lambda x: x / F.col("norm16"))
+    return e.select(
+        "vec_id",
+        "norm16",
+        F.aggregate(r, F.lit(0.0), lambda acc, x: acc + x).alias("renorm_sum"),
+        F.array_min(r).alias("renorm_min"),
+        F.array_max(r).alias("renorm_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction planner (greedy bin-pack per partition)
+# --------------------------------------------------------------------------
+
+_X_COMPACTION_SQL = """
+WITH RECURSIVE
+f AS (
+  SELECT source, CAST((doc_id // 160) % 8 AS BIGINT) AS file_id,
+         CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY 1, 2),
+t AS (
+  SELECT source, file_id, bytes,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY file_id) AS rn,
+         SUM(bytes) OVER (PARTITION BY source ORDER BY file_id) AS s
+  FROM f),
+bins AS (
+  SELECT source, CAST(-1 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS end_rn,
+         CAST(0 AS BIGINT) AS s_end
+  FROM (SELECT DISTINCT source FROM t)
+  UNION ALL
+  SELECT b.source, b.bin + 1,
+         (SELECT COALESCE(MAX(t.rn), b.end_rn + 1) FROM t
+           WHERE t.source = b.source AND t.rn > b.end_rn
+             AND t.s - b.s_end <= 1500) AS end_rn,
+         (SELECT t.s FROM t
+           WHERE t.source = b.source
+             AND t.rn = (SELECT COALESCE(MAX(t2.rn), b.end_rn + 1)
+                          FROM t t2
+                          WHERE t2.source = b.source AND t2.rn > b.end_rn
+                            AND t2.s - b.s_end <= 1500)) AS s_end
+  FROM bins b
+  WHERE EXISTS (SELECT 1 FROM t
+                 WHERE t.source = b.source AND t.rn > b.end_rn)),
+assigned AS (
+  SELECT t.source, t.bytes,
+         (SELECT MIN(b.bin) FROM bins b
+           WHERE b.source = t.source AND b.bin >= 0
+             AND b.end_rn >= t.rn) AS bin
+  FROM t)
+SELECT source, CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS bytes
+FROM assigned GROUP BY source, bin
+"""
+
+
+@_q("x_storage_compaction_plan", _X_COMPACTION_SQL)
+def x_storage_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning: per partition (source), greedily
+    pack files in file-id order into output groups of <= 1500 bytes
+    (stand-in for the 128 MB output-file target) — the maintenance op
+    every lakehouse table needs once streaming/CDC writers fragment it.
+    Oversized files get a group of their own; each group's file count
+    and byte total is the rewrite work list.
+
+    The file manifest here is SIMULATED from the documents table
+    ((doc_id div 160) mod 8 as the file id within its source partition,
+    byte size = sum of member doc sizes) so the planner is exercised
+    end-to-end against real data. Scale shape: the manifest build is a
+    map-side-combined agg (manifest rows = #files, metadata-sized); the
+    greedy pack is the same engine-portable per-group sequential pass
+    as pack_chunks (operators/corpus.py::greedy_pack_by_group), hash-
+    partitioned on the partition key — never a driver-side loop over
+    the manifest."""
+    from ..operators.corpus import greedy_pack_by_group
+
+    files = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(
+            "source",
+            ((F.col("doc_id") / 160).cast("long") % 8).alias("file_id"),
+        )
+        .agg(F.sum("n_chars").cast("long").alias("bytes"))
+    )
+    packed = greedy_pack_by_group(
+        files,
+        group_col="source",
+        order_cols=["file_id"],
+        size_col="bytes",
+        capacity=1500,
+        out_schema="source string, bin long, file_id long, bytes long",
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").cast("long").alias("bytes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Winnowing doc-pair clone detection (inverted fingerprint index)
+# --------------------------------------------------------------------------
+
+_X_WINNOW_PAIRS_SQL = (
+    "WITH " + _WINNOW_CTE + """,
+hs AS (SELECT doc_id,
+              list_distinct(list_transform(fps, f -> f // 1048576)) AS hset
+       FROM fp),
+post AS (SELECT doc_id, unnest(hset) AS h FROM hs),
+rare AS (SELECT h FROM post GROUP BY h HAVING COUNT(*) <= 50),
+p2 AS (SELECT post.doc_id, post.h FROM post JOIN rare USING (h))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM p2 a JOIN p2 b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+"""
+)
+
+
+@_q("x_dedup_winnow_pairs", _X_WINNOW_PAIRS_SQL)
+def x_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clone-pair detection over the winnowing fingerprint index: doc
+    pairs sharing >= 2 selected fingerprints (each shared fingerprint
+    certifies a shared token run, so 2+ is a strong clone signal with
+    no verification scan needed — the MOSS ranking). Completes the
+    winnowing family: per-doc digest (x_text_winnow_stats) ->
+    train/eval audit (x_decontam_winnow) -> intra-corpus clone pairs.
+
+    Scale shape — the inverted-index discipline every pair generator in
+    this repo follows: per-doc fingerprint sets are map-side arrays;
+    the posting list keys on the fingerprint hash; HOT fingerprints
+    (shared by > 50 docs — boilerplate) are dropped BEFORE the
+    self-join, so posting-list fan-out is bounded at 50^2 per
+    fingerprint and the pair space never approaches all-pairs. One
+    aggregation per stage, all map-side-combined."""
+    from ..operators.decontam import winnow_fingerprints, winnow_hash
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    post = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    winnow_fingerprints(F.col("text"), k=5, w=4),
+                    lambda f: winnow_hash(f),
+                )
+            )
+        ).alias("h"),
+    )
+    rare = (
+        post.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= 50)
+        .select("h")
+    )
+    p2 = post.join(rare, "h")
+    a = p2.select(F.col("h"), F.col("doc_id").alias("doc_a"))
+    b = p2.select(F.col("h"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )

@@ -1381,14 +1381,11 @@ def x_olap_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     quintiles. 5 = most recent / most frequent / highest revenue."""
     from ..operators.rank import distributed_ntile
 
-    from ..operators.dedup import _cached
-
-    # One cached materialization of the customer grain: the three NTILE
-    # passes (3 kernel jobs each) all read this instead of re-running
-    # the orders scan+groupBy per job. The kernel itself is cache-free
-    # since r11 (pids are pure functions of the data), so this is the
-    # only copy held — released via release_caches().
-    cust = _cached(
+    # The kernel caches its input per call (operators/rank.py), so each
+    # of the three NTILE passes reads one materialization — the orders
+    # scan+groupBy runs once, each window chain once. All three copies
+    # release together via release_caches().
+    cust = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
@@ -1399,23 +1396,31 @@ def x_olap_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
-    out = distributed_ntile(
-        cust,
-        [("last_order", True), ("o_custkey", True)],
-        5,
-        out_col="r_score",
+    from ..operators.rank import distributed_row_number, ntile_from_rank
+
+    # First pass returns the grain's row count for free; the two later
+    # NTILEs are rank-preserving over the SAME grain, so they skip
+    # their count jobs via known_total (kernel-verified against the
+    # pid-count sum).
+    r1, total = distributed_row_number(
+        cust, [("last_order", True), ("o_custkey", True)], out_col="__r_i"
     )
+    out = r1.withColumn(
+        "r_score", ntile_from_rank(F.col("__r_i"), total, 5)
+    ).drop("__r_i")
     out = distributed_ntile(
         out,
         [("n_orders", True), ("o_custkey", True)],
         5,
         out_col="f_score",
+        known_total=total,
     )
     out = distributed_ntile(
         out,
         [("revenue", True), ("o_custkey", True)],
         5,
         out_col="m_score",
+        known_total=total,
     )
     return out.select(
         "o_custkey", "last_order", "n_orders", "revenue",

@@ -57,11 +57,20 @@ def _support2_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT ok) keyed on (s, t, ok) — after the distinct, each
     order contributes each pair exactly once, so the counts are
     provably equal; this also mirrors the oracle CTEs'
-    `SELECT DISTINCT ... / COUNT(*)` shape literally."""
+    `SELECT DISTINCT ... / COUNT(*)` shape literally.
+
+    ONE exchange for distinct + join (r11): repartition on the order
+    key first, then dropDuplicates — HashPartitioning(ok) satisfies
+    ClusteredDistribution(ok, part) (the partition key is a prefix of
+    the grouping keys), so the dedup runs exchange-free in place AND
+    the self-join on ok reuses the same layout. A plain .distinct()
+    exchanged on (ok, part) and then the join re-exchanged on ok —
+    the double shuffle behind the r10 triangles/kcore bench drag."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), "l_partkey")
-        .distinct()
+        .repartition("ok")
+        .dropDuplicates(["ok", "l_partkey"])
     )
     a = li.select("ok", F.col("l_partkey").alias("s"))
     b = li.select("ok", F.col("l_partkey").alias("t"))
@@ -80,10 +89,13 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rationale): duplicate lineitems multiply the join fan-out
     # quadratically per (order, part) pair, and the pair-level distinct
     # afterwards still has to shuffle that inflated intermediate.
+    # repartition(ok)-then-dropDuplicates does it in ONE exchange that
+    # the self-join then reuses (see _support2_edges).
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), "l_partkey")
-        .distinct()
+        .repartition("ok")
+        .dropDuplicates(["ok", "l_partkey"])
     )
     a = li.select("ok", F.col("l_partkey").alias("src"))
     b = li.select("ok", F.col("l_partkey").alias("dst"))

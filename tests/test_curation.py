@@ -1,0 +1,177 @@
+"""Round-11 curation pack: winnowing fingerprints, normalized dedup,
+temperature mixing, matryoshka truncation, compaction planning."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from glue_jobs_for_data_pipeline_spark.operators.decontam import (
+    winnow_fingerprints,
+    winnow_hash,
+)
+
+
+def _fps(spark, text, k=5, w=4):
+    return (
+        spark.createDataFrame([(text,)], "text string")
+        .select(winnow_fingerprints(F.col("text"), k=k, w=w).alias("f"))
+        .first()["f"]
+    )
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing theorem: two texts sharing a run of >= w+k-1
+    tokens MUST share at least one fingerprint hash."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w+k-1
+    a = "x1 x2 x3 " + shared + " y1 y2"
+    b = "z9 " + shared + " q7 q8 q9 q10"
+    ha = {f >> 20 for f in _fps(spark, a)}
+    hb = {f >> 20 for f in _fps(spark, b)}
+    assert ha & hb, "shared 8-token run must share a fingerprint"
+
+
+def test_winnow_density_and_edge_cases(spark):
+    # ~2/(w+1) of grams selected on random-ish text; exact bounds:
+    # at most one fingerprint per window start, at least one per window
+    text = " ".join(f"tok{i * 7919 % 997}" for i in range(200))
+    fps = _fps(spark, text)
+    m = 200 - 4  # grams at k=5
+    n_windows = m - 3
+    assert 1 <= len(fps) <= n_windows
+    assert len(fps) <= m
+    # fewer than k tokens -> no fingerprints
+    assert _fps(spark, "a b c") == []
+    # k..k+w-2 tokens: one window, exactly one fingerprint
+    assert len(_fps(spark, "a b c d e")) == 1
+    # positions are 1-based and within gram range
+    for f in fps:
+        pos = f & ((1 << 20) - 1)
+        assert 1 <= pos <= m
+
+
+def test_winnow_hash_roundtrip(spark):
+    df = spark.createDataFrame([("one two three four five six",)], "text string")
+    r = df.select(
+        F.explode(winnow_fingerprints(F.col("text"))).alias("f")
+    ).select("f", winnow_hash(F.col("f")).alias("h"))
+    for row in r.collect():
+        assert row["h"] == row["f"] >> 20
+
+
+def test_greedy_pack_by_group_capacity_and_reset(spark):
+    from glue_jobs_for_data_pipeline_spark.operators.corpus import (
+        greedy_pack_by_group,
+    )
+
+    rows = [
+        ("a", 1, 600),
+        ("a", 2, 700),  # 600+700 <= 1500 -> bin 0
+        ("a", 3, 400),  # 1700 > 1500 -> bin 1
+        ("a", 4, 2000),  # oversized -> own bin 2 (bin 1 had 400)
+        ("b", 1, 100),  # new group -> bin restarts at 0
+    ]
+    df = spark.createDataFrame(rows, "g string, fid long, sz long")
+    got = greedy_pack_by_group(
+        df, "g", ["fid"], "sz", capacity=1500,
+        out_schema="g string, bin long, fid long, sz long",
+    ).collect()
+    by = {(r["g"], r["fid"]): r["bin"] for r in got}
+    assert by[("a", 1)] == 0 and by[("a", 2)] == 0
+    assert by[("a", 3)] == 1
+    assert by[("a", 4)] == 2
+    assert by[("b", 1)] == 0
+    # capacity invariant: no bin of non-oversized items exceeds capacity
+    sums: dict = {}
+    for r in got:
+        sums.setdefault((r["g"], r["bin"]), 0)
+        sums[(r["g"], r["bin"])] += r["sz"]
+    for (g, b), s in sums.items():
+        members = [r for r in got if r["g"] == g and r["bin"] == b]
+        assert s <= 1500 or len(members) == 1
+
+
+def test_temperature_mix_is_integer_exact(spark, sf_dir):
+    """The mixture plan's weights/thresholds re-derive exactly in pure
+    Python integer arithmetic — no float-order dependence anywhere."""
+    from glue_jobs_for_data_pipeline_spark.plans.curation_pack import (
+        x_corpus_temperature_mix,
+    )
+
+    rows = x_corpus_temperature_mix(spark, sf_dir).collect()
+    sum_w = sum(r["weight"] for r in rows)
+    for r in rows:
+        assert r["weight"] == math.isqrt(r["n_docs"])
+        assert r["thresh16"] == (100 * r["weight"] * 65536) // (
+            sum_w * r["n_docs"]
+        )
+        assert 0 <= r["n_sampled"] <= r["n_docs"]
+    # temperature flattening: sampling rate decreases with domain size
+    # (weight/n = 1/sqrt(n)); with a shared budget the threshold of a
+    # larger domain is never higher than a smaller domain's
+    by_n = sorted(rows, key=lambda r: r["n_docs"])
+    for lo, hi in zip(by_n, by_n[1:]):
+        if lo["n_docs"] < hi["n_docs"]:
+            assert hi["thresh16"] <= lo["thresh16"]
+
+
+def test_matryoshka_digest_is_unit_norm(spark, sf_dir):
+    from glue_jobs_for_data_pipeline_spark.plans.curation_pack import (
+        x_emb_matryoshka,
+    )
+
+    rows = x_emb_matryoshka(spark, sf_dir).limit(50).collect()
+    assert rows
+    for r in rows:
+        assert r["norm16"] > 0
+        # renormalized elements live in [-1, 1]
+        assert -1.0000001 <= r["renorm_min"] <= r["renorm_max"] <= 1.0000001
+
+
+def test_normalized_dedup_groups_cover_exact_dups(spark, sf_dir):
+    """Every byte-exact duplicate group is also a normalized group."""
+    from glue_jobs_for_data_pipeline_spark.plans.curation_pack import (
+        x_dedup_normalized_text,
+    )
+    from glue_jobs_for_data_pipeline_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    n_exact_dup_docs = (
+        d.groupBy("text").count().filter(F.col("count") >= 2)
+        .agg(F.sum("count")).first()[0]
+    ) or 0
+    n_norm_dup_docs = (
+        x_dedup_normalized_text(spark, sf_dir)
+        .agg(F.sum("n_members")).first()[0]
+    ) or 0
+    assert n_norm_dup_docs >= n_exact_dup_docs
+
+
+def test_winnow_pairs_flags_clones_and_caps_boilerplate(spark):
+    from glue_jobs_for_data_pipeline_spark.plans import curation_pack as cp
+
+    # two clone-ish docs sharing a long run + one unrelated doc
+    run = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, "intro text here " + run),
+        (2, run + " some tail content words"),
+        (3, " ".join(f"z{i * 13 % 71}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import glue_jobs_for_data_pipeline_spark.sources.readers as rd
+
+    orig = rd.load_table
+    try:
+        rd.load_table = lambda s, d, t: df  # noqa: E731
+        # route the pack's loader to the fixture
+        cp.load_table = rd.load_table
+        got = {
+            (r["doc_a"], r["doc_b"]): r["n_shared"]
+            for r in cp.x_dedup_winnow_pairs(spark, "unused").collect()
+        }
+    finally:
+        rd.load_table = orig
+        cp.load_table = orig
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert all(p == (1, 2) for p in got)
