@@ -82,10 +82,11 @@ _WINDOW_FIRST = [
     "x_olap_gini",
     "x_olap_revenue_concentration",
     "m2_j2_fact_population",
-    # (d) r06-evidence cohort (16 of 19; x_ts_range_join +
-    # x_ts_sessionize_batch + x_ts_asof_join carry to r12 — displaced
-    # by the never-checked r11-new cohort below, all sweep-green at
-    # both SFs)
+    # (d) r06-evidence cohort (13 of 19; x_ts_range_join,
+    # x_ts_sessionize_batch, x_ts_asof_join, x_json_extract,
+    # x_olap_unpivot, x_olap_range_frame carry to r12 — displaced by
+    # the never-checked r11-new cohort below, all sweep-green at both
+    # SFs)
     "x_corpus_build_full",
     "x_corpus_dedup_cc",
     "x_dedup_cc_clusters",
@@ -94,15 +95,12 @@ _WINDOW_FIRST = [
     "x_ingest_incremental_dedup",
     "x_ingest_latest_by_key",
     "x_ingest_schema_evolution",
-    "x_json_extract",
     "x_olap_correlated_scalar",
     "x_olap_percentiles",
-    "x_olap_range_frame",
-    "x_olap_unpivot",
     "x_sample_token_budget",
     "x_split_neardup_leakage",
     "x_stream_window_agg",
-    # (e) r11-NEW / oracle-graduated, never driver-hash-checked (8):
+    # (e) r11-NEW / oracle-graduated, never driver-hash-checked (11):
     # the rows-only graduation (pack_sequences) and the curation pack
     # (winnowing fingerprints + decontam, normalized dedup, temperature
     # mixing, matryoshka truncation, compaction planning)
@@ -114,6 +112,9 @@ _WINDOW_FIRST = [
     "x_emb_matryoshka",
     "x_storage_compaction_plan",
     "x_dedup_winnow_pairs",
+    "x_corpus_curriculum_order",
+    "x_text_quality_logit",
+    "x_dedup_pair_features",
 ]
 
 

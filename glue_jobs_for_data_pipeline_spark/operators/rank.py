@@ -31,16 +31,19 @@ into the plan. The previous design derived pids from
 `monotonically_increasing_id()` on a range exchange and pinned them
 with a cache; a recomputed block re-sampled the range boundaries and
 every rank past the first boundary shifted (observed as the r10 driver
-hash mismatch on x_olap_global_rank). No cache is needed now — which
-also removes the MEMORY_AND_DISK copy of the ranked grain that chained
-callers (x_olap_rfm_scores: three NTILEs) used to compound.
+hash mismatch on x_olap_global_rank). Correctness needs NO cache now;
+the kernel still caches its input — but purely as a PERFORMANCE hint
+(the three driver jobs would otherwise re-run a groupBy upstream's
+reduce side each; map shuffle files are reused across jobs, reduce
+aggregation is not), and eviction merely recomputes identical values.
+Released with every other operator scratch cache at
+dedup.release_caches().
 
-Cost model: 3 driver jobs before the caller's action — a count
-(map-side partial agg), the boundary-sample collect
-(~p*samples_per_partition key tuples), and the per-pid count collect
-(~p longs). All three re-read the upstream lineage, but Spark reuses
-shuffle map outputs across jobs in one plan, so a groupBy upstream
-shuffles once and the extra jobs are skipped-stage reads.
+Cost model: up to 3 driver jobs before the caller's action — a count
+(map-side partial agg; skipped when the caller passes known_total),
+the boundary-sample collect (~p*samples_per_partition key tuples), and
+the per-pid count collect (~p longs) — all cache reads after the first
+materialization.
 
 Correctness preconditions (documented, not silent):
 - `order_by` must be a TOTAL order (append a unique tiebreaker such as

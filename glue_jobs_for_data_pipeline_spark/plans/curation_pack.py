@@ -125,18 +125,24 @@ def x_decontam_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-doc hash sets are map-side arrays (no corpus
     shuffle to dedup); the benchmark-sized eval hash set broadcasts;
     zero-hit docs die in the join; the per-doc count is
-    map-side-combined."""
+    map-side-combined. The hash-set frame is cached once (released at
+    release_caches) so the corpus branch and the eval-broadcast branch
+    read one fingerprint computation instead of re-hashing the corpus
+    per branch."""
     from ..operators.decontam import winnow_fingerprints, winnow_hash
+    from ..operators.dedup import _cached
 
     d = spread(load_table(spark, sf_dir, "documents"))
-    hs = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                winnow_fingerprints(F.col("text"), k=5, w=4),
-                lambda f: winnow_hash(f),
-            )
-        ).alias("hset"),
+    hs = _cached(
+        d.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    winnow_fingerprints(F.col("text"), k=5, w=4),
+                    lambda f: winnow_hash(f),
+                )
+            ).alias("hset"),
+        )
     )
     ev = (
         hs.filter(F.col("doc_id") % 29 == 0)
@@ -502,4 +508,197 @@ def x_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# Curriculum ordering (quality-descending global positions, rank kernel)
+# --------------------------------------------------------------------------
+
+
+def _curriculum_sql() -> str:
+    """Generated from catalog_ext's shared quality restatement so the
+    oracle cannot drift from functions/text.py::quality_score."""
+    from .catalog_ext import _QUALITY_EXPR
+
+    return f"""
+WITH q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM documents)
+SELECT doc_id, quality,
+       CAST(ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) AS BIGINT)
+         AS position
+FROM q
+"""
+
+
+@_q("x_corpus_curriculum_order", _curriculum_sql())
+def x_corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: every document's exact global training
+    position, best-quality-first (deterministic tie order on doc_id) —
+    the quality-curriculum counterpart of x_corpus_epoch_shuffle's
+    random order. Writers then range-partition on `position` to emit
+    shards in curriculum order.
+
+    Scale shape: quality is a map-side codegen expression; the global
+    position comes from the distributed exact-rank kernel
+    (operators/rank.py: literal boundary searchsorted + per-pid
+    row_number — no single-partition WindowExec), so the corpus can be
+    billions of docs and the ordering stays fully parallel. DOUBLE
+    boundary literals round-trip exactly (repr + D suffix)."""
+    from ..functions.text import quality_score
+    from ..operators.rank import distributed_row_number
+
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    ranked, _n = distributed_row_number(
+        d, [("quality", False), ("doc_id", True)], out_col="position"
+    )
+    return ranked.select("doc_id", "quality", "position")
+
+
+# --------------------------------------------------------------------------
+# Quality-classifier inference (linear logit, SQL-pushable scoring)
+# --------------------------------------------------------------------------
+
+
+def _quality_logit_sql() -> str:
+    from .catalog_ext import _QUALITY_EXPR
+
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         {_QUALITY_EXPR} AS quality,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents)
+SELECT doc_id, quality, n_tokens, n_chars,
+       (-1.5 + 2.25 * quality
+             + 0.004 * CAST(n_tokens AS DOUBLE)
+             - 0.0008 * CAST(n_chars AS DOUBLE)) AS logit,
+       (-1.5 + 2.25 * quality
+             + 0.004 * CAST(n_tokens AS DOUBLE)
+             - 0.0008 * CAST(n_chars AS DOUBLE)) >= 0.0 AS keep
+FROM f
+"""
+
+
+@_q("x_text_quality_logit", _quality_logit_sql())
+def x_text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier INFERENCE pushed into the engine: a linear
+    model (fixed trained weights) over cheap per-doc features scores
+    every document in the scan itself — the fastText/logreg
+    quality-filter pattern (CCNet, RefinedWeb) with the model small
+    enough to inline as an expression. The LINEAR logit is emitted
+    instead of sigmoid(logit): sigma is monotone, so thresholding
+    (`keep`) and ranking are identical, and the score stays one IEEE
+    multiply/add chain with identical expression text on both engines —
+    no library exp() inside a hash-checked result (the PMI/TF-IDF
+    linearization rationale).
+
+    Scale shape: map-only, zero shuffle, whole-stage codegen; at 100 TB
+    this is scan-speed inference with no model-serving hop."""
+    from ..functions.text import quality_score, token_count
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    logit = (
+        F.lit(-1.5)
+        + F.lit(2.25) * quality_score(F.col("text"))
+        + F.lit(0.004) * token_count(F.col("text")).cast("double")
+        - F.lit(0.0008) * F.col("n_chars").cast("double")
+    )
+    return d.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        logit.alias("logit"),
+        (logit >= F.lit(0.0)).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Candidate-pair verification features (prefix blocking)
+# --------------------------------------------------------------------------
+
+_X_PAIRFEAT_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS toks
+  FROM documents),
+b AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, 1, 8), ' ')) AS block_key,
+         list_distinct(toks) AS ts,
+         len(toks) AS n_toks
+  FROM t),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         len(list_filter(a.ts, x -> list_contains(b2.ts, x))) AS n_inter,
+         len(a.ts) AS sa, len(b2.ts) AS sb,
+         a.n_toks AS na, b2.n_toks AS nb
+  FROM b a JOIN b b2
+    ON a.block_key = b2.block_key AND a.doc_id < b2.doc_id)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS BIGINT) AS n_shared_tokens,
+       CAST(n_inter AS DOUBLE) / (sa + sb - n_inter) AS jaccard,
+       CAST(n_inter AS DOUBLE) / least(sa, sb) AS containment,
+       CAST(least(na, nb) AS DOUBLE) / greatest(na, nb) AS len_ratio
+FROM pairs
+"""
+
+
+@_q("x_dedup_pair_features", _X_PAIRFEAT_SQL)
+def x_dedup_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair verification features: documents blocked on the
+    md5 of their first 8 tokens (prefix blocking — near-dups that share
+    an opening share a block), then per-pair exact token-set Jaccard,
+    containment, shared-token count, and length ratio — the feature
+    vector a downstream pair classifier (or threshold rule) consumes.
+    This is the VERIFY stage of the dedup funnel: the banded generators
+    (MinHash/SimHash/winnowing) propose, these features decide.
+
+    Scale shape: block keys and token sets are map-side arrays; the
+    self-join keys on the block hash, so fan-out is bounded by block
+    size (an opening shared by B docs costs B^2 pairs — prefix blocks
+    are near-unique by construction; a hot-block cap like the winnow
+    tier's is one filter away if a corpus has boilerplate openings);
+    set intersection runs JVM-local per pair via array_intersect over
+    deduplicated token arrays."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    b = d.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(toks, 1, 8), " ")).alias("block_key"),
+        F.array_distinct(toks).alias("ts"),
+        F.size(toks).alias("n_toks"),
+    )
+    a2 = b.select(
+        F.col("block_key"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("ts").alias("ts_a"),
+        F.col("n_toks").alias("na"),
+    )
+    b2 = b.select(
+        F.col("block_key"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("n_toks").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    sa, sb = F.size("ts_a"), F.size("ts_b")
+    return (
+        a2.join(b2, "block_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("n_shared_tokens"),
+            (inter.cast("double") / (sa + sb - inter)).alias("jaccard"),
+            (inter.cast("double") / F.least(sa, sb)).alias("containment"),
+            (
+                F.least("na", "nb").cast("double")
+                / F.greatest("na", "nb")
+            ).alias("len_ratio"),
+        )
     )
