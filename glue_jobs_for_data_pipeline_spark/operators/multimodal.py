@@ -346,6 +346,80 @@ def phash_dup_pairs(
     )
 
 
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("energy_sum", T.LongType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def audio_frame_features(
+    df: DataFrame, id_col: str = "doc_id", frame_size: int = 64
+) -> DataFrame:
+    """Audio decode + framed feature extraction as ONE Arrow-batched
+    mapInPandas pass: the payload bytes are read as unsigned 8-bit PCM
+    (the U8 WAV sample format), centered to [-128, 127], framed into
+    ``frame_size``-sample windows (the tail frame keeps its partial
+    length), and each frame emits the three classic speech-curation
+    features — energy (sum of squares), zero-crossing count, and peak
+    amplitude — all in exact integer arithmetic so the stage is
+    bit-reproducible across engines (the DuckDB twin in
+    plans/media_pack.py restates the same sums).
+
+    This is the real operator shape for audio corpus curation (VAD,
+    silence trimming, clipping detection run on exactly these frames);
+    a codec decode (mp3/flac) would slot into the same batch loop,
+    which is why it is mapInPandas and not a column expression.
+
+    Scale shape: map-only — no shuffle, output partitioning inherits
+    the input; memory is bounded by the Arrow batch size times the
+    frame fan-out, never by partition size. NumPy does the per-payload
+    work vectorized; the per-row Python loop touches only ~n/frame_size
+    frame descriptors per doc.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def feature_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids: list[int] = []
+            fidx: list[int] = []
+            ns: list[int] = []
+            es: list[int] = []
+            zc: list[int] = []
+            pk: list[int] = []
+            for did, p in zip(pdf[id_col], pdf["payload"]):
+                a = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64) - 128
+                for k, lo in enumerate(range(0, a.size, frame_size)):
+                    seg = a[lo : lo + frame_size]
+                    neg = seg < 0
+                    ids.append(int(did))
+                    fidx.append(k)
+                    ns.append(int(seg.size))
+                    es.append(int(np.dot(seg, seg)))
+                    zc.append(int(np.count_nonzero(neg[:-1] != neg[1:])))
+                    pk.append(int(np.abs(seg).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "energy_sum": pd.Series(es, dtype="int64"),
+                    "zero_crossings": pd.Series(zc, dtype="int32"),
+                    "peak": pd.Series(pk, dtype="int32"),
+                }
+            )
+
+    return df.select(F.col(id_col), "payload").mapInPandas(
+        feature_batches, AUDIO_FRAME_SCHEMA
+    )
+
+
 def sample_frames(
     df: DataFrame, id_col: str = "doc_id", every_n_bytes: int = 100
 ) -> DataFrame:
