@@ -108,10 +108,22 @@ def assign_surrogate_keys(
     dynamic_upsert.py:17-19).
 
     rownum: max(existing)+row_number over business-key order —
-    contiguous + deterministic (oracle-reproducible); the ordered window
-    is single-partition, acceptable at dimension scale only.
-    hash: xxhash64(business_key, StartDate) — fully parallel and
-    deterministic for 100TB-scale dims, but non-contiguous.
+    contiguous + deterministic (oracle-reproducible). Size-gated since
+    r11: below `spark.graft.sk.kernelMinBytes` (default 256 MiB of
+    staged batch, by optimizer plan statistics) the row_number is the
+    classic single-partition ordered window — bounded by the gate's own
+    measurement, so the funnel task is small by construction; above it,
+    the distributed exact-rank kernel (operators/rank.py) computes the
+    identical ranks with no single-task sort, so a billion-row dim load
+    never collapses onto one executor. Both paths produce the same key
+    values — ROW_NUMBER() OVER (ORDER BY business_key) — because keys
+    are unique at the staged grain (the reference's source contract;
+    with duplicate keys the old window was tie-nondeterministic
+    anyway), so the gate can never cause value drift, only plan choice.
+    Plan-stats overestimation (cached/joined inputs) errs toward the
+    kernel — the scale-safe direction.
+    hash: xxhash64(business_key, StartDate) — join-free and
+    non-contiguous; still available where contiguity is not required.
     """
     if key_mode == "hash":
         # staged carries the run date as LoadDate at this point (it becomes
@@ -126,17 +138,36 @@ def assign_surrogate_keys(
         else:
             key = F.xxhash64(F.col(business_key))
         return staged.withColumn(surrogate_key, key)
-    w = Window.orderBy(business_key)
+    min_bytes = int(
+        staged.sparkSession.conf.get(
+            "spark.graft.sk.kernelMinBytes", str(256 << 20)
+        )
+    )
+    plan_bytes = int(
+        staged._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if plan_bytes <= min_bytes:
+        ranked = staged.withColumn(
+            "__sk_rn",
+            F.row_number().over(Window.orderBy(business_key)).cast("long"),
+        )
+    else:
+        from .rank import distributed_row_number
+
+        ranked, _total = distributed_row_number(
+            staged, [(business_key, True)], out_col="__sk_rn"
+        )
     base = F.lit(0)
     if dim is not None:
         max_key = dim.agg(
             F.coalesce(F.max(surrogate_key), F.lit(0)).alias("_max_key")
         )
-        staged = staged.crossJoin(F.broadcast(max_key))
+        ranked = ranked.crossJoin(F.broadcast(max_key))
         base = F.col("_max_key")
-    return staged.withColumn(
-        surrogate_key, (base + F.row_number().over(w)).cast("long")
-    ).drop("_max_key")
+    return (
+        ranked.withColumn(surrogate_key, (base + F.col("__sk_rn")).cast("long"))
+        .drop("_max_key", "__sk_rn")
+    )
 
 
 def scd2_upsert(

@@ -320,3 +320,43 @@ def test_infer_late_members_preserves_persisted_flag(spark):
     run2 = infer_late_members(run1, facts, "k", {"name": "UNKNOWN"})
     flagged = {r["k"] for r in run2.filter(F.col("is_inferred")).collect()}
     assert flagged == {3}  # placeholder stays flagged, no clobber to False
+
+
+def test_surrogate_key_gate_paths_agree(spark):
+    """The r11 size gate on assign_surrogate_keys switches PLAN only:
+    forcing the kernel path (threshold 0) must yield byte-identical
+    keys to the small-dim window path, with and without an existing
+    dim's max-key base."""
+    from glue_jobs_for_data_pipeline_spark.operators.scd2 import (
+        assign_surrogate_keys,
+    )
+
+    staged = spark.createDataFrame(
+        [(k, f"name{k}") for k in (7, 3, 11, 1, 9, 5)], "bk long, name string"
+    )
+    dim = spark.createDataFrame([(1, 40)], "bk long, sk long").select(
+        "bk", "sk"
+    )
+
+    def keys(threshold: str, base_dim):
+        old = spark.conf.get("spark.graft.sk.kernelMinBytes", None)
+        spark.conf.set("spark.graft.sk.kernelMinBytes", threshold)
+        try:
+            out = assign_surrogate_keys(staged, base_dim, "bk", "sk")
+            return {(r["bk"], r["sk"]) for r in out.collect()}
+        finally:
+            if old is None:
+                spark.conf.unset("spark.graft.sk.kernelMinBytes")
+            else:
+                spark.conf.set("spark.graft.sk.kernelMinBytes", old)
+
+    window_path = keys(str(1 << 40), None)
+    kernel_path = keys("0", None)
+    assert window_path == kernel_path
+    # contiguous 1..6 over bk order
+    assert window_path == {(1, 1), (3, 2), (5, 3), (7, 4), (9, 5), (11, 6)}
+
+    window_base = keys(str(1 << 40), dim)
+    kernel_base = keys("0", dim)
+    assert window_base == kernel_base
+    assert {sk for _, sk in window_base} == set(range(41, 47))
