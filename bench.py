@@ -129,6 +129,10 @@ BENCH_QUERIES = [
     "x_text_winnow_stats",
     "x_dedup_winnow_pairs",
     "x_corpus_temperature_mix",
+    # r11 media tier: audio frame features (map-only Arrow decode) and
+    # scene cuts (UDF-free higher-order luma reduce + per-doc lag)
+    "x_mm_audio_features",
+    "x_mm_video_scene_cuts",
 ]
 
 

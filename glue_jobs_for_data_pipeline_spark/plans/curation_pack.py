@@ -702,3 +702,149 @@ def x_dedup_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("len_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-candidate counting (the tokenizer-training inner step)
+# --------------------------------------------------------------------------
+
+_X_BPE_SQL = r"""
+WITH wr AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+wf AS (
+  SELECT w, COUNT(*) AS cnt FROM wr
+  WHERE regexp_full_match(w, '[a-z]+') GROUP BY w),
+pr AS (
+  SELECT substr(w || '$', CAST(i AS INTEGER), 2) AS pair, cnt
+  FROM wf, UNNEST(range(1, length(w) + 1)) t(i))
+SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+FROM pr GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT 40
+"""
+
+
+@_q("x_text_bpe_merges", _X_BPE_SQL)
+def x_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE tokenizer-training inner step: count adjacent symbol
+    pairs across the word-frequency table and return the top merge
+    candidates (Sennrich et al. 2016 — each training iteration merges
+    the most frequent pair; this query IS that argmax, with the '$'
+    end-of-word marker so final characters pair like BPE's </w>).
+    Restricting to pure-alpha lowercase words mirrors the standard
+    pre-tokenization split. Top-40 under a TOTAL order (count desc,
+    pair asc) so the limit is deterministic.
+
+    Scale shape: the expensive text pass collapses to a word-frequency
+    table FIRST (groupBy with map-side combine — the corpus-sized
+    stage), then pairs explode from the DISTINCT-WORD table, which
+    grows sub-linearly (vocabulary saturates); pair extraction is a
+    map-side higher-order transform (substring windows over w||'$'),
+    and the final agg is over <= 27^2 keys."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = wf.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w)),"
+                " i -> substring(w || '$', i, 2))"
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(40)
+    )
+
+
+# --------------------------------------------------------------------------
+# Record-linkage agreement patterns (the Fellegi-Sunter estimation input)
+# --------------------------------------------------------------------------
+
+_X_LINKAGE_SQL = """
+WITH f AS (
+  SELECT c_custkey AS k, c_nationkey AS blk_n,
+         CAST(floor(c_acctbal / 100) AS INTEGER) AS blk_b,
+         c_mktsegment AS seg,
+         CAST(round(c_acctbal * 100) AS BIGINT) % 10 AS cent_d,
+         substr(c_name, length(c_name), 1) AS name_d
+  FROM customer),
+kept AS (
+  SELECT f.* FROM f
+  JOIN (SELECT blk_n, blk_b FROM f GROUP BY blk_n, blk_b
+        HAVING COUNT(*) <= 40) g USING (blk_n, blk_b)),
+pairs AS (
+  SELECT CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS agree_segment,
+         CASE WHEN a.cent_d = b.cent_d THEN 1 ELSE 0 END AS agree_balcent,
+         CASE WHEN a.name_d = b.name_d THEN 1 ELSE 0 END AS agree_namedigit
+  FROM kept a JOIN kept b
+    ON a.blk_n = b.blk_n AND a.blk_b = b.blk_b AND a.k < b.k)
+SELECT agree_segment, agree_balcent, agree_namedigit,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY agree_segment, agree_balcent, agree_namedigit
+"""
+
+
+@_q("x_dedup_linkage_patterns", _X_LINKAGE_SQL)
+def x_dedup_linkage_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage agreement-pattern profile: block customers on
+    (nation, acctbal-hundreds), enumerate within-block candidate pairs,
+    and count pairs per field-agreement pattern (segment / balance-cent
+    / name-digit) — the frequency table from which Fellegi-Sunter m/u
+    weights are estimated (the EM input of every probabilistic ER
+    system; Winkler's surveys call exactly this the "agreement pattern
+    tally"). Output is the 8-row pattern histogram.
+
+    Scale shape: candidate generation is the classic blocked self-join
+    with the house hot-block cap — blocks over 40 rows are EXCLUDED by
+    a deterministic HAVING filter (stated in the oracle too), so pair
+    fan-out is bounded at C(40,2) per block regardless of SF; real
+    deployments block on higher-cardinality natural keys (zip, name
+    phonetics) and rely on the same cap for skew. The block census is
+    one map-side-combined agg over <= ~2.8k keys; the pattern agg
+    reduces to 8 groups. floor/round on doubles are bit-identical
+    across engines (same IEEE ops on the same parquet bits)."""
+    c = spread(load_table(spark, sf_dir, "customer")).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("blk_n"),
+        F.floor(F.col("c_acctbal") / 100).cast("int").alias("blk_b"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.round(F.col("c_acctbal") * 100).cast("long") % 10).alias("cent_d"),
+        F.substring(F.col("c_name"), -1, 1).alias("name_d"),
+    )
+    census = (
+        c.groupBy("blk_n", "blk_b")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") <= 40)
+        .drop("_bsz")
+    )
+    kept = c.join(F.broadcast(census), ["blk_n", "blk_b"])
+    a = kept.select(
+        "blk_n", "blk_b", F.col("k").alias("ka"),
+        F.col("seg").alias("seg_a"), F.col("cent_d").alias("cent_a"),
+        F.col("name_d").alias("name_a"),
+    )
+    b = kept.select(
+        "blk_n", "blk_b", F.col("k").alias("kb"),
+        F.col("seg").alias("seg_b"), F.col("cent_d").alias("cent_b"),
+        F.col("name_d").alias("name_b"),
+    )
+    pairs = a.join(b, ["blk_n", "blk_b"]).filter(F.col("ka") < F.col("kb"))
+    return (
+        pairs.select(
+            F.when(F.col("seg_a") == F.col("seg_b"), 1).otherwise(0)
+            .alias("agree_segment"),
+            F.when(F.col("cent_a") == F.col("cent_b"), 1).otherwise(0)
+            .alias("agree_balcent"),
+            F.when(F.col("name_a") == F.col("name_b"), 1).otherwise(0)
+            .alias("agree_namedigit"),
+        )
+        .groupBy("agree_segment", "agree_balcent", "agree_namedigit")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -175,3 +175,72 @@ def test_winnow_pairs_flags_clones_and_caps_boilerplate(spark):
         cp.load_table = orig
     assert (1, 2) in got and got[(1, 2)] >= 2
     assert all(p == (1, 2) for p in got)
+
+
+def test_bpe_merges_counts_on_crafted_corpus(spark, tmp_path):
+    """Pair counts match the hand-computed BPE tally: 'ab ab cd' has
+    word freqs {ab:2, cd:1}; pairs ab,b$ (x2) and cd,d$ (x1)."""
+    import pandas as pd
+
+    pd.DataFrame({"doc_id": [1], "text": ["ab ab cd"]}).to_parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from glue_jobs_for_data_pipeline_spark.plans.curation_pack import (
+        x_text_bpe_merges,
+    )
+
+    out = {r["pair"]: r["pair_count"] for r in
+           x_text_bpe_merges(spark, str(tmp_path)).collect()}
+    assert out == {"ab": 2, "b$": 2, "cd": 1, "d$": 1}
+
+
+def test_bpe_merges_word_table_first_plan(spark, sf_dir):
+    """The pair explode runs over the DISTINCT-WORD table, not the
+    corpus: exactly two hash aggregates (word freq, pair sum) and no
+    Python node."""
+    from glue_jobs_for_data_pipeline_spark.plans.curation_pack import (
+        x_text_bpe_merges,
+    )
+
+    plan = (
+        x_text_bpe_merges(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_linkage_patterns_crafted_blocks(spark, tmp_path):
+    """Two customers agreeing on everything land in pattern (1,1,1);
+    a third in the same block disagreeing on segment contributes
+    (0,x,x) rows; a 41-customer hot block is excluded by the cap."""
+    import pandas as pd
+
+    rows = [
+        # block (7, 1): three members
+        (1, "Customer#000000001", 7, 150.00, "BUILDING"),
+        (11, "Customer#000000011", 7, 151.00, "BUILDING"),
+        (21, "Customer#000000002", 7, 152.00, "MACHINERY"),
+    ]
+    # hot block (3, 0): 41 members -> capped out entirely
+    rows += [
+        (100 + i, f"Customer#{100 + i:09d}", 3, 50.00, "AUTOMOBILE")
+        for i in range(41)
+    ]
+    pd.DataFrame(
+        rows,
+        columns=[
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+        ],
+    ).to_parquet(str(tmp_path / "customer.parquet"))
+    from glue_jobs_for_data_pipeline_spark.plans.curation_pack import (
+        x_dedup_linkage_patterns,
+    )
+
+    got = {
+        (r["agree_segment"], r["agree_balcent"], r["agree_namedigit"]):
+        r["n_pairs"]
+        for r in x_dedup_linkage_patterns(spark, str(tmp_path)).collect()
+    }
+    # pairs among {1,11,21}: (1,11) seg=1 cent=1 (00==00) name=1 (1==1)
+    # (1,21) seg=0 cent=1 name=0 (1 vs 2); (11,21) seg=0 cent=1 name=0
+    assert got == {(1, 1, 1): 1, (0, 1, 0): 2}
