@@ -78,33 +78,33 @@ _WINDOW_FIRST = [
     # (b) last pre-r05 driver evidence (2)
     "x_text_vocab_topk",
     "x_text_pii_redact",
-    # (c) plan changed in r11 (3): gini + revenue_concentration ride the
-    # rebuilt rank kernel; m2's dim broadcasts are now size-gated
+    # (c) plan changed in r11 (4): gini + revenue_concentration ride the
+    # rebuilt rank kernel; m2's dim broadcasts are size-gated; m1's
+    # surrogate keys are size-gated between window and rank kernel
     "x_olap_gini",
     "x_olap_revenue_concentration",
     "m2_j2_fact_population",
-    # (d) r06-evidence cohort (13 of 19; x_ts_range_join,
+    "m1_scd2_upsert",
+    # (d) r06-evidence cohort (7 of 19; x_ts_range_join,
     # x_ts_sessionize_batch, x_ts_asof_join, x_json_extract,
-    # x_olap_unpivot, x_olap_range_frame carry to r12 — displaced by
-    # the never-checked r11-new cohort below, all sweep-green at both
-    # SFs)
+    # x_olap_unpivot, x_olap_range_frame, x_emb_quantize_int8,
+    # x_ingest_latest_by_key, x_ingest_schema_evolution,
+    # x_olap_correlated_scalar, x_olap_percentiles,
+    # x_sample_token_budget carry to r12 — displaced by the
+    # never-checked r11-new cohort below, all sweep-green at both SFs)
     "x_corpus_build_full",
     "x_corpus_dedup_cc",
     "x_dedup_cc_clusters",
-    "x_emb_quantize_int8",
     "x_ingest_cdc_apply",
     "x_ingest_incremental_dedup",
-    "x_ingest_latest_by_key",
-    "x_ingest_schema_evolution",
-    "x_olap_correlated_scalar",
-    "x_olap_percentiles",
-    "x_sample_token_budget",
     "x_split_neardup_leakage",
     "x_stream_window_agg",
-    # (e) r11-NEW / oracle-graduated, never driver-hash-checked (11):
-    # the rows-only graduation (pack_sequences) and the curation pack
+    # (e) r11-NEW / oracle-graduated, never driver-hash-checked (16):
+    # the rows-only graduation (pack_sequences), the curation pack
     # (winnowing fingerprints + decontam, normalized dedup, temperature
-    # mixing, matryoshka truncation, compaction planning)
+    # mixing, matryoshka truncation, compaction planning, BPE merges,
+    # linkage patterns), and the media pack (audio frames, VAD
+    # segments, scene cuts)
     "x_pack_sequences",
     "x_text_winnow_stats",
     "x_decontam_winnow",
@@ -116,6 +116,11 @@ _WINDOW_FIRST = [
     "x_corpus_curriculum_order",
     "x_text_quality_logit",
     "x_dedup_pair_features",
+    "x_text_bpe_merges",
+    "x_dedup_linkage_patterns",
+    "x_mm_audio_features",
+    "x_mm_audio_vad_segments",
+    "x_mm_video_scene_cuts",
 ]
 
 
