@@ -848,3 +848,154 @@ def x_dedup_linkage_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("agree_segment", "agree_balcent", "agree_namedigit")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Greedy longest-match subword segmentation (WordPiece-style inference)
+# --------------------------------------------------------------------------
+
+_X_SUBWORD_SQL = r"""
+WITH wr AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+  FROM documents),
+dw AS (SELECT doc_id, w FROM wr WHERE regexp_full_match(w, '[a-z]+')),
+wf AS (SELECT w, COUNT(*) AS cnt FROM dw GROUP BY w),
+gr AS (
+  SELECT substr(w, CAST(p AS INTEGER), CAST(k AS INTEGER)) AS g, cnt
+  FROM wf, UNNEST(range(2, 5)) tk(k), UNNEST(range(1, length(w) - k + 2)) tp(p)
+  WHERE length(w) >= k),
+vt AS (
+  SELECT g FROM gr GROUP BY g
+  ORDER BY SUM(cnt) DESC, g LIMIT 200),
+va AS (
+  SELECT list(g ORDER BY g) FILTER (WHERE length(g) = 2) AS v2,
+         list(g ORDER BY g) FILTER (WHERE length(g) = 3) AS v3,
+         list(g ORDER BY g) FILTER (WHERE length(g) = 4) AS v4
+  FROM vt),
+lmt AS (
+  SELECT w, length(w) AS n,
+         list_transform(range(1, length(w) + 1), p ->
+           CASE WHEN p + 3 <= length(w)
+                     AND list_contains(va.v4, substr(w, CAST(p AS INTEGER), 4))
+                  THEN 4
+                WHEN p + 2 <= length(w)
+                     AND list_contains(va.v3, substr(w, CAST(p AS INTEGER), 3))
+                  THEN 3
+                WHEN p + 1 <= length(w)
+                     AND list_contains(va.v2, substr(w, CAST(p AS INTEGER), 2))
+                  THEN 2
+                ELSE 1 END) AS lm
+  FROM wf CROSS JOIN va),
+walk AS (
+  WITH RECURSIVE rc AS (
+    SELECT w, n, lm, 1 AS pos, 0 AS ntok FROM lmt
+    UNION ALL
+    SELECT w, n, lm, pos + lm[pos] AS pos, ntok + 1 AS ntok
+    FROM rc WHERE pos <= n)
+  SELECT w, ntok FROM rc WHERE pos > n)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wt.ntok) AS BIGINT) AS n_subword_tokens,
+       CAST(SUM(length(dw.w)) AS BIGINT) AS n_chars,
+       CAST(SUM(length(dw.w)) AS DOUBLE) / SUM(wt.ntok) AS chars_per_token
+FROM dw JOIN walk wt USING (w)
+GROUP BY doc_id
+"""
+
+
+@_q("x_text_subword_encode", _X_SUBWORD_SQL)
+def x_text_subword_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword tokenization at corpus scale: build a 200-entry subword
+    vocabulary (top character 2/3/4-grams by corpus frequency, total
+    tie order) and segment every word by greedy LONGEST-MATCH-FIRST
+    with single-character fallback — WordPiece-style inference (the
+    MaxMatch semantics of Song et al. 2021's fast tokenizer paper),
+    the byte-fallback discipline of byte-level BPE. Output is the
+    per-document token accounting every batch-size/cost estimator
+    downstream consumes (n_subword_tokens, chars-per-token).
+
+    Spark-first and ENTIRELY UDF-free: the vocabulary is three
+    broadcast scalar arrays; per-word match lengths are a higher-order
+    transform probing array_contains at each position; and the greedy
+    left-to-right WALK — inherently sequential per word — is ONE
+    aggregate() fold carrying (next_pos, n_tokens) struct state, so
+    even the iteration stays inside whole-stage codegen. The DuckDB
+    twin states the same walk as a recursive CTE over the precomputed
+    match-length arrays.
+
+    Scale shape: everything expensive runs on the DISTINCT-WORD table
+    (sub-linear — vocabulary saturates; the corpus-sized stages are
+    one word explode + one count and the final doc rollup); the
+    per-word fold is O(len); the corpus joins back on the word key
+    with AQE free to broadcast the word-stats side."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    dw = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    wf = dw.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    gr = wf.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(2, 4), k ->"
+                " IF(length(w) >= k,"
+                "    transform(sequence(1, length(w) - k + 1),"
+                "              p -> substring(w, p, k)),"
+                "    cast(array() as array<string>))))"
+            )
+        ).alias("g"),
+        "cnt",
+    )
+    vt = (
+        gr.groupBy("g")
+        .agg(F.sum("cnt").alias("_w"))
+        .orderBy(F.desc("_w"), F.asc("g"))
+        .limit(200)
+    )
+    va = vt.agg(
+        F.array_sort(
+            F.collect_list(F.when(F.length("g") == 2, F.col("g")))
+        ).alias("v2"),
+        F.array_sort(
+            F.collect_list(F.when(F.length("g") == 3, F.col("g")))
+        ).alias("v3"),
+        F.array_sort(
+            F.collect_list(F.when(F.length("g") == 4, F.col("g")))
+        ).alias("v4"),
+    )
+    lmt = wf.crossJoin(F.broadcast(va)).withColumn(
+        "lm",
+        F.expr(
+            "transform(sequence(1, length(w)), p ->"
+            " CASE WHEN p + 3 <= length(w)"
+            "           AND array_contains(v4, substring(w, p, 4)) THEN 4"
+            "      WHEN p + 2 <= length(w)"
+            "           AND array_contains(v3, substring(w, p, 3)) THEN 3"
+            "      WHEN p + 1 <= length(w)"
+            "           AND array_contains(v2, substring(w, p, 2)) THEN 2"
+            "      ELSE 1 END)"
+        ),
+    )
+    wt = lmt.select(
+        "w",
+        F.expr(
+            "aggregate(sequence(1, length(w)),"
+            " named_struct('nxt', 1, 'ntok', 0),"
+            " (acc, p) -> IF(p = acc.nxt,"
+            "     named_struct('nxt', p + element_at(lm, p),"
+            "                  'ntok', acc.ntok + 1),"
+            "     acc),"
+            " acc -> acc.ntok)"
+        ).alias("ntok"),
+    )
+    return (
+        dw.join(wt, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("ntok").alias("n_subword_tokens"),
+            F.sum(F.length("w")).alias("n_chars"),
+            (
+                F.sum(F.length("w")).cast("double") / F.sum("ntok")
+            ).alias("chars_per_token"),
+        )
+    )

@@ -244,3 +244,42 @@ def test_linkage_patterns_crafted_blocks(spark, tmp_path):
     # pairs among {1,11,21}: (1,11) seg=1 cent=1 (00==00) name=1 (1==1)
     # (1,21) seg=0 cent=1 name=0 (1 vs 2); (11,21) seg=0 cent=1 name=0
     assert got == {(1, 1, 1): 1, (0, 1, 0): 2}
+
+
+def test_subword_encode_greedy_walk(spark, tmp_path):
+    """Greedy longest-match segmentation on a corpus small enough that
+    every gram enters the vocabulary: whole-word 4/3/2-gram matches
+    take one token each, and a 9-char word segments 4+4+1."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["abcd ab cd xyz", "abcdabcda"]}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    from glue_jobs_for_data_pipeline_spark.plans.curation_pack import (
+        x_text_subword_encode,
+    )
+
+    out = {r["doc_id"]: r for r in
+           x_text_subword_encode(spark, str(tmp_path)).collect()}
+    assert out[1]["n_words"] == 4
+    assert out[1]["n_subword_tokens"] == 4  # abcd | ab | cd | xyz
+    assert out[1]["n_chars"] == 11
+    assert out[1]["chars_per_token"] == 11 / 4
+    assert out[2]["n_subword_tokens"] == 3  # abcd | abcd | a
+    assert out[2]["chars_per_token"] == 3.0
+
+
+def test_subword_encode_fixture_invariants(spark, sf_dir):
+    """Token counts are bounded by ceil(chars/4) below and chars above,
+    per doc — the greedy walk can never emit fewer than len/4 or more
+    than len tokens."""
+    from glue_jobs_for_data_pipeline_spark.plans.curation_pack import (
+        x_text_subword_encode,
+    )
+
+    rows = x_text_subword_encode(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_subword_tokens"] * 4 >= r["n_chars"]
+        assert r["n_subword_tokens"] <= r["n_chars"]
+        assert r["n_subword_tokens"] >= r["n_words"]
