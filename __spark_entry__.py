@@ -85,26 +85,26 @@ _WINDOW_FIRST = [
     "x_olap_revenue_concentration",
     "m2_j2_fact_population",
     "m1_scd2_upsert",
-    # (d) r06-evidence cohort (7 of 19; x_ts_range_join,
+    # (d) r06-evidence cohort (6 of 19; x_ts_range_join,
     # x_ts_sessionize_batch, x_ts_asof_join, x_json_extract,
     # x_olap_unpivot, x_olap_range_frame, x_emb_quantize_int8,
     # x_ingest_latest_by_key, x_ingest_schema_evolution,
     # x_olap_correlated_scalar, x_olap_percentiles,
-    # x_sample_token_budget carry to r12 — displaced by the
-    # never-checked r11-new cohort below, all sweep-green at both SFs)
+    # x_sample_token_budget, x_ingest_incremental_dedup carry to r12 —
+    # displaced by the never-checked r11-new cohort below, all
+    # sweep-green at both SFs)
     "x_corpus_build_full",
     "x_corpus_dedup_cc",
     "x_dedup_cc_clusters",
     "x_ingest_cdc_apply",
-    "x_ingest_incremental_dedup",
     "x_split_neardup_leakage",
     "x_stream_window_agg",
-    # (e) r11-NEW / oracle-graduated, never driver-hash-checked (16):
+    # (e) r11-NEW / oracle-graduated, never driver-hash-checked (17):
     # the rows-only graduation (pack_sequences), the curation pack
     # (winnowing fingerprints + decontam, normalized dedup, temperature
     # mixing, matryoshka truncation, compaction planning, BPE merges,
-    # linkage patterns), and the media pack (audio frames, VAD
-    # segments, scene cuts)
+    # linkage patterns, subword segmentation), and the media pack
+    # (audio frames, VAD segments, scene cuts)
     "x_pack_sequences",
     "x_text_winnow_stats",
     "x_decontam_winnow",
@@ -121,6 +121,7 @@ _WINDOW_FIRST = [
     "x_mm_audio_features",
     "x_mm_audio_vad_segments",
     "x_mm_video_scene_cuts",
+    "x_text_subword_encode",
 ]
 
 

@@ -133,6 +133,10 @@ BENCH_QUERIES = [
     # scene cuts (UDF-free higher-order luma reduce + per-doc lag)
     "x_mm_audio_features",
     "x_mm_video_scene_cuts",
+    # r11 tokenizer tier: BPE merge counting + greedy subword encode
+    # (both distinct-word-table shaped)
+    "x_text_bpe_merges",
+    "x_text_subword_encode",
 ]
 
 

@@ -44,7 +44,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # catalog tables (bucketing demos) land outside the repo tree
         .config("spark.sql.warehouse.dir", "/tmp/spark_graft_io/warehouse_catalog")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS the executor. 32 concurrent
+        # tasks over the old 8g default left ~256 MB/task — GC pauses
+        # made the checkpoint-heavy graph queries swing 4.8-16 s for
+        # identical plans. 32g = 1 GiB/task, the per-core executor
+        # memory a real cluster job would request; triangles steadies
+        # at ~3.3 s (measured r11).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
