@@ -221,3 +221,70 @@ def x_mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("luma_sum") - F.col("prev_luma")).alias("delta"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Audio resampling digest: decimate-by-4 block sums, map-only, UDF-free
+# --------------------------------------------------------------------------
+
+_X_RESAMPLE_SQL = """
+WITH b AS (SELECT doc_id, text AS s, length(text) AS n
+           FROM documents WHERE length(text) >= 4),
+bs AS (SELECT doc_id, n // 4 AS n_blocks,
+              list_transform(range(0, n // 4), k ->
+                list_aggregate(list_transform(
+                  range(CAST(k AS BIGINT) * 4 + 1, CAST(k AS BIGINT) * 4 + 5),
+                  j -> ord(substr(s, CAST(j AS INTEGER), 1)) - 128),
+                'sum')) AS v
+       FROM b)
+SELECT doc_id,
+       CAST(n_blocks AS INTEGER) AS n_blocks,
+       CAST(list_aggregate(v, 'sum') AS BIGINT) AS rs_sum,
+       CAST(list_aggregate(list_transform(v, x -> x * x), 'sum')
+            AS BIGINT) AS rs_energy,
+       CAST(list_aggregate(v, 'min') AS INTEGER) AS rs_min,
+       CAST(list_aggregate(v, 'max') AS INTEGER) AS rs_max
+FROM bs
+"""
+
+
+@_q("x_mm_audio_resample", _X_RESAMPLE_SQL)
+def x_mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimate-by-4 resampling digest: the U8-PCM sample stream is
+    reduced to quarter-rate block sums (a box filter — the simplest
+    anti-aliasing decimator; block SUM rather than mean keeps every
+    value integer-exact), then each document emits the resampled
+    signal's count/sum/energy/min/max. This is the downsample step a
+    speech pipeline runs before feature extraction (16 kHz -> 4 kHz),
+    expressed so the whole thing is auditable cross-engine.
+
+    Spark-first: NO UDF and NO explode — block sums are a nested
+    higher-order transform/aggregate over per-row sequences and the
+    digest folds the same array in place, so the operator is strictly
+    one row in, one row out, entirely inside whole-stage codegen.
+    Map-only: zero shuffles at any scale."""
+    d = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", F.col("text").alias("s"), F.length("text").alias("n"))
+        .filter(F.col("n") >= 4)
+    )
+    bs = d.select(
+        "doc_id",
+        F.expr("n div 4").cast("int").alias("n_blocks"),
+        F.expr(
+            "transform(sequence(0, n div 4 - 1), k ->"
+            " aggregate(sequence(cast(k as bigint) * 4 + 1,"
+            "                    cast(k as bigint) * 4 + 4),"
+            "   0L, (acc, j) ->"
+            "     acc + cast(ascii(substring(s, cast(j as int), 1)) - 128"
+            "                as bigint)))"
+        ).alias("v"),
+    )
+    return bs.select(
+        "doc_id",
+        "n_blocks",
+        F.expr("aggregate(v, 0L, (acc, x) -> acc + x)").alias("rs_sum"),
+        F.expr("aggregate(v, 0L, (acc, x) -> acc + x * x)").alias("rs_energy"),
+        F.expr("array_min(v)").cast("int").alias("rs_min"),
+        F.expr("array_max(v)").cast("int").alias("rs_max"),
+    )

@@ -1656,3 +1656,116 @@ def x_olap_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
             "month_start", "n_orders", "booked", "shipped_qty", "n_lines"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality scorecard: one query, every core check, one tall result
+# --------------------------------------------------------------------------
+
+_X_DQ_SCORECARD_SQL = """
+SELECT 'orders' AS table_name, 'rows' AS check_name,
+       CAST(COUNT(*) AS BIGINT) AS metric FROM orders
+UNION ALL
+SELECT 'orders', 'pk_dup_keys',
+       CAST(COUNT(*) AS BIGINT) FROM (
+  SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'orders', 'fk_orphans_custkey',
+       CAST(COUNT(*) AS BIGINT) FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'orders', 'null_custkey',
+       CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL
+UNION ALL
+SELECT 'lineitem', 'rows', CAST(COUNT(*) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'fk_orphans_orderkey',
+       CAST(COUNT(*) AS BIGINT) FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem', 'null_quantity',
+       CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_quantity IS NULL
+UNION ALL
+SELECT 'customer', 'rows', CAST(COUNT(*) AS BIGINT) FROM customer
+UNION ALL
+SELECT 'customer', 'pk_dup_keys',
+       CAST(COUNT(*) AS BIGINT) FROM (
+  SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)
+"""
+
+
+@_q("x_validate_dq_scorecard", _X_DQ_SCORECARD_SQL)
+def x_validate_dq_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-quality dashboard query: row counts, duplicate-PK key
+    counts, FK orphan counts, and required-column null counts for the
+    order-to-customer core, emitted as ONE tall (table, check, metric)
+    result — the shape every DQ scorecard/alerting system ingests
+    (extends the reference's validate_data.py checks V1/V2/V3 into a
+    single cross-table report).
+
+    Scale shape: each check is an independent aggregate or anti-join
+    over one table pair, so Catalyst schedules them as parallel
+    branches of one union; the orphan checks are LEFT ANTI joins
+    (never a row explosion — output is bounded by the probe side);
+    every branch reduces to ONE row before the union, so the result
+    is check-count sized. At 100 TB each branch is the canonical
+    scan+combine or broadcast/shuffle anti-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def one(table: str, check: str, df_count: DataFrame) -> DataFrame:
+        return df_count.select(
+            F.lit(table).alias("table_name"),
+            F.lit(check).alias("check_name"),
+            F.col("_m").cast("long").alias("metric"),
+        )
+
+    def cnt(df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("_m"))
+
+    dup_orders = cnt(
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+    )
+    dup_cust = cnt(
+        customer.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+    )
+    orph_orders = cnt(
+        orders.join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+    )
+    orph_line = cnt(
+        lineitem.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+    )
+    parts = [
+        one("orders", "rows", cnt(orders)),
+        one("orders", "pk_dup_keys", dup_orders),
+        one("orders", "fk_orphans_custkey", orph_orders),
+        one("orders", "null_custkey", cnt(orders.filter(F.col("o_custkey").isNull()))),
+        one("lineitem", "rows", cnt(lineitem)),
+        one("lineitem", "fk_orphans_orderkey", orph_line),
+        one(
+            "lineitem",
+            "null_quantity",
+            cnt(lineitem.filter(F.col("l_quantity").isNull())),
+        ),
+        one("customer", "rows", cnt(customer)),
+        one("customer", "pk_dup_keys", dup_cust),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

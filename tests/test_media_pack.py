@@ -127,3 +127,37 @@ def test_media_queries_are_udf_free_except_audio_decode(spark, sf_dir):
     )
     assert audio_plan.count("InPandas") == 1
     assert "BatchEvalPython" not in audio_plan
+
+
+def test_audio_resample_hand_check(spark, tmp_path):
+    """'abcd' -> one 4-sample block: sum = 97+98+99+100-512 = -118."""
+    import pandas as pd
+
+    pd.DataFrame({"doc_id": [1], "text": ["abcd"]}).to_parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from glue_jobs_for_data_pipeline_spark.plans.media_pack import (
+        x_mm_audio_resample,
+    )
+
+    r = x_mm_audio_resample(spark, str(tmp_path)).collect()[0]
+    assert r["n_blocks"] == 1
+    assert r["rs_sum"] == -118
+    assert r["rs_energy"] == 118 * 118
+    assert r["rs_min"] == r["rs_max"] == -118
+
+
+def test_audio_resample_is_udf_and_shuffle_free(spark, sf_dir):
+    from glue_jobs_for_data_pipeline_spark.plans.media_pack import (
+        x_mm_audio_resample,
+    )
+
+    plan = (
+        x_mm_audio_resample(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    # map-only: no keyed shuffle (the only Exchange is spread()'s
+    # round-robin repartition of the single-file fixture parquet)
+    assert "hashpartitioning" not in plan.lower()
+    assert "rangepartitioning" not in plan.lower()

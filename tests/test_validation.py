@@ -148,3 +148,36 @@ def test_constraint_quarantine_refuses_existing_violations_column(spark):
     df = spark.createDataFrame([(1, ["old"])], "k long, violations array<string>")
     with pytest.raises(ValueError, match="violations"):
         constraint_quarantine(df, {"pos": F.col("k") > 0})
+
+
+def test_dq_scorecard_detects_planted_defects(spark, tmp_path):
+    """A planted FK orphan, a duplicate PK, and a NULL quantity each
+    move exactly their own scorecard row."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {"c_custkey": [1, 1], "c_name": ["a", "b"], "c_nationkey": [0, 0],
+         "c_acctbal": [1.0, 2.0], "c_mktsegment": ["X", "X"]}
+    ).to_parquet(str(tmp_path / "customer.parquet"))
+    pd.DataFrame(
+        {"o_orderkey": [10, 11], "o_custkey": [1, 99],
+         "o_orderdate": ["1995-01-01", "1995-01-02"]}
+    ).to_parquet(str(tmp_path / "orders.parquet"))
+    pd.DataFrame(
+        {"l_orderkey": [10, 12], "l_partkey": [5, 6],
+         "l_quantity": [None, 3.0]}
+    ).to_parquet(str(tmp_path / "lineitem.parquet"))
+    from glue_jobs_for_data_pipeline_spark.plans.metrics_pack import (
+        x_validate_dq_scorecard,
+    )
+
+    got = {
+        (r["table_name"], r["check_name"]): r["metric"]
+        for r in x_validate_dq_scorecard(spark, str(tmp_path)).collect()
+    }
+    assert got[("orders", "fk_orphans_custkey")] == 1  # o_custkey 99
+    assert got[("lineitem", "fk_orphans_orderkey")] == 1  # l_orderkey 12
+    assert got[("lineitem", "null_quantity")] == 1
+    assert got[("customer", "pk_dup_keys")] == 1
+    assert got[("orders", "pk_dup_keys")] == 0
+    assert got[("orders", "rows")] == 2
