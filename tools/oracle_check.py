@@ -4,7 +4,11 @@ order-insensitive canonicalized values — a strict local mirror of the
 driver's correctness gate.
 
 Usage: python tools/oracle_check.py [--json OUT.json] [--repeat N]
-                                    [sf_dir] [query ...]
+                                    [--kernel] [sf_dir] [query ...]
+
+--kernel restricts to KERNEL_BACKED_KEYS (the multi-job-determinism
+set) — combine with --repeat for the one-command pre-commit flake
+pass: python tools/oracle_check.py --kernel --repeat 3
 
 --json writes a per-query record (status, row counts, match flags,
 seconds) — used to commit the full-catalog sweep as a round artifact
@@ -140,18 +144,47 @@ def unhashable_cols(schema) -> list[str]:
     ]
 
 
+# Keys whose plans carry multi-job determinism assumptions (the rank
+# kernel's boundary/offset collects, md5 pack-groups, staged writes):
+# the set `--kernel` expands to, so the pre-commit flake pass is one
+# command: python tools/oracle_check.py --kernel --repeat 3 [sf_dir]
+KERNEL_BACKED_KEYS = [
+    "x_olap_global_rank",
+    "x_olap_rfm_scores",
+    "x_corpus_epoch_shuffle",
+    "x_pack_length_buckets",
+    "x_olap_gini",
+    "x_olap_revenue_concentration",
+    "x_corpus_curriculum_order",
+    "x_text_quality_ntile",
+    "m1_scd2_upsert",
+    "m2_j2_fact_population",
+    "x_pack_sequences",
+    "x_storage_compaction_plan",
+    "x_scd1_overwrite",
+    "x_scd3_prev_value",
+]
+
+
 def main() -> int:
     args = sys.argv[1:]
     json_out = None
     repeat = 1
-    while args and args[0] in ("--json", "--repeat"):
+    kernel_only = False
+    while args and args[0] in ("--json", "--repeat", "--kernel"):
         if args[0] == "--json":
             json_out = args[1]
-        else:
+            args = args[2:]
+        elif args[0] == "--repeat":
             repeat = int(args[1])
-        args = args[2:]
+            args = args[2:]
+        else:
+            kernel_only = True
+            args = args[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    if kernel_only:
+        only |= set(KERNEL_BACKED_KEYS)
     report: dict[str, dict] = {}
 
     import __spark_entry__ as e
