@@ -1,8 +1,10 @@
-"""Round-11 curation pack: winnowing fingerprints (MOSS), URL-normalized
+"""Round-11 curation pack: winnowing fingerprints (MOSS), normalized
 dedup, temperature-based domain mixing, matryoshka embedding truncation,
-and small-file compaction planning — the data-curation operations a
-large-scale training pipeline runs between raw ingestion and corpus
-assembly.
+small-file compaction planning, curriculum ordering, quality-classifier
+inference, candidate-pair features, BPE merge counting, record-linkage
+agreement patterns, and greedy subword segmentation — the data-curation
+operations a large-scale training pipeline runs between raw ingestion
+and corpus assembly.
 
 Design rules carried from the other packs: every oracle-able query
 accumulates in exact integer/decimal space and assembles at most ONE

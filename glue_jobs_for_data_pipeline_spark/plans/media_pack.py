@@ -4,7 +4,8 @@ binary columns; the image tier landed in catalog_ext/metrics_pack, this
 module adds the audio/video operators a speech/video training pipeline
 runs between ingest and corpus assembly).
 
-All three queries are hash-checked against DuckDB oracles using the
+All four queries (audio frame features, VAD segments, scene cuts,
+resampling digest) are hash-checked against DuckDB oracles using the
 same device the image tier's dHash chain established: the fixture
 payload is the document's utf-8 bytes and the fixture is pure ASCII
 (verified: max codepoint 121), so ``ord(substr(text, i, 1))`` in the
