@@ -106,7 +106,7 @@ WITH rev AS (
   SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                          AS DECIMAL(18,2)) AS revenue
   FROM orders GROUP BY o_custkey)
-SELECT o_custkey, revenue,
+SELECT o_custkey, CAST(revenue AS DOUBLE) AS revenue,
        CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey) AS BIGINT)
          AS rnk
 FROM rev
@@ -137,7 +137,14 @@ def x_olap_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("revenue", False), ("o_custkey", True)],
         out_col="rnk",
     )
-    return ranked.select("o_custkey", "revenue", "rnk")
+    # Output boundary: DOUBLE, never DECIMAL — the driver's oracle path
+    # materializes DuckDB results through pandas (DECIMAL -> float64),
+    # so a Spark Decimal's trailing zeros ("2025621.30" vs "2025621.3")
+    # split the value hash even when numerically identical. Ranking
+    # still happens in exact decimal space above.
+    return ranked.select(
+        "o_custkey", F.col("revenue").cast("double").alias("revenue"), "rnk"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -926,10 +933,11 @@ WITH m AS (
            AS qty_shipped,
          CAST(COUNT(*) AS BIGINT) AS n_shipments
   FROM lineitem GROUP BY 1, 2)
-SELECT part_key, month_start, qty_shipped, n_shipments,
-       CAST(SUM(qty_shipped) OVER (PARTITION BY part_key
-                                   ORDER BY month_start)
-            AS DECIMAL(18,2)) AS cum_qty_shipped
+SELECT part_key, month_start,
+       CAST(qty_shipped AS DOUBLE) AS qty_shipped, n_shipments,
+       CAST(CAST(SUM(qty_shipped) OVER (PARTITION BY part_key
+                                        ORDER BY month_start)
+                 AS DECIMAL(18,2)) AS DOUBLE) AS cum_qty_shipped
 FROM m
 """
 
@@ -967,14 +975,18 @@ def x_fact_periodic_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("month_start")
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Output boundary: DOUBLE (see x_olap_global_rank note); the
+    # running sum itself accumulates decimal-exact inside the window.
     return m.select(
         "part_key",
         "month_start",
-        "qty_shipped",
+        F.col("qty_shipped").cast("double").alias("qty_shipped"),
         "n_shipments",
-        F.sum("qty_shipped").over(w).cast("decimal(18,2)").alias(
-            "cum_qty_shipped"
-        ),
+        F.sum("qty_shipped")
+        .over(w)
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("cum_qty_shipped"),
     )
 
 
@@ -1358,7 +1370,7 @@ WITH cust AS (
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
            AS revenue
   FROM orders GROUP BY o_custkey)
-SELECT o_custkey, last_order, n_orders, revenue,
+SELECT o_custkey, last_order, n_orders, CAST(revenue AS DOUBLE) AS revenue,
        CAST(NTILE(5) OVER (ORDER BY last_order, o_custkey) AS BIGINT)
          AS r_score,
        CAST(NTILE(5) OVER (ORDER BY n_orders, o_custkey) AS BIGINT)
@@ -1422,8 +1434,11 @@ def x_olap_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="m_score",
         known_total=total,
     )
+    # Output boundary: revenue DOUBLE (see x_olap_global_rank note) —
+    # quintile ranking above still runs in exact decimal space.
     return out.select(
-        "o_custkey", "last_order", "n_orders", "revenue",
+        "o_custkey", "last_order", "n_orders",
+        F.col("revenue").cast("double").alias("revenue"),
         F.col("r_score").cast("long").alias("r_score"),
         F.col("f_score").cast("long").alias("f_score"),
         F.col("m_score").cast("long").alias("m_score"),
@@ -1488,7 +1503,8 @@ WITH lp AS (
 tot AS (
   SELECT l_orderkey, CAST(SUM(qty) AS DECIMAL(18,2)) AS total_qty
   FROM lp GROUP BY 1)
-SELECT lp.l_orderkey AS order_key, lp.l_partkey AS part_key, lp.qty,
+SELECT lp.l_orderkey AS order_key, lp.l_partkey AS part_key,
+       CAST(lp.qty AS DOUBLE) AS qty,
        CAST(lp.qty AS DOUBLE) / CAST(t.total_qty AS DOUBLE) AS allocation
 FROM lp JOIN tot t ON lp.l_orderkey = t.l_orderkey
 """
@@ -1519,10 +1535,12 @@ def x_fact_order_part_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = lp.groupBy("order_key").agg(
         F.sum("qty").cast("decimal(18,2)").alias("total_qty")
     )
+    # Output boundary: qty DOUBLE (see x_olap_global_rank note) — the
+    # per-order totals and shares still accumulate decimal-exact.
     return lp.join(tot, "order_key").select(
         "order_key",
         "part_key",
-        "qty",
+        F.col("qty").cast("double").alias("qty"),
         (F.col("qty").cast("double") / F.col("total_qty").cast("double"))
         .alias("allocation"),
     )
@@ -1606,7 +1624,8 @@ f2 AS (
          CAST(COUNT(*) AS BIGINT) AS n_lines
   FROM lineitem GROUP BY 1)
 SELECT COALESCE(f1.month_start, f2.month_start) AS month_start,
-       f1.n_orders, f1.booked, f2.shipped_qty, f2.n_lines
+       f1.n_orders, CAST(f1.booked AS DOUBLE) AS booked,
+       CAST(f2.shipped_qty AS DOUBLE) AS shipped_qty, f2.n_lines
 FROM f1 FULL OUTER JOIN f2 ON f1.month_start = f2.month_start
 """
 
@@ -1650,10 +1669,16 @@ def x_olap_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+    # Output boundary: DOUBLE measures (see x_olap_global_rank note);
+    # each fact still aggregates decimal-exact before the merge.
     return (
         f1.join(f2, "month_start", "full_outer")
         .select(
-            "month_start", "n_orders", "booked", "shipped_qty", "n_lines"
+            "month_start",
+            "n_orders",
+            F.col("booked").cast("double").alias("booked"),
+            F.col("shipped_qty").cast("double").alias("shipped_qty"),
+            "n_lines",
         )
     )
 
