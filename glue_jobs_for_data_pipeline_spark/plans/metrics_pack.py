@@ -1384,19 +1384,22 @@ FROM cust
 @_q("x_olap_rfm_scores", _X_RFM_SQL)
 def x_olap_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary quintiles per
-    customer — the standard CRM scoring grid), built on the
-    distributed exact-rank kernel: each of the three NTILE(5)s is a
-    range-partitioned global rank (operators/rank.py — no
-    single-partition WindowExec anywhere), so the customer grain can
-    be billions of rows and all three rankings stay fully parallel.
+    customer — the standard CRM scoring grid), built on the multi-dim
+    exact-rank kernel (operators/rank.py distributed_ntile_multi): ONE
+    window pass over (dim, key) exploded rows replaces the previous
+    three chained NTILE passes (3 cache materializations + ~9 driver
+    jobs + 3 stacked grain exchanges — the most expensive non-graph
+    bench query for three rounds). No single-partition WindowExec
+    anywhere, so the customer grain can be billions of rows.
+
+    Each dimension is encoded as a strictly monotonic LONG — epoch
+    days for recency, the count itself for frequency, exact cents
+    (decimal(18,2) * 100, integral by construction) for monetary — so
+    quintile assignment is identical to NTILE over the raw columns.
     Ties carry the customer key, so both engines assign identical
     quintiles. 5 = most recent / most frequent / highest revenue."""
-    from ..operators.rank import distributed_ntile
+    from ..operators.rank import distributed_ntile_multi
 
-    # The kernel caches its input per call (operators/rank.py), so each
-    # of the three NTILE passes reads one materialization — the orders
-    # scan+groupBy runs once, each window chain once. All three copies
-    # release together via release_caches().
     cust = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -1407,35 +1410,24 @@ def x_olap_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(18,2)")
             .alias("revenue"),
         )
+        .withColumn(
+            "__r_key", F.datediff(F.col("last_order"), F.lit("1970-01-01").cast("date")).cast("long")
+        )
+        .withColumn("__f_key", F.col("n_orders").cast("long"))
+        # decimal(18,2) cents fit a LONG up to ~9.2e16 dollars; per-
+        # customer revenue is scale-invariant in TPC-H shape (orders
+        # per customer is constant), so the encoding is always exact.
+        .withColumn("__m_key", (F.col("revenue") * 100).cast("long"))
     )
-    from ..operators.rank import distributed_row_number, ntile_from_rank
-
-    # First pass returns the grain's row count for free; the two later
-    # NTILEs are rank-preserving over the SAME grain, so they skip
-    # their count jobs via known_total (kernel-verified against the
-    # pid-count sum).
-    r1, total = distributed_row_number(
-        cust, [("last_order", True), ("o_custkey", True)], out_col="__r_i"
-    )
-    out = r1.withColumn(
-        "r_score", ntile_from_rank(F.col("__r_i"), total, 5)
-    ).drop("__r_i")
-    out = distributed_ntile(
-        out,
-        [("n_orders", True), ("o_custkey", True)],
+    out = distributed_ntile_multi(
+        cust,
+        ["__r_key", "__f_key", "__m_key"],
+        "o_custkey",
         5,
-        out_col="f_score",
-        known_total=total,
-    )
-    out = distributed_ntile(
-        out,
-        [("revenue", True), ("o_custkey", True)],
-        5,
-        out_col="m_score",
-        known_total=total,
+        ["r_score", "f_score", "m_score"],
     )
     # Output boundary: revenue DOUBLE (see x_olap_global_rank note) —
-    # quintile ranking above still runs in exact decimal space.
+    # quintile ranking above still runs in exact integer space.
     return out.select(
         "o_custkey", "last_order", "n_orders",
         F.col("revenue").cast("double").alias("revenue"),

@@ -193,3 +193,43 @@ def test_ntile_formula_matches_sql_semantics_exhaustively():
         for b in range(1, 20):
             for i in range(1, n + 1):
                 assert formula(i, n, b) == sql_ntile(i, n, b), (i, n, b)
+
+
+@pytest.mark.parametrize("n,buckets", [(977, 5), (23, 4)])
+def test_ntile_multi_matches_window(spark, n, buckets):
+    from glue_jobs_for_data_pipeline_spark.operators.rank import (
+        distributed_ntile_multi,
+    )
+
+    # three LONG dims with deliberate ties (moduli) so the tiebreaker
+    # is load-bearing on every dim
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("a"),
+        ((F.col("id") * 13) % 11).alias("b"),
+        (F.lit(n) - F.col("id")).alias("c"),
+    )
+    got = distributed_ntile_multi(
+        df, ["a", "b", "c"], "k", buckets, ["na", "nb", "nc"], num_partitions=8
+    )
+    want = df
+    for dim, out in [("a", "na"), ("b", "nb"), ("c", "nc")]:
+        want = want.withColumn(
+            out, F.ntile(buckets).over(Window.orderBy(dim, "k")).cast("long")
+        )
+    cols = ["k", "a", "b", "c", "na", "nb", "nc"]
+    assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+    assert want.select(*cols).exceptAll(got.select(*cols)).count() == 0
+
+
+def test_ntile_multi_empty_and_single_partition(spark):
+    from glue_jobs_for_data_pipeline_spark.operators.rank import (
+        distributed_ntile_multi,
+    )
+
+    empty = spark.range(0).select(F.col("id").alias("k"), F.col("id").alias("a"))
+    out = distributed_ntile_multi(empty, ["a"], "k", 5, ["na"], num_partitions=8)
+    assert out.count() == 0 and "na" in out.columns
+    one = spark.range(3).select(F.col("id").alias("k"), F.col("id").alias("a"))
+    out1 = distributed_ntile_multi(one, ["a"], "k", 2, ["na"], num_partitions=1)
+    assert sorted(r["na"] for r in out1.collect()) == [1, 1, 2]
