@@ -4,11 +4,19 @@ order-insensitive canonicalized values — a strict local mirror of the
 driver's correctness gate.
 
 Usage: python tools/oracle_check.py [--json OUT.json] [--repeat N]
-                                    [--kernel] [sf_dir] [query ...]
+                                    [--kernel] [--pandas-oracle]
+                                    [sf_dir] [query ...]
 
 --kernel restricts to KERNEL_BACKED_KEYS (the multi-job-determinism
 set) — combine with --repeat for the one-command pre-commit flake
 pass: python tools/oracle_check.py --kernel --repeat 3
+
+--pandas-oracle ADDITIONALLY compares values after pandas
+materialization on both sides (oracle via con.execute(sql).df(),
+exactly like the driver) with NO Decimal normalization — the mode
+that reproduces the driver's decimal/hugeint render splits locally
+(r10-r12 five-query red class). The recommended pre-commit sweep is
+    python tools/oracle_check.py --pandas-oracle /root/testdata/sf0.01
 
 --json writes a per-query record (status, row counts, match flags,
 seconds) — used to commit the full-catalog sweep as a round artifact
@@ -68,16 +76,20 @@ def rows_canon(cols, rows):
 
 
 def unpinned_decimals(schema) -> list[str]:
-    """Columns whose type contains a DECIMAL with precision > 18.
+    """Columns whose type contains ANY DECIMAL — all of them are driver
+    hazards, not just the wide ones.
 
-    Spark only produces precision > 18 in query output via aggregate
-    widening (SUM/AVG over DECIMAL), and the engines widen differently
-    (Spark DECIMAL(28,2) vs DuckDB DECIMAL(38,2)); the driver's
-    canonicalization hashes those unequally even for byte-identical
-    values (r01 f11, r04 grouping-sets). `canon` above normalizes the
-    values so THIS checker passes — which is exactly why the schema
-    itself must be flagged regardless of value equality: pin such
-    outputs to DOUBLE (or a fixed DECIMAL <= 18) on both engines.
+    precision > 18 splits on widening rules (Spark DECIMAL(28,2) vs
+    DuckDB DECIMAL(38,2); r01 f11, r04 grouping-sets). But even a
+    narrow DECIMAL(18,2) splits at the DRIVER: it materializes Spark
+    via toPandas (object ``Decimal('2.50')``) and the oracle via
+    ``con.execute(sql).df()`` (float64 ``2.5``) — trailing-zero /
+    float-render hash mismatch even for byte-identical values. That
+    class stayed hidden from this checker for three rounds (r10-r12:
+    the five x_olap/x_fact driver reds) because `canon` above compares
+    normalized fetchall() Decimals. So the schema itself is the gate:
+    NO hash-checked query may output DECIMAL at any precision — pin to
+    DOUBLE (or BIGINT for integral values) on both engines.
     """
     from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
@@ -85,8 +97,7 @@ def unpinned_decimals(schema) -> list[str]:
 
     def walk(dt, path):
         if isinstance(dt, DecimalType):
-            if dt.precision > 18:
-                found.append(f"{path}:decimal({dt.precision},{dt.scale})")
+            found.append(f"{path}:decimal({dt.precision},{dt.scale})")
         elif isinstance(dt, ArrayType):
             walk(dt.elementType, path + "[]")
         elif isinstance(dt, StructType):
@@ -101,26 +112,68 @@ def unpinned_decimals(schema) -> list[str]:
     return found
 
 
-def oracle_wide_decimals(con, sql: str) -> list[str]:
-    """Oracle-result columns that pandas cannot keep integral.
+def oracle_decimals(con, sql: str) -> list[str]:
+    """Oracle-result columns whose arrow type is ANY decimal.
 
-    DuckDB widens SUM(int) to HUGEINT and SUM(decimal) to DECIMAL(38,_);
-    both surface as arrow decimal128(p>18). The DRIVER materializes the
-    oracle via pandas, which renders those as float64 (``2.0``) or
-    object-Decimal — hash-mismatching a byte-identical Spark BIGINT
-    (r07: x_olap_q12_style red at the driver, green here). fetchall()
-    used below yields Python ints, so value comparison alone cannot see
-    it: the oracle's arrow schema must be policed directly. Fix sites
-    by pinning the SQL (CAST(... AS BIGINT/DOUBLE)).
+    DuckDB widens SUM(int) to HUGEINT and SUM(decimal) to
+    DECIMAL(38,_) — both surface as arrow decimal128 — and even a
+    narrow DECIMAL(18,2) renders as float64 through the driver's
+    pandas materialization (``2.5`` vs Spark's ``Decimal('2.50')``,
+    the r10-r12 five-query red class; HUGEINT float64 ``2.0`` vs
+    BIGINT ``2`` was r07 q12). fetchall() used below yields Python
+    ints/Decimals, so value comparison alone cannot see it: the
+    oracle's arrow schema must be policed directly. Fix sites by
+    pinning the SQL (CAST(... AS BIGINT/DOUBLE)).
     """
     import pyarrow as pa
 
     schema = con.execute(f"SELECT * FROM ({sql}) _q LIMIT 0").fetch_arrow_table().schema
-    return [
-        f"{f.name}:{f.type}"
-        for f in schema
-        if pa.types.is_decimal(f.type) and f.type.precision > 18
-    ]
+    return [f"{f.name}:{f.type}" for f in schema if pa.types.is_decimal(f.type)]
+
+
+def pandas_canon(v) -> str:
+    """Canonicalize a value AS THE DRIVER SEES IT — i.e. after pandas
+    materialization — deliberately WITHOUT the Decimal normalization
+    `canon` applies, so render splits between the engines' pandas
+    paths are visible:
+
+    - DuckDB ``.df()`` turns DECIMAL/HUGEINT into float64 (``2.5``,
+      ``5.0``); Spark toPandas keeps object ``Decimal('2.50')`` / int
+      ``5`` — these must COMPARE UNEQUAL (the r10-r12 red class).
+    - DuckDB ``.df()`` turns DATE into midnight Timestamps while Spark
+      keeps datetime.date; the driver is green on date outputs, so
+      midnight timestamps canonicalize to the date string.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if v is None or (not isinstance(v, (list, tuple, np.ndarray)) and pd.isna(v)):
+        return "NULL"
+    if isinstance(v, (bool, np.bool_)):
+        return str(int(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "NaN" if math.isnan(f) else repr(f)
+    if isinstance(v, decimal.Decimal):
+        return str(v)  # no normalize: Decimal('2.50') != float 2.5
+    if isinstance(v, (pd.Timestamp, dt.datetime)):
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0) and getattr(
+            v, "nanosecond", 0
+        ) == 0:
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(pandas_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def rows_canon_pandas(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(pandas_canon(r[i]) for i in order) for r in rows)
 
 
 def unhashable_cols(schema) -> list[str]:
@@ -171,13 +224,17 @@ def main() -> int:
     json_out = None
     repeat = 1
     kernel_only = False
-    while args and args[0] in ("--json", "--repeat", "--kernel"):
+    pandas_oracle = False
+    while args and args[0] in ("--json", "--repeat", "--kernel", "--pandas-oracle"):
         if args[0] == "--json":
             json_out = args[1]
             args = args[2:]
         elif args[0] == "--repeat":
             repeat = int(args[1])
             args = args[2:]
+        elif args[0] == "--pandas-oracle":
+            pandas_oracle = True
+            args = args[1:]
         else:
             kernel_only = True
             args = args[1:]
@@ -283,25 +340,25 @@ def main() -> int:
         bad_dec = unpinned_decimals(sdf.schema)
         if bad_dec:
             # stricter than the driver: fail on schema alone, because the
-            # driver's hash canonicalization (unlike canon() here) is NOT
-            # width-insensitive for wide decimals.
+            # driver's pandas canonicalization (unlike canon() here) is
+            # not render-stable for ANY decimal width.
             status = "FAIL "
-            notes.append(f"unpinned wide decimal in output: {bad_dec}")
+            notes.append(f"unpinned decimal in output: {bad_dec}")
         if bad_complex:
             # stricter than values-equal: the driver cannot hash complex
             # cells at all, so the schema alone fails its gate.
             status = "FAIL "
             notes.append(f"driver-unhashable output column: {bad_complex}")
         try:
-            bad_odec = oracle_wide_decimals(con, oracles[name])
+            bad_odec = oracle_decimals(con, oracles[name])
         except Exception:  # noqa: BLE001  (LIMIT-0 probe is best-effort)
             bad_odec = []
         if bad_odec:
             # stricter than values-equal: the driver's pandas fetch turns
-            # HUGEINT/DECIMAL(38) into float64/object and hash-mismatches
-            # even byte-identical values (r07 q12).
+            # HUGEINT/DECIMAL into float64/object and hash-mismatches
+            # even byte-identical values (r07 q12; r10-r12 five reds).
             status = "FAIL "
-            notes.append(f"unpinned wide decimal in ORACLE output: {bad_odec}")
+            notes.append(f"unpinned decimal in ORACLE output: {bad_odec}")
         if len(srows) != len(orows):
             status, _ = "FAIL ", notes.append(
                 f"rowcount spark={len(srows)} duckdb={len(orows)}"
@@ -317,6 +374,22 @@ def main() -> int:
                 status = "FAIL "
                 diff = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
                 notes.append(f"values differ; first diffs: {diff}")
+        if status == "ok   " and pandas_oracle:
+            # the driver's lens: both sides through pandas, no Decimal
+            # normalization — catches render splits the exact compare
+            # above is structurally blind to.
+            odf = con.execute(oracles[name]).df()
+            spc = rows_canon_pandas(
+                [c.lower() for c in scols], [tuple(r) for r in srows]
+            )
+            opc = rows_canon_pandas(
+                [c.lower() for c in odf.columns],
+                list(odf.itertuples(index=False, name=None)),
+            )
+            if spc != opc:
+                status = "FAIL "
+                diff = [(a, b) for a, b in zip(spc, opc) if a != b][:3]
+                notes.append(f"pandas-render values differ; first diffs: {diff}")
         if status != "ok   ":
             failures += 1
         report[name] = {
