@@ -593,6 +593,48 @@ def pq_fit(
     return books
 
 
+def pq_init_first_n(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_codes: int = 16,
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks WITHOUT Lloyd refinement: the
+    sub-vectors of the first ``n_codes`` corpus vectors by id — the
+    same init-only tier ivf_topk uses for its coarse centroids.
+
+    This exists so the registered catalog queries' full
+    encode -> LUT -> ADC -> re-rank chain is SQL-STATABLE (a DuckDB
+    twin can rebuild identical codebooks from the same parquet: first
+    n by id, slice, cast float->double — both exact), which is what
+    graduated x_sim_pq_topk / x_sim_ivfpq_topk from rows-only to
+    hash-checked. pq_fit (numpy Lloyd on a hash sample) remains the
+    production training path — its float iteration is inherently
+    non-statable and stays covered by the recall tests instead.
+    Codebook quality is init-grade, so pair it with a generous
+    ``refine`` in pq_adc_topk; the exact re-rank bounds the damage.
+    """
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(n_codes)
+        .select(vec_col)
+        .collect()
+    )
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"pq_init_first_n needs >= n_codes={n_codes} vectors, got {len(rows)}"
+        )
+    dim = len(rows[0][0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [[float(v) for v in r[0][i * sub : (i + 1) * sub]] for r in rows]
+        for i in range(m)
+    ]
+
+
 def _book_sql(book: list[list[float]]) -> str:
     """The codebook as SQL array-literal TEXT (assign_ivf_cells' plan-
     size trick). Building these trees with Column ops costs hundreds of
@@ -763,6 +805,7 @@ def ivf_pq_topk(
     refine: int = 4,
     train_sample_n: int | None = 4096,
     train_iters: int = 10,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ: the composition both halves document as their scale path.
 
@@ -784,12 +827,14 @@ def ivf_pq_topk(
     (cheap numpy) sampled path, ``n_iters`` for the distributed one —
     so an explicit n_iters is always honored by the path it governs.
     """
-    if train_sample_n is not None:
+    # caller-supplied coarse quantizer (e.g. the deterministic first-n
+    # init the SQL oracle twin can restate) skips training entirely
+    if centroids is None and train_sample_n is not None:
         centroids = kmeans_fit_sample(
             corpus, id_col, vec_col, n_cells,
             n_iters=train_iters, sample_n=train_sample_n,
         )  # already a collected list — no extra job
-    else:
+    elif centroids is None:
         centroids = _collect_centroids(
             kmeans_fit(corpus, id_col, vec_col, n_cells, n_iters), vec_col
         )  # one job, reused by both assignments

@@ -3001,17 +3001,99 @@ def x_olap_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("x_sim_pq_topk")  # trained codebooks (iterative k-means) -> rows-only
+def _sql_pq_sub_d2(vexpr: str, bexpr: str, i_expr: str, sub: int = 8) -> str:
+    """Squared L2 over subspace ``i_expr`` as DuckDB SQL — the exact
+    mirror of similarity._sq_l2_sql's left fold: per element,
+    (CAST(v AS DOUBLE) - b)^2 summed in index order (list_sum over a
+    list_transform is sequential, the same precedent _sql_cos rides)."""
+    d = f"(CAST({vexpr}[{i_expr}*{sub} + __t] AS DOUBLE) - {bexpr}[{i_expr}*{sub} + __t])"
+    return f"list_sum(list_transform(range(1, {sub + 1}), __t -> {d} * {d}))"
+
+
+def _sql_pq_common(n_codes: int = 16, m: int = 8, dim: int = 64) -> str:
+    """Shared CTE prefix for the PQ twins: deterministic codebooks
+    (sub-vectors of the first n_codes corpus vectors by id — exactly
+    pq_init_first_n), per-(vector, subspace) nearest code with ties to
+    the lowest code id (mirrors _argmin_code_sql's struct sort), codes
+    collected to a per-vector list."""
+    sub = dim // m
+    return f"""
+subs AS (SELECT unnest(range(0, {m})) AS i),
+books AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code_id,
+         list_transform(range(1, {dim + 1}),
+                        __t -> CAST(embedding[__t] AS DOUBLE)) AS bvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_codes}) _f),
+sub_d AS (
+  SELECT v.vec_id, s.i, b.code_id,
+         {_sql_pq_sub_d2('v.embedding', 'b.bvec', 's.i', sub)} AS d2
+  FROM embeddings v CROSS JOIN books b CROSS JOIN subs s),
+codes AS (
+  SELECT vec_id, list(code_id ORDER BY i) AS cl FROM (
+    SELECT vec_id, i, code_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, i
+                              ORDER BY d2, code_id) AS rk
+    FROM sub_d) _t WHERE rk = 1 GROUP BY vec_id),
+bl AS (SELECT list(bvec ORDER BY code_id) AS blist FROM books)"""
+
+
+def _sql_pq_adc(qexpr: str, cl_expr: str, blist_expr: str, m: int = 8, sub: int = 8) -> str:
+    """ADC distance as DuckDB SQL: sum over subspaces (index order —
+    Spark's Python sum() left fold) of the squared L2 between the
+    query sub-vector and the codeword the candidate's code points at
+    (0-based code -> 1-based list index)."""
+    d = (
+        f"(CAST({qexpr}[__i*{sub} + __t] AS DOUBLE)"
+        f" - {blist_expr}[{cl_expr}[__i + 1] + 1][__i*{sub} + __t])"
+    )
+    return (
+        f"list_sum(list_transform(range(0, {m}), __i -> "
+        f"list_sum(list_transform(range(1, {sub + 1}), __t -> {d} * {d}))))"
+    )
+
+
+_X_PQ_TOPK_SQL = f"""
+WITH {_sql_pq_common()},
+cand AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qvec,
+         c.vec_id AS neighbor_id, ce.embedding AS cvec,
+         {_sql_pq_adc('q.embedding', 'c.cl', 'bl.blist')} AS adc
+  FROM embeddings q
+  CROSS JOIN codes c
+  JOIN embeddings ce ON ce.vec_id = c.vec_id
+  CROSS JOIN bl
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+top_cand AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc, neighbor_id) AS ar
+    FROM cand) _t WHERE ar <= 40),
+scored AS (
+  SELECT query_id, neighbor_id, {_sql_cos('qvec', 'cvec')} AS cos
+  FROM top_cand)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) _t
+WHERE rank <= 10
+"""
+
+
+@_q("x_sim_pq_topk", _X_PQ_TOPK_SQL)
 def x_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: codebooks trained on a deterministic
-    hash-sample (driver-side numpy Lloyd — PQ training wants ~10^4
-    vectors regardless of corpus size), corpus encoded to m=8 small
-    codes by a pure higher-order-builtin argmin (map-only, no UDF),
-    queries score candidates via ADC lookup tables and exact-cosine
-    re-rank the top k*refine. Recall vs the brute tier asserted in
+    """Product-quantization ANN: corpus encoded to m=8 small codes by a
+    pure higher-order-builtin argmin (map-only, no UDF), queries score
+    candidates via ADC lookup tables, exact-cosine re-rank of the top
+    k*refine. ORACLE-CHECKED since r13: the registered query uses the
+    deterministic init-only codebooks (pq_init_first_n — sub-vectors of
+    the first 16 corpus vectors by id), so encode, ADC and re-rank all
+    restate in SQL (_X_PQ_TOPK_SQL) and hash-match bit-exact. The
+    Lloyd-trained tier (pq_fit, float iteration — non-statable) stays
+    the production path, covered by the recall assertions in
     tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    books = similarity.pq_fit(emb, m=8, n_codes=16, n_iters=6, sample_n=512)
+    books = similarity.pq_init_first_n(emb, m=8, n_codes=16)
     return similarity.pq_adc_topk(
         emb, emb.filter(F.col("vec_id") < 10), books, k=10, refine=4
     )
@@ -3321,17 +3403,76 @@ def x_olap_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("x_sim_ivfpq_topk")  # trained codebooks + k-means cells -> rows-only
+_X_IVFPQ_TOPK_SQL = f"""
+WITH {_sql_pq_common()},
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS cell,
+         embedding AS cent
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8) _f),
+scored_all AS (
+  SELECT v.vec_id, v.embedding, c.cell,
+         {_sql_cos('v.embedding', 'c.cent')} AS cs
+  FROM embeddings v CROSS JOIN cents c),
+corpus_cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cell) AS rk
+    FROM scored_all) _t WHERE rk = 1),
+query_cells AS (
+  SELECT vec_id AS query_id, embedding AS qvec, cell FROM (
+    SELECT vec_id, embedding, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cell) AS rk
+    FROM scored_all WHERE vec_id < 10) _t WHERE rk <= 4),
+cand AS (
+  SELECT q.query_id, q.qvec, cc.vec_id AS neighbor_id, ce.embedding AS cvec,
+         {_sql_pq_adc('q.qvec', 'c2.cl', 'bl.blist')} AS adc
+  FROM query_cells q
+  JOIN corpus_cells cc USING (cell)
+  JOIN codes c2 ON c2.vec_id = cc.vec_id
+  JOIN embeddings ce ON ce.vec_id = cc.vec_id
+  CROSS JOIN bl
+  WHERE q.query_id <> cc.vec_id),
+top_cand AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc, neighbor_id) AS ar
+    FROM cand) _t WHERE ar <= 40),
+scored AS (
+  SELECT query_id, neighbor_id, {_sql_cos('qvec', 'cvec')} AS cos
+  FROM top_cand)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) _t
+WHERE rank <= 10
+"""
+
+
+@_q("x_sim_ivfpq_topk", _X_IVFPQ_TOPK_SQL)
 def x_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ ANN (FAISS IVFADC layout as DataFrame ops): k-means cells
-    bound WHICH corpus fraction a query touches, PQ codes bound WHAT is
-    read per candidate; exact cosine re-ranks the ADC survivors. Recall
-    vs the brute tier asserted in tests/test_similarity.py."""
+    """IVF-PQ ANN (FAISS IVFADC layout as DataFrame ops): cells bound
+    WHICH corpus fraction a query touches, PQ codes bound WHAT is read
+    per candidate; exact cosine re-ranks the ADC survivors.
+    ORACLE-CHECKED since r13: the registered query uses deterministic
+    init-only components on both axes — coarse centroids = first 8
+    corpus vectors by id (the x_sim_ivf_topk recipe), PQ codebooks =
+    pq_init_first_n — so cell assignment, encode, ADC and re-rank all
+    restate in SQL (_X_IVFPQ_TOPK_SQL) and hash-match bit-exact. The
+    k-means/Lloyd-trained tiers (kmeans_fit_sample, pq_fit — float
+    iteration, non-statable) remain the production path, covered by
+    the recall assertions in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    books = similarity.pq_fit(emb, m=8, n_codes=16, n_iters=6, sample_n=512)
+    books = similarity.pq_init_first_n(emb, m=8, n_codes=16)
+    cent_rows = emb.orderBy("vec_id").limit(8).select("embedding").collect()
+    centroids = [
+        (i + 1, [float(x) for x in r[0]]) for i, r in enumerate(cent_rows)
+    ]
     return similarity.ivf_pq_topk(
         emb, emb.filter(F.col("vec_id") < 10), books,
-        k=10, n_cells=8, n_probe=4, n_iters=3, refine=4,
+        k=10, n_cells=8, n_probe=4, refine=4, centroids=centroids,
     )
 
 

@@ -954,7 +954,16 @@ def x_fact_periodic_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a window partitioned BY PART ordered by month for the running
     position — per-partition fan-in is bounded by the calendar (tens
     of months), never by data volume, so the window is skew-safe at
-    any corpus size. Decimal-exact accumulation end to end."""
+    any corpus size. Accumulation is decimal-exact; the output boundary
+    is DOUBLE (driver pandas-render rule, see x_olap_global_rank).
+
+    Scaling-audit note (r11's worst time ratio, 3.04x on 10x data):
+    NOT super-linear — the part x month grain is ~1 group per lineitem
+    at small SFs (output rows 50,409 at sf0.01 -> 503,024 at sf0.1, a
+    9.98x rows ratio), so runtime is honestly data-proportional where
+    most catalog queries' outputs saturate and ride fixed overhead.
+    The grain only stops tracking data volume once lines per
+    (part, month) exceeds 1 at much larger SFs."""
     li = load_table(spark, sf_dir, "lineitem")
     m = (
         li.groupBy(

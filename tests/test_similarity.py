@@ -262,3 +262,23 @@ def test_book_sql_rejects_non_finite_codebooks():
     bad = [[1.0, float("nan")], [0.0, 1.0]]
     with pytest.raises(ValueError, match="non-finite"):
         similarity._book_sql(bad)
+
+
+def test_pq_init_first_n_layout(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from glue_jobs_for_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_init_first_n(emb, m=8, n_codes=4)
+    assert len(books) == 8 and all(len(b) == 4 for b in books)
+    first = (
+        emb.orderBy("vec_id").limit(4).select("embedding").collect()
+    )
+    # codeword j of subspace i == slice i of the j-th vector by id
+    for i in range(8):
+        for j in range(4):
+            want = [float(x) for x in first[j][0][i * 8 : (i + 1) * 8]]
+            assert books[i][j] == want
+    with pytest.raises(ValueError, match="needs >="):
+        similarity.pq_init_first_n(emb.limit(2), m=8, n_codes=4)

@@ -54,9 +54,22 @@ def main() -> None:
                 samples.append(round(time.time() - t0, 3))
                 release_caches()
             rec[key] = min(samples)
+            rec[f"rows_{key}"] = qs[name](spark, sf_dir).count()
+            release_caches()
         rec["ratio"] = round(rec["sf0.1"] / max(rec["sf0.01"], 1e-9), 2)
+        # Output-volume context: a time ratio tracking rows_ratio is
+        # data-proportional work (honest linear scaling — e.g.
+        # x_fact_periodic_snapshot's part x month grain is ~1 group per
+        # lineitem at these SFs, rows 50k -> 503k), NOT super-linearity;
+        # the red flag is time ratio >> max(rows_ratio, calib noise).
+        rec["rows_ratio"] = round(
+            rec["rows_sf0.1"] / max(rec["rows_sf0.01"], 1), 2
+        )
         results[name] = rec
-        print(f"{name}: {rec['sf0.01']}s -> {rec['sf0.1']}s  x{rec['ratio']}")
+        print(
+            f"{name}: {rec['sf0.01']}s -> {rec['sf0.1']}s  x{rec['ratio']}"
+            f"  (rows x{rec['rows_ratio']})"
+        )
 
     calib = results.get("m3_dim_dates", {}).get("ratio", 1.0)
     summary = {"passes": passes, "calib_ratio": calib, "queries": results}
