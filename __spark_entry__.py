@@ -31,97 +31,89 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate consumes exactly the FIRST 50 keys of
-# queries(), so registration order is the coverage knob. Round 11
-# priority order: (a) the 21 r10-created/graduated keys that have NEVER
-# been driver-hash-checked — the documented r10 carry list, led by
-# x_olap_global_rank (the r10 red row: the rank kernel's pids depended
-# on a cache surviving between jobs; rebuilt this round as literal
-# boundary searchsorted — operators/rank.py) and including its kernel
-# consumers x_olap_rfm_scores, x_corpus_epoch_shuffle,
-# x_pack_length_buckets; (b) the last two keys with pre-r05 driver
-# evidence (x_text_vocab_topk, x_text_pii_redact); (c) oracle-able keys
-# whose PLAN changed this round: the remaining kernel consumers
-# x_olap_gini + x_olap_revenue_concentration, and
-# m2_j2_fact_population (size-gated dim broadcasts); (d) the r06-
-# evidence cohort (19 keys) — the oldest driver evidence left in the
-# catalog; (e) x_pack_sequences — oracle-GRADUATED this round (md5
-# pack-group + recursive-CTE twin), never driver-hash-checked; (f)
-# flex slots from the r07 cohort.
+# queries(), so registration order is the coverage knob. Round 13
+# priority order (the r12 verdict's task #1): (a) the only two
+# oracle-able keys that have NEVER had a driver CORRECTNESS row
+# (x_validate_dq_scorecard, x_mm_audio_resample) plus the two keys
+# oracle-GRADUATED this round (x_sim_pq_topk, x_sim_ivfpq_topk —
+# deterministic init-only codebooks restated in SQL), also never
+# driver-checked; (b) keys whose PLAN changed this round:
+# x_olap_rfm_scores (rebuilt on the one-pass distributed_ntile_multi
+# kernel) — plus the always-on m1/m2 core; (c) the full 13-key
+# r06-evidence carry list named in the r11/r12 verdicts — the oldest
+# driver evidence in the catalog; (d) 31 slots of the r07-evidence
+# cohort (46 keys; the remaining 15 — the 11 stream/scd/frontend keys
+# listed in the section comment plus x_ts_gap_fill,
+# x_ts_sessionize_native, x_validate_profile, x_text_bigram_lm —
+# carry to r14, all sweep-green at both SFs this round).
 # x_olap_freq_items stays OUT permanently — rows-only by design
 # (sketch output; superset property tested in tests/test_plans.py).
 # Entries rotated OUT keep a regression check via
-# tools/oracle_check.py over ALL keys — run pre-commit, full sweep
-# committed per round as ORACLE_SWEEP_r{N}.json.
+# tools/oracle_check.py over ALL keys — run pre-commit with
+# --pandas-oracle, full sweep committed per round as
+# ORACLE_SWEEP_r{N}.json.
 _WINDOW_FIRST = [
-    # (a) never driver-hash-checked (21; r10 carry list)
-    "x_olap_global_rank",
+    # (a) never driver-checked: the two r11-new oracle keys + the two
+    # r13 oracle graduations
+    "x_validate_dq_scorecard",
+    "x_mm_audio_resample",
+    "x_sim_pq_topk",
+    "x_sim_ivfpq_topk",
+    # (b) plan changed in r13 + always-on core
     "x_olap_rfm_scores",
-    "x_corpus_epoch_shuffle",
-    "x_pack_length_buckets",
-    "x_scd1_overwrite",
-    "x_scd3_prev_value",
-    "x_scd2_late_arriving",
-    "x_fact_accumulating_snapshot",
-    "x_fact_periodic_snapshot",
-    "x_dedup_golden_record",
-    "x_dedup_embedding_cosine_lsh",
-    "x_dim_junk",
-    "x_fact_order_part_bridge",
-    "x_olap_role_playing_dates",
-    "x_olap_drill_across",
-    "x_ingest_conform_schema",
-    "x_sim_lsh_topk",
-    "x_sim_ivf_topk",
-    "x_storage_checksum_ranges",
-    "x_storage_zorder_layout",
-    "x_validate_quarantine",
-    # (b) last pre-r05 driver evidence (2)
-    "x_text_vocab_topk",
-    "x_text_pii_redact",
-    # (c) plan changed in r11 (4): gini + revenue_concentration ride the
-    # rebuilt rank kernel; m2's dim broadcasts are size-gated; m1's
-    # surrogate keys are size-gated between window and rank kernel
-    "x_olap_gini",
-    "x_olap_revenue_concentration",
-    "m2_j2_fact_population",
     "m1_scd2_upsert",
-    # (d) r06-evidence cohort (6 of 19; x_ts_range_join,
-    # x_ts_sessionize_batch, x_ts_asof_join, x_json_extract,
-    # x_olap_unpivot, x_olap_range_frame, x_emb_quantize_int8,
-    # x_ingest_latest_by_key, x_ingest_schema_evolution,
-    # x_olap_correlated_scalar, x_olap_percentiles,
-    # x_sample_token_budget, x_ingest_incremental_dedup carry to r12 —
-    # displaced by the never-checked r11-new cohort below, all
-    # sweep-green at both SFs)
-    "x_corpus_build_full",
-    "x_corpus_dedup_cc",
-    "x_dedup_cc_clusters",
-    "x_ingest_cdc_apply",
-    "x_split_neardup_leakage",
-    "x_stream_window_agg",
-    # (e) r11-NEW / oracle-graduated, never driver-hash-checked (17):
-    # the rows-only graduation (pack_sequences), the curation pack
-    # (winnowing fingerprints + decontam, normalized dedup, temperature
-    # mixing, matryoshka truncation, compaction planning, BPE merges,
-    # linkage patterns, subword segmentation), and the media pack
-    # (audio frames, VAD segments, scene cuts)
-    "x_pack_sequences",
-    "x_text_winnow_stats",
-    "x_decontam_winnow",
-    "x_dedup_normalized_text",
-    "x_corpus_temperature_mix",
-    "x_emb_matryoshka",
-    "x_storage_compaction_plan",
-    "x_dedup_winnow_pairs",
-    "x_corpus_curriculum_order",
-    "x_text_quality_logit",
-    "x_dedup_pair_features",
-    "x_text_bpe_merges",
-    "x_dedup_linkage_patterns",
-    "x_mm_audio_features",
-    "x_mm_audio_vad_segments",
-    "x_mm_video_scene_cuts",
-    "x_text_subword_encode",
+    "m2_j2_fact_population",
+    # (c) the r06-evidence carry list, seated in full (13)
+    "x_ts_range_join",
+    "x_ts_sessionize_batch",
+    "x_ts_asof_join",
+    "x_json_extract",
+    "x_olap_unpivot",
+    "x_olap_range_frame",
+    "x_emb_quantize_int8",
+    "x_ingest_latest_by_key",
+    "x_ingest_schema_evolution",
+    "x_olap_correlated_scalar",
+    "x_olap_percentiles",
+    "x_sample_token_budget",
+    "x_ingest_incremental_dedup",
+    # (d) r07-evidence cohort, oldest remaining (31 of 46; the 15
+    # carried to r14: x_scd2_point_in_time, x_skew_salted_join,
+    # x_sql_frontend, x_stream_dedup, x_stream_sessionize,
+    # x_stream_static_join, x_stream_stream_full_join,
+    # x_stream_stream_left_join, x_stream_topk,
+    # x_stream_watermark_append, x_text_bigram_lm, x_ts_gap_fill,
+    # x_ts_sessionize_native, x_validate_profile, x_merge_into)
+    "x_corpus_dedup_quality_keep",
+    "x_dedup_exact",
+    "x_dedup_minhash_md5",
+    "x_dedup_ngram_jaccard",
+    "x_dedup_simhash_md5",
+    "x_events_anomaly_zscore",
+    "x_events_funnel",
+    "x_events_retention",
+    "x_ingest_incremental_join",
+    "x_olap_corr",
+    "x_olap_equidepth_histogram",
+    "x_olap_histogram",
+    "x_olap_q1_style",
+    "x_olap_q2_style",
+    "x_olap_q4_style",
+    "x_olap_q6_style",
+    "x_olap_q7_style",
+    "x_olap_q8_style",
+    "x_olap_q9_style",
+    "x_olap_q10_style",
+    "x_olap_q11_style",
+    "x_olap_q13_style",
+    "x_olap_q14_style",
+    "x_olap_q15_style",
+    "x_olap_q16_style",
+    "x_olap_q17_style",
+    "x_olap_q19_style",
+    "x_olap_q20_style",
+    "x_olap_q21_style",
+    "x_olap_q22_style",
 ]
 
 
