@@ -32,7 +32,7 @@ from ..operators.dates_dim import generate_dim_dates
 from ..operators.fact import build_staging_fact, populate_fact
 from ..operators.scd2 import scd2_upsert
 from ..operators.validation import validate_or_raise, validation_report
-from ..sources.txn import Transaction, compact, read_committed, read_version
+from ..sources.txn import Catalog
 
 
 @dataclass
@@ -105,13 +105,16 @@ class Pipeline:
                 validate_or_raise(df, name, pk)
             loaded[name] = df
 
-        # Steps 2-4 run inside one transaction: every table's new version
-        # is fully staged before ANY pointer publishes, so a failure in
-        # the fact build leaves yesterday's dims AND fact all committed —
-        # the reference's BEGIN..ROLLBACK bracket (dynamic_upsert.py:108,
-        # 159-161), minus its per-table partial-commit window.
-        staged: dict[str, tuple[str, int]] = {}
-        with Transaction() as t:
+        # Steps 2-4 run inside one catalog transaction: every table's new
+        # version is fully staged, then ONE manifest + HEAD swap commits
+        # dims and fact together — the reference's BEGIN..ROLLBACK
+        # bracket (dynamic_upsert.py:108,159-161) with genuinely atomic
+        # cross-table semantics: readers through the catalog can never
+        # see the new dims with the old fact or vice versa
+        # (sources/txn.py Catalog; crash-injection in tests/test_txn.py).
+        catalog = Catalog(ctx.warehouse_dir)
+        staged: list[str] = []
+        with catalog.transaction() as t:
             # Step 2: SCD-2 upsert each dimension (dynamic_upsert.py:110-152).
             staged_dims: dict[str, DataFrame] = {}
             for spec in self.dims:
@@ -125,19 +128,19 @@ class Pipeline:
                     mode=ctx.scd2_mode,
                     key_mode=ctx.scd2_key_mode,
                 )
-                path = f"{ctx.warehouse_dir}/dim_{spec.name}"
-                v = t.overwrite(dim, path)
-                staged[f"dim_{spec.name}"] = (path, v)
+                t.overwrite(dim, f"dim_{spec.name}")
+                staged.append(f"dim_{spec.name}")
                 # fact build scans the staged parquet (materialized, just
                 # not yet published) instead of recomputing the SCD-2 plan
-                staged_dims[f"dim_{spec.name}"] = read_version(spark, path, v)
+                staged_dims[f"dim_{spec.name}"] = t.read_staged(
+                    spark, f"dim_{spec.name}"
+                )
 
             # Step 3: one-time calendar dimension (datespopulation.py).
             dim_dates = generate_dim_dates(spark, ctx.dates_start, ctx.dates_days)
-            dates_path = f"{ctx.warehouse_dir}/dim_dates"
-            v = t.overwrite(dim_dates, dates_path)
-            staged["dim_dates"] = (dates_path, v)
-            staged_dims["dim_dates"] = read_version(spark, dates_path, v)
+            t.overwrite(dim_dates, "dim_dates")
+            staged.append("dim_dates")
+            staged_dims["dim_dates"] = t.read_staged(spark, "dim_dates")
 
             # Step 4: fact population (populate_fact.py:89-136); runs after
             # the last source ingest (table_name=='orderdetails' dispatch).
@@ -151,26 +154,27 @@ class Pipeline:
                 staged_dims["dim_products"],
                 staged_dims["dim_dates"],
             )
-            fact_path = f"{ctx.warehouse_dir}/fact_orders"
             # Partitioned by date key so downstream date-range scans prune
             # files; repartition first so each date lands in one task ->
             # one file per partition instead of (tasks x dates) small files.
-            v = t.overwrite(
+            t.overwrite(
                 fact.repartition("OrderDateKey"),
-                fact_path,
+                "fact_orders",
                 partition_by=("OrderDateKey",),
             )
-            staged["fact_orders"] = (fact_path, v)
+            staged.append("fact_orders")
 
         # Optional post-commit compaction (at-scale maintenance pass):
         # rewrites each committed table to ~target-sized files and
-        # republishes atomically; fact keeps its OrderDateKey layout via
-        # compact()'s partition auto-detection.
+        # re-commits atomically (one manifest per table); fact keeps its
+        # OrderDateKey layout via partition auto-detection.
         if ctx.compact_target_bytes is not None:
-            for name, (path, _v) in staged.items():
-                compact(spark, path, target_file_bytes=ctx.compact_target_bytes)
+            for name in staged:
+                catalog.compact_table(
+                    spark, name, target_file_bytes=ctx.compact_target_bytes
+                )
 
         # transaction committed: expose the published views
-        for name, (path, _v) in staged.items():
-            ctx.results[name] = read_committed(spark, path)
+        for name in staged:
+            ctx.results[name] = catalog.read(spark, name)
         return ctx.results

@@ -22,9 +22,14 @@ table's new version while the transaction is open, swap ALL pointers
 only after every write has finished. An exception mid-pipeline rolls
 back by deleting the staged (never-published) versions. The vulnerable
 window shrinks from "any time during any write" to "between the first
-and last pointer swap" — pure metadata ops; a true cross-table atomic
-swap needs a catalog with multi-object commit (Delta/Iceberg/HMS), which
-is where this protocol would plug in on a real deployment.
+and last pointer swap" — pure metadata ops.
+
+``Catalog`` / ``CatalogTransaction`` close even that window: tables
+commit through ONE manifest file and ONE ``_HEAD`` pointer swap, so a
+multi-table commit is a single atomic metadata op and readers can never
+observe a new dim with an old fact (the reference's cross-statement
+BEGIN/COMMIT, dynamic_upsert.py:108,151 — now matched, not
+approximated; crash-injection proof in tests/test_txn.py).
 """
 
 from __future__ import annotations
@@ -261,6 +266,215 @@ def gc_orphans(table_dir: str) -> list[int]:
                 shutil.rmtree(_version_dir(table_dir, v), ignore_errors=True)
                 removed.append(v)
     return sorted(removed)
+
+
+_MANIFEST_DIR = "_MANIFEST"
+_HEAD = "_HEAD"
+
+
+class Catalog:
+    """TRUE multi-table atomic commit: one HEAD pointer over immutable
+    manifests (the Iceberg/Delta catalog-commit core, minimally).
+
+    Layout under ``root``:
+
+        <root>/<table>/v=<N>/part-*.parquet   per-table immutable versions
+        <root>/_MANIFEST/m=<M>.json           immutable manifests:
+                                              {"tables": {name: version}}
+        <root>/_HEAD                          pointer file holding M
+
+    A transaction stages every table's new version, writes ONE new
+    manifest holding the full updated table->version mapping, then
+    swaps _HEAD with a single ``os.replace`` — so readers resolving
+    through the catalog observe every table flip TOGETHER. This closes
+    the window ``Transaction`` documents ("between the first and last
+    pointer swap"): a crash anywhere before the HEAD swap leaves the
+    previous manifest — and therefore every table's previous version —
+    fully committed; a crash after leaves the new state fully
+    committed. There is no instant at which a reader can see the new
+    dim with the old fact (crash-injection proof in
+    tests/test_txn.py). Mirrors the reference's cross-statement
+    BEGIN/COMMIT spanning dim + fact (dynamic_upsert.py:108,151;
+    populate_fact.py:91,135-144).
+
+    At 100 TB this is exactly the production split: data files land on
+    object storage (expensive, parallel, retryable), and the commit is
+    one small conditional-put on the catalog entry.
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+
+    # -- read side ---------------------------------------------------
+    def head(self) -> int | None:
+        try:
+            with open(os.path.join(self.root, _HEAD)) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def manifest(self) -> dict[str, int]:
+        """Committed table -> version mapping ({} before first commit)."""
+        head = self.head()
+        if head is None:
+            return {}
+        path = os.path.join(self.root, _MANIFEST_DIR, f"m={head}.json")
+        with open(path) as f:
+            return {k: int(v) for k, v in json.load(f)["tables"].items()}
+
+    def table_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        """Scan a table AS OF the committed manifest — never a staged or
+        half-committed state."""
+        versions = self.manifest()
+        if name not in versions:
+            raise FileNotFoundError(f"table {name!r} not in committed manifest")
+        return _read_version_df(
+            spark, _version_dir(self.table_dir(name), versions[name])
+        )
+
+    # -- write side --------------------------------------------------
+    def _next_manifest(self) -> int:
+        mdir = os.path.join(self.root, _MANIFEST_DIR)
+        existing = [
+            int(f[len("m=") : -len(".json")])
+            for f in os.listdir(mdir)
+            if f.startswith("m=") and f.endswith(".json")
+            and f[len("m=") : -len(".json")].isdigit()
+        ]
+        return max([self.head() or 0, *existing], default=0) + 1
+
+    def _commit(self, staged: dict[str, int]) -> int:
+        """Write the merged manifest (immutable file), then swap _HEAD —
+        the ONLY publish point; everything before it is abortable."""
+        m = self._next_manifest()
+        merged = {**self.manifest(), **staged}
+        mpath = os.path.join(self.root, _MANIFEST_DIR, f"m={m}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"tables": merged}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, mpath)
+        # the commit point: one atomic metadata op covers every table
+        head_tmp = os.path.join(self.root, _HEAD) + ".tmp"
+        with open(head_tmp, "w") as f:
+            f.write(str(m))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(head_tmp, os.path.join(self.root, _HEAD))
+        return m
+
+    def transaction(self) -> "CatalogTransaction":
+        return CatalogTransaction(self)
+
+    def compact_table(
+        self,
+        spark: SparkSession,
+        name: str,
+        target_file_bytes: int = 128 << 20,
+        partition_by: tuple[str, ...] | None = None,
+    ) -> int:
+        """Rewrite one table into ~target-sized files and commit the
+        result as a new manifest (same sizing/partition-detection rules
+        as compact(); atomic via the HEAD swap)."""
+        import math
+
+        versions = self.manifest()
+        if name not in versions:
+            raise FileNotFoundError(f"table {name!r} not in committed manifest")
+        vdir = _version_dir(self.table_dir(name), versions[name])
+        if partition_by is None:
+            partition_by = _detect_partition_cols(vdir)
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(vdir)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, math.ceil(total / target_file_bytes))
+        df = _read_version_df(spark, vdir)
+        compacted = (
+            df.repartition(n_files, *partition_by)
+            if partition_by
+            else df.repartition(n_files)
+        )
+        with self.transaction() as txn:
+            txn.overwrite(compacted, name, partition_by or ())
+        return self.head()
+
+    def gc_uncommitted(self) -> dict[str, list[int]]:
+        """Delete per-table version directories not referenced by the
+        committed manifest and NEWER than its entry — debris from
+        writers that crashed after staging but before the HEAD swap.
+        Same caveat as gc_orphans: only call with no writer in flight."""
+        versions = self.manifest()
+        removed: dict[str, list[int]] = {}
+        for name, cur in versions.items():
+            tdir = self.table_dir(name)
+            if not os.path.isdir(tdir):
+                continue
+            for d in os.listdir(tdir):
+                if d.startswith("v=") and d.split("=", 1)[1].isdigit():
+                    v = int(d.split("=", 1)[1])
+                    if v > cur:
+                        shutil.rmtree(_version_dir(tdir, v), ignore_errors=True)
+                        removed.setdefault(name, []).append(v)
+        return {k: sorted(v) for k, v in removed.items()}
+
+
+class CatalogTransaction:
+    """Multi-table bracket over a Catalog: stage freely, commit ONCE.
+
+    >>> with catalog.transaction() as txn:
+    ...     txn.overwrite(dim_df, "dim_customers")
+    ...     txn.overwrite(fact_df, "fact_orders", partition_by=("OrderDateKey",))
+    ... # ONE HEAD swap here: both tables flip together or not at all
+
+    An exception inside the block deletes every staged version; the
+    committed manifest — and every table it references — is untouched.
+    Unlike Transaction there is no partial-commit window to retry out
+    of: either the HEAD swap happened (everything published) or it
+    didn't (nothing published).
+    """
+
+    def __init__(self, catalog: Catalog) -> None:
+        self._catalog = catalog
+        self._staged: dict[str, int] = {}
+
+    def overwrite(
+        self, df: DataFrame, name: str, partition_by: tuple[str, ...] = ()
+    ) -> int:
+        version = stage_version(df, self._catalog.table_dir(name), partition_by)
+        self._staged[name] = version
+        return version
+
+    def read_staged(self, spark: SparkSession, name: str) -> DataFrame:
+        """Scan a version staged IN THIS transaction (materialized but
+        unpublished) — later steps build on earlier stages without
+        recomputing their plans (the pipeline's dim -> fact flow)."""
+        return _read_version_df(
+            spark,
+            _version_dir(self._catalog.table_dir(name), self._staged[name]),
+        )
+
+    def __enter__(self) -> "CatalogTransaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is None:
+            self._catalog._commit(self._staged)
+        else:
+            for name, version in self._staged.items():
+                shutil.rmtree(
+                    _version_dir(self._catalog.table_dir(name), version),
+                    ignore_errors=True,
+                )
+        self._staged = {}
+        return False  # propagate the exception after rollback
 
 
 class Transaction:

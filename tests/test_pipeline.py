@@ -77,13 +77,12 @@ def test_pipeline_failure_rolls_back_committed_warehouse(spark, sf_dir):
     )
     p = _pipeline(lenient_sources={"orderdetails"})
     p.run(spark, ctx)
-    before = {
-        t: txn.current_version(f"{wh}/{t}")
-        for t in ("dim_customers", "dim_dates", "fact_orders")
-    }
-    fact_rows = txn.read_committed(spark, f"{wh}/fact_orders").count()
+    cat = txn.Catalog(wh)
+    before_head = cat.head()
+    before = cat.manifest()
+    fact_rows = cat.read(spark, "fact_orders").count()
 
-    # second run dies AFTER the dims staged, before the fact publishes
+    # second run dies AFTER the dims staged, before the manifest commits
     broken = _pipeline(lenient_sources={"orderdetails"})
     orig = broken.fact_orders_source
     broken.fact_orders_source = "no_such_source"
@@ -93,12 +92,10 @@ def test_pipeline_failure_rolls_back_committed_warehouse(spark, sf_dir):
     )
     with pytest.raises(KeyError):
         broken.run(spark, ctx2)
-    after = {
-        t: txn.current_version(f"{wh}/{t}")
-        for t in ("dim_customers", "dim_dates", "fact_orders")
-    }
-    assert after == before  # no pointer moved
-    assert txn.read_committed(spark, f"{wh}/fact_orders").count() == fact_rows
+    # the HEAD never moved: every table still reads as the previous run
+    assert cat.head() == before_head
+    assert cat.manifest() == before
+    assert cat.read(spark, "fact_orders").count() == fact_rows
     broken.fact_orders_source = orig
 
 
@@ -167,8 +164,10 @@ def test_pipeline_hash_keys_and_compaction_match_rownum(spark, sf_dir):
     )
     assert a == b
 
-    # compaction ran (version 2) and preserved the date partition layout
-    assert txn.current_version(f"{wh_b}/fact_orders") == 2
+    # compaction ran (fact at version 2 in the committed manifest) and
+    # preserved the date partition layout
+    cat_b = txn.Catalog(wh_b)
+    assert cat_b.manifest()["fact_orders"] == 2
     vdir = f"{wh_b}/fact_orders/v=2"
     assert any(d.startswith("OrderDateKey=") for d in os.listdir(vdir))
     # hash keys joined consistently: every fact FK resolves

@@ -301,10 +301,11 @@ def test_rfm_has_no_single_partition_window(spark, sf_dir):
     )
 
     plan = _plan(x_olap_rfm_scores(spark, sf_dir))
-    # every Window is partitioned by the kernel's pid — never a global
-    # ORDER BY (which would funnel through an Exchange SinglePartition)
+    # the ONE window rides the multi-dim kernel's (dim, pid) partition —
+    # never a global ORDER BY (which would funnel through an Exchange
+    # SinglePartition)
     for ln in plan.splitlines():
         if "windowspecdefinition(" in ln:
-            assert "__rk_pid" in ln, ln
+            assert "__mk_pid" in ln, ln
     assert "SinglePartition" not in plan
-    assert "hashpartitioning(__rk_pid" in plan
+    assert "hashpartitioning(__mk_dim" in plan

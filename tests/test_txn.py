@@ -186,3 +186,129 @@ def test_gc_orphans_removes_only_newer_than_pointer(spark, tdir):
     assert txn.current_version(tdir) == 2
     assert _vals(spark, tdir) == [0, 1, 2]
     assert os.path.isdir(os.path.join(tdir, "v=1"))
+
+
+# -------------------------------------------------------------------------
+# Catalog: true multi-table atomic commit (one manifest + one HEAD swap)
+# -------------------------------------------------------------------------
+
+
+def _df(spark, tag: int):
+    return spark.range(5).selectExpr("id", f"{tag} AS tag")
+
+
+def test_catalog_commits_all_tables_in_one_swap(spark, tmp_path):
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 1), "dim")
+        t.overwrite(_df(spark, 1), "fact")
+    assert cat.read(spark, "dim").selectExpr("max(tag)").first()[0] == 1
+    assert cat.read(spark, "fact").selectExpr("max(tag)").first()[0] == 1
+    head1 = cat.head()
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 2), "dim")
+        t.overwrite(_df(spark, 2), "fact")
+    assert cat.head() == head1 + 1
+    assert cat.read(spark, "dim").selectExpr("max(tag)").first()[0] == 2
+    assert cat.read(spark, "fact").selectExpr("max(tag)").first()[0] == 2
+
+
+def test_catalog_rolls_back_staged_versions_on_error(spark, tmp_path):
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 1), "dim")
+        t.overwrite(_df(spark, 1), "fact")
+    with pytest.raises(RuntimeError, match="boom"):
+        with cat.transaction() as t:
+            t.overwrite(_df(spark, 2), "dim")
+            raise RuntimeError("boom")
+    # committed view untouched, staged version gone from disk
+    assert cat.read(spark, "dim").selectExpr("max(tag)").first()[0] == 1
+    vdirs = [d for d in os.listdir(tmp_path / "wh" / "dim") if d.startswith("v=")]
+    assert vdirs == ["v=1"]
+
+
+def test_catalog_crash_before_head_swap_readers_see_old_pair(
+    spark, tmp_path, monkeypatch
+):
+    """The M5 honest-gap proof: a crash AFTER the new dim and fact are
+    fully staged (and even after the manifest file is written) but
+    BEFORE the HEAD swap leaves readers on the OLD dim + OLD fact —
+    never a mixed pair, unlike per-table pointer swaps."""
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 1), "dim")
+        t.overwrite(_df(spark, 1), "fact")
+
+    real_replace = os.replace
+
+    def crash_on_head(src, dst):
+        if dst.endswith(txn._HEAD):
+            raise OSError("simulated crash at the commit point")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(txn.os, "replace", crash_on_head)
+    with pytest.raises(OSError, match="simulated crash"):
+        with cat.transaction() as t:
+            t.overwrite(_df(spark, 2), "dim")
+            t.overwrite(_df(spark, 2), "fact")
+    monkeypatch.undo()
+
+    # BOTH tables still read as the old committed pair
+    assert cat.read(spark, "dim").selectExpr("max(tag)").first()[0] == 1
+    assert cat.read(spark, "fact").selectExpr("max(tag)").first()[0] == 1
+    # the orphaned staged versions are reclaimable, then a retry commits
+    cat.gc_uncommitted()
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 3), "dim")
+        t.overwrite(_df(spark, 3), "fact")
+    assert cat.read(spark, "dim").selectExpr("max(tag)").first()[0] == 3
+    assert cat.read(spark, "fact").selectExpr("max(tag)").first()[0] == 3
+
+
+def test_catalog_no_mixed_pair_at_any_replace_boundary(spark, tmp_path):
+    """Exhaustive crash points: fail the k-th os.replace of the commit
+    for every k; after each simulated crash the dim/fact tags a reader
+    sees MUST match each other (all-old or all-new)."""
+    for k in (1, 2, 3):
+        root = str(tmp_path / f"wh{k}")
+        cat = txn.Catalog(root)
+        with cat.transaction() as t:
+            t.overwrite(_df(spark, 1), "dim")
+            t.overwrite(_df(spark, 1), "fact")
+        calls = {"n": 0}
+        real_replace = os.replace
+
+        def flaky(src, dst, _k=k, _calls=calls):
+            _calls["n"] += 1
+            if _calls["n"] == _k:
+                raise OSError("crash")
+            return real_replace(src, dst)
+
+        txn.os.replace = flaky
+        try:
+            try:
+                with cat.transaction() as t:
+                    t.overwrite(_df(spark, 2), "dim")
+                    t.overwrite(_df(spark, 2), "fact")
+            except OSError:
+                pass
+        finally:
+            txn.os.replace = real_replace
+        d = cat.read(spark, "dim").selectExpr("max(tag)").first()[0]
+        f = cat.read(spark, "fact").selectExpr("max(tag)").first()[0]
+        assert d == f, f"mixed dim/fact pair after crash at replace #{k}"
+
+
+def test_catalog_compact_preserves_rows_and_layout(spark, tmp_path):
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    df = spark.range(100).selectExpr("id", "id % 3 AS pk")
+    with cat.transaction() as t:
+        t.overwrite(df.repartition(8), "fact", partition_by=("pk",))
+    cat.compact_table(spark, "fact", target_file_bytes=1 << 30)
+    got = cat.read(spark, "fact")
+    assert got.count() == 100
+    assert set(got.columns) == {"id", "pk"}
+    # partition layout survived (col=value dirs in the new version)
+    vdir = txn._version_dir(cat.table_dir("fact"), cat.manifest()["fact"])
+    assert any(d.startswith("pk=") for d in os.listdir(vdir))
