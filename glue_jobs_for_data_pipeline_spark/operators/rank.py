@@ -39,11 +39,12 @@ aggregation is not), and eviction merely recomputes identical values.
 Released with every other operator scratch cache at
 dedup.release_caches().
 
-Cost model: up to 3 driver jobs before the caller's action — a count
-(map-side partial agg; skipped when the caller passes known_total),
-the boundary-sample collect (~p*samples_per_partition key tuples), and
-the per-pid count collect (~p longs) — all cache reads after the first
-materialization.
+Cost model: 2 driver jobs before the caller's action — the
+boundary-sample collect (a TakeOrdered of the p*samples_per_partition
+lowest-hash key tuples; no pre-count pass since r13 — the old
+rate-based sample filter needed the row count to set its threshold)
+and the per-pid count collect (~p longs, whose SUM is the exact
+total) — all cache reads after the first materialization.
 
 Correctness preconditions (documented, not silent):
 - `order_by` must be a TOTAL order (append a unique tiebreaker such as
@@ -185,19 +186,18 @@ def distributed_row_number(
     `out_col` is LongType, 1-based, identical to
     `ROW_NUMBER() OVER (ORDER BY ...)`.
 
-    The total row count comes free from the boundary computation and is
-    returned so callers (NTILE, percentile cutoffs) never run a second
-    count job. ``known_total`` skips the kernel's own count job when the
-    caller already knows the row count (rank-preserving chains like
-    RFM's three NTILEs over one grain) — the kernel still verifies it
-    against the pid-count sum.
+    The total row count comes free as the pid-count sum and is returned
+    so callers (NTILE, percentile cutoffs) never run a count job.
+    ``known_total``, when given, is verified against that sum (it no
+    longer saves a job — the kernel stopped running a standalone count
+    in r13).
     """
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     key_names = [name for name, _ in order_by]
 
-    # Cache the input for the kernel's three driver jobs (count, sample,
+    # Cache the input for the kernel's TWO driver jobs (sample,
     # pid-counts) plus the caller's action: the upstream is typically a
     # groupBy whose REDUCE side would otherwise re-execute per job (map
     # shuffle files are reused across jobs, reduce aggregation is not).
@@ -209,23 +209,24 @@ def distributed_row_number(
     from .dedup import _cached
 
     df = _cached(df)
-    total = known_total if known_total is not None else df.count()
-    if total == 0:
-        return df.withColumn(out_col, F.lit(None).cast("long")), 0
 
     bounds: list[tuple] = []
     if num_partitions > 1:
-        # Deterministic hash sample: membership depends only on the key
-        # values, never on execution order. Collected ONCE; after this
-        # point the boundaries are plan literals.
-        rate = min(1.0, (num_partitions * samples_per_partition) / total)
-        thresh = max(1, int(rate * _SAMPLE_DENOM))
+        # Deterministic hash sample WITHOUT a pre-count (r13: the old
+        # rate-based filter needed total rows to set its threshold —
+        # a whole extra pass): take the num_partitions *
+        # samples_per_partition lowest-(xxhash64, key) rows — a
+        # TakeOrdered (per-partition top-K, driver merge), uniform over
+        # rows because the hash is, and a pure function of the row
+        # values. Collected ONCE; after this point the boundaries are
+        # plan literals.
         sample_rows = (
             df.select(*key_names)
-            .filter(
-                F.pmod(F.xxhash64(*[F.col(k) for k in key_names]), F.lit(_SAMPLE_DENOM))
-                < F.lit(thresh)
+            .orderBy(
+                F.xxhash64(*[F.col(k) for k in key_names]),
+                *[F.col(k) for k in key_names],
             )
+            .limit(num_partitions * samples_per_partition)
             .collect()
         )
         sample = _py_sort([tuple(r) for r in sample_rows], order_by)
@@ -234,6 +235,7 @@ def distributed_row_number(
     tagged = df.withColumn("__rk_pid", _pid_expr(order_by, bounds))
 
     # Per-pid counts: map-side-combined agg, ~p scalar rows collected.
+    # The EXACT total falls out as the sum — no separate count job.
     counts = sorted(
         (r["__rk_pid"], r["__rk_cnt"])
         for r in tagged.groupBy("__rk_pid")
@@ -245,7 +247,13 @@ def distributed_row_number(
     for pid, cnt in counts:
         offsets.append((pid, acc))
         acc += cnt
-    assert acc == total, f"rank kernel count drift: {acc} != {total}"
+    total = acc
+    if known_total is not None:
+        assert total == known_total, (
+            f"rank kernel count drift: {total} != {known_total}"
+        )
+    if total == 0:
+        return df.withColumn(out_col, F.lit(None).cast("long")), 0
 
     # Offsets as a literal map — no join, no shuffle, plan-constant.
     pairs: list[Column] = []
@@ -311,8 +319,9 @@ def distributed_ntile_multi(
     grain was the most expensive non-graph bench query for three
     rounds). This kernel amortizes all of it:
 
-        1 count job + 1 sample collect + 1 pid-count job, then a
-        single window over the rows EXPLODED k ways —
+        1 sample collect + 1 pid-count job (whose sums are the exact
+        total — no count job), then a single window over the rows
+        EXPLODED k ways —
         (dim_id, sort_key) pairs via ``stack`` — partitioned by
         (dim_id, pid). One exchange of k*n thin rows replaces k
         exchanges of n wide rows; a groupBy(tiebreaker) regroup pivots
@@ -347,26 +356,18 @@ def distributed_ntile_multi(
     from .dedup import _cached
 
     df = _cached(df)
-    total = df.count()
-    if total == 0:
-        out = df
-        for oc in out_cols:
-            out = out.withColumn(oc, F.lit(None).cast("long"))
-        return out
 
-    # ONE deterministic row sample serves every dim: membership hashes
-    # the (unique) tiebreaker, so it is uniform over rows, and each
-    # dim's boundary list is read off the same collected tuples.
+    # ONE deterministic row sample serves every dim: the TakeOrdered of
+    # the lowest-(xxhash64(tiebreaker), tiebreaker) rows is uniform over
+    # rows (the tiebreaker is unique) and needs no pre-count (see
+    # distributed_row_number); each dim's boundary list is read off the
+    # same collected tuples.
     bounds_per_dim: list[list[tuple]] = [[] for _ in range(k)]
     if num_partitions > 1:
-        rate = min(1.0, (num_partitions * samples_per_partition) / total)
-        thresh = max(1, int(rate * _SAMPLE_DENOM))
         sample_rows = (
             df.select(tiebreaker, *dim_cols)
-            .filter(
-                F.pmod(F.xxhash64(F.col(tiebreaker)), F.lit(_SAMPLE_DENOM))
-                < F.lit(thresh)
-            )
+            .orderBy(F.xxhash64(F.col(tiebreaker)), F.col(tiebreaker))
+            .limit(num_partitions * samples_per_partition)
             .collect()
         )
         for i in range(k):
@@ -396,7 +397,8 @@ def distributed_ntile_multi(
     )
 
     # ONE pid-count job covers all k dims (map-side-combined to ≤ k*p
-    # scalar rows). Offsets become a literal map keyed dim*P+pid.
+    # scalar rows); the exact total falls out as any dim's sum — no
+    # separate count job. Offsets become a literal map keyed dim*P+pid.
     counts = sorted(
         (r["__mk_dim"], r["__mk_pid"], r["__mk_cnt"])
         for r in exploded.groupBy("__mk_dim", "__mk_pid")
@@ -409,8 +411,14 @@ def distributed_ntile_multi(
         acc = per_dim_acc.get(dim, 0)
         pairs.extend((F.lit(dim * num_partitions + pid), F.lit(acc)))
         per_dim_acc[dim] = acc + cnt
-    for dim, acc in per_dim_acc.items():
-        assert acc == total, f"multi-ntile count drift dim={dim}: {acc} != {total}"
+    totals = set(per_dim_acc.values())
+    assert len(totals) <= 1, f"multi-ntile per-dim count drift: {per_dim_acc}"
+    total = totals.pop() if totals else 0
+    if total == 0:
+        out = df
+        for oc in out_cols:
+            out = out.withColumn(oc, F.lit(None).cast("long"))
+        return out
     off_expr = F.element_at(
         F.create_map(*pairs),
         F.col("__mk_dim") * F.lit(num_partitions) + F.col("__mk_pid"),
