@@ -171,8 +171,34 @@ def pandas_canon(v) -> str:
     return str(v)
 
 
-def rows_canon_pandas(cols, rows):
+def rows_canon_pandas(cols, rows, promote_nullable_ints: bool = False):
+    """``promote_nullable_ints`` mirrors pandas' nullable-int handling
+    for a SPARK result canonicalized from collect() rows: pandas has no
+    nullable int64 by default, so BOTH the driver's Spark toPandas and
+    DuckDB's .df() render an integer column that contains any NULL as
+    float64 (``161`` -> ``161.0``). Without this, collect()-side ints
+    in such columns false-mismatch the oracle's floats (found by the
+    r13 full sweep: 5 nullable-int queries, all driver-green)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    if promote_nullable_ints and rows:
+        n = len(cols)
+        promote = [
+            any(r[i] is None for r in rows)
+            and any(
+                isinstance(r[i], int) and not isinstance(r[i], bool)
+                for r in rows
+            )
+            for i in range(n)
+        ]
+        rows = [
+            tuple(
+                float(v)
+                if promote[i] and isinstance(v, int) and not isinstance(v, bool)
+                else v
+                for i, v in enumerate(r)
+            )
+            for r in rows
+        ]
     return sorted("|".join(pandas_canon(r[i]) for i in order) for r in rows)
 
 
@@ -380,7 +406,9 @@ def main() -> int:
             # above is structurally blind to.
             odf = con.execute(oracles[name]).df()
             spc = rows_canon_pandas(
-                [c.lower() for c in scols], [tuple(r) for r in srows]
+                [c.lower() for c in scols],
+                [tuple(r) for r in srows],
+                promote_nullable_ints=True,
             )
             opc = rows_canon_pandas(
                 [c.lower() for c in odf.columns],
