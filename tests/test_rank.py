@@ -233,3 +233,48 @@ def test_ntile_multi_empty_and_single_partition(spark):
     one = spark.range(3).select(F.col("id").alias("k"), F.col("id").alias("a"))
     out1 = distributed_ntile_multi(one, ["a"], "k", 2, ["na"], num_partitions=1)
     assert sorted(r["na"] for r in out1.collect()) == [1, 1, 2]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=-3, max_value=3),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    buckets=st.integers(min_value=1, max_value=9),
+    parts=st.integers(min_value=1, max_value=6),
+)
+def test_ntile_multi_property_matches_window(spark, vals, buckets, parts):
+    """For ANY long-valued dims (heavy ties included), any bucket count
+    and any partition count, the multi-dim kernel must equal NTILE over
+    each (dim, key) ordering."""
+    from glue_jobs_for_data_pipeline_spark.operators.rank import (
+        distributed_ntile_multi,
+    )
+
+    rows = [(i, a, b) for i, (a, b) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    got = distributed_ntile_multi(
+        df, ["a", "b"], "k", buckets, ["na", "nb"], num_partitions=parts
+    )
+    want = df
+    for dim, out in [("a", "na"), ("b", "nb")]:
+        want = want.withColumn(
+            out, F.ntile(buckets).over(Window.orderBy(dim, "k")).cast("long")
+        )
+    cols = ["k", "a", "b", "na", "nb"]
+    assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+    assert want.select(*cols).exceptAll(got.select(*cols)).count() == 0
