@@ -53,12 +53,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # --pandas-oracle, full sweep committed per round as
 # ORACLE_SWEEP_r{N}.json.
 _WINDOW_FIRST = [
-    # (a) never driver-checked: the two r11-new oracle keys + the two
-    # r13 oracle graduations
+    # (a) never driver-checked: the two r11-new oracle keys, the two
+    # r13 oracle graduations, and the r13-new resize stage
     "x_validate_dq_scorecard",
     "x_mm_audio_resample",
     "x_sim_pq_topk",
     "x_sim_ivfpq_topk",
+    "x_mm_resize",
     # (b) plan changed in r13 + always-on core
     "x_olap_rfm_scores",
     "m1_scd2_upsert",
@@ -77,13 +78,14 @@ _WINDOW_FIRST = [
     "x_olap_percentiles",
     "x_sample_token_budget",
     "x_ingest_incremental_dedup",
-    # (d) r07-evidence cohort, oldest remaining (31 of 46; the 15
+    # (d) r07-evidence cohort, oldest remaining (30 of 46; the 16
     # carried to r14: x_scd2_point_in_time, x_skew_salted_join,
     # x_sql_frontend, x_stream_dedup, x_stream_sessionize,
     # x_stream_static_join, x_stream_stream_full_join,
     # x_stream_stream_left_join, x_stream_topk,
     # x_stream_watermark_append, x_text_bigram_lm, x_ts_gap_fill,
-    # x_ts_sessionize_native, x_validate_profile, x_merge_into)
+    # x_ts_sessionize_native, x_validate_profile, x_merge_into,
+    # x_olap_q22_style — displaced by the r13-new x_mm_resize)
     "x_corpus_dedup_quality_keep",
     "x_dedup_exact",
     "x_dedup_minhash_md5",
@@ -113,7 +115,6 @@ _WINDOW_FIRST = [
     "x_olap_q19_style",
     "x_olap_q20_style",
     "x_olap_q21_style",
-    "x_olap_q22_style",
 ]
 
 

@@ -297,6 +297,84 @@ def dhash64(payload: bytes) -> int:
     return h
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_row", T.IntegerType()),
+        T.StructField("out_col", T.IntegerType()),
+        T.StructField("luma", T.LongType()),
+    ]
+)
+
+
+def resize_luma_grid(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    out_w: int = 3,
+    out_h: int = 4,
+) -> DataFrame:
+    """Image RESIZE as an Arrow batch stage: box-average pooling of the
+    raw 9x8 grayscale bitmaps down to ``out_w x out_h`` (area
+    interpolation — the resize mode production thumbnailers use for
+    downscale). Output is one scalar row per output pixel
+    (doc_id, out_row, out_col, luma) so the driver can hash it.
+
+    Pixel math is pure integer (block SUM then floor-div by the block
+    size), so a DuckDB oracle can restate it exactly on top of the
+    same luma grid the phash twin already rebuilds in SQL
+    (catalog_ext._X_PHASH_SIG_BODY's full_grid CTE) — this is the
+    operator the brief's decode / feature-extract / RESIZE /
+    frame-sample list was missing as a standalone, oracle-checked
+    stage. On real images the only change is a PIL/libvips decode in
+    front of the pooling (the _luma_grid PIL path); the Spark plumbing
+    — binary column in, Arrow batches, scalarized pixels out — is
+    identical and is what this verifies.
+
+    Scale shape: map-only (payloads never shuffle); each vector of
+    blocks is pooled with one numpy reshape+sum per batch, and the
+    output is out_w*out_h thin rows per image.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if _DHASH_W % out_w or _DHASH_H % out_h:
+        raise ValueError(
+            f"out dims {out_w}x{out_h} must divide the {_DHASH_W}x{_DHASH_H} grid"
+        )
+    bw, bh = _DHASH_W // out_w, _DHASH_H // out_h
+
+    def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            flat = np.frombuffer(
+                b"".join(pdf[payload_col]), dtype=np.uint8
+            ).astype(np.int64)
+            grids = flat.reshape(n, _DHASH_H, _DHASH_W)
+            # (n, out_h, bh, out_w, bw) -> sum each bh x bw block
+            pooled = (
+                grids.reshape(n, out_h, bh, out_w, bw).sum(axis=(2, 4))
+                // (bw * bh)
+            )
+            ids = np.repeat(pdf[id_col].to_numpy(dtype="int64"), out_h * out_w)
+            rows = np.tile(np.repeat(np.arange(out_h), out_w), n)
+            cols = np.tile(np.arange(out_w), out_h * n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "out_row": rows.astype("int32"),
+                    "out_col": cols.astype("int32"),
+                    "luma": pooled.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        resize_batches, RESIZE_SCHEMA
+    )
+
+
 def phash_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, phash): perceptual dHash per payload via mapInPandas —
     the ONE Python stage of the image-dedup pipeline (decode + resize

@@ -1512,6 +1512,40 @@ def x_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_dup_pairs(spark.read.parquet(d))
 
 
+_X_MM_RESIZE_SQL = (
+    _X_PHASH_SIG_CTE
+    + """
+SELECT doc_id,
+       CAST((cell // 9) // 2 AS INTEGER) AS out_row,
+       CAST((cell % 9) // 3 AS INTEGER) AS out_col,
+       CAST(SUM(luma) // 6 AS BIGINT) AS luma
+FROM full_grid
+GROUP BY 1, 2, 3
+"""
+)
+
+
+@_q("x_mm_resize", _X_MM_RESIZE_SQL)
+def x_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE (box-average pooling 9x8 -> 3x4) over the raw
+    thumbnail bitmaps, one scalar row per output pixel — the standalone
+    resize stage of the decode / feature-extract / resize /
+    frame-sample multimodal quartet (operators/multimodal.py
+    resize_luma_grid). Payloads stage to parquet first so the plan
+    reads a binary column exactly as it would an image table; pooling
+    is exact integer math (block SUM floor-divided by block size), so
+    the oracle restates it in SQL on the same full_grid CTE the phash
+    twin rebuilds — decode AND resize hash-checked end-to-end. On real
+    images only a PIL/libvips decode slots in front; the Spark
+    plumbing (binary in, Arrow batches, scalarized pixels out) is what
+    this verifies."""
+    d = _scratch_dir("spark_graft_resize_") + "/thumbs"
+    multimodal.attach_thumbnail_payload(
+        load_table(spark, sf_dir, "documents")
+    ).write.mode("overwrite").parquet(d)
+    return multimodal.resize_luma_grid(spark.read.parquet(d))
+
+
 @_q(
     "x_mm_frame_sample",
     "SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, "

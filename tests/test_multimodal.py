@@ -221,3 +221,30 @@ def test_decode_media_mixed_batch(spark):
     assert (out[3]["width"], out[3]["height"], out[3]["format"]) == (16, 9, "GIF")
     assert out[4]["format"] == "FAKE"
     assert out[4]["n_bytes"] == len(b"just some text bytes")
+
+
+def test_resize_luma_grid_box_pooling_exact(spark):
+    import numpy as np
+
+    from glue_jobs_for_data_pipeline_spark.operators import multimodal as mm
+
+    # a known 9x8 ramp bitmap: cell (r, c) = r*9 + c
+    grid = np.arange(72, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytes(grid))], "doc_id long, payload binary"
+    )
+    got = {
+        (r["out_row"], r["out_col"]): r["luma"]
+        for r in mm.resize_luma_grid(df).collect()
+    }
+    assert len(got) == 12  # 3 wide x 4 high
+    arr = grid.astype(int).reshape(8, 9)
+    for orow in range(4):
+        for ocol in range(3):
+            block = arr[orow * 2 : orow * 2 + 2, ocol * 3 : ocol * 3 + 3]
+            assert got[(orow, ocol)] == block.sum() // 6
+    # non-divisible target dims fail loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="must divide"):
+        mm.resize_luma_grid(df, out_w=4, out_h=4)
