@@ -315,10 +315,13 @@ def pagerank(
     return ranks
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, canonical: bool = False) -> DataFrame:
     """Per-node triangle participation counts over an undirected edge
     list (columns ``src``, ``dst``; self-loops ignored, duplicates and
-    reversed duplicates collapsed here).
+    reversed duplicates collapsed here). With ``canonical=True`` the
+    caller asserts src < dst with one row per undirected edge (the
+    _symmetrize contract), and the dedup pass — a full-edge-set
+    exchange — is provably redundant and skipped.
 
     Scale shape — degree-ordered orientation + adjacency intersection
     (the edge-iterator formulation): orient every undirected edge from
@@ -341,14 +344,17 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     scripts); LLM-pipeline scope — same family as the near-dup cluster
     graph ops above.
     """
-    und = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
+    if canonical:
+        und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    else:
+        und = (
+            edges.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))

@@ -99,9 +99,15 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select("ok", F.col("l_partkey").alias("src"))
     b = li.select("ok", F.col("l_partkey").alias("dst"))
+    # CANONICAL output (src < dst, one row per undirected edge — the
+    # oracle's `e` CTE literally): the strict < filter halves the
+    # self-join fan-out before it ever reaches the distinct's
+    # exchange, and consumers skip their own least/greatest dedup pass
+    # (triangle_counts canonical=True, degree_hist) — r13, ~1.5s off
+    # the graph block at sf0.1, and the same factor at any scale.
     return (
         a.join(b, "ok")
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
     )
@@ -132,7 +138,7 @@ def x_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node participation matches row-for-row."""
     from ..operators.graph import triangle_counts
 
-    return triangle_counts(_copurchase_edges(spark, sf_dir))
+    return triangle_counts(_copurchase_edges(spark, sf_dir), canonical=True)
 
 
 _X_DEGREE_SQL = f"""
@@ -153,11 +159,9 @@ def x_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     that need salting/capping in every downstream graph op. Two
     groupBys (node degree, then degree frequency); the second input is
     |V| rows, the third |distinct degrees|."""
-    edges = _copurchase_edges(spark, sf_dir)
+    edges = _copurchase_edges(spark, sf_dir)  # already canonical a < b
     deg = (
-        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
-        .distinct()
-        .select(F.explode(F.array("a", "b")).alias("node"))
+        edges.select(F.explode(F.array("src", "dst")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
