@@ -1512,6 +1512,58 @@ def x_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_dup_pairs(spark.read.parquet(d))
 
 
+_X_MM_BINARY_INGEST_SQL = (
+    _X_PHASH_SIG_CTE
+    + """
+SELECT 'doc_' || doc_id || '.bin' AS file_name,
+       CAST(COUNT(*) AS BIGINT) AS n_bytes,
+       string_agg(upper(lpad(to_hex(luma), 2, '0')), '' ORDER BY cell)
+         AS content_hex
+FROM full_grid
+GROUP BY doc_id
+"""
+)
+
+
+@_q("x_mm_binary_ingest", _X_MM_BINARY_INGEST_SQL)
+def x_mm_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-of-binary-files ingest (sources/readers.py::
+    read_binary_dir — Spark's built-in ``binaryFile`` source): the
+    documents' thumbnail payloads are staged as one .bin FILE each
+    (executor-side foreachPartition writes — the shape a real image
+    bucket lands in), then read back as (file_name, n_bytes, content)
+    rows with the content hex-encoded for the driver hash. The oracle
+    RECONSTRUCTS the expected bytes independently from the documents
+    table (the same luma-grid CTE the phash twin rebuilds, hex-encoded
+    in cell order), so filename mapping, file sizes, AND byte-exact
+    content of the whole staging + binaryFile read path are
+    hash-checked with no file dependency on the oracle side."""
+    import os
+    import shutil
+
+    d = "/tmp/spark_graft_io/mm_binary_ingest"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    payloads = multimodal.attach_thumbnail_payload(
+        load_table(spark, sf_dir, "documents")
+    )
+
+    def _write_files(rows) -> None:
+        for r in rows:
+            with open(os.path.join(d, f"doc_{r['doc_id']}.bin"), "wb") as f:
+                f.write(bytes(r["payload"]))
+
+    payloads.foreachPartition(_write_files)
+    from ..sources.readers import read_binary_dir
+
+    files = read_binary_dir(spark, d, glob="*.bin")
+    return files.select(
+        "file_name",
+        "n_bytes",
+        F.hex(F.col("content")).alias("content_hex"),
+    )
+
+
 _X_MM_RESIZE_SQL = (
     _X_PHASH_SIG_CTE
     + """

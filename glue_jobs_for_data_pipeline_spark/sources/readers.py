@@ -162,3 +162,34 @@ def write_append(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def read_binary_dir(
+    spark: SparkSession, path: str, glob: str = "*"
+) -> DataFrame:
+    """Directory-of-binary-files ingest via Spark's built-in
+    ``binaryFile`` source — the entry point for raw multimodal assets
+    (images, audio clips) that arrive as one file per item rather than
+    rows in a table. Returns (file_name, n_bytes, content): the file's
+    basename, its size, and the raw bytes as a BinaryType column ready
+    for the multimodal operators (decode_media, resize_luma_grid,
+    phash_signatures).
+
+    Scale shape: the source lists files on the driver but reads
+    contents in executors (one task per file group), so a million-image
+    bucket scans in parallel; pushdown-friendly (`pathGlobFilter`
+    prunes at listing time, `modificationTime`/`length` predicates
+    before content reads). Content is capped by
+    spark.sql.sources.binaryFile.maxLength (defaults to INT_MAX) —
+    chunk giant assets upstream.
+    """
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.col("content"),
+    )

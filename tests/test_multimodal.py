@@ -248,3 +248,21 @@ def test_resize_luma_grid_box_pooling_exact(spark):
 
     with pytest.raises(ValueError, match="must divide"):
         mm.resize_luma_grid(df, out_w=4, out_h=4)
+
+
+def test_read_binary_dir_roundtrip(spark, tmp_path):
+    from glue_jobs_for_data_pipeline_spark.sources.readers import (
+        read_binary_dir,
+    )
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\xff\x10")
+    (tmp_path / "b.bin").write_bytes(b"spark")
+    (tmp_path / "ignored.txt").write_bytes(b"x")
+    got = {
+        r["file_name"]: (r["n_bytes"], bytes(r["content"]))
+        for r in read_binary_dir(spark, str(tmp_path), glob="*.bin").collect()
+    }
+    assert got == {
+        "a.bin": (3, b"\x00\xff\x10"),
+        "b.bin": (5, b"spark"),
+    }
