@@ -323,9 +323,18 @@ def distributed_ntile_multi(
         total — no count job), then a single window over the rows
         EXPLODED k ways —
         (dim_id, sort_key) pairs via ``stack`` — partitioned by
-        (dim_id, pid). One exchange of k*n thin rows replaces k
-        exchanges of n wide rows; a groupBy(tiebreaker) regroup pivots
-        the buckets back onto one row per key.
+        (dim_id, pid); a groupBy(tiebreaker) regroup pivots the
+        buckets back onto one row per key.
+
+    Byte-cost caveat (ADVICE r13): the explode carries ALL of ``df``'s
+    columns, so the (dim_id, pid) exchange AND the regroup each move
+    k COPIES OF THE FULL ROW WIDTH — k*n thin rows only when the
+    caller's grain is thin (RFM: 7 small columns, a clear win over 3
+    chained passes). For WIDE rows, project down to
+    (tiebreaker, dim_cols) before calling this kernel and join the
+    result back on the tiebreaker — otherwise the chained
+    `distributed_ntile` form can shuffle fewer bytes despite its k
+    exchanges.
 
     Preconditions (same family as distributed_row_number, plus one):
     - every ``dim_cols`` entry must be a NON-NULL LONG column already

@@ -31,7 +31,13 @@ from ..operators.fact import build_staging_fact, populate_fact
 from ..operators.scd2 import scd2_upsert
 from ..operators.validation import null_counts, pk_duplicates, validation_report
 from ..schemas import TESTDATA_TABLES
-from ..sources.readers import load_events, load_table, read_csv_table, write_overwrite
+from ..sources.readers import (
+    load_events,
+    load_table,
+    read_csv_table,
+    scratch_dir,
+    write_overwrite,
+)
 from ..sources.txn import read_committed, txn_overwrite
 from . import tpch_fixtures as fx
 
@@ -64,7 +70,7 @@ def s1_csv_bulk_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle can check the loaded contents against the source of truth.
     """
     nation = load_table(spark, sf_dir, "nation")
-    path = "/tmp/spark_graft_io/s1_nation_csv"
+    path = scratch_dir("spark_graft_s1_csv_") + "/nation"
     nation.write.mode("overwrite").option("header", True).csv(path)
     return read_csv_table(spark, path, nation.schema)
 
@@ -74,7 +80,7 @@ def s2_truncate_and_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: TRUNCATE + COPY full refresh (validate_data.py:139) — overwrite-mode
     write then scan-back."""
     region = load_table(spark, sf_dir, "region")
-    path = "/tmp/spark_graft_io/s2_region_parquet"
+    path = scratch_dir("spark_graft_s2_pq_") + "/region"
     write_overwrite(region, path)
     return spark.read.parquet(path)
 
@@ -131,7 +137,7 @@ def s1b_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.readers import read_json_table
 
     nation = load_table(spark, sf_dir, "nation")
-    path = "/tmp/spark_graft_io/s1b_nation_json"
+    path = scratch_dir("spark_graft_s1b_json_") + "/nation"
     nation.write.mode("overwrite").json(path)
     return read_json_table(spark, path, nation.schema).select(
         "n_nationkey", "n_name", "n_regionkey"
@@ -144,7 +150,7 @@ def s1c_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.readers import read_orc_table
 
     nation = load_table(spark, sf_dir, "nation")
-    path = "/tmp/spark_graft_io/s1c_nation_orc"
+    path = scratch_dir("spark_graft_s1c_orc_") + "/nation"
     nation.write.mode("overwrite").orc(path)
     return read_orc_table(spark, path)
 
@@ -837,6 +843,6 @@ def m5_transactional_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction; the committed version is scanned back.
     """
     fact = m2_j2_fact_population(spark, sf_dir)
-    path = "/tmp/spark_graft_io/m5_fact_orders"
+    path = scratch_dir("spark_graft_m5_fact_") + "/fact_orders"
     txn_overwrite(fact, path)
     return read_committed(spark, path)

@@ -21,27 +21,13 @@ from pyspark.sql import functions as F
 from ..functions import text as tx
 from ..operators import dedup, multimodal, similarity
 from ..sources.readers import load_table, spread
+from ..sources.readers import scratch_dir as _scratch_dir
 from ..streaming.events import run_stream_to_batch, sessionize_stateful
 from .catalog import _M1_DELTA_SQL, _q
 
-
-def _scratch_dir(prefix: str) -> str:
-    """Per-invocation mkdtemp scratch registered for atexit cleanup.
-
-    Concurrent runs against the same sf_dir must not share a store — a
-    fixed path races (ADVICE r04). The dir must outlive the call itself
-    (returned frames read it lazily; the driver collects later), so
-    cleanup is deferred to interpreter exit rather than a context
-    manager — otherwise each invocation leaks a full scratch copy in
-    /tmp (ADVICE r05).
-    """
-    import atexit
-    import shutil
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return d
+# _scratch_dir: per-invocation, SPARK_GRAFT_SCRATCH_ROOT-rooted staging
+# (sources/readers.py::scratch_dir — the single primitive; a fixed path
+# races, ADVICE r04/r14; cleanup deferred to atexit, ADVICE r05)
 
 
 # --------------------------------------------------------------------------
@@ -1539,10 +1525,12 @@ def x_mm_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     content of the whole staging + binaryFile read path are
     hash-checked with no file dependency on the oracle side."""
     import os
-    import shutil
 
-    d = "/tmp/spark_graft_io/mm_binary_ingest"
-    shutil.rmtree(d, ignore_errors=True)
+    # per-invocation scratch (ADVICE r14): a fixed path races — the
+    # dual-SF sweep rebuilds this dir at another SF before the first
+    # frame's action reads it lazily. Same rule as every _scratch_dir
+    # sibling; the root is SPARK_GRAFT_SCRATCH_ROOT-configurable.
+    d = _scratch_dir("spark_graft_binary_ingest_") + "/files"
     os.makedirs(d, exist_ok=True)
     payloads = multimodal.attach_thumbnail_payload(
         load_table(spark, sf_dir, "documents")

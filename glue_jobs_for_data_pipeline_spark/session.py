@@ -16,6 +16,23 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+_WAREHOUSE_DIR: str | None = None
+
+
+def _warehouse_dir() -> str:
+    """Per-process catalog warehouse (managed tables from the bucketing
+    and staging-lifecycle queries). A fixed literal path is shared by
+    concurrent processes — two suites creating the same managed table
+    name would clobber each other; per-process scratch (rooted at
+    SPARK_GRAFT_SCRATCH_ROOT like every staging path) cannot. Cached:
+    getOrCreate only honors the conf on first session construction."""
+    global _WAREHOUSE_DIR
+    if _WAREHOUSE_DIR is None:
+        from .sources.readers import scratch_dir
+
+        _WAREHOUSE_DIR = scratch_dir("spark_graft_warehouse_")
+    return _WAREHOUSE_DIR
+
 
 def get_spark(
     app_name: str = "glue_jobs_for_data_pipeline_spark",
@@ -43,7 +60,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         # catalog tables (bucketing demos) land outside the repo tree
-        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_io/warehouse_catalog")
+        .config("spark.sql.warehouse.dir", _warehouse_dir())
         # local mode: the driver JVM IS the executor. 32 concurrent
         # tasks over the old 8g default left ~256 MB/task — GC pauses
         # made the checkpoint-heavy graph queries swing 4.8-16 s for

@@ -270,6 +270,33 @@ def gc_orphans(table_dir: str) -> list[int]:
 
 _MANIFEST_DIR = "_MANIFEST"
 _HEAD = "_HEAD"
+_COMMIT_LOCK = "_COMMIT.lock"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Raised when a Catalog commit loses an optimistic-concurrency
+    race: the committed HEAD moved after this transaction opened, so
+    merging our staged tables over the CURRENT manifest could silently
+    drop the racing writer's tables (lost update). The loser re-reads,
+    restages on top of the new head, and retries — the same contract as
+    an Iceberg/Delta conditional-put conflict."""
+
+
+def _fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY so a just-os.replace()d entry inside it is
+    durable across power loss (POSIX: rename atomicity does not imply
+    rename durability until the parent dir is synced). Best-effort on
+    filesystems that reject directory fds."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
 
 
 class Catalog:
@@ -347,26 +374,60 @@ class Catalog:
         ]
         return max([self.head() or 0, *existing], default=0) + 1
 
-    def _commit(self, staged: dict[str, int]) -> int:
+    def _commit(
+        self, staged: dict[str, int], expected_head: int | None = None
+    ) -> int:
         """Write the merged manifest (immutable file), then swap _HEAD —
-        the ONLY publish point; everything before it is abortable."""
-        m = self._next_manifest()
-        merged = {**self.manifest(), **staged}
-        mpath = os.path.join(self.root, _MANIFEST_DIR, f"m={m}.json")
-        tmp = mpath + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"tables": merged}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, mpath)
-        # the commit point: one atomic metadata op covers every table
-        head_tmp = os.path.join(self.root, _HEAD) + ".tmp"
-        with open(head_tmp, "w") as f:
-            f.write(str(m))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(head_tmp, os.path.join(self.root, _HEAD))
-        return m
+        the ONLY publish point; everything before it is abortable.
+
+        Concurrent writers (ADVICE r13): the critical section runs
+        under an O_CREAT|O_EXCL lock file, and when ``expected_head``
+        is given (CatalogTransaction passes the head it opened at) the
+        commit FAILS with ConcurrentCommitError if HEAD moved since —
+        the optimistic compare-and-swap that turns a silent lost update
+        into a retryable conflict. On object storage the lock+check
+        collapses into one conditional-put of the head pointer."""
+        lock = os.path.join(self.root, _COMMIT_LOCK)
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"another commit holds {lock}; retry after it finishes "
+                "(stale lock after a crash: remove the file manually)"
+            ) from None
+        try:
+            os.close(fd)
+            if expected_head is not None and self.head() != expected_head:
+                raise ConcurrentCommitError(
+                    f"HEAD moved {expected_head} -> {self.head()} since this "
+                    "transaction opened; re-read, restage, retry"
+                )
+            m = self._next_manifest()
+            merged = {**self.manifest(), **staged}
+            mpath = os.path.join(self.root, _MANIFEST_DIR, f"m={m}.json")
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"tables": merged}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, mpath)
+            _fsync_dir(os.path.dirname(mpath))
+            # the commit point: one atomic metadata op covers every table
+            head_tmp = os.path.join(self.root, _HEAD) + ".tmp"
+            with open(head_tmp, "w") as f:
+                f.write(str(m))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(head_tmp, os.path.join(self.root, _HEAD))
+            # rename atomicity is not rename durability: sync the root
+            # dir or a crash can roll HEAD back to the old manifest
+            _fsync_dir(self.root)
+            return m
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
 
     def transaction(self) -> "CatalogTransaction":
         return CatalogTransaction(self)
@@ -410,19 +471,29 @@ class Catalog:
         """Delete per-table version directories not referenced by the
         committed manifest and NEWER than its entry — debris from
         writers that crashed after staging but before the HEAD swap.
+        Scans ALL table directories under root (ADVICE r13): a table
+        that was being INTRODUCED by a crashed transaction has staged
+        versions but no manifest entry at all, so it is treated as
+        cur = 0 and fully reclaimed — iterating only committed tables
+        left those orphans forever.
         Same caveat as gc_orphans: only call with no writer in flight."""
         versions = self.manifest()
         removed: dict[str, list[int]] = {}
-        for name, cur in versions.items():
+        for name in os.listdir(self.root):
             tdir = self.table_dir(name)
-            if not os.path.isdir(tdir):
+            if name in (_MANIFEST_DIR, _HEAD, _COMMIT_LOCK) or not os.path.isdir(tdir):
                 continue
+            cur = versions.get(name, 0)
             for d in os.listdir(tdir):
                 if d.startswith("v=") and d.split("=", 1)[1].isdigit():
                     v = int(d.split("=", 1)[1])
                     if v > cur:
                         shutil.rmtree(_version_dir(tdir, v), ignore_errors=True)
                         removed.setdefault(name, []).append(v)
+            # a never-committed table dir emptied of versions is itself
+            # debris; remove it if nothing else lives there
+            if name not in versions and not os.listdir(tdir):
+                os.rmdir(tdir)
         return {k: sorted(v) for k, v in removed.items()}
 
 
@@ -444,6 +515,11 @@ class CatalogTransaction:
     def __init__(self, catalog: Catalog) -> None:
         self._catalog = catalog
         self._staged: dict[str, int] = {}
+        # optimistic-concurrency snapshot: commit fails (and rolls the
+        # staged versions back) if HEAD moves before we publish —
+        # without this, {**manifest(), **staged} re-read at commit time
+        # silently drops a racing writer's tables (ADVICE r13)
+        self._expected_head = catalog.head()
 
     def overwrite(
         self, df: DataFrame, name: str, partition_by: tuple[str, ...] = ()
@@ -465,15 +541,22 @@ class CatalogTransaction:
         return self
 
     def __exit__(self, exc_type, exc, tb) -> bool:
-        if exc_type is None:
-            self._catalog._commit(self._staged)
-        else:
+        try:
+            if exc_type is None:
+                self._catalog._commit(
+                    self._staged, expected_head=self._expected_head
+                )
+                self._staged = {}
+        finally:
+            # rollback path: an exception in the block OR a lost
+            # optimistic-concurrency race in _commit — either way the
+            # staged (never-published) versions are deleted
             for name, version in self._staged.items():
                 shutil.rmtree(
                     _version_dir(self._catalog.table_dir(name), version),
                     ignore_errors=True,
                 )
-        self._staged = {}
+            self._staged = {}
         return False  # propagate the exception after rollback
 
 

@@ -21,7 +21,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources.readers import load_events, normalize_event_ts
+from ..sources.readers import load_events, normalize_event_ts, scratch_dir
+
+# symlink-dir per sf_dir, reused within a process (read_events_stream)
+_STREAM_DIR_CACHE: dict[str, str] = {}
 
 
 def drain_stream(
@@ -121,8 +124,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream_dir = f"/tmp/spark_graft_io/stream_events_{sf_dir.replace('/', '_')}"
-    os.makedirs(stream_dir, exist_ok=True)
+    # per-process scratch (README "Scratch storage contract"): cached
+    # per sf_dir so repeat invocations in one process reuse the listing
+    # dir, while concurrent processes never share a path
+    stream_dir = _STREAM_DIR_CACHE.get(sf_dir)
+    if stream_dir is None:
+        stream_dir = scratch_dir("spark_graft_stream_events_")
+        _STREAM_DIR_CACHE[sf_dir] = stream_dir
     link = f"{stream_dir}/events.parquet"
     if not os.path.exists(link):
         os.symlink(f"{sf_dir}/events.parquet", link)

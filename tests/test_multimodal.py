@@ -4,6 +4,7 @@ Arrow-batched operator shape."""
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
@@ -266,3 +267,42 @@ def test_read_binary_dir_roundtrip(spark, tmp_path):
         "a.bin": (3, b"\x00\xff\x10"),
         "b.bin": (5, b"spark"),
     }
+
+
+def test_binary_ingest_scratch_root_override(spark, sf_dir, monkeypatch, tmp_path):
+    """SPARK_GRAFT_SCRATCH_ROOT reroutes every _scratch_dir under a
+    caller-chosen shared filesystem (the cluster contract, README
+    'Scratch storage') and the binaryFile ingest query still returns
+    byte-identical rows to a run under the default root."""
+    from glue_jobs_for_data_pipeline_spark.plans.catalog import QUERIES
+
+    q = QUERIES["x_mm_binary_ingest"]
+    base = {
+        r["file_name"]: (r["n_bytes"], r["content_hex"])
+        for r in q(spark, sf_dir).collect()
+    }
+    root = tmp_path / "shared_scratch"
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH_ROOT", str(root))
+    over = {
+        r["file_name"]: (r["n_bytes"], r["content_hex"])
+        for r in q(spark, sf_dir).collect()
+    }
+    assert over == base and len(base) > 0
+    # the override root was actually used (a mkdtemp landed under it)
+    assert any(
+        d.startswith("spark_graft_binary_ingest_") for d in os.listdir(root)
+    )
+
+
+def test_binary_ingest_two_invocations_do_not_race(spark, sf_dir):
+    """ADVICE r14 (medium): with per-invocation scratch, building a
+    second ingest frame must NOT invalidate the files a previously
+    returned (lazy) frame reads — the dual-SF sweep shape that the old
+    fixed /tmp path broke."""
+    from glue_jobs_for_data_pipeline_spark.plans.catalog import QUERIES
+
+    q = QUERIES["x_mm_binary_ingest"]
+    first = q(spark, sf_dir)       # lazy — no action yet
+    second = q(spark, sf_dir)      # would rmtree first's dir if shared
+    assert second.count() > 0
+    assert first.count() == second.count()  # first frame still readable

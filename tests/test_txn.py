@@ -312,3 +312,60 @@ def test_catalog_compact_preserves_rows_and_layout(spark, tmp_path):
     # partition layout survived (col=value dirs in the new version)
     vdir = txn._version_dir(cat.table_dir("fact"), cat.manifest()["fact"])
     assert any(d.startswith("pk=") for d in os.listdir(vdir))
+
+
+def test_catalog_concurrent_writer_loses_with_cas_error(spark, tmp_path):
+    """ADVICE r13: two transactions open at the same head; the second
+    to commit must RAISE (lost-update guard), not silently merge over
+    — and its staged versions roll back."""
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 1), "dim")
+    t_a = cat.transaction().__enter__()
+    t_b = cat.transaction().__enter__()
+    t_a.overwrite(_df(spark, 2), "dim")
+    t_b.overwrite(_df(spark, 3), "dim")
+    assert t_a.__exit__(None, None, None) is False  # winner commits
+    with pytest.raises(txn.ConcurrentCommitError, match="HEAD moved"):
+        t_b.__exit__(None, None, None)
+    # winner's state committed; loser's staged version reclaimed
+    assert cat.read(spark, "dim").selectExpr("max(tag)").first()[0] == 2
+    vdirs = sorted(
+        d for d in os.listdir(tmp_path / "wh" / "dim") if d.startswith("v=")
+    )
+    assert vdirs == ["v=1", "v=2"]
+
+
+def test_catalog_commit_lock_blocks_second_writer(spark, tmp_path):
+    """A held _COMMIT.lock makes a racing commit fail fast instead of
+    interleaving with the critical section."""
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    lock = os.path.join(cat.root, txn._COMMIT_LOCK)
+    with open(lock, "w"):
+        pass
+    with pytest.raises(txn.ConcurrentCommitError, match="holds"):
+        with cat.transaction() as t:
+            t.overwrite(_df(spark, 1), "dim")
+    os.unlink(lock)
+    with cat.transaction() as t:  # lock released -> commit proceeds
+        t.overwrite(_df(spark, 1), "dim")
+    assert cat.read(spark, "dim").count() == 5
+
+
+def test_gc_uncommitted_reclaims_never_committed_table(spark, tmp_path):
+    """ADVICE r13: a transaction that crashed while INTRODUCING a new
+    table leaves staged versions for a name absent from the manifest;
+    gc must treat it as cur=0 and reclaim it (plus the empty dir)."""
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 1), "dim")
+    # simulate the crash: stage a brand-new table, never commit
+    dead = cat.transaction().__enter__()
+    dead.overwrite(_df(spark, 9), "newtab")
+    dead._staged = {}  # crash: bracket never runs its exit publish
+    assert os.path.isdir(tmp_path / "wh" / "newtab" / "v=1")
+    removed = cat.gc_uncommitted()
+    assert removed == {"newtab": [1]}
+    assert not os.path.exists(tmp_path / "wh" / "newtab")
+    # committed table untouched
+    assert cat.read(spark, "dim").count() == 5
