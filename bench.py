@@ -83,6 +83,13 @@ BENCH_QUERIES = [
     # multi-shuffle shape in the pack)
     "x_olap_q9_style",
     "x_olap_q21_style",
+    # r14: the co-purchase pair-weight staging itself — the one-time
+    # quadratic self-join every graph consumer (triangles, coreness,
+    # pagerank, degree-hist, basket-lift pairs) now reads instead of
+    # rebuilding. The per-pass cache reset below makes each pass pay
+    # the build exactly once, HERE, so the bench total still contains
+    # the real cost rather than hiding it in a process-lifetime cache.
+    "x_graph_edges_stage",
     # r08 mining-pack representatives: triangle counting (wedge join,
     # the pack's heaviest graph shape), LM coverage (bigram df build +
     # Zipf-skewed scoring join), market-basket lift (per-basket pair
@@ -172,8 +179,16 @@ def main() -> None:
     # 731 rows, no scan) doubles as a calibration query: normalize
     # cross-round comparisons by its ratio before calling regressions.
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "4"))
+    from glue_jobs_for_data_pipeline_spark.plans.mining_pack import (
+        _EDGE_STAGE_CACHE,
+    )
+
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for _ in range(n_passes):
+        # each pass rebuilds the staged edge table once (attributed to
+        # x_graph_edges_stage, which runs before every consumer) — the
+        # min-of-N estimator keeps the real staging cost in the total
+        _EDGE_STAGE_CACHE.clear()
         for name in BENCH_QUERIES:
             t0 = time.time()
             df = qs[name](spark, sf_dir)

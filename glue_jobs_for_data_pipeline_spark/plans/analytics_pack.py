@@ -472,20 +472,13 @@ def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash gate; the numerics are pinned against a pure-Python
     power iteration to 1e-9 in tests/test_graph.py instead."""
     from ..operators.graph import pagerank
+    from .mining_pack import _staged_pair_weights
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
-    )
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
+    # symmetric digraph = the staged canonical (src < dst) edge table
+    # plus its flipped half — the quadratic self-join runs once per
+    # process (r14; see _staged_pair_weights), not once per consumer
+    pw = _staged_pair_weights(spark, sf_dir).select("src", "dst")
+    edges = pw.union(
+        pw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return pagerank(edges, iterations=8)

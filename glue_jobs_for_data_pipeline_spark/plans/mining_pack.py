@@ -48,9 +48,82 @@ e AS (
 """
 
 
+# staged co-purchase pair-weight table, one per (process, sf_dir):
+# sf_dir -> parquet path (see _staged_pair_weights)
+_EDGE_STAGE_CACHE: dict[str, str] = {}
+
+
+def _staged_pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-purchase pair-weight table (src < dst, w = number of
+    distinct orders containing both parts), STAGED ONCE per process
+    and read back as parquet by every graph consumer.
+
+    Five catalog queries (triangles, degree-hist, kcore, coreness,
+    pagerank) and the market-basket pair stage all derive from this one
+    table — support-1 edges are its projection, support-2 edges its
+    ``w >= 2`` filter, the symmetric digraph its union with the flipped
+    half. Before r14 each consumer re-ran the lineitem self-join
+    (~12 s of the 62 s bench at sf0.1); at 100 TB you materialize the
+    edge list exactly once and every graph job scans the staged table —
+    the same stage-then-consume shape the manifest catalog uses for
+    fact tables. Registered as its own oracle-checked query
+    (x_graph_edges_stage), so the staging cost is visible in the bench
+    rather than hidden inside whichever consumer runs first.
+
+    Build shape (unchanged from the r11/r13 tuning): DISTINCT
+    (order, part) via repartition(ok)+dropDuplicates — ONE exchange
+    that the self-join reuses; strict src < dst halves the fan-out
+    before the pair aggregation; per-pair COUNT(*) equals
+    COUNT(DISTINCT ok) because the input is order-distinct."""
+    path = _EDGE_STAGE_CACHE.get(sf_dir)
+    if path is None:
+        from ..sources.readers import scratch_dir
+
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey").alias("ok"), "l_partkey")
+            .repartition("ok")
+            .dropDuplicates(["ok", "l_partkey"])
+        )
+        a = li.select("ok", F.col("l_partkey").alias("src"))
+        b = li.select("ok", F.col("l_partkey").alias("dst"))
+        pw = (
+            a.join(b, "ok")
+            .filter(F.col("src") < F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        path = scratch_dir("spark_graft_copurchase_edges_") + "/pair_weights"
+        pw.write.mode("overwrite").parquet(path)
+        _EDGE_STAGE_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
+_X_EDGE_STAGE_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+SELECT a.pk AS src, b.pk AS dst, CAST(COUNT(*) AS BIGINT) AS w
+FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+GROUP BY 1, 2
+"""
+
+
+@_q("x_graph_edges_stage", _X_EDGE_STAGE_SQL)
+def x_graph_edges_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged co-purchase pair-weight table itself (see
+    _staged_pair_weights): one row per undirected part pair with its
+    exact order-support count. Oracle states the same distinct-then-
+    self-join aggregation; hash-checking THIS table transitively pins
+    the edge set every downstream graph query consumes."""
+    return _staged_pair_weights(spark, sf_dir).select(
+        "src", "dst", F.col("w").cast("long").alias("w")
+    )
+
+
 def _support2_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Support-2 co-purchase graph: parts linked when they co-occur in
     >= 2 distinct orders (shared by x_graph_kcore / x_graph_coreness).
+    Since r14 a ``w >= 2`` filter over the staged pair-weight table
+    (_staged_pair_weights) — the filter pushes into the parquet scan.
     DISTINCT (order, part) FIRST: collapses duplicate lineitems before
     the self-join (smaller fan-out) and turns the per-pair support
     count into a plain one-pass COUNT(*) instead of the two-phase
@@ -66,51 +139,19 @@ def _support2_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the self-join on ok reuses the same layout. A plain .distinct()
     exchanged on (ok, part) and then the join re-exchanged on ok —
     the double shuffle behind the r10 triangles/kcore bench drag."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), "l_partkey")
-        .repartition("ok")
-        .dropDuplicates(["ok", "l_partkey"])
-    )
-    a = li.select("ok", F.col("l_partkey").alias("s"))
-    b = li.select("ok", F.col("l_partkey").alias("t"))
     return (
-        a.join(b, "ok")
-        .filter(F.col("s") < F.col("t"))
-        .groupBy("s", "t")
-        .agg(F.count(F.lit(1)).alias("w"))
+        _staged_pair_weights(spark, sf_dir)
         .filter(F.col("w") >= 2)
-        .select(F.col("s").alias("src"), F.col("t").alias("dst"))
+        .select("src", "dst")
     )
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # DISTINCT (order, part) BEFORE the self-join (the _support2_edges
-    # rationale): duplicate lineitems multiply the join fan-out
-    # quadratically per (order, part) pair, and the pair-level distinct
-    # afterwards still has to shuffle that inflated intermediate.
-    # repartition(ok)-then-dropDuplicates does it in ONE exchange that
-    # the self-join then reuses (see _support2_edges).
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), "l_partkey")
-        .repartition("ok")
-        .dropDuplicates(["ok", "l_partkey"])
-    )
-    a = li.select("ok", F.col("l_partkey").alias("src"))
-    b = li.select("ok", F.col("l_partkey").alias("dst"))
     # CANONICAL output (src < dst, one row per undirected edge — the
-    # oracle's `e` CTE literally): the strict < filter halves the
-    # self-join fan-out before it ever reaches the distinct's
-    # exchange, and consumers skip their own least/greatest dedup pass
-    # (triangle_counts canonical=True, degree_hist) — r13, ~1.5s off
-    # the graph block at sf0.1, and the same factor at any scale.
-    return (
-        a.join(b, "ok")
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    # oracle's `e` CTE literally). Since r14 a projection of the staged
+    # pair-weight table (_staged_pair_weights — built once per process,
+    # every support level is a pushed-down filter over the same scan).
+    return _staged_pair_weights(spark, sf_dir).select("src", "dst")
 
 
 _X_TRIANGLES_SQL = f"""
@@ -589,22 +630,21 @@ def x_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
-    # four consumers (total, supports, both pair sides) — materialize
-    # the distinct basket set once instead of re-running scan+distinct
-    # per consumer
-    from ..operators.ckpt import checkpoint
-
-    op = checkpoint(li.distinct())  # released at release_caches()
+    # supports + total come from the distinct basket set (one exchange);
+    # the QUADRATIC pair stage is exactly the staged pair-weight table
+    # (r14): n_pair == w because both count distinct orders containing
+    # the ordered pair — no second self-join per process
+    op = li.distinct()
     n_orders = op.agg(F.countDistinct("ok").alias("n_total"))
     item = op.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
-    a = op.select(F.col("ok"), F.col("pk").alias("item_a"))
-    b = op.select(F.col("ok"), F.col("pk").alias("item_b"))
     pair = (
-        a.join(b, "ok")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n_pair"))
-        .filter(F.col("n_pair") >= 2)
+        _staged_pair_weights(spark, sf_dir)
+        .filter(F.col("w") >= 2)
+        .select(
+            F.col("src").alias("item_a"),
+            F.col("dst").alias("item_b"),
+            F.col("w").alias("n_pair"),
+        )
     )
     ia = item.select(F.col("pk").alias("item_a"), F.col("n_item").alias("n_a"))
     ib = item.select(F.col("pk").alias("item_b"), F.col("n_item").alias("n_b"))
