@@ -31,90 +31,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate consumes exactly the FIRST 50 keys of
-# queries(), so registration order is the coverage knob. Round 13
-# priority order (the r12 verdict's task #1): (a) the only two
-# oracle-able keys that have NEVER had a driver CORRECTNESS row
-# (x_validate_dq_scorecard, x_mm_audio_resample) plus the two keys
-# oracle-GRADUATED this round (x_sim_pq_topk, x_sim_ivfpq_topk —
-# deterministic init-only codebooks restated in SQL), also never
-# driver-checked; (b) keys whose PLAN changed this round:
-# x_olap_rfm_scores (rebuilt on the one-pass distributed_ntile_multi
-# kernel) — plus the always-on m1/m2 core; (c) the full 13-key
-# r06-evidence carry list named in the r11/r12 verdicts — the oldest
-# driver evidence in the catalog; (d) 31 slots of the r07-evidence
-# cohort (46 keys; the remaining 15 — the 11 stream/scd/frontend keys
-# listed in the section comment plus x_ts_gap_fill,
-# x_ts_sessionize_native, x_validate_profile, x_text_bigram_lm —
-# carry to r14, all sweep-green at both SFs this round).
-# x_olap_freq_items stays OUT permanently — rows-only by design
-# (sketch output; superset property tested in tests/test_plans.py).
+# queries(), so registration order is the coverage knob. Round 14
+# priority order (the r13 verdict's task #1 + the ADVICE bookkeeping
+# fix — ONE canonical arithmetic: 29 explicit entries below + the
+# first 21 parity keys that _ordered_keys auto-appends = 50):
+# (a) oracle-able keys with NO driver row ever: x_mm_binary_ingest
+#     (landed post-freeze in r13) plus the three NEW/GRADUATED r14
+#     keys (x_graph_edges_stage, x_mm_ingest_pipeline,
+#     x_sim_ivf_kmeans_topk — integer-grid Lloyd graduation);
+# (b) keys whose PLAN changed in r14 (staged co-purchase edge table):
+#     x_graph_triangles, x_graph_degree_hist, x_graph_kcore,
+#     x_graph_coreness, x_market_basket_lift;
+# (c) always-on m1/m2 core + m5 (commit path hardened in r14);
+# (d) the COMPLETE 17-key r07-evidence cohort — the oldest driver
+#     evidence left (the r13 comment said 16; the recount is 17,
+#     x_text_tfidf was the miscounted key).
+# Slots 30-50 auto-fill with parity keys s1..a2 (registration order),
+# which refreshes most of the r08-evidence parity tranche including
+# the four scratch-path-changed roundtrips (s1/s2/s1b/s1c).
+# Carried to r15 (sweep-green at both SFs this round, driver evidence
+# r08): the 25 remaining r08-evidence x_* keys — x_dedup_fuzzy_match,
+# x_events_anomaly_mad, x_events_funnel_windowed, x_events_top_paths,
+# x_events_transitions, x_events_wau, x_events_winsorize,
+# x_olap_conditional_kernels, x_olap_distribution_window,
+# x_olap_full_outer_join, x_olap_mode, x_olap_mom_growth,
+# x_olap_q12_style, x_olap_regression, x_olap_skyline,
+# x_sample_weighted, x_scd2_hash_keys, x_skew_salted_agg,
+# x_storage_partition_pruning, x_storage_zorder_roundtrip,
+# x_text_boilerplate_removal, x_text_string_kernels, x_ts_asof_forward,
+# x_ts_ohlc, x_ts_twap — plus the parity keys past slot 50.
+# Permanently OUT (rows-only by design, weaker driver check only):
+# x_dedup_minhash_lsh, x_dedup_simhash, x_olap_approx_percentiles,
+# x_olap_approx_distinct, x_corpus_prep_neardup, x_olap_freq_items,
+# x_graph_pagerank, x_olap_hll_partial_merge.
 # Entries rotated OUT keep a regression check via
 # tools/oracle_check.py over ALL keys — run pre-commit with
 # --pandas-oracle, full sweep committed per round as
 # ORACLE_SWEEP_r{N}.json.
 _WINDOW_FIRST = [
-    # (a) never driver-checked: the two r11-new oracle keys, the two
-    # r13 oracle graduations, and the r13-new resize stage
-    "x_validate_dq_scorecard",
-    "x_mm_audio_resample",
-    "x_sim_pq_topk",
-    "x_sim_ivfpq_topk",
-    "x_mm_resize",
-    # (b) plan changed in r13 + always-on core
-    "x_olap_rfm_scores",
+    # (a) oracle-able, zero driver evidence (4)
+    "x_mm_binary_ingest",
+    "x_graph_edges_stage",
+    "x_mm_ingest_pipeline",
+    "x_sim_ivf_kmeans_topk",
+    # (b) plan changed in r14: staged-edge consumers (5)
+    "x_graph_triangles",
+    "x_graph_degree_hist",
+    "x_graph_kcore",
+    "x_graph_coreness",
+    "x_market_basket_lift",
+    # (c) always-on core + r14-hardened commit path (3)
     "m1_scd2_upsert",
     "m2_j2_fact_population",
-    # (c) the r06-evidence carry list, seated in full (13)
-    "x_ts_range_join",
-    "x_ts_sessionize_batch",
-    "x_ts_asof_join",
-    "x_json_extract",
-    "x_olap_unpivot",
-    "x_olap_range_frame",
-    "x_emb_quantize_int8",
-    "x_ingest_latest_by_key",
-    "x_ingest_schema_evolution",
-    "x_olap_correlated_scalar",
-    "x_olap_percentiles",
-    "x_sample_token_budget",
-    "x_ingest_incremental_dedup",
-    # (d) r07-evidence cohort, oldest remaining (30 of 46; the 16
-    # carried to r14: x_scd2_point_in_time, x_skew_salted_join,
-    # x_sql_frontend, x_stream_dedup, x_stream_sessionize,
-    # x_stream_static_join, x_stream_stream_full_join,
-    # x_stream_stream_left_join, x_stream_topk,
-    # x_stream_watermark_append, x_text_bigram_lm, x_ts_gap_fill,
-    # x_ts_sessionize_native, x_validate_profile, x_merge_into,
-    # x_olap_q22_style — displaced by the r13-new x_mm_resize)
-    "x_corpus_dedup_quality_keep",
-    "x_dedup_exact",
-    "x_dedup_minhash_md5",
-    "x_dedup_ngram_jaccard",
-    "x_dedup_simhash_md5",
-    "x_events_anomaly_zscore",
-    "x_events_funnel",
-    "x_events_retention",
-    "x_ingest_incremental_join",
-    "x_olap_corr",
-    "x_olap_equidepth_histogram",
-    "x_olap_histogram",
-    "x_olap_q1_style",
-    "x_olap_q2_style",
-    "x_olap_q4_style",
-    "x_olap_q6_style",
-    "x_olap_q7_style",
-    "x_olap_q8_style",
-    "x_olap_q9_style",
-    "x_olap_q10_style",
-    "x_olap_q11_style",
-    "x_olap_q13_style",
-    "x_olap_q14_style",
-    "x_olap_q15_style",
-    "x_olap_q16_style",
-    "x_olap_q17_style",
-    "x_olap_q19_style",
-    "x_olap_q20_style",
-    "x_olap_q21_style",
+    "m5_transactional_pipeline",
+    # (d) the complete r07-evidence cohort, seated in full (17)
+    "x_merge_into",
+    "x_olap_q22_style",
+    "x_scd2_point_in_time",
+    "x_skew_salted_join",
+    "x_sql_frontend",
+    "x_stream_dedup",
+    "x_stream_sessionize",
+    "x_stream_static_join",
+    "x_stream_stream_full_join",
+    "x_stream_stream_left_join",
+    "x_stream_topk",
+    "x_stream_watermark_append",
+    "x_text_bigram_lm",
+    "x_text_tfidf",
+    "x_ts_gap_fill",
+    "x_ts_sessionize_native",
+    "x_validate_profile",
 ]
 
 

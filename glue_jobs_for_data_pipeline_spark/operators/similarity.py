@@ -503,6 +503,210 @@ def kmeans_fit_sample(
     return [(i + 1, [float(v) for v in row]) for i, row in enumerate(cb)]
 
 
+def _int_centroid_literal(cents: list[tuple[int, list[int]]]):
+    """Integer centroid set as ONE SQL array literal (the
+    assign_ivf_cells plan-size trick, long elements)."""
+    items = ",".join(
+        "named_struct('cell',{},'v',array({}))".format(
+            cell, ",".join(f"{int(x)}L" for x in vec)
+        )
+        for cell, vec in cents
+    )
+    return F.expr(f"array({items})")
+
+
+def assign_ivf_cells_int(
+    vectors: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    qvec_col: str,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Map-only nearest-cell assignment under EXACT integer squared L2
+    (grid-quantized vectors vs grid-snapped centroids): every distance
+    is a BIGINT, so comparisons — and therefore cell boundaries — are
+    bit-identical on any engine, which is what lets the whole k-means
+    chain restate in SQL (see kmeans_fit_int_grid). Ties break to the
+    lowest cell id via the (d2, cell) struct sort, same convention as
+    the cosine assigner. Keeps every input column; adds (cell,
+    cell_rank). Overflow headroom: |component| <= scale * |value|;
+    at scale 2^10 and |value| <= 2^20 the per-dim square is < 2^62/dim
+    — far past any real embedding range."""
+    vec = F.col(qvec_col)
+
+    def d2(s):
+        return F.aggregate(
+            F.zip_with(vec, s["v"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    scored = F.transform(
+        _int_centroid_literal(cents),
+        lambda s: F.struct(d2(s).alias("d2"), s["cell"].alias("cell")),
+    )
+    keep = [c for c in vectors.columns]
+    return (
+        vectors.withColumn("_top", F.slice(F.array_sort(scored), 1, n_probe))
+        .select(*keep, F.posexplode("_top").alias("_pos", "_s"))
+        .select(
+            *keep,
+            F.col("_s")["cell"].alias("cell"),
+            (F.col("_pos") + 1).cast("int").alias("cell_rank"),
+        )
+    )
+
+
+def _grid_quantize(vec_col: str, scale: int):
+    """floor(double(v) * scale) per component — EXACT for any float
+    input when scale is a power of two (float->double widening is
+    exact; multiplying a double by 2^n only shifts the exponent; floor
+    is exact), so Spark and an oracle engine compute the identical
+    integer grid from the same parquet floats."""
+    return F.transform(
+        F.col(vec_col),
+        lambda v: F.floor(v.cast("double") * scale).cast("long"),
+    )
+
+
+def kmeans_fit_int_grid(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_iters: int = 3,
+    scale: int = 1024,
+) -> list[tuple[int, list[int]]]:
+    """Distributed Lloyd k-means whose EVERY intermediate is exact
+    integer arithmetic — the determinization that graduates the
+    IVF-kmeans ANN chain from rows-only to a value-hash oracle check
+    (the same move that graduated PQ in r13: snap the float iteration
+    onto a grid where both engines provably agree).
+
+    Recipe: quantize vectors onto an integer grid (floor(v * 2^10) —
+    exact, see _grid_quantize); init = the first n_cells vectors by id
+    (ORDER BY id LIMIT n, statable); each Lloyd step assigns by integer
+    squared L2 (ties to the lowest cell) and re-centers with
+    floor(SUM/COUNT) per dimension — integer sums are order-insensitive
+    and the single double division of two exact integers is correctly
+    rounded identically everywhere, so the grid-snapped centroid is
+    deterministic. Empty cells keep their previous centroid. A fixed
+    n_iters unrolls as chained SQL CTEs (catalog_ext._ivf_kmeans_grid
+    _sql builds them).
+
+    vs kmeans_fit (float tier): grid snapping perturbs each centroid
+    by < 1/scale per step — immaterial for a COARSE quantizer feeding
+    an n_probe search whose final ranking re-scores with exact cosine
+    anyway (recall parity asserted in tests/test_similarity.py). The
+    float tier remains for callers wanting textbook Lloyd semantics;
+    this tier exists because a verifiable ANN index build is worth a
+    sub-ulp centroid nudge.
+
+    Scale shape: identical to kmeans_fit — map-only assign against a
+    centroid literal (vectors never shuffle), per-(cell,dim) exact
+    integer partial aggregation, k x dim LONGS to the driver per
+    round. Returns a pre-collected [(cell, [ints])] list.
+    """
+    spark = corpus.sparkSession  # noqa: F841 — parity with kmeans_fit
+    proj = corpus.select(
+        F.col(id_col), _grid_quantize(vec_col, scale).alias("__qv")
+    ).persist()
+    try:
+        init = proj.orderBy(id_col).limit(n_cells).collect()
+        if len(init) < n_cells:
+            raise ValueError(
+                f"kmeans_fit_int_grid needs >= n_cells={n_cells} vectors, "
+                f"got {len(init)}"
+            )
+        cents = [
+            (i + 1, [int(x) for x in r["__qv"]]) for i, r in enumerate(init)
+        ]
+        for _ in range(n_iters):
+            assigned = assign_ivf_cells_int(proj, cents, "__qv", 1)
+            upd_rows = (
+                assigned.select(
+                    "cell", F.posexplode("__qv").alias("idx", "val")
+                )
+                .groupBy("cell", "idx")
+                .agg(
+                    F.floor(
+                        F.sum("val").cast("double") / F.count(F.lit(1))
+                    )
+                    .cast("long")
+                    .alias("m")
+                )
+                .collect()
+            )
+            upd: dict[int, dict[int, int]] = {}
+            for r in upd_rows:
+                upd.setdefault(int(r["cell"]), {})[int(r["idx"])] = int(r["m"])
+            cents = [
+                (cell, [upd[cell][i] for i in range(len(vec))])
+                if cell in upd
+                else (cell, vec)
+                for cell, vec in cents
+            ]
+    finally:
+        proj.unpersist()
+    return cents
+
+
+def ivf_kmeans_topk_grid(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 4,
+    n_iters: int = 3,
+    scale: int = 1024,
+) -> DataFrame:
+    """IVF ANN over kmeans_fit_int_grid cells: integer-exact cell
+    boundaries + probe membership, exact double cosine re-rank on the
+    ORIGINAL float vectors (the proven fold that hash-matches across
+    engines — see x_sim_ivf_topk). The fully SQL-statable refined-cells
+    ANN tier; same probe plumbing shape as _ivf_probe_topk."""
+    cents = kmeans_fit_int_grid(
+        corpus, id_col, vec_col, n_cells, n_iters, scale
+    )
+    qz = _grid_quantize(vec_col, scale)
+    corpus_cells = assign_ivf_cells_int(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            qz.alias("__qv"),
+        ),
+        cents,
+        "__qv",
+        1,
+    ).select("neighbor_id", "cvec", "cell")
+    query_cells = assign_ivf_cells_int(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            qz.alias("__qv"),
+        ),
+        cents,
+        "__qv",
+        n_probe,
+    ).select("query_id", "qvec", "cell")
+    cand = (
+        F.broadcast(query_cells)
+        .join(corpus_cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def ivf_kmeans_topk(
     corpus: DataFrame,
     queries: DataFrame,

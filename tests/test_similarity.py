@@ -282,3 +282,52 @@ def test_pq_init_first_n_layout(spark, sf_dir):
             assert books[i][j] == want
     with pytest.raises(ValueError, match="needs >="):
         similarity.pq_init_first_n(emb.limit(2), m=8, n_codes=4)
+
+
+def test_ivf_kmeans_grid_recall_and_determinism(spark, sf_dir):
+    """The SQL-statable integer-grid Lloyd tier (r14 graduation): recall
+    parity with the float tier's floor, and bit-identical output under
+    a different input partitioning (the determinism the oracle hash
+    relies on)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    approx = similarity.ivf_kmeans_topk_grid(
+        emb, queries, k=10, n_cells=8, n_probe=4, n_iters=3
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.4
+    b = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos"])
+        for r in similarity.ivf_kmeans_topk_grid(
+            emb.repartition(7), queries, k=10, n_cells=8, n_probe=4,
+            n_iters=3,
+        ).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos"])
+        for r in approx.collect()
+    }
+    assert b == full
+
+
+def test_kmeans_int_grid_recenters_exactly(spark):
+    """floor-mean re-centering on the grid: a cell with members whose
+    quantized components sum to s over n rows must land at floor(s/n)
+    in every dimension (hand-checked tiny case)."""
+    rows = [
+        (1, [0.0, 1.0]),
+        (2, [0.001953125, 1.0]),   # 2/1024 -> grid 2
+        (3, [10.0, -1.0]),
+        (4, [10.0107421875, -1.0]),  # grid 10251
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_fit_int_grid(
+        emb, n_cells=2, n_iters=2, scale=1024
+    )
+    got = dict(cents)
+    # cluster {1,2}: dims (0+2)//2=1, (1024+1024)//2=1024
+    # cluster {3,4}: dims (10240+10251)//2=10245, (-1024-1024)//2=-1024
+    assert got[1] == [1, 1024]
+    assert got[2] == [10245, -1024]
