@@ -33,12 +33,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate consumes exactly the FIRST 50 keys of
 # queries(), so registration order is the coverage knob. Round 14
 # priority order (the r13 verdict's task #1 + the ADVICE bookkeeping
-# fix — ONE canonical arithmetic: 29 explicit entries below + the
-# first 21 parity keys that _ordered_keys auto-appends = 50):
+# fix — ONE canonical arithmetic: 30 explicit entries below + the
+# first 20 parity keys that _ordered_keys auto-appends = 50):
 # (a) oracle-able keys with NO driver row ever: x_mm_binary_ingest
-#     (landed post-freeze in r13) plus the three NEW/GRADUATED r14
+#     (landed post-freeze in r13) plus the four NEW/GRADUATED r14
 #     keys (x_graph_edges_stage, x_mm_ingest_pipeline,
-#     x_sim_ivf_kmeans_topk — integer-grid Lloyd graduation);
+#     x_sim_ivf_kmeans_topk — integer-grid Lloyd graduation —
+#     and x_graph_pagerank — integer-grid power iteration);
 # (b) keys whose PLAN changed in r14 (staged co-purchase edge table):
 #     x_graph_triangles, x_graph_degree_hist, x_graph_kcore,
 #     x_graph_coreness, x_market_basket_lift;
@@ -63,17 +64,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # Permanently OUT (rows-only by design, weaker driver check only):
 # x_dedup_minhash_lsh, x_dedup_simhash, x_olap_approx_percentiles,
 # x_olap_approx_distinct, x_corpus_prep_neardup, x_olap_freq_items,
-# x_graph_pagerank, x_olap_hll_partial_merge.
+# x_olap_hll_partial_merge. (x_graph_pagerank left this list in r14 —
+# integer-grid graduation.)
 # Entries rotated OUT keep a regression check via
 # tools/oracle_check.py over ALL keys — run pre-commit with
 # --pandas-oracle, full sweep committed per round as
 # ORACLE_SWEEP_r{N}.json.
 _WINDOW_FIRST = [
-    # (a) oracle-able, zero driver evidence (4)
+    # (a) oracle-able, zero driver evidence (5)
     "x_mm_binary_ingest",
     "x_graph_edges_stage",
     "x_mm_ingest_pipeline",
     "x_sim_ivf_kmeans_topk",
+    "x_graph_pagerank",
     # (b) plan changed in r14: staged-edge consumers (5)
     "x_graph_triangles",
     "x_graph_degree_hist",

@@ -315,6 +315,103 @@ def pagerank(
     return ranks
 
 
+def pagerank_int_grid(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 8,
+    scale: int = 1 << 40,
+) -> DataFrame:
+    """PageRank whose EVERY intermediate is exact 64-bit integer
+    arithmetic — the determinization that makes the fixed-iteration
+    chain SQL-statable and therefore value-hash checkable (the same
+    grid trick as similarity.kmeans_fit_int_grid, r14).
+
+    Ranks are scaled integers R = rank * 2^40; the damped update uses
+    only nonnegative integer division (floor == trunc, so Spark's
+    ``div`` and DuckDB's ``//`` agree bit-for-bit):
+
+        tele    = (3 * S) div (20 * n)              -- 0.15/n
+        R'(v)   = tele + (17 * (dm div n + contrib(v))) div 20
+        contrib = sum over in-edges (u,v) of R(u) div outdeg(u)
+        dm      = sum of R over dangling nodes
+
+    Each floor drops < 1 unit of 2^-40 mass per term — total mass
+    decays by < (|E| + n) * 2^-40 per round, immaterial for ranking
+    and EXACTLY reproduced by any engine (the point). vs the float
+    tier (pagerank): per-node double sums there depend on partial-agg
+    merge order, which is why it is rows-only forever; this tier's
+    integer sums are order-insensitive. Iteration/shuffle shape is
+    identical to the float tier: one fact-sized contribution shuffle
+    per round, the dangling scalar rides a broadcast 1-row cross join,
+    no per-round driver collect beyond the localCheckpoint.
+
+    Returns (node, rank_scaled BIGINT); divide by 2^40 for the float
+    rank. Ordering agreement with the float tier is asserted in
+    tests/test_graph.py.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    from . import ckpt
+
+    nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.count()
+    if n == 0:
+        ckpt.register(nodes)
+        return nodes.select(
+            "node", F.lit(0).cast("long").alias("rank_scaled")
+        )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    tele = (3 * scale) // (20 * n)
+    ranks = nodes.select(
+        "node", F.lit(scale // n).cast("long").alias("r")
+    )
+    prev_ranks = None
+    for _ in range(iterations):
+        out = ranks.withColumnRenamed("node", "src")
+        contribs = (
+            ed.join(out, "src")
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling_df = ranks.join(
+            deg.select(F.col("src").alias("node")), "node", "left_anti"
+        ).agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_dm"))
+        ranks = (
+            nodes.join(
+                contribs.withColumnRenamed("dst", "node"), "node", "left_outer"
+            )
+            .crossJoin(F.broadcast(dangling_df))
+            .select(
+                "node",
+                (
+                    F.lit(tele).cast("long")
+                    + F.expr(
+                        f"(17 * ((_dm div {n}) + coalesce(contrib, 0L))) div 20"
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if prev_ranks is not None:
+            ckpt.free(prev_ranks)
+        prev_ranks = ranks
+    if prev_ranks is not None:
+        ckpt.free(nodes)
+        ckpt.free(ed)
+        ckpt.register(ranks)
+    else:
+        ckpt.register(nodes)
+        ckpt.free(ed)
+    return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
 def triangle_counts(edges: DataFrame, canonical: bool = False) -> DataFrame:
     """Per-node triangle participation counts over an undirected edge
     list (columns ``src``, ``dst``; self-loops ignored, duplicates and

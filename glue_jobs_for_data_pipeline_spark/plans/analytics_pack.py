@@ -460,18 +460,67 @@ def x_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@_q("x_graph_pagerank")  # double power iteration -> partial-agg order
+def _pagerank_grid_sql(iterations: int = 8, scale: int = 1 << 40) -> str:
+    """The full integer-grid PageRank chain unrolled as SQL CTEs over
+    the co-purchase edge derivation (see graph.pagerank_int_grid for
+    the arithmetic proof). Nonnegative integer division only, so
+    DuckDB's // and Spark's div agree bit-for-bit."""
+    parts = [
+        """op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT a.pk AS src, b.pk AS dst
+  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2),
+e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, CAST({s} // nn.n AS BIGINT) AS r FROM nodes, nn)""".format(
+            s=scale
+        )
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            """c{t} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(r.r // d.deg) AS contrib
+  FROM e JOIN r{p} r ON r.node = e.src JOIN deg d ON d.node = e.src
+  GROUP BY e.dst),
+d{t} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.r), 0) AS dm
+  FROM r{p} r LEFT JOIN deg d ON d.node = r.node WHERE d.node IS NULL),
+r{t} AS MATERIALIZED (
+  SELECT n.node,
+         CAST((3 * {s}) // (20 * nn.n)
+              + (17 * ((dd.dm // nn.n) + COALESCE(c.contrib, 0))) // 20
+              AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN c{t} c ON c.node = n.node
+  CROSS JOIN d{t} dd CROSS JOIN nn)""".format(t=t, p=t - 1, s=scale)
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, r AS rank_scaled FROM r{iterations}\n"
+    )
+
+
+@_q("x_graph_pagerank", _pagerank_grid_sql())
 def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part co-purchase graph: parts are linked when
     they appear in the same order (both directions), edge list bounded
     at per-order-lines^2 — the 'important products' ranking. 8 damped
-    power iterations with dangling-mass redistribution
-    (operators/graph.py::pagerank). Per-node rank sums are
-    floating-point partial aggregates whose last-ulp value depends on
-    partition merge order, so this is rows-only under the driver's
-    value-hash gate; the numerics are pinned against a pure-Python
-    power iteration to 1e-9 in tests/test_graph.py instead."""
-    from ..operators.graph import pagerank
+    power iterations with dangling-mass redistribution.
+
+    ORACLE-CHECKED since r14: the registered tier runs
+    graph.pagerank_int_grid — ranks as 2^40-scaled integers, the
+    damped update restated in nonnegative integer division — so the
+    fixed 8-iteration chain unrolls into SQL CTEs
+    (_pagerank_grid_sql) and the driver hash-checks every rank. The
+    float tier (graph.pagerank, rows-only forever: per-node double
+    sums depend on partial-agg merge order) remains for callers
+    wanting textbook semantics; both tiers' agreement on ordering and
+    a pure-Python differential are pinned in tests/test_graph.py."""
+    from ..operators.graph import pagerank_int_grid
     from .mining_pack import _staged_pair_weights
 
     # symmetric digraph = the staged canonical (src < dst) edge table
@@ -481,4 +530,4 @@ def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pw.union(
         pw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return pagerank(edges, iterations=8)
+    return pagerank_int_grid(edges, iterations=8)

@@ -145,3 +145,33 @@ def pagerank_helper(spark, e):
     from glue_jobs_for_data_pipeline_spark.operators.graph import pagerank
 
     return pagerank(e, iterations=6).collect()
+
+
+def test_pagerank_int_grid_tracks_float_tier(spark):
+    """The SQL-statable integer-grid tier (r14 graduation): scaled
+    ranks must track the float tier within the flooring error bound
+    ((|E|+n) * 2^-40 per round) and reproduce bit-identically under a
+    different input partitioning — the determinism the oracle hash
+    relies on. Includes a dangling node to exercise the dm path."""
+    from glue_jobs_for_data_pipeline_spark.operators.graph import (
+        pagerank,
+        pagerank_int_grid,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (3, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    flt = {r["node"]: r["rank"] for r in pagerank(e, iterations=8).collect()}
+    grid = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_int_grid(e, iterations=8).collect()
+    }
+    s = float(1 << 40)
+    assert set(grid) == set(flt)
+    for u in flt:
+        # 8 rounds x (|E|+n)=11 floors of < 2^-40 each, plus init floor
+        assert abs(grid[u] / s - flt[u]) < 1e-7, (u, grid[u] / s, flt[u])
+    again = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_int_grid(e.repartition(5), iterations=8).collect()
+    }
+    assert again == grid
