@@ -144,6 +144,10 @@ BENCH_QUERIES = [
     # (both distinct-word-table shaped)
     "x_text_bpe_merges",
     "x_text_subword_encode",
+    # r14 addition: IVF ANN with distributed integer-grid Lloyd
+    # training (3 assign/re-center rounds + probe — the
+    # train-then-search shape, newly oracle-checked)
+    "x_sim_ivf_kmeans_topk",
 ]
 
 
