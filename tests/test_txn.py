@@ -369,3 +369,26 @@ def test_gc_uncommitted_reclaims_never_committed_table(spark, tmp_path):
     assert not os.path.exists(tmp_path / "wh" / "newtab")
     # committed table untouched
     assert cat.read(spark, "dim").count() == 5
+
+
+def test_catalog_cas_loser_retry_recipe_succeeds(spark, tmp_path):
+    """The documented recovery path for ConcurrentCommitError: re-open
+    a transaction (re-reads head), restage, commit — the loser's
+    retried write lands on TOP of the winner's manifest with no table
+    lost (the lost-update scenario the CAS exists to prevent)."""
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 1), "dim")
+        t.overwrite(_df(spark, 1), "fact")
+    t_a = cat.transaction().__enter__()
+    t_b = cat.transaction().__enter__()
+    t_a.overwrite(_df(spark, 2), "fact")      # winner updates fact
+    t_b.overwrite(_df(spark, 3), "dim")       # loser updates dim
+    t_a.__exit__(None, None, None)
+    with pytest.raises(txn.ConcurrentCommitError):
+        t_b.__exit__(None, None, None)
+    with cat.transaction() as retry:           # recipe: reopen + restage
+        retry.overwrite(_df(spark, 3), "dim")
+    # both writers' tables present: winner's fact AND retried dim
+    assert cat.read(spark, "fact").selectExpr("max(tag)").first()[0] == 2
+    assert cat.read(spark, "dim").selectExpr("max(tag)").first()[0] == 3
