@@ -33,13 +33,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate consumes exactly the FIRST 50 keys of
 # queries(), so registration order is the coverage knob. Round 14
 # priority order (the r13 verdict's task #1 + the ADVICE bookkeeping
-# fix — ONE canonical arithmetic: 30 explicit entries below + the
-# first 20 parity keys that _ordered_keys auto-appends = 50):
+# fix — ONE canonical arithmetic: 31 explicit entries below + the
+# first 19 parity keys that _ordered_keys auto-appends = 50):
 # (a) oracle-able keys with NO driver row ever: x_mm_binary_ingest
-#     (landed post-freeze in r13) plus the four NEW/GRADUATED r14
+#     (landed post-freeze in r13) plus the five NEW/GRADUATED r14
 #     keys (x_graph_edges_stage, x_mm_ingest_pipeline,
 #     x_sim_ivf_kmeans_topk — integer-grid Lloyd graduation —
-#     and x_graph_pagerank — integer-grid power iteration);
+#     x_graph_pagerank — integer-grid power iteration — and
+#     x_corpus_cluster_balance — cluster-balanced sampling);
 # (b) keys whose PLAN changed in r14 (staged co-purchase edge table):
 #     x_graph_triangles, x_graph_degree_hist, x_graph_kcore,
 #     x_graph_coreness, x_market_basket_lift;
@@ -71,12 +72,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # --pandas-oracle, full sweep committed per round as
 # ORACLE_SWEEP_r{N}.json.
 _WINDOW_FIRST = [
-    # (a) oracle-able, zero driver evidence (5)
+    # (a) oracle-able, zero driver evidence (6)
     "x_mm_binary_ingest",
     "x_graph_edges_stage",
     "x_mm_ingest_pipeline",
     "x_sim_ivf_kmeans_topk",
     "x_graph_pagerank",
+    "x_corpus_cluster_balance",
     # (b) plan changed in r14: staged-edge consumers (5)
     "x_graph_triangles",
     "x_graph_degree_hist",

@@ -923,6 +923,59 @@ def _sql_cos(a: str, b: str) -> str:
     )
 
 
+def _kmeans_grid_d2(v: str, c: str, dim: int = 64) -> str:
+    """Integer squared-L2 between two BIGINT-list exprs (the grid
+    tier's assignment metric — exact, so comparable bit-for-bit)."""
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+    )
+
+
+def _kmeans_grid_cells_parts(
+    n_cells: int = 8,
+    n_iters: int = 3,
+    scale: int = 1024,
+    dim: int = 64,
+) -> list[str]:
+    """Shared CTE prefix for every grid-kmeans consumer: quantize ->
+    init (first n by id) -> n_iters unrolled assign/re-center pairs.
+    Ends with c{n_iters}, the trained centroid table. Restates
+    similarity.kmeans_fit_int_grid exactly (see its docstring for the
+    exactness proof)."""
+    d2 = _kmeans_grid_d2
+    parts = [
+        f"""q AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+  FROM embeddings),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS cell,
+         qv AS cent
+  FROM (SELECT * FROM q ORDER BY vec_id LIMIT {n_cells}))"""
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT v.vec_id, v.qv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2('v.qv', 'c.cent', dim)}, c.cell) AS rk
+    FROM q v CROSS JOIN c{t - 1} c) t WHERE rk = 1),
+u{t} AS (
+  SELECT cell, i,
+         CAST(FLOOR(CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+  FROM a{t}, UNNEST(range(1, {dim + 1})) AS it{t}(i)
+  GROUP BY cell, i),
+m{t} AS (SELECT cell, list(m ORDER BY i) AS cent FROM u{t} GROUP BY cell),
+c{t} AS (
+  SELECT c.cell, COALESCE(u.cent, c.cent) AS cent
+  FROM c{t - 1} c LEFT JOIN m{t} u ON u.cell = c.cell)"""
+        )
+    return parts
+
+
 def _ivf_kmeans_grid_sql(
     n_cells: int = 8,
     n_probe: int = 4,
@@ -941,40 +994,9 @@ def _ivf_kmeans_grid_sql(
     hash-checks cell boundaries, probe membership, AND ranking."""
 
     def d2(v: str, c: str) -> str:
-        return (
-            f"list_sum(list_transform(range(1, {dim + 1}), "
-            f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
-        )
+        return _kmeans_grid_d2(v, c, dim)
 
-    parts = [
-        f"""q AS (
-  SELECT vec_id, embedding,
-         list_transform(embedding,
-           x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
-  FROM embeddings),
-c0 AS (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS cell,
-         qv AS cent
-  FROM (SELECT * FROM q ORDER BY vec_id LIMIT {n_cells}))"""
-    ]
-    for t in range(1, n_iters + 1):
-        parts.append(
-            f"""a{t} AS (
-  SELECT vec_id, qv, cell FROM (
-    SELECT v.vec_id, v.qv, c.cell,
-           ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                              ORDER BY {d2('v.qv', 'c.cent')}, c.cell) AS rk
-    FROM q v CROSS JOIN c{t - 1} c) t WHERE rk = 1),
-u{t} AS (
-  SELECT cell, i,
-         CAST(FLOOR(CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
-  FROM a{t}, UNNEST(range(1, {dim + 1})) AS it{t}(i)
-  GROUP BY cell, i),
-m{t} AS (SELECT cell, list(m ORDER BY i) AS cent FROM u{t} GROUP BY cell),
-c{t} AS (
-  SELECT c.cell, COALESCE(u.cent, c.cent) AS cent
-  FROM c{t - 1} c LEFT JOIN m{t} u ON u.cell = c.cell)"""
-        )
+    parts = _kmeans_grid_cells_parts(n_cells, n_iters, scale, dim)
     parts.append(
         f"""corpus_cells AS (
   SELECT vec_id AS neighbor_id, embedding AS cvec, cell FROM (
@@ -1028,6 +1050,90 @@ def x_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ivf_kmeans_topk_grid(
         emb, queries, k=10, n_cells=8, n_probe=4, n_iters=3
+    )
+
+
+def _cluster_balance_sql(
+    n_cells: int = 8,
+    quota: int = 20,
+    n_iters: int = 3,
+    scale: int = 1024,
+    dim: int = 64,
+) -> str:
+    """Cluster-balanced sampling restated in SQL: the shared grid-
+    kmeans CTE prefix trains the cells, a final integer-L2 assignment
+    places every vector, and a per-cell ROW_NUMBER over
+    (md5(id), id) — a seedless deterministic shuffle both engines
+    compute identically — takes the first ``quota`` members."""
+    d2 = _kmeans_grid_d2
+    parts = _kmeans_grid_cells_parts(n_cells, n_iters, scale, dim)
+    parts.append(
+        f"""cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2('v.qv', 'c.cent', dim)}, c.cell) AS rk
+    FROM q v CROSS JOIN c{n_iters} c) t WHERE rk = 1),
+sel AS (
+  SELECT cell, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY cell
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS pick
+  FROM cells)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(cell AS INTEGER) AS cell, vec_id, CAST(pick AS BIGINT) AS pick
+FROM sel WHERE pick <= {quota}
+"""
+    )
+
+
+@_q("x_corpus_cluster_balance", _cluster_balance_sql())
+def x_corpus_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-BALANCED corpus sampling: train integer-grid k-means
+    cells over the embedding column, assign every vector to its
+    nearest cell, keep an equal quota per cell chosen by a seedless
+    deterministic shuffle (md5-of-id order) — the topic-balancing
+    selection step of a training-data pipeline (prevents the dominant
+    cluster from monopolizing the mixture; the embedding-space analog
+    of per-domain temperature mixing, which x_corpus_temperature_mix
+    covers on the metadata axis).
+
+    ORACLE-CHECKED from birth: the cell training/assignment reuses the
+    SQL-statable grid tier (_kmeans_grid_cells_parts — the r14
+    x_sim_ivf_kmeans_topk graduation) and the quota pick is a window
+    over (md5(id), id), identical on both engines.
+
+    Scale shape: training is the kmeans_fit_int_grid contract (map-only
+    assigns, O(k*dim) driver scalars per round); the selection is ONE
+    cell-keyed window over (vec_id, cell) thin rows — never the
+    vectors; quota output is k*quota rows regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fit_int_grid(
+        emb, n_cells=8, n_iters=3, scale=1024
+    )
+    cells = similarity.assign_ivf_cells_int(
+        emb.select(
+            "vec_id", similarity._grid_quantize("embedding", 1024).alias("__qv")
+        ),
+        cents,
+        "__qv",
+        1,
+    ).select("vec_id", "cell")
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        cells.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= 20)
+        .select(
+            F.col("cell").cast("integer").alias("cell"),
+            "vec_id",
+            F.col("pick").cast("long").alias("pick"),
+        )
     )
 
 

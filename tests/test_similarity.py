@@ -331,3 +331,22 @@ def test_kmeans_int_grid_recenters_exactly(spark):
     # cluster {3,4}: dims (10240+10251)//2=10245, (-1024-1024)//2=-1024
     assert got[1] == [1, 1024]
     assert got[2] == [10245, -1024]
+
+
+def test_cluster_balance_quota_and_determinism(spark, sf_dir):
+    """x_corpus_cluster_balance: per-cell quota respected, every
+    populated cell represented, bit-identical under repartition."""
+    from glue_jobs_for_data_pipeline_spark.plans import catalog_ext  # noqa: F401
+    from glue_jobs_for_data_pipeline_spark.plans.catalog import QUERIES
+
+    q = QUERIES["x_corpus_cluster_balance"]
+    rows = q(spark, sf_dir).collect()
+    per_cell = {}
+    for r in rows:
+        per_cell.setdefault(r["cell"], []).append(r["pick"])
+    assert per_cell, "no clusters selected"
+    for cell, picks in per_cell.items():
+        assert len(picks) <= 20
+        assert sorted(picks) == list(range(1, len(picks) + 1))
+    again = {(r["cell"], r["vec_id"], r["pick"]) for r in q(spark, sf_dir).collect()}
+    assert again == {(r["cell"], r["vec_id"], r["pick"]) for r in rows}
