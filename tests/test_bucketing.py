@@ -46,3 +46,21 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
         .count()
     )
     assert joined.count() == plain
+
+
+def test_catalog_bucketed_join_query_is_exchange_free(spark, sf_dir):
+    """The registered x_storage_bucketed_join (r14): the SMJ both
+    Exchanges AND both explicit Sorts eliminated by the bucketed+sorted
+    layout, end to end through the catalog query itself."""
+    from glue_jobs_for_data_pipeline_spark.plans import catalog_ext  # noqa: F401
+    from glue_jobs_for_data_pipeline_spark.plans.catalog import QUERIES
+
+    df = QUERIES["x_storage_bucketed_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:800]
+    # the join input side must carry no shuffle; the only allowed
+    # Exchange is the one feeding the final groupBy aggregation
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_part, f"bucketed join shuffled:\n{join_part[:800]}"
+    rows = {r["c_mktsegment"]: r["n_orders"] for r in df.collect()}
+    assert sum(rows.values()) == load_table(spark, sf_dir, "orders").count()
