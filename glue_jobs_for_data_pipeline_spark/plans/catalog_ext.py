@@ -4517,6 +4517,71 @@ def x_storage_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-14 addition: dynamic partition pruning (runtime partition filter)
+# --------------------------------------------------------------------------
+
+_X_DPP_SQL = """
+WITH mm AS (
+  SELECT DISTINCT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ship_month
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+          BETWEEN '1996-01' AND '1996-03')
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+JOIN mm ON strftime(CAST(l_shipdate AS DATE), '%Y-%m') = mm.ship_month
+GROUP BY l_returnflag
+"""
+
+
+@_q("x_storage_dynamic_partition_pruning", _X_DPP_SQL)
+def x_storage_dynamic_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC partition pruning: the fact is partitioned by
+    ship_month, and the months worth scanning are only known at RUN
+    time — they come off a selective filter on another table (urgent
+    orders in 1996-Q1), not a literal in the query. Catalyst inserts a
+    dynamicpruningexpression subquery into the scan's
+    PartitionFilters: the dim side's broadcast result prunes fact
+    partitions BEFORE any pruned file is opened
+    (tests/test_storage.py asserts the expression in the executed
+    plan). This is the other half of the partition-layout story next
+    to x_storage_partition_pruning's static literal — at 100 TB most
+    real pruning predicates arrive through joins (date dims, tenant
+    allowlists), and without DPP the partitioned layout does nothing
+    for them. The oracle states the same join statically."""
+    d = _scratch_dir("spark_graft_dpp_") + "/lineitem_parts"
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month",
+        F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM"),
+    )
+    li.write.partitionBy("ship_month").mode("overwrite").parquet(d)
+    fact = spark.read.parquet(d)
+    months = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+            .alias("ship_month")
+        )
+        .filter(F.col("ship_month").between("1996-01", "1996-03"))
+        .distinct()
+    )
+    return (
+        fact.join(months, "ship_month")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Round-14 addition: bucketed co-located join (zero-exchange SMJ)
 # --------------------------------------------------------------------------
 

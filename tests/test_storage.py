@@ -278,3 +278,16 @@ def test_hash_skip_index_empty_index(spark, sf_dir, tmp_path):
     )
     assert out.count() == 0
     assert set(out.columns) == {"o_orderkey", "o_custkey"}
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """x_storage_dynamic_partition_pruning (r14): the executed plan's
+    PartitionFilters must carry a dynamicpruning subquery — the fact
+    scan is pruned by the dim join's runtime result, not a literal."""
+    from glue_jobs_for_data_pipeline_spark.plans import catalog_ext  # noqa: F401
+    from glue_jobs_for_data_pipeline_spark.plans.catalog import QUERIES
+
+    df = QUERIES["x_storage_dynamic_partition_pruning"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:800]
+    assert df.count() > 0
