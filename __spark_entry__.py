@@ -33,8 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate consumes exactly the FIRST 50 keys of
 # queries(), so registration order is the coverage knob. Round 14
 # priority order (the r13 verdict's task #1 + the ADVICE bookkeeping
-# fix — ONE canonical arithmetic: 35 explicit entries below + the
-# first 15 parity keys that _ordered_keys auto-appends = 50):
+# fix — ONE canonical arithmetic: 36 explicit entries below + the
+# first 14 parity keys that _ordered_keys auto-appends = 50):
 # (a) oracle-able keys with NO driver row ever: x_mm_binary_ingest
 #     (landed post-freeze in r13) plus the seven NEW/GRADUATED r14
 #     keys (x_graph_edges_stage, x_mm_ingest_pipeline,
@@ -43,8 +43,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     x_corpus_cluster_balance — cluster-balanced sampling —
 #     x_storage_bucketed_join — zero-exchange co-located SMJ —
 #     x_olap_grid_quantile_sketch — deterministic mergeable quantiles —
-#     x_dedup_semantic_semdedup — within-cell semantic dedup — and
-#     x_storage_dynamic_partition_pruning — runtime partition filter);
+#     x_dedup_semantic_semdedup — within-cell semantic dedup —
+#     x_storage_dynamic_partition_pruning — runtime partition filter —
+#     and x_validate_observed_load — in-flight observe() metrics);
 # (b) keys whose PLAN changed in r14 (staged co-purchase edge table):
 #     x_graph_triangles, x_graph_degree_hist, x_graph_kcore,
 #     x_graph_coreness, x_market_basket_lift;
@@ -87,6 +88,7 @@ _WINDOW_FIRST = [
     "x_olap_grid_quantile_sketch",
     "x_dedup_semantic_semdedup",
     "x_storage_dynamic_partition_pruning",
+    "x_validate_observed_load",
     # (b) plan changed in r14: staged-edge consumers (5)
     "x_graph_triangles",
     "x_graph_degree_hist",

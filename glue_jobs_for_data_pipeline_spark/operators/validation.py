@@ -245,3 +245,57 @@ def constraint_quarantine(
     valid = tagged.filter(F.size("violations") == 0).drop("violations")
     quarantined = tagged.filter(F.size("violations") > 0)
     return valid, quarantined
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    pk: str | list[str] | None = None,
+    null_check_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> dict[str, int]:
+    """Write a table and collect its data-quality metrics IN FLIGHT via
+    ``DataFrame.observe`` — zero extra scans.
+
+    The V1/V4 shape (validate then load) reads the data twice: once for
+    the checks, once for the write. At 100 TB the second read is the
+    entire cost of validation. ``observe`` attaches an aggregate
+    observer to the plan itself: the metrics (row count, per-column
+    null counts, distinct-PK count for a uniqueness check) accumulate
+    on the executors WHILE the write job runs and surface through the
+    observation handle afterwards — one scan, both outcomes.
+
+    Caveats this encodes deliberately:
+    - observed metrics must be single-pass accumulator aggregates;
+      Spark REJECTS DISTINCT aggregates here (an exact distinct needs
+      a shuffle, which an in-flight observer by definition cannot
+      have), so the uniqueness signal is approx_count_distinct — an
+      HLL smoke check (pk_distinct_approx far below row_count means
+      the key is badly broken NOW, during the load). The exact V2
+      gate (pk_duplicates) still runs where exactness matters;
+    - the dict returns AFTER the write action; a caller that wants
+      validate-THEN-publish semantics writes to a staged version dir
+      and publishes the pointer only if the metrics pass (compose with
+      sources/txn.py, same bracket m5 uses).
+
+    Returns {"row_count": n, "null_<col>": n...,
+    "pk_distinct_approx": n}.
+    """
+    from pyspark.sql import Observation
+
+    cols = null_check_cols or []
+    metrics = [F.count(F.lit(1)).alias("row_count")]
+    metrics += [
+        F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"null_{c}")
+        for c in cols
+    ]
+    if pk is not None:
+        keys = [pk] if isinstance(pk, str) else list(pk)
+        key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+        metrics.append(
+            F.approx_count_distinct(key, rsd=0.02).alias("pk_distinct_approx")
+        )
+    obs = Observation()
+    observed = df.observe(obs, *metrics)
+    observed.write.mode(mode).parquet(path)
+    return {k: int(v) for k, v in obs.get.items()}

@@ -1795,3 +1795,46 @@ def x_validate_dq_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# Round-14: in-flight observed load metrics (zero extra scans)
+# --------------------------------------------------------------------------
+
+_X_OBSERVED_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_o_custkey,
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_o_orderdate
+FROM orders
+"""
+
+
+@_q("x_validate_observed_load", _X_OBSERVED_SQL)
+def x_validate_observed_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation metrics collected IN FLIGHT during the load itself
+    (operators/validation.py::observed_write — DataFrame.observe): the
+    orders table is written to scratch while an attached observer
+    accumulates row count and per-column null counts on the executors;
+    NO second scan ever runs. The oracle recomputes the same counts
+    with a real scan of the source — hash-equality proves the
+    in-flight accumulators see every row exactly once (the property
+    that makes observe a safe replacement for the reference's
+    validate-then-load double read at 100 TB, where the second read IS
+    the cost of validation). The HLL uniqueness smoke signal
+    (pk_distinct_approx) is engine-specific and intentionally excluded
+    from the hashed output; the exact V2 gate remains pk_duplicates."""
+    from ..operators.validation import observed_write
+    from ..sources.readers import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = scratch_dir("spark_graft_observed_") + "/orders"
+    m = observed_write(
+        orders, out, pk="o_orderkey",
+        null_check_cols=["o_custkey", "o_orderdate"],
+    )
+    return spark.createDataFrame(
+        [(m["row_count"], m["null_o_custkey"], m["null_o_orderdate"])],
+        "row_count long, null_o_custkey long, null_o_orderdate long",
+    )

@@ -181,3 +181,34 @@ def test_dq_scorecard_detects_planted_defects(spark, tmp_path):
     assert got[("customer", "pk_dup_keys")] == 1
     assert got[("orders", "pk_dup_keys")] == 0
     assert got[("orders", "rows")] == 2
+
+
+def test_observed_write_metrics_match_recompute(spark, sf_dir, tmp_path):
+    """observed_write (r14): in-flight metrics equal a separate
+    recompute, and the write itself is complete and readable."""
+    from pyspark.sql import functions as F
+
+    from glue_jobs_for_data_pipeline_spark.operators.validation import (
+        observed_write,
+    )
+    from glue_jobs_for_data_pipeline_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_comment_nullable",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    out = str(tmp_path / "orders_observed")
+    got = observed_write(
+        orders, out, pk="o_orderkey",
+        null_check_cols=["o_comment_nullable", "o_custkey"],
+    )
+    n = orders.count()
+    nulls = orders.filter(F.col("o_comment_nullable").isNull()).count()
+    assert got["row_count"] == n
+    assert got["null_o_comment_nullable"] == nulls > 0
+    assert got["null_o_custkey"] == 0
+    # HLL smoke signal: within rsd tolerance of the exact distinct
+    assert abs(got["pk_distinct_approx"] - n) <= 0.1 * n
+    assert spark.read.parquet(out).count() == n
