@@ -242,6 +242,16 @@ KERNEL_BACKED_KEYS = [
     "x_storage_compaction_plan",
     "x_scd1_overwrite",
     "x_scd3_prev_value",
+    # r14 grid-kmeans consumers: centroids collect across driver jobs
+    # (train rounds), so re-execution determinism is an explicit
+    # assumption — covered here like every other multi-job kernel
+    "x_sim_ivf_kmeans_topk",
+    "x_corpus_cluster_balance",
+    "x_dedup_semantic_semdedup",
+    "x_graph_pagerank",
+    "x_graph_edges_stage",
+    "x_mm_ingest_pipeline",
+    "x_validate_observed_load",
 ]
 
 
