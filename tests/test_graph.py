@@ -368,3 +368,37 @@ def test_canonical_flag_equivalent_on_canonical_input(spark):
         for r in coreness(edges, canonical=True).collect()
     }
     assert ca == cb and ca
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=st.lists(_edge, min_size=1, max_size=20))
+def test_pagerank_int_grid_tracks_float_on_random_graphs(spark, edges):
+    """The r14 SQL-statable integer-grid PageRank tier: on arbitrary
+    small digraphs (self-loops filtered, dangling nodes common), the
+    2^40-scaled ranks must track the float tier within the documented
+    flooring bound — the cross-tier differential that pins the grid
+    arithmetic beyond the single hand-built case."""
+    from glue_jobs_for_data_pipeline_spark.operators.graph import (
+        pagerank,
+        pagerank_int_grid,
+    )
+
+    es = [(int(a), int(b)) for a, b in edges if a != b]
+    if not es:
+        return
+    e = spark.createDataFrame(es, "src long, dst long")
+    flt = {r["node"]: r["rank"] for r in pagerank(e, iterations=4).collect()}
+    grid = {
+        r["node"]: r["rank_scaled"] / float(1 << 40)
+        for r in pagerank_int_grid(e, iterations=4).collect()
+    }
+    assert set(grid) == set(flt)
+    # 4 rounds x <= (|E|+n+2) floors of < 2^-40 each, generously bounded
+    tol = 4 * (len(es) + len(flt) + 2) * 2**-40 + 1e-9
+    for u in flt:
+        assert abs(grid[u] - flt[u]) <= tol, (u, grid[u], flt[u], tol)
