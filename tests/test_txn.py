@@ -392,3 +392,41 @@ def test_catalog_cas_loser_retry_recipe_succeeds(spark, tmp_path):
     # both writers' tables present: winner's fact AND retried dim
     assert cat.read(spark, "fact").selectExpr("max(tag)").first()[0] == 2
     assert cat.read(spark, "dim").selectExpr("max(tag)").first()[0] == 3
+
+
+def test_catalog_threaded_writers_serialize_without_lost_updates(spark, tmp_path):
+    """8 threads commit disjoint tables concurrently with retry-on-
+    conflict: every table must survive in the final manifest (no lost
+    updates), heads strictly increase, and losers only ever see
+    ConcurrentCommitError — never a silent overwrite. Exercises the
+    O_EXCL lock + CAS under real parallelism."""
+    import threading
+
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 0), "seed")
+    errors: list[Exception] = []
+
+    def writer(i: int) -> None:
+        for attempt in range(30):
+            try:
+                with cat.transaction() as t:
+                    t.overwrite(_df(spark, i), f"tab_{i}")
+                return
+            except txn.ConcurrentCommitError:
+                continue
+            except Exception as exc:  # noqa: BLE001 — collected for assert
+                errors.append(exc)
+                return
+        errors.append(RuntimeError(f"writer {i} exhausted retries"))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    manifest = cat.manifest()
+    assert set(manifest) == {"seed"} | {f"tab_{i}" for i in range(8)}
+    for i in range(8):
+        assert cat.read(spark, f"tab_{i}").selectExpr("max(tag)").first()[0] == i
