@@ -31,92 +31,99 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate consumes exactly the FIRST 50 keys of
-# queries(), so registration order is the coverage knob. Round 14
-# priority order (the r13 verdict's task #1 + the ADVICE bookkeeping
-# fix — ONE canonical arithmetic: 36 explicit entries below + the
-# first 14 parity keys that _ordered_keys auto-appends = 50):
-# (a) oracle-able keys with NO driver row ever: x_mm_binary_ingest
-#     (landed post-freeze in r13) plus the seven NEW/GRADUATED r14
-#     keys (x_graph_edges_stage, x_mm_ingest_pipeline,
-#     x_sim_ivf_kmeans_topk — integer-grid Lloyd graduation —
-#     x_graph_pagerank — integer-grid power iteration —
-#     x_corpus_cluster_balance — cluster-balanced sampling —
-#     x_storage_bucketed_join — zero-exchange co-located SMJ —
-#     x_olap_grid_quantile_sketch — deterministic mergeable quantiles —
-#     x_dedup_semantic_semdedup — within-cell semantic dedup —
-#     x_storage_dynamic_partition_pruning — runtime partition filter —
-#     and x_validate_observed_load — in-flight observe() metrics);
-# (b) keys whose PLAN changed in r14 (staged co-purchase edge table):
-#     x_graph_triangles, x_graph_degree_hist, x_graph_kcore,
-#     x_graph_coreness, x_market_basket_lift;
-# (c) always-on m1/m2 core + m5 (commit path hardened in r14);
-# (d) the COMPLETE 17-key r07-evidence cohort — the oldest driver
-#     evidence left (the r13 comment said 16; the recount is 17,
-#     x_text_tfidf was the miscounted key).
-# Slots 30-50 auto-fill with parity keys s1..a2 (registration order),
-# which refreshes most of the r08-evidence parity tranche including
-# the four scratch-path-changed roundtrips (s1/s2/s1b/s1c).
-# Carried to r15 (sweep-green at both SFs this round, driver evidence
-# r08): the 25 remaining r08-evidence x_* keys — x_dedup_fuzzy_match,
-# x_events_anomaly_mad, x_events_funnel_windowed, x_events_top_paths,
-# x_events_transitions, x_events_wau, x_events_winsorize,
-# x_olap_conditional_kernels, x_olap_distribution_window,
-# x_olap_full_outer_join, x_olap_mode, x_olap_mom_growth,
-# x_olap_q12_style, x_olap_regression, x_olap_skyline,
-# x_sample_weighted, x_scd2_hash_keys, x_skew_salted_agg,
-# x_storage_partition_pruning, x_storage_zorder_roundtrip,
-# x_text_boilerplate_removal, x_text_string_kernels, x_ts_asof_forward,
-# x_ts_ohlc, x_ts_twap — plus the parity keys past slot 50.
-# Permanently OUT (rows-only by design, weaker driver check only):
-# x_dedup_minhash_lsh, x_dedup_simhash, x_olap_approx_percentiles,
-# x_olap_approx_distinct, x_corpus_prep_neardup, x_olap_freq_items,
-# x_olap_hll_partial_merge. (x_graph_pagerank left this list in r14 —
-# integer-grid graduation.)
+# queries(), so registration order is the coverage knob. Round 15
+# priority order (the r14 verdict's tasks #1 and #6 — 42 explicit
+# entries below + the first 8 parity keys that _ordered_keys
+# auto-appends = 50):
+# (a) the COMPLETE 25-key r08-evidence cohort — the oldest driver
+#     evidence left, retired in one edit;
+# (b) the two keys that never had ANY driver row (rows-only by design;
+#     the driver records the weaker rows-only check once):
+#     x_olap_approx_percentiles, x_olap_hll_partial_merge;
+# (c) keys whose PLAN or ORACLE changed in r15: the two NEW stage
+#     queries (x_dedup_pairs_stage — near-dup pair table staged once —
+#     and x_emb_centroids_stage — both k-means trainings staged once),
+#     their seven consumers (x_dedup_cc_clusters, x_corpus_dedup_cc,
+#     x_corpus_dedup_quality_keep, x_split_neardup_leakage,
+#     x_dedup_semantic_semdedup, x_corpus_cluster_balance,
+#     x_sim_ivf_kmeans_topk), x_olap_grid_quantile_sketch (bin width
+#     fixed to the documented $100 grid — ADVICE r14 medium),
+#     x_market_basket_lift (distinct basket set checkpointed),
+#     x_graph_pagerank (oracle nodes CTE now unions dst);
+# (d) always-on m1/m2 core + m5 (stale-lock reclamation added r15).
+# Slots 43-50 auto-fill with parity keys (registration order), all
+# driver-green in r14.
+# Carried to r16 (sweep-green at both SFs every round; newest driver
+# evidence r14): x_mm_binary_ingest, x_graph_edges_stage,
+# x_mm_ingest_pipeline, x_storage_bucketed_join,
+# x_storage_dynamic_partition_pruning, x_validate_observed_load,
+# x_graph_triangles, x_graph_degree_hist, x_graph_kcore,
+# x_graph_coreness, the r07-cohort (r14 evidence), and the parity keys
+# past slot 50.
+# Permanently rows-only by design (weaker driver check only):
+# x_dedup_minhash_lsh, x_dedup_simhash, x_olap_approx_distinct,
+# x_corpus_prep_neardup, x_olap_freq_items (plus (b) above, seated
+# once this round so every one of the catalog keys has a driver row).
 # Entries rotated OUT keep a regression check via
 # tools/oracle_check.py over ALL keys — run pre-commit with
 # --pandas-oracle, full sweep committed per round as
 # ORACLE_SWEEP_r{N}.json.
+# Rows-only keys DELIBERATELY consuming window slots this round: the
+# r14 verdict's task #6 — each gets its one (weaker, rows-only) driver
+# row so every catalog key has driver evidence at least once. Rotate
+# them back out in r16.
+_WINDOW_ROWS_ONLY_OK = {
+    "x_olap_approx_percentiles",
+    "x_olap_hll_partial_merge",
+}
+
 _WINDOW_FIRST = [
-    # (a) oracle-able, zero driver evidence (8)
-    "x_mm_binary_ingest",
-    "x_graph_edges_stage",
-    "x_mm_ingest_pipeline",
-    "x_sim_ivf_kmeans_topk",
-    "x_graph_pagerank",
-    "x_corpus_cluster_balance",
-    "x_storage_bucketed_join",
-    "x_olap_grid_quantile_sketch",
+    # (a) the complete r08-evidence cohort, seated in full (25)
+    "x_dedup_fuzzy_match",
+    "x_events_anomaly_mad",
+    "x_events_funnel_windowed",
+    "x_events_top_paths",
+    "x_events_transitions",
+    "x_events_wau",
+    "x_events_winsorize",
+    "x_olap_conditional_kernels",
+    "x_olap_distribution_window",
+    "x_olap_full_outer_join",
+    "x_olap_mode",
+    "x_olap_mom_growth",
+    "x_olap_q12_style",
+    "x_olap_regression",
+    "x_olap_skyline",
+    "x_sample_weighted",
+    "x_scd2_hash_keys",
+    "x_skew_salted_agg",
+    "x_storage_partition_pruning",
+    "x_storage_zorder_roundtrip",
+    "x_text_boilerplate_removal",
+    "x_text_string_kernels",
+    "x_ts_asof_forward",
+    "x_ts_ohlc",
+    "x_ts_twap",
+    # (b) never driver-checked, rows-only by design (2)
+    "x_olap_approx_percentiles",
+    "x_olap_hll_partial_merge",
+    # (c) plan/oracle changed in r15 (12)
+    "x_dedup_pairs_stage",
+    "x_emb_centroids_stage",
+    "x_dedup_cc_clusters",
+    "x_corpus_dedup_cc",
+    "x_corpus_dedup_quality_keep",
+    "x_split_neardup_leakage",
     "x_dedup_semantic_semdedup",
-    "x_storage_dynamic_partition_pruning",
-    "x_validate_observed_load",
-    # (b) plan changed in r14: staged-edge consumers (5)
-    "x_graph_triangles",
-    "x_graph_degree_hist",
-    "x_graph_kcore",
-    "x_graph_coreness",
+    "x_corpus_cluster_balance",
+    "x_sim_ivf_kmeans_topk",
+    "x_olap_grid_quantile_sketch",
     "x_market_basket_lift",
-    # (c) always-on core + r14-hardened commit path (3)
+    "x_graph_pagerank",
+    # (d) always-on core + commit path (3)
     "m1_scd2_upsert",
     "m2_j2_fact_population",
     "m5_transactional_pipeline",
-    # (d) the complete r07-evidence cohort, seated in full (17)
-    "x_merge_into",
-    "x_olap_q22_style",
-    "x_scd2_point_in_time",
-    "x_skew_salted_join",
-    "x_sql_frontend",
-    "x_stream_dedup",
-    "x_stream_sessionize",
-    "x_stream_static_join",
-    "x_stream_stream_full_join",
-    "x_stream_stream_left_join",
-    "x_stream_topk",
-    "x_stream_watermark_append",
-    "x_text_bigram_lm",
-    "x_text_tfidf",
-    "x_ts_gap_fill",
-    "x_ts_sessionize_native",
-    "x_validate_profile",
 ]
 
 

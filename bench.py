@@ -67,6 +67,12 @@ BENCH_QUERIES = [
     "x_decontam_report",
     "x_olap_range_frame",
     "x_sample_shard_positions",
+    # r15: the near-dup pair-table staging itself — the shingle
+    # inverted-index self-join every dedup-CC policy consumer
+    # (cc-clusters, corpus-dedup, quality-keep, split-leakage) now
+    # reads instead of rebuilding; runs before its consumers so the
+    # build cost lands on THIS line (the edge-stage pattern)
+    "x_dedup_pairs_stage",
     # r06 additions: iterative connected-component clustering (the
     # pairs->clusters closure), token-budget fill (domain window),
     # CDC changelog apply (key window + tombstone filter)
@@ -144,11 +150,33 @@ BENCH_QUERIES = [
     # (both distinct-word-table shaped)
     "x_text_bpe_merges",
     "x_text_subword_encode",
+    # r15: the k-means centroid staging itself — BOTH trainings (8-cell
+    # ANN/sampling model + 32-cell SemDeDup model) run here once per
+    # pass; the three consumers below read the staged model
+    "x_emb_centroids_stage",
     # r14 addition: IVF ANN with distributed integer-grid Lloyd
     # training (3 assign/re-center rounds + probe — the
-    # train-then-search shape, newly oracle-checked)
+    # train-then-search shape, newly oracle-checked); training staged
+    # since r15
     "x_sim_ivf_kmeans_topk",
+    # r15: the six r14 post-bench additions join the bill (the r14
+    # verdict's task #2 — a bench list that excludes the catalog's most
+    # expensive query is not a headline number)
+    "x_dedup_semantic_semdedup",
+    "x_corpus_cluster_balance",
+    "x_storage_bucketed_join",
+    "x_olap_grid_quantile_sketch",
+    "x_storage_dynamic_partition_pruning",
+    "x_validate_observed_load",
 ]
+
+# The host's recurring noise mode concentrates on the winnowing pair
+# join (byte-identical plan, 2.08->2.58 s swings four rounds running —
+# r14 verdict nit): these queries get EXTRA_SAMPLES additional timed
+# runs per pass so their min-of-N estimator sits on 3x the samples and
+# round-over-round deltas reflect the plan, not the noisiest draw.
+NOISY_QUERIES = {"x_dedup_winnow_pairs", "x_text_winnow_stats"}
+EXTRA_SAMPLES = 2
 
 
 def main() -> None:
@@ -183,22 +211,27 @@ def main() -> None:
     # 731 rows, no scan) doubles as a calibration query: normalize
     # cross-round comparisons by its ratio before calling regressions.
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "4"))
-    from glue_jobs_for_data_pipeline_spark.plans.mining_pack import (
-        _EDGE_STAGE_CACHE,
+    from glue_jobs_for_data_pipeline_spark.plans.staging import (
+        reset_stage_caches,
     )
 
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for _ in range(n_passes):
-        # each pass rebuilds the staged edge table once (attributed to
-        # x_graph_edges_stage, which runs before every consumer) — the
-        # min-of-N estimator keeps the real staging cost in the total
-        _EDGE_STAGE_CACHE.clear()
+        # each pass rebuilds every staged table once (edge weights,
+        # near-dup pairs, k-means centroids — attributed to their
+        # x_*_stage lines, which run before their consumers), so the
+        # min-of-N estimator keeps the real staging cost in the total;
+        # the reset also DELETES the previous pass's staged parquet
+        # (ADVICE r14: clear() alone abandoned one copy per pass)
+        reset_stage_caches()
         for name in BENCH_QUERIES:
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            samples[name].append(round(time.time() - t0, 3))
-            release_caches()  # dedup signature caches are per-query scratch
+            runs = 1 + (EXTRA_SAMPLES if name in NOISY_QUERIES else 0)
+            for _rep in range(runs):
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples[name].append(round(time.time() - t0, 3))
+                release_caches()  # dedup signature caches are per-query scratch
 
     def _median(xs: list[float]) -> float:
         s = sorted(xs)

@@ -660,13 +660,19 @@ def ivf_kmeans_topk_grid(
     n_probe: int = 4,
     n_iters: int = 3,
     scale: int = 1024,
+    centroids: list[tuple[int, list[int]]] | None = None,
 ) -> DataFrame:
     """IVF ANN over kmeans_fit_int_grid cells: integer-exact cell
     boundaries + probe membership, exact double cosine re-rank on the
     ORIGINAL float vectors (the proven fold that hash-matches across
     engines — see x_sim_ivf_topk). The fully SQL-statable refined-cells
-    ANN tier; same probe plumbing shape as _ivf_probe_topk."""
-    cents = kmeans_fit_int_grid(
+    ANN tier; same probe plumbing shape as _ivf_probe_topk.
+
+    ``centroids`` (r15): a pre-trained kmeans_fit_int_grid result —
+    index builds share one training per corpus (the catalog stages it
+    once per process; see catalog_ext._staged_grid_centroids) instead
+    of re-running Lloyd per consumer."""
+    cents = centroids if centroids is not None else kmeans_fit_int_grid(
         corpus, id_col, vec_col, n_cells, n_iters, scale
     )
     qz = _grid_quantize(vec_col, scale)

@@ -472,7 +472,8 @@ e0 AS MATERIALIZED (
   FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
   GROUP BY 1, 2),
 e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
-nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
 nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
 deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
 r0 AS MATERIALIZED (SELECT node, CAST({s} // nn.n AS BIGINT) AS r FROM nodes, nn)""".format(

@@ -302,6 +302,53 @@ def x_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# staged document near-dup pair table (trigram Jaccard >= _TH_CLUSTER,
+# df-capped), one per (process, sf_dir): sf_dir -> parquet path
+from .staging import register_stage_cache
+
+_NEARDUP_STAGE_CACHE: dict[str, str] = register_stage_cache({}, paths=True)
+
+
+def _staged_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The document near-dup pair table (doc_a < doc_b, trigram Jaccard
+    >= _TH_CLUSTER with the df_cap=100 hot-shingle bound), STAGED ONCE
+    per process and read back as parquet by every dedup-CC consumer.
+
+    Four catalog queries (cc-clusters, corpus-dedup-cc, quality-keep,
+    split-leakage) consume the identical pair set; before r15 each
+    re-ran the shingle inverted-index self-join from raw text (~3.4 s
+    per consumer at sf0.1). At 100 TB the candidate-pair table is the
+    single most expensive dedup artifact — you materialize it once and
+    every downstream policy (min-id survivor, quality survivor, leakage
+    audit) is a cheap read. Registered as its own oracle-checked query
+    (x_dedup_pairs_stage) so the build cost stays on the bench bill,
+    exactly like the co-purchase edge stage (mining_pack r14)."""
+    path = _NEARDUP_STAGE_CACHE.get(sf_dir)
+    if path is None:
+        pairs = dedup.ngram_jaccard_pairs(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3,
+            threshold=_TH_CLUSTER, df_cap=100, posts_partitions=8,
+        ).select("doc_a", "doc_b")
+        path = _scratch_dir("spark_graft_neardup_pairs_") + "/pairs"
+        pairs.write.mode("overwrite").parquet(path)
+        _NEARDUP_STAGE_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
+@_q(
+    "x_dedup_pairs_stage",
+    "WITH "
+    + _JACCARD_CTES_T.format(th=_TH_CLUSTER).lstrip()
+    + "SELECT doc_a, doc_b FROM pairs",
+)
+def x_dedup_pairs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged near-dup pair table itself (see _staged_neardup_pairs):
+    one row per candidate pair at the cluster threshold. Hash-checking
+    THIS table transitively pins the pair set every dedup-CC policy
+    query consumes."""
+    return _staged_neardup_pairs(spark, sf_dir)
+
+
 # Min-reachable-label connected components over the pair graph: walk
 # enumerates (node, reachable node) — the recursive UNION dedups, so it
 # terminates — and MIN over reachable ids is the cluster id. Tractable
@@ -337,10 +384,8 @@ def x_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention the recursive-CTE oracle states."""
     from ..operators.graph import connected_components
 
-    pairs = dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3,
-        threshold=_TH_CLUSTER, df_cap=100, posts_partitions=8,
-    ).select("doc_a", "doc_b")
+    # staged once per process (r15); see _staged_neardup_pairs
+    pairs = _staged_neardup_pairs(spark, sf_dir)
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
@@ -367,10 +412,8 @@ def x_corpus_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import dedup_by_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", k=3,
-        threshold=_TH_CLUSTER, df_cap=100, posts_partitions=8,
-    ).select("doc_a", "doc_b")
+    # staged once per process (r15); see _staged_neardup_pairs
+    pairs = _staged_neardup_pairs(spark, sf_dir)
     return dedup_by_clusters(docs, pairs)
 
 
@@ -404,10 +447,8 @@ def x_corpus_dedup_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import dedup_by_clusters_best
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", k=3,
-        threshold=_TH_CLUSTER, df_cap=100, posts_partitions=8,
-    ).select("doc_a", "doc_b")
+    # staged once per process (r15); see _staged_neardup_pairs
+    pairs = _staged_neardup_pairs(spark, sf_dir)
     scored = docs.select(
         "doc_id", tx.quality_score(F.col("text")).alias("quality")
     )
@@ -456,11 +497,8 @@ def x_split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     no join against a corpus-sized split table, which would otherwise
     need a broadcast it cannot have at scale. Post-pair cost is map-only."""
     thr = _LEAK_THR
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", k=3,
-        threshold=_TH_CLUSTER, df_cap=100, posts_partitions=8,
-    ).select("doc_a", "doc_b")
+    # staged once per process (r15); see _staged_neardup_pairs
+    pairs = _staged_neardup_pairs(spark, sf_dir)
 
     def split_of(c: str) -> F.Column:
         is_hold = F.substring(F.md5(F.col(c).cast("string")), 1, 4) < thr
@@ -937,41 +975,43 @@ def _kmeans_grid_cells_parts(
     n_iters: int = 3,
     scale: int = 1024,
     dim: int = 64,
+    pfx: str = "",
 ) -> list[str]:
     """Shared CTE prefix for every grid-kmeans consumer: quantize ->
     init (first n by id) -> n_iters unrolled assign/re-center pairs.
-    Ends with c{n_iters}, the trained centroid table. Restates
+    Ends with {pfx}c{n_iters}, the trained centroid table. Restates
     similarity.kmeans_fit_int_grid exactly (see its docstring for the
-    exactness proof)."""
+    exactness proof). ``pfx`` namespaces the CTEs so two trainings with
+    different n_cells can share one statement (x_emb_centroids_stage)."""
     d2 = _kmeans_grid_d2
     parts = [
-        f"""q AS MATERIALIZED (
+        f"""{pfx}q AS MATERIALIZED (
   SELECT vec_id, embedding,
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
   FROM embeddings),
-c0 AS MATERIALIZED (
+{pfx}c0 AS MATERIALIZED (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS cell,
          qv AS cent
-  FROM (SELECT * FROM q ORDER BY vec_id LIMIT {n_cells}))"""
+  FROM (SELECT * FROM {pfx}q ORDER BY vec_id LIMIT {n_cells}))"""
     ]
     for t in range(1, n_iters + 1):
         parts.append(
-            f"""a{t} AS MATERIALIZED (
+            f"""{pfx}a{t} AS MATERIALIZED (
   SELECT vec_id, qv, cell FROM (
     SELECT v.vec_id, v.qv, c.cell,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id
                               ORDER BY {d2('v.qv', 'c.cent', dim)}, c.cell) AS rk
-    FROM q v CROSS JOIN c{t - 1} c) t WHERE rk = 1),
-u{t} AS MATERIALIZED (
+    FROM {pfx}q v CROSS JOIN {pfx}c{t - 1} c) t WHERE rk = 1),
+{pfx}u{t} AS MATERIALIZED (
   SELECT cell, i,
          CAST(FLOOR(CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
-  FROM a{t}, UNNEST(range(1, {dim + 1})) AS it{t}(i)
+  FROM {pfx}a{t}, UNNEST(range(1, {dim + 1})) AS {pfx}it{t}(i)
   GROUP BY cell, i),
-m{t} AS (SELECT cell, list(m ORDER BY i) AS cent FROM u{t} GROUP BY cell),
-c{t} AS MATERIALIZED (
+{pfx}m{t} AS (SELECT cell, list(m ORDER BY i) AS cent FROM {pfx}u{t} GROUP BY cell),
+{pfx}c{t} AS MATERIALIZED (
   SELECT c.cell, COALESCE(u.cent, c.cent) AS cent
-  FROM c{t - 1} c LEFT JOIN m{t} u ON u.cell = c.cell)"""
+  FROM {pfx}c{t - 1} c LEFT JOIN {pfx}m{t} u ON u.cell = c.cell)"""
         )
     return parts
 
@@ -1032,6 +1072,85 @@ WHERE rank <= {k}
     )
 
 
+# staged trained integer-grid k-means centroids, one per
+# (process, sf_dir, n_cells, n_iters, scale): values are the tiny
+# pre-collected [(cell, [ints])] lists, not paths
+_CENTROID_STAGE_CACHE: dict[tuple, list] = register_stage_cache(
+    {}, paths=False
+)
+
+
+def _staged_grid_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int,
+    n_iters: int = 3,
+    scale: int = 1024,
+) -> list[tuple[int, list[int]]]:
+    """Trained integer-grid k-means centroids, STAGED ONCE per process
+    per parameterization and shared by every consumer.
+
+    Three catalog queries train over the same embeddings table —
+    x_sim_ivf_kmeans_topk + x_corpus_cluster_balance (8 cells) and
+    x_dedup_semantic_semdedup (32 cells); before r15 each re-ran the
+    3-iteration Lloyd loop (3 full corpus scans + assigns per
+    training). The trained model is k x dim LONGS — driver-resident by
+    construction (kmeans_fit_int_grid collects exactly that each
+    round), so the stage is a dict entry, not a parquet table; at
+    100 TB you'd persist it beside the index the same way. Registered
+    as its own oracle-checked query (x_emb_centroids_stage) covering
+    BOTH parameterizations, so the full training bill sits on one
+    visible bench line (the edge-table pattern, mining_pack r14)."""
+    key = (sf_dir, n_cells, n_iters, scale)
+    cents = _CENTROID_STAGE_CACHE.get(key)
+    if cents is None:
+        cents = similarity.kmeans_fit_int_grid(
+            load_table(spark, sf_dir, "embeddings"),
+            n_cells=n_cells, n_iters=n_iters, scale=scale,
+        )
+        _CENTROID_STAGE_CACHE[key] = cents
+    return cents
+
+
+def _centroid_stage_sql(dim: int = 64) -> str:
+    """Both trainings (8-cell ANN/sampling model + 32-cell SemDeDup
+    model) in ONE statement via pfx-namespaced CTE prefixes, unnested
+    to (n_cells, cell, i, m) scalar rows for the value-hash check."""
+    p8 = _kmeans_grid_cells_parts(8, 3, 1024, dim, pfx="k8")
+    p32 = _kmeans_grid_cells_parts(32, 3, 1024, dim, pfx="k32")
+    return (
+        "WITH "
+        + ",\n".join(p8 + p32)
+        + f"""
+SELECT CAST(8 AS INTEGER) AS n_cells, cell, CAST(i AS INTEGER) AS i,
+       cent[i] AS m
+FROM k8c3, UNNEST(range(1, {dim + 1})) AS f8(i)
+UNION ALL
+SELECT CAST(32 AS INTEGER) AS n_cells, cell, CAST(i AS INTEGER) AS i,
+       cent[i] AS m
+FROM k32c3, UNNEST(range(1, {dim + 1})) AS f32(i)
+"""
+    )
+
+
+@_q("x_emb_centroids_stage", _centroid_stage_sql())
+def x_emb_centroids_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged centroid tables themselves (see
+    _staged_grid_centroids), unnested to one row per (model, cell,
+    dimension). Hash-checking these pins the trained models every
+    ANN/sampling/semantic-dedup consumer assigns against."""
+    rows = []
+    for n_cells in (8, 32):
+        for cell, vec in _staged_grid_centroids(spark, sf_dir, n_cells):
+            rows.extend(
+                (n_cells, cell, i, int(m))
+                for i, m in enumerate(vec, start=1)
+            )
+    return spark.createDataFrame(
+        rows, "n_cells int, cell int, i int, m long"
+    )
+
+
 @_q("x_sim_ivf_kmeans_topk", _ivf_kmeans_grid_sql())
 def x_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with distributed Lloyd k-means cells (3 iterations).
@@ -1048,8 +1167,10 @@ def x_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
+    # training staged once per process (r15); see _staged_grid_centroids
     return similarity.ivf_kmeans_topk_grid(
-        emb, queries, k=10, n_cells=8, n_probe=4, n_iters=3
+        emb, queries, k=10, n_cells=8, n_probe=4, n_iters=3,
+        centroids=_staged_grid_centroids(spark, sf_dir, 8),
     )
 
 
@@ -1164,10 +1285,9 @@ def x_dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum-of-cell^2 cosine pairs, so cell SIZE is the knob — at a real
     # corpus n_cells scales with n to keep cells O(10^3-10^4) (the
     # paper's regime); 8 cells left 600+-vector cells and an all-pairs
-    # stage 16x bigger for zero recall gain on high-cosine dup groups
-    cents = similarity.kmeans_fit_int_grid(
-        emb, n_cells=32, n_iters=3, scale=1024
-    )
+    # stage 16x bigger for zero recall gain on high-cosine dup groups.
+    # Training staged once per process (r15); see _staged_grid_centroids
+    cents = _staged_grid_centroids(spark, sf_dir, 32)
     cells = similarity.assign_ivf_cells_int(
         emb.select(
             "vec_id",
@@ -1225,9 +1345,8 @@ def x_corpus_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-keyed window over (vec_id, cell) thin rows — never the
     vectors; quota output is k*quota rows regardless of corpus size."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_fit_int_grid(
-        emb, n_cells=8, n_iters=3, scale=1024
-    )
+    # training staged once per process (r15); see _staged_grid_centroids
+    cents = _staged_grid_centroids(spark, sf_dir, 8)
     cells = similarity.assign_ivf_cells_int(
         emb.select(
             "vec_id", similarity._grid_quantize("embedding", 1024).alias("__qv")
@@ -4652,7 +4771,7 @@ def x_storage_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X_GRIDQ_SQL = """
 WITH binned AS (
   SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(20,0))
-              AS BIGINT) // 1000000 AS bin
+              AS BIGINT) // 10000 AS bin
   FROM orders),
 partials AS (
   SELECT bin, COUNT(*) AS cnt FROM binned GROUP BY bin),
@@ -4672,7 +4791,7 @@ GROUP BY q.q
 @_q("x_olap_grid_quantile_sketch", _X_GRIDQ_SQL)
 def x_olap_grid_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE quantile sketch with DETERMINISTIC semantics: order
-    totals bin to a fixed $100 grid (integer cents div 10^6), per-bin
+    totals bin to a fixed $100 grid (integer cents div 10^4), per-bin
     counts are the re-aggregatable partial state (sums — merge across
     partitions/days/tables by addition, the property t-digest/KLL give
     up determinism for), and quantile q reads off the first bin whose
@@ -4689,7 +4808,7 @@ def x_olap_grid_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = load_table(spark, sf_dir, "orders").select(
         F.expr(
             "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
-            "AS DECIMAL(20,0)) AS BIGINT) div 1000000"
+            "AS DECIMAL(20,0)) AS BIGINT) div 10000"
         ).alias("bin")
     )
     partials = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))

@@ -49,8 +49,12 @@ e AS (
 
 
 # staged co-purchase pair-weight table, one per (process, sf_dir):
-# sf_dir -> parquet path (see _staged_pair_weights)
-_EDGE_STAGE_CACHE: dict[str, str] = {}
+# sf_dir -> parquet path (see _staged_pair_weights). Registered so
+# staging.reset_stage_caches() deletes the parquet when resetting
+# (bench passes previously abandoned one copy per pass — ADVICE r14).
+from .staging import register_stage_cache
+
+_EDGE_STAGE_CACHE: dict[str, str] = register_stage_cache({}, paths=True)
 
 
 def _staged_pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -633,8 +637,13 @@ def x_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # supports + total come from the distinct basket set (one exchange);
     # the QUADRATIC pair stage is exactly the staged pair-weight table
     # (r14): n_pair == w because both count distinct orders containing
-    # the ordered pair — no second self-join per process
-    op = li.distinct()
+    # the ordered pair — no second self-join per process. The distinct
+    # set feeds TWO consumers (n_orders scalar + per-item supports), so
+    # checkpoint it once — released at release_caches() (r15; the r14
+    # refactor dropped this and the scan+distinct ran twice per call)
+    from ..operators.ckpt import checkpoint
+
+    op = checkpoint(li.distinct())
     n_orders = op.agg(F.countDistinct("ok").alias("n_total"))
     item = op.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
     pair = (

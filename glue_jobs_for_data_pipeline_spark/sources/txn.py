@@ -37,6 +37,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -271,6 +272,9 @@ def gc_orphans(table_dir: str) -> list[int]:
 _MANIFEST_DIR = "_MANIFEST"
 _HEAD = "_HEAD"
 _COMMIT_LOCK = "_COMMIT.lock"
+# A lock older than this is presumed abandoned even if its pid was
+# recycled by another process (liveness check alone can false-positive).
+_LOCK_STALE_SECONDS = 300.0
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -364,6 +368,46 @@ class Catalog:
         )
 
     # -- write side --------------------------------------------------
+    @staticmethod
+    def _reclaim_stale_lock(lock: str) -> bool:
+        """Remove ``lock`` if its holder is provably gone: the recorded
+        pid is dead, or the lock is older than _LOCK_STALE_SECONDS.
+        Returns True if the caller should retry the O_EXCL acquire.
+
+        An unreadable/empty lock is judged by file MTIME alone (a
+        healthy writer has a microsecond gap between O_CREAT and the
+        pid write — reclaiming on an empty read would race it; a crash
+        inside that gap ages past the threshold and is then reclaimed).
+        A holder that is alive and fresh is left alone."""
+        pid: int | None = None
+        ts: float | None = None
+        try:
+            with open(lock) as f:
+                parts = f.read().split()
+            pid, ts = int(parts[0]), float(parts[1])
+        except FileNotFoundError:
+            return True  # vanished — holder finished; just retry
+        except (OSError, ValueError, IndexError):
+            try:
+                ts = os.stat(lock).st_mtime  # mid-write or corrupt
+            except FileNotFoundError:
+                return True
+        if pid is not None:
+            try:
+                os.kill(pid, 0)  # signal 0 = existence probe only
+            except ProcessLookupError:
+                # dead holder -> abandoned regardless of age
+                ts = None
+            except PermissionError:
+                pass  # exists, owned by someone else -> judge by age
+        if ts is not None and time.time() - ts < _LOCK_STALE_SECONDS:
+            return False  # live (or indeterminate) fresh holder
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+        return True
+
     def _next_manifest(self) -> int:
         mdir = os.path.join(self.root, _MANIFEST_DIR)
         existing = [
@@ -386,16 +430,32 @@ class Catalog:
         commit FAILS with ConcurrentCommitError if HEAD moved since —
         the optimistic compare-and-swap that turns a silent lost update
         into a retryable conflict. On object storage the lock+check
-        collapses into one conditional-put of the head pointer."""
+        collapses into one conditional-put of the head pointer.
+
+        Stale-lock reclamation (ADVICE r14): the lock file records
+        ``pid ts``; a holder whose pid is dead, or whose lock is older
+        than _LOCK_STALE_SECONDS, is presumed crashed between acquire
+        and the finally-unlink — the lock is reclaimed and the acquire
+        retried once, so one crash never wedges every later commit
+        behind a manual ``rm``. Reclaim-then-recreate has a benign
+        race: if two waiters reclaim the same corpse, one wins O_EXCL
+        and the other raises ConcurrentCommitError — still retryable,
+        never a double-acquire."""
         lock = os.path.join(self.root, _COMMIT_LOCK)
+        fd = None
+        for attempt in (0, 1):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if attempt == 0 and self._reclaim_stale_lock(lock):
+                    continue
+                raise ConcurrentCommitError(
+                    f"another live commit holds {lock}; retry after it "
+                    "finishes (crashed holders are reclaimed automatically)"
+                ) from None
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise ConcurrentCommitError(
-                f"another commit holds {lock}; retry after it finishes "
-                "(stale lock after a crash: remove the file manually)"
-            ) from None
-        try:
+            os.write(fd, f"{os.getpid()} {time.time()}".encode())
             os.close(fd)
             if expected_head is not None and self.head() != expected_head:
                 raise ConcurrentCommitError(

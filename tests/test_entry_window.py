@@ -20,9 +20,15 @@ def test_window_keys_all_exist():
 
 
 def test_window_first_50_all_oracle_able():
+    # _WINDOW_ROWS_ONLY_OK: rows-only keys deliberately seated for
+    # their one rows-only driver row (r14 verdict task #6); anything
+    # else rows-only in the window is a wasted hash-check slot.
     oracles = e.oracle_sql()
     first50 = list(e.queries())[:50]
-    rows_only = [k for k in first50 if k not in oracles]
+    rows_only = [
+        k for k in first50
+        if k not in oracles and k not in e._WINDOW_ROWS_ONLY_OK
+    ]
     assert rows_only == [], f"rows-only keys consuming window slots: {rows_only}"
 
 

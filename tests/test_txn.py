@@ -337,8 +337,56 @@ def test_catalog_concurrent_writer_loses_with_cas_error(spark, tmp_path):
 
 
 def test_catalog_commit_lock_blocks_second_writer(spark, tmp_path):
-    """A held _COMMIT.lock makes a racing commit fail fast instead of
-    interleaving with the critical section."""
+    """A LIVE, FRESH _COMMIT.lock (this pid, current timestamp) makes a
+    racing commit fail fast instead of interleaving with the critical
+    section — reclamation must not fire on a healthy holder."""
+    import time as _time
+
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    lock = os.path.join(cat.root, txn._COMMIT_LOCK)
+    with open(lock, "w") as f:
+        f.write(f"{os.getpid()} {_time.time()}")
+    with pytest.raises(txn.ConcurrentCommitError, match="holds"):
+        with cat.transaction() as t:
+            t.overwrite(_df(spark, 1), "dim")
+    os.unlink(lock)
+    with cat.transaction() as t:  # lock released -> commit proceeds
+        t.overwrite(_df(spark, 1), "dim")
+    assert cat.read(spark, "dim").count() == 5
+
+
+def test_catalog_reclaims_lock_of_dead_pid(spark, tmp_path):
+    """A lock whose recorded pid no longer exists is a crashed holder:
+    the next commit reclaims it and proceeds (ADVICE r14 — no manual
+    rm required). Fake pid chosen outside the valid range."""
+    import time as _time
+
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    lock = os.path.join(cat.root, txn._COMMIT_LOCK)
+    with open(lock, "w") as f:
+        f.write(f"99999999 {_time.time()}")  # dead (pid_max default 4M)
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 1), "dim")
+    assert cat.read(spark, "dim").count() == 5
+    assert not os.path.exists(lock)
+
+
+def test_catalog_reclaims_stale_lock_of_live_pid(spark, tmp_path):
+    """A lock older than _LOCK_STALE_SECONDS is reclaimed even if its
+    pid is alive (pid recycling / hung holder)."""
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    lock = os.path.join(cat.root, txn._COMMIT_LOCK)
+    with open(lock, "w") as f:
+        f.write(f"{os.getpid()} 1.0")  # epoch-old timestamp
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 1), "dim")
+    assert cat.read(spark, "dim").count() == 5
+
+
+def test_catalog_reclaims_corrupt_empty_lock_by_age(spark, tmp_path):
+    """An empty lock file (crash between O_CREAT and the pid write) is
+    judged by mtime: fresh -> contention error (never race a healthy
+    writer's create-to-write gap); aged past the threshold -> reclaimed."""
     cat = txn.Catalog(str(tmp_path / "wh"))
     lock = os.path.join(cat.root, txn._COMMIT_LOCK)
     with open(lock, "w"):
@@ -346,8 +394,8 @@ def test_catalog_commit_lock_blocks_second_writer(spark, tmp_path):
     with pytest.raises(txn.ConcurrentCommitError, match="holds"):
         with cat.transaction() as t:
             t.overwrite(_df(spark, 1), "dim")
-    os.unlink(lock)
-    with cat.transaction() as t:  # lock released -> commit proceeds
+    os.utime(lock, (1.0, 1.0))  # age it past _LOCK_STALE_SECONDS
+    with cat.transaction() as t:
         t.overwrite(_df(spark, 1), "dim")
     assert cat.read(spark, "dim").count() == 5
 
