@@ -634,18 +634,19 @@ def x_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
-    # supports + total come from the distinct basket set (one exchange);
     # the QUADRATIC pair stage is exactly the staged pair-weight table
     # (r14): n_pair == w because both count distinct orders containing
     # the ordered pair — no second self-join per process. The distinct
-    # set feeds TWO consumers (n_orders scalar + per-item supports), so
-    # checkpoint it once — released at release_caches() (r15; the r14
-    # refactor dropped this and the scan+distinct ran twice per call)
-    from ..operators.ckpt import checkpoint
-
-    op = checkpoint(li.distinct())
-    n_orders = op.agg(F.countDistinct("ok").alias("n_total"))
-    item = op.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
+    # basket set feeds ONE consumer only (per-item supports): the
+    # basket total short-circuits to countDistinct over RAW lineitem —
+    # same value, but a partial distinct-agg on the 8-byte order key
+    # instead of a second execution of the full (ok, pk) distinct
+    # exchange (ADVICE r14: op fed two consumers and the scan+distinct
+    # ran twice per call)
+    n_orders = li.agg(F.countDistinct("ok").alias("n_total"))
+    item = li.distinct().groupBy("pk").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
     pair = (
         _staged_pair_weights(spark, sf_dir)
         .filter(F.col("w") >= 2)
