@@ -629,6 +629,79 @@ def embedding_dup_pairs(
     )
 
 
+def within_group_cosine_pairs(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """All (id_a < id_b) pairs WITHIN each group whose cosine >=
+    threshold — the SemDeDup within-cell pair stage as ONE Arrow
+    applyInPandas kernel instead of a self-join + interpreted
+    higher-order cosine per pair.
+
+    BIT-IDENTICAL to the functions.vectors.cosine fold by construction:
+    the kernel accumulates dot and both norms DIM-SEQUENTIALLY in
+    float64 (one vectorized add per dimension — each scalar result sees
+    exactly the left-to-right ((0+x0y0)+x1y1)+... rounding sequence the
+    JVM fold and the DuckDB list_sum state), float32->float64 widening
+    is exact, and sqrt/divide are correctly rounded once — so the
+    >= threshold decision matches per pair, which the k=32-cell oracle
+    sweeps verify end-to-end. Equivalence vs the join+filter form is
+    also property-tested (tests/test_dedup.py).
+
+    Measured reason to exist (r15 sf1 audit): at n^1.5 pair volume the
+    interpreted per-pair fold dominated SemDeDup (~minutes at 20k
+    vectors); production SemDeDup runs this stage as a batched matmul —
+    this is that shape with a determinism-preserving fold order. Scale
+    contract: one shuffle on the group key; per-group memory is
+    O(cell^2) pair scores in row-chunks of 1024 — cells are bounded by
+    the caller's k ~ sqrt(n) contract."""
+    import numpy as np
+    import pandas as pd
+
+    def pairs_of(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype="int64")
+        V = np.asarray(
+            [np.asarray(v, dtype=np.float32) for v in pdf[vec_col].iloc[order]]
+        )
+        dim = V.shape[1]
+        Vd = V.astype(np.float64)  # exact widening
+        nrm = np.zeros(n)
+        for i in range(dim):  # dim-sequential: the exact fold order
+            nrm = nrm + Vd[:, i] * Vd[:, i]
+        nrm = np.sqrt(nrm)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for lo in range(0, n, 1024):  # row-chunked pair matrix
+            hi = min(lo + 1024, n)
+            dot = np.zeros((hi - lo, n))
+            for i in range(dim):
+                dot = dot + Vd[lo:hi, i][:, None] * Vd[:, i][None, :]
+            cos = dot / (nrm[lo:hi][:, None] * nrm[None, :])
+            r, c = np.nonzero(cos >= threshold)
+            keep = (r + lo) < c  # strict upper triangle: id_a < id_b
+            out_a.append(ids[(r + lo)[keep]])
+            out_b.append(ids[c[keep]])
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a) if out_a else [],
+                "doc_b": np.concatenate(out_b) if out_b else [],
+            },
+            dtype="int64",
+        )
+
+    return df.select(group_col, id_col, vec_col).groupBy(group_col).applyInPandas(
+        pairs_of, schema="doc_a long, doc_b long"
+    )
+
+
 def embedding_dup_pairs_lsh(
     emb: DataFrame,
     id_col: str,

@@ -515,6 +515,84 @@ def _int_centroid_literal(cents: list[tuple[int, list[int]]]):
     return F.expr(f"array({items})")
 
 
+# Above this cell count the interpreted higher-order-function assign
+# (transform over a k-struct literal — Spark evaluates lambda functions
+# WITHOUT whole-stage codegen) loses to the Arrow/numpy kernel; below
+# it the literal form wins on Arrow overhead and keeps the plan
+# Python-free. 16 keeps the k=8 ANN/sampling queries on the JVM path
+# while every SemDeDup-sized training (k >= 32) takes the kernel — and
+# because the oracle-checked SFs train k=32 models, the kernel itself
+# is value-hash-verified against DuckDB every sweep.
+_INT_ASSIGN_NUMPY_MIN_CELLS = 16
+
+
+def _assign_ivf_cells_int_np(
+    vectors: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    qvec_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """Arrow/numpy tier of assign_ivf_cells_int — IDENTICAL results by
+    construction: squared L2 over int64 grids is exact in any evaluation
+    order (d2 = q.q + c.c - 2 q.c, all int64, no rounding anywhere), and
+    ties break to the lowest cell id via a stable argsort over the
+    cell-id-ordered centroid matrix — the same (d2, cell) total order as
+    the struct-sort path. Equivalence is property-tested against the
+    HOF path (tests/test_similarity.py) AND sweep-verified against the
+    DuckDB oracle at the k=32 training SFs. Measured reason to exist:
+    interpreted HOF evaluation put the r15 sf1 SemDeDup training at
+    minutes for k=141 x 20k vectors; the int-matmul kernel is the shape
+    every production ANN trainer (faiss) uses. Overflow headroom: the
+    expanded form needs |component| <= ~2^28 (vs the diff form's 2^31)
+    — grid scale 2^10 x |value| <= 2^18, far past real embeddings."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    order0 = sorted(range(len(cents)), key=lambda i: cents[i][0])
+    cell_ids = [int(cents[i][0]) for i in order0]
+    cmat = [list(map(int, cents[i][1])) for i in order0]
+    out_schema = T.StructType(
+        list(vectors.schema.fields)
+        + [
+            T.StructField("cell", T.IntegerType(), True),
+            T.StructField("cell_rank", T.IntegerType(), True),
+        ]
+    )
+
+    def assign(batches):
+        C = np.asarray(cmat, dtype=np.int64)  # (k, dim), cell-id order
+        ids = np.asarray(cell_ids, dtype=np.int64)
+        c2 = (C * C).sum(axis=1)  # (k,) exact int64
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.asarray(
+                [np.asarray(q, dtype=np.int64) for q in pdf[qvec_col]]
+            )  # (b, dim)
+            d2 = (Q * Q).sum(axis=1)[:, None] + c2[None, :] - 2 * (Q @ C.T)
+            if n_probe == 1:
+                # argmin first-occurrence = lowest index = lowest cell id
+                pick = np.argmin(d2, axis=1)[:, None]
+            else:
+                pick = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            out = pdf.loc[pdf.index.repeat(pick.shape[1])].reset_index(
+                drop=True
+            )
+            out["cell"] = pd.Series(
+                ids[pick].ravel(), dtype="int32"
+            )
+            out["cell_rank"] = pd.Series(
+                np.tile(
+                    np.arange(1, pick.shape[1] + 1), len(pdf)
+                ),
+                dtype="int32",
+            )
+            yield out
+
+    return vectors.mapInPandas(assign, schema=out_schema)
+
+
 def assign_ivf_cells_int(
     vectors: DataFrame,
     cents: list[tuple[int, list[int]]],
@@ -530,7 +608,15 @@ def assign_ivf_cells_int(
     the cosine assigner. Keeps every input column; adds (cell,
     cell_rank). Overflow headroom: |component| <= scale * |value|;
     at scale 2^10 and |value| <= 2^20 the per-dim square is < 2^62/dim
-    — far past any real embedding range."""
+    — far past any real embedding range.
+
+    Two physical tiers, one semantics (r15): k >=
+    _INT_ASSIGN_NUMPY_MIN_CELLS routes to the Arrow int-matmul kernel
+    (_assign_ivf_cells_int_np — interpreted HOF cost grows with k and
+    is the measured sf1 bottleneck); small k keeps the codegen-free but
+    Python-free centroid-literal transform."""
+    if len(cents) >= _INT_ASSIGN_NUMPY_MIN_CELLS:
+        return _assign_ivf_cells_int_np(vectors, cents, qvec_col, n_probe)
     vec = F.col(qvec_col)
 
     def d2(s):

@@ -971,7 +971,7 @@ def _kmeans_grid_d2(v: str, c: str, dim: int = 64) -> str:
 
 
 def _kmeans_grid_cells_parts(
-    n_cells: int = 8,
+    n_cells: int | str = 8,
     n_iters: int = 3,
     scale: int = 1024,
     dim: int = 64,
@@ -982,7 +982,10 @@ def _kmeans_grid_cells_parts(
     Ends with {pfx}c{n_iters}, the trained centroid table. Restates
     similarity.kmeans_fit_int_grid exactly (see its docstring for the
     exactness proof). ``pfx`` namespaces the CTEs so two trainings with
-    different n_cells can share one statement (x_emb_centroids_stage)."""
+    different n_cells can share one statement (x_emb_centroids_stage).
+    ``n_cells`` may be a scalar-subquery STRING (DuckDB allows
+    ``LIMIT (SELECT ...)``) for data-dependent cell counts — the
+    SemDeDup k = max(32, floor(sqrt(n))) contract."""
     d2 = _kmeans_grid_d2
     parts = [
         f"""{pfx}q AS MATERIALIZED (
@@ -1113,22 +1116,30 @@ def _staged_grid_centroids(
 
 
 def _centroid_stage_sql(dim: int = 64) -> str:
-    """Both trainings (8-cell ANN/sampling model + 32-cell SemDeDup
-    model) in ONE statement via pfx-namespaced CTE prefixes, unnested
-    to (n_cells, cell, i, m) scalar rows for the value-hash check."""
+    """Both trainings — the static 8-cell ANN/sampling model and the
+    data-dependent SemDeDup model (k = max(32, floor(sqrt(n))), the
+    same scalar subquery _semdedup_sql uses) — in ONE statement via
+    pfx-namespaced CTE prefixes, unnested to (n_cells, cell, i, m)
+    scalar rows for the value-hash check."""
+    k_expr = (
+        "GREATEST(32, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))"
+    )
     p8 = _kmeans_grid_cells_parts(8, 3, 1024, dim, pfx="k8")
-    p32 = _kmeans_grid_cells_parts(32, 3, 1024, dim, pfx="k32")
+    pd = _kmeans_grid_cells_parts(
+        "(SELECT k FROM semk)", 3, 1024, dim, pfx="kd"
+    )
     return (
         "WITH "
-        + ",\n".join(p8 + p32)
+        + f"semk AS MATERIALIZED (SELECT {k_expr} AS k FROM embeddings),\n"
+        + ",\n".join(p8 + pd)
         + f"""
 SELECT CAST(8 AS INTEGER) AS n_cells, cell, CAST(i AS INTEGER) AS i,
        cent[i] AS m
 FROM k8c3, UNNEST(range(1, {dim + 1})) AS f8(i)
 UNION ALL
-SELECT CAST(32 AS INTEGER) AS n_cells, cell, CAST(i AS INTEGER) AS i,
-       cent[i] AS m
-FROM k32c3, UNNEST(range(1, {dim + 1})) AS f32(i)
+SELECT CAST((SELECT k FROM semk) AS INTEGER) AS n_cells, cell,
+       CAST(i AS INTEGER) AS i, cent[i] AS m
+FROM kdc3, UNNEST(range(1, {dim + 1})) AS fd(i)
 """
     )
 
@@ -1137,10 +1148,18 @@ FROM k32c3, UNNEST(range(1, {dim + 1})) AS f32(i)
 def x_emb_centroids_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The staged centroid tables themselves (see
     _staged_grid_centroids), unnested to one row per (model, cell,
-    dimension). Hash-checking these pins the trained models every
-    ANN/sampling/semantic-dedup consumer assigns against."""
+    dimension): the static 8-cell model plus the data-dependent
+    SemDeDup model (k = max(32, floor(sqrt(n))) — exactly the k
+    x_dedup_semantic_semdedup consumes, so at every SF the stage
+    trains what the consumers read). Hash-checking these pins the
+    trained models every ANN/sampling/semantic-dedup consumer assigns
+    against."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kd = max(32, math.floor(math.sqrt(float(emb.count()))))
     rows = []
-    for n_cells in (8, 32):
+    for n_cells in (8, kd):
         for cell, vec in _staged_grid_centroids(spark, sf_dir, n_cells):
             rows.extend(
                 (n_cells, cell, i, int(m))
@@ -1213,7 +1232,6 @@ FROM sel WHERE pick <= {quota}
 
 
 def _semdedup_sql(
-    n_cells: int = 32,
     threshold: float = 0.4,
     n_iters: int = 3,
     scale: int = 1024,
@@ -1221,9 +1239,23 @@ def _semdedup_sql(
 ) -> str:
     """SemDeDup restated in SQL: grid-kmeans cells (shared CTE prefix),
     within-cell exact-cosine pairs, recursive min-label closure, one
-    survivor per component plus the pair-free remainder."""
+    survivor per component plus the pair-free remainder.
+
+    The cell count is DATA-DEPENDENT — k = max(32, floor(sqrt(n))),
+    stated as a scalar subquery feeding c0's LIMIT — so the statement
+    stays correct at any corpus size (fixed k would let cell size grow
+    with n and the within-cell pair stage go quadratic — the r15 sf1
+    audit measured exactly that at k=32). sqrt on an exactly
+    representable integer double is correctly rounded identically in
+    both engines, so k is deterministic cross-engine."""
     d2 = _kmeans_grid_d2
-    parts = _kmeans_grid_cells_parts(n_cells, n_iters, scale, dim)
+    k_expr = (
+        "GREATEST(32, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))"
+    )
+    parts = [f"semk AS MATERIALIZED (SELECT {k_expr} AS k FROM embeddings)"]
+    parts += _kmeans_grid_cells_parts(
+        "(SELECT k FROM semk)", n_iters, scale, dim
+    )
     parts.append(
         f"""cells AS MATERIALIZED (
   SELECT vec_id, cell FROM (
@@ -1277,17 +1309,26 @@ def x_dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses. Scale shape: training per kmeans_fit_int_grid; the pair join
     is cell-bucketed (8-byte keys + vectors shuffle once on cell);
     components via the log-convergent label-propagation operator."""
-    from ..functions.vectors import cosine
     from ..operators.graph import connected_components
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # 32 cells, not the ANN queries' 8: SemDeDup's cost is
-    # sum-of-cell^2 cosine pairs, so cell SIZE is the knob — at a real
-    # corpus n_cells scales with n to keep cells O(10^3-10^4) (the
-    # paper's regime); 8 cells left 600+-vector cells and an all-pairs
-    # stage 16x bigger for zero recall gain on high-cosine dup groups.
+    # DATA-DEPENDENT cell count (r15): k = max(32, floor(sqrt(n))).
+    # SemDeDup's cost is sum-of-cell^2 cosine pairs, so cell SIZE is
+    # the knob — a fixed k lets cells grow with n and the pair stage go
+    # quadratic (the r15 sf1 audit measured 18x on 10x data at k=32);
+    # k = sqrt(n) bounds BOTH the pair stage and the Lloyd assign at
+    # n^1.5, the same class as degree-ordered triangle counting (the
+    # paper's production shape — k growing with n, GPU-batched assign —
+    # keeps cells O(10^4); sqrt is what stays SQL-statable AND
+    # sub-quadratic without sampled training). The count() is one
+    # bounded driver scalar; sqrt of an exact integer double is
+    # correctly rounded identically in both engines, so k — and
+    # therefore every centroid — is cross-engine deterministic.
     # Training staged once per process (r15); see _staged_grid_centroids
-    cents = _staged_grid_centroids(spark, sf_dir, 32)
+    import math
+
+    k = max(32, math.floor(math.sqrt(float(emb.count()))))
+    cents = _staged_grid_centroids(spark, sf_dir, k)
     cells = similarity.assign_ivf_cells_int(
         emb.select(
             "vec_id",
@@ -1298,17 +1339,12 @@ def x_dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__qv",
         1,
     ).select("vec_id", "embedding", "cell")
-    a = cells.select(
-        F.col("vec_id").alias("pu"), F.col("embedding").alias("ea"), "cell"
-    )
-    b = cells.select(
-        F.col("vec_id").alias("pv"), F.col("embedding").alias("eb"), "cell"
-    )
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("pu") < F.col("pv"))
-        .filter(cosine(F.col("ea"), F.col("eb")) >= 0.4)
-        .select(F.col("pu").alias("doc_a"), F.col("pv").alias("doc_b"))
+    # within-cell pair stage as the Arrow batched-fold kernel (r15):
+    # bit-identical to the join + cosine-filter form (dim-sequential
+    # fold — see within_group_cosine_pairs), which the interpreted
+    # per-pair HOF made the sf1 bottleneck
+    pairs = dedup.within_group_cosine_pairs(
+        cells, "cell", "vec_id", "embedding", threshold=0.4
     )
     cc = connected_components(pairs)
     survivors = cc.groupBy("component").agg(

@@ -337,3 +337,51 @@ def test_semdedup_survivors_partition_the_corpus(spark, sf_dir):
     assert len(ids) == len(set(ids))  # one row per surviving group
     again = {(r["vec_id"], r["n_members"]) for r in q(spark, sf_dir).collect()}
     assert again == {(r["vec_id"], r["n_members"]) for r in rows}
+
+
+def test_within_group_cosine_pairs_matches_join_filter(spark):
+    """The Arrow batched-fold pair kernel must reproduce the join +
+    cosine-filter formulation EXACTLY (same fold order -> same bits ->
+    same >= threshold decisions), across groups and a threshold chosen
+    to split the fixture."""
+    import random
+
+    from glue_jobs_for_data_pipeline_spark.functions.vectors import cosine
+    from glue_jobs_for_data_pipeline_spark.operators.dedup import (
+        within_group_cosine_pairs,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(300):
+        rows.append(
+            (i, i % 5, [rng.uniform(-1, 1) for _ in range(16)])
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, cell int, embedding array<float>"
+    )
+    got = sorted(
+        map(
+            tuple,
+            within_group_cosine_pairs(
+                df, "cell", "vec_id", "embedding", threshold=0.5
+            ).collect(),
+        )
+    )
+    a = df.select(
+        F.col("vec_id").alias("pu"), F.col("embedding").alias("ea"), "cell"
+    )
+    b = df.select(
+        F.col("vec_id").alias("pv"), F.col("embedding").alias("eb"), "cell"
+    )
+    want = sorted(
+        map(
+            tuple,
+            a.join(b, "cell")
+            .filter(F.col("pu") < F.col("pv"))
+            .filter(cosine(F.col("ea"), F.col("eb")) >= 0.5)
+            .select("pu", "pv")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0

@@ -350,3 +350,65 @@ def test_cluster_balance_quota_and_determinism(spark, sf_dir):
         assert sorted(picks) == list(range(1, len(picks) + 1))
     again = {(r["cell"], r["vec_id"], r["pick"]) for r in q(spark, sf_dir).collect()}
     assert again == {(r["cell"], r["vec_id"], r["pick"]) for r in rows}
+
+
+def test_int_assign_numpy_tier_matches_hof_tier(spark):
+    """The Arrow int-matmul assign (k >= _INT_ASSIGN_NUMPY_MIN_CELLS)
+    must be row-identical to the centroid-literal HOF form on random
+    integer grids — including ties, which both break to the lowest
+    cell id. Exercised for n_probe 1 and 3."""
+    import random
+
+    rng = random.Random(1511)
+    dim, k, n = 6, 20, 120
+    # small value range on purpose: forces distance ties
+    cents = [
+        (c + 1, [rng.randint(-3, 3) for _ in range(dim)]) for c in range(k)
+    ]
+    rows = [
+        (i, [rng.randint(-3, 3) for _ in range(dim)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, __qv array<long>")
+    assert k >= similarity._INT_ASSIGN_NUMPY_MIN_CELLS
+    for n_probe in (1, 3):
+        got = sorted(
+            map(
+                tuple,
+                similarity._assign_ivf_cells_int_np(
+                    df, cents, "__qv", n_probe
+                ).select("vec_id", "cell", "cell_rank").collect(),
+            )
+        )
+        # force the HOF path by calling below the gate: slice of the
+        # public function body — rebuild via the literal transform
+        from pyspark.sql import functions as F
+
+        vec = F.col("__qv")
+
+        def d2(s):
+            return F.aggregate(
+                F.zip_with(vec, s["v"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+
+        scored = F.transform(
+            similarity._int_centroid_literal(cents),
+            lambda s: F.struct(d2(s).alias("d2"), s["cell"].alias("cell")),
+        )
+        want = sorted(
+            map(
+                tuple,
+                df.withColumn(
+                    "_top", F.slice(F.array_sort(scored), 1, n_probe)
+                )
+                .select("vec_id", F.posexplode("_top").alias("_pos", "_s"))
+                .select(
+                    "vec_id",
+                    F.col("_s")["cell"].alias("cell"),
+                    (F.col("_pos") + 1).cast("int").alias("cell_rank"),
+                )
+                .collect(),
+            )
+        )
+        assert got == want, f"n_probe={n_probe}"

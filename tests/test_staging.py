@@ -46,13 +46,17 @@ def test_staged_centroids_match_direct_and_cache_keyed(spark, sf_dir):
 
 
 def test_centroid_stage_query_covers_both_models(spark, sf_dir):
+    import math
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    kd = max(32, math.floor(math.sqrt(float(n))))  # the SemDeDup k
     rows = cx.x_emb_centroids_stage(spark, sf_dir).collect()
     by_model = {}
     for r in rows:
         by_model.setdefault(r["n_cells"], set()).add(r["cell"])
-    assert set(by_model) == {8, 32}
-    assert len(by_model[8]) == 8 and len(by_model[32]) == 32
-    assert len(rows) == (8 + 32) * 64
+    assert set(by_model) == {8, kd}
+    assert len(by_model[8]) == 8 and len(by_model[kd]) == kd
+    assert len(rows) == (8 + kd) * 64
 
 
 def test_reset_stage_caches_deletes_parquet(spark, sf_dir):

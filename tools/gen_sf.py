@@ -12,12 +12,16 @@ length) are EXACTLY those of the source. Region/nation stay fixed
 perturbation so replication doesn't fabricate cross-copy duplicate
 structure the real distribution wouldn't have:
 
-- documents: copies > 0 interleave a copy-tag token after every 2nd
-  word — every trigram/8-gram shingle then contains the tag, making the
-  shingle spaces of different copies DISJOINT: per-shingle df and the
-  near-dup pair structure replicate linearly (verbatim copies would
-  instead create 10-way exact-dup cliques and 10x shingle df — a
-  replication artifact, not a property of 10x real data).
+- documents: copies > 0 suffix EVERY token with a copy tag — a
+  bijection on the vocabulary, so each copy's shingle space is
+  disjoint from every other copy's while the WITHIN-copy collision
+  structure (per-shingle df, k-gram windows, near-dup pairs) is
+  exactly isomorphic to the source: pair counts replicate linearly.
+  (Verbatim copies would create 10-way exact-dup cliques and 10x
+  shingle df; the first r15 attempt — interleaving a tag token every
+  2nd word — kept copies disjoint but diluted k-gram specificity,
+  inflating within-copy collisions ~100x on the 8-gram winnow join.
+  Both are replication artifacts, not properties of 10x real data.)
 - embeddings: copy i circularly shifts each vector by i components —
   norms and all WITHIN-copy cosines are preserved exactly, cross-copy
   cosines decorrelate, so near-dup groups and cluster structure scale
@@ -120,8 +124,8 @@ def generate(k: int, src: str, dst: str) -> None:
             FROM events {rep}""",
         f"{dst}/events.parquet",
     )
-    # documents: copy 0 verbatim; copies > 0 interleave 'zqc<i>' after
-    # every 2nd token (shingle spaces disjoint per copy, see module doc)
+    # documents: copy 0 verbatim; copies > 0 suffix every token with
+    # 'zq<i>' (vocabulary bijection per copy, see module doc)
     _copy(
         con,
         f"""WITH t AS (
@@ -131,11 +135,8 @@ def generate(k: int, src: str, dst: str) -> None:
             tagged AS (
               SELECT doc_id + i * {off['documents']} AS doc_id,
                      CASE WHEN i = 0 THEN text ELSE
-                       array_to_string(flatten(list_transform(
-                         range(1, len(w) + 1),
-                         j -> CASE WHEN j % 2 = 0
-                              THEN [w[j], 'zqc' || CAST(i AS VARCHAR)]
-                              ELSE [w[j]] END)), ' ')
+                       array_to_string(list_transform(
+                         w, x -> x || 'zq' || CAST(i AS VARCHAR)), ' ')
                      END AS text,
                      lang, source
               FROM t)
