@@ -168,6 +168,16 @@ BENCH_QUERIES = [
     "x_olap_grid_quantile_sketch",
     "x_storage_dynamic_partition_pruning",
     "x_validate_observed_load",
+    # r15 off-bench sweep: the three heaviest queries found off the
+    # bill after the r14 additions — PageRank (8 damped power
+    # iterations over the staged symmetric edge table, the heaviest
+    # iterative query in the catalog), the end-to-end multimodal
+    # ingest (file stage + Arrow decode/resize + banded dHash), and
+    # the brute-cosine verification tier (now the broadcast-corpus
+    # Arrow kernel; 55 s -> ~1.4 s at sf0.1)
+    "x_graph_pagerank",
+    "x_mm_ingest_pipeline",
+    "x_dedup_embedding_cosine",
 ]
 
 # The host's recurring noise mode concentrates on the winnowing pair

@@ -615,17 +615,66 @@ def simhash_pairs(
 def embedding_dup_pairs(
     emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:
-    """Pairs with cosine >= threshold. Brute-force O(n^2) self-join — the
-    exact VERIFICATION tier, fine to ~10^4 vectors; the scale path is
+    """Pairs with cosine >= threshold. Brute-force O(n^2) — the exact
+    VERIFICATION tier, fine to ~10^4 vectors; the scale path is
     embedding_dup_pairs_lsh below (hyperplane buckets first, exact cosine
-    only within buckets)."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+    only within buckets).
+
+    Physical form (r15): broadcast-one-side Arrow kernel instead of the
+    self-join + per-pair interpreted higher-order fold (measured 55 s at
+    2k vectors — Spark evaluates lambdas without codegen). The corpus
+    collects once into the kernel closure (verification-tier sizes by
+    this tier's own contract) and each Arrow batch scores its rows
+    against the full matrix with DIM-SEQUENTIAL float64 accumulation —
+    every scalar sees exactly the left-to-right rounding sequence of
+    functions.vectors.cosine and DuckDB's list_sum fold, so the cos
+    VALUES (not just the pair set) stay hash-identical to the oracle
+    (sweep-verified). Linear scale-out: each task scores batch x n."""
+    import numpy as np
+    import pandas as pd
+
+    rows = (
+        emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .collect()
+    )
+    ids_all = np.asarray([r["i"] for r in rows], dtype=np.int64)
+    Vd = np.asarray(
+        [np.asarray(r["v"], dtype=np.float32) for r in rows]
+    ).astype(np.float64)  # exact widening
+    dim = Vd.shape[1]
+    nrm_all = np.zeros(len(ids_all))
+    for i in range(dim):  # dim-sequential: the exact fold order
+        nrm_all = nrm_all + Vd[:, i] * Vd[:, i]
+    nrm_all = np.sqrt(nrm_all)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            B = np.asarray(
+                [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]]
+            ).astype(np.float64)
+            dot = np.zeros((len(bids), len(ids_all)))
+            for i in range(dim):
+                dot = dot + B[:, i][:, None] * Vd[:, i][None, :]
+            bn = np.zeros(len(bids))
+            for i in range(dim):
+                bn = bn + B[:, i] * B[:, i]
+            cos = dot / (np.sqrt(bn)[:, None] * nrm_all[None, :])
+            r, c = np.nonzero(cos >= threshold)
+            keep = bids[r] < ids_all[c]  # strict: id_a < id_b, no self
+            yield pd.DataFrame(
+                {
+                    "id_a": bids[r[keep]],
+                    "id_b": ids_all[c[keep]],
+                    "cos": cos[r[keep], c[keep]],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        score, schema="id_a long, id_b long, cos double"
     )
 
 
