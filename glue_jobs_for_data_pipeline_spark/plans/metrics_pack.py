@@ -1838,3 +1838,46 @@ def x_validate_observed_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["row_count"], m["null_o_custkey"], m["null_o_orderdate"])],
         "row_count long, null_o_custkey long, null_o_orderdate long",
     )
+
+
+# --------------------------------------------------------------------------
+# VARCHAR length enforcement (SURVEY §1.2's optional residue, closed)
+# --------------------------------------------------------------------------
+
+_VARCHAR_DEMO_LIMITS = {"lang": 10, "source": 50, "text": 500}
+
+_X_VARCHAR_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, CAST({n} AS INTEGER) AS declared_len,
+       CAST(SUM(CASE WHEN length({c}) > {n} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlength,
+       CAST(MAX(length({c})) AS INTEGER) AS max_observed,
+       CAST(SUM(CASE WHEN length({c}) > {n} THEN length({c}) - {n}
+                     ELSE 0 END) AS BIGINT) AS chars_truncated
+FROM documents"""
+    for c, n in _VARCHAR_DEMO_LIMITS.items()
+)
+
+
+@_q("x_validate_varchar_len", _X_VARCHAR_SQL)
+def x_validate_varchar_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARCHAR(n) length enforcement (operators/validation.py::
+    varchar_enforce): the reference's DDL bounds every string column
+    (VARCHAR(50)/VARCHAR(10), dynamic_upsert.py:17-25) and Redshift
+    rejects over-length rows at COPY time; Spark's StringType is
+    unbounded, so the engine enforces the registry explicitly — a
+    TRUNCATECOLUMNS-posture conformed output plus a per-column reject
+    report. This query registers the REPORT side over a demo registry
+    on documents (text VARCHAR(500) has real violators in the fixture;
+    lang/source are clean columns proving the zero path): one
+    conditional-aggregation scan pruned to the three declared columns,
+    stack-pivoted to per-column rows — never the reference's
+    scan-per-column shape. The conformed side's truncation invariants
+    (post-clip max length <= n, clean columns byte-identical) are
+    pinned in tests/test_validation.py; the parity registry itself
+    (schemas.VARCHAR_LIMITS) is exercised there on reference-shaped
+    frames."""
+    from ..operators.validation import varchar_enforce
+
+    docs = load_table(spark, sf_dir, "documents")
+    _conformed, report = varchar_enforce(docs, _VARCHAR_DEMO_LIMITS)
+    return report

@@ -145,3 +145,23 @@ TESTDATA_TABLES = (
     "documents",
     "embeddings",
 )
+
+# --------------------------------------------------------------------------
+# Declared VARCHAR lengths from the warehouse DDL (reference:
+# dynamic_upsert.py:17-25 — every string column is VARCHAR(50) except
+# ZipCode VARCHAR(10)). Spark's StringType carries no length, so the
+# bound lives here as data and operators/validation.py::varchar_enforce
+# applies it explicitly (SURVEY §1.2's optional enforcement residue).
+# --------------------------------------------------------------------------
+
+VARCHAR_LIMITS: dict[str, dict[str, int]] = {
+    "customers": {
+        "FirstName": 50, "LastName": 50, "Email": 50, "Address": 50,
+        "City": 50, "State": 50, "ZipCode": 10,
+    },
+    "products": {"ProductName": 50, "Category": 50, "Description": 50},
+    "stores": {
+        "StoreName": 50, "Address": 50, "City": 50, "State": 50,
+        "ZipCode": 10,
+    },
+}

@@ -212,3 +212,65 @@ def test_observed_write_metrics_match_recompute(spark, sf_dir, tmp_path):
     # HLL smoke signal: within rsd tolerance of the exact distinct
     assert abs(got["pk_distinct_approx"] - n) <= 0.1 * n
     assert spark.read.parquet(out).count() == n
+
+
+def test_varchar_enforce_report_and_truncation(spark):
+    from glue_jobs_for_data_pipeline_spark.operators.validation import (
+        varchar_enforce,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "short", "ok"),
+            (2, "exactly10!", "fine"),
+            (3, "eleven chars", "x" * 20),
+            (4, None, "y"),
+        ],
+        "id int, a string, b string",
+    )
+    conformed, report = varchar_enforce(df, {"a": 10, "b": 5})
+    rep = {r["col_name"]: r for r in report.collect()}
+    assert rep["a"]["declared_len"] == 10
+    assert rep["a"]["n_overlength"] == 1  # only "eleven chars" (12)
+    assert rep["a"]["max_observed"] == 12
+    assert rep["a"]["chars_truncated"] == 2
+    assert rep["b"]["n_overlength"] == 1  # the 20-char row
+    assert rep["b"]["chars_truncated"] == 15
+    got = {r["id"]: (r["a"], r["b"]) for r in conformed.collect()}
+    assert got[3] == ("eleven cha", "x" * 5)  # clipped to limits
+    assert got[1] == ("short", "ok")  # under-limit rows untouched
+    assert got[4][0] is None  # NULL passes through (no length)
+
+
+def test_varchar_enforce_parity_registry_shapes(spark):
+    """schemas.VARCHAR_LIMITS (dynamic_upsert.py:17-25) applies cleanly
+    to reference-shaped frames: every declared column exists and the
+    conformed output never exceeds the declared widths."""
+    from glue_jobs_for_data_pipeline_spark.operators.validation import (
+        varchar_enforce,
+    )
+    from glue_jobs_for_data_pipeline_spark.schemas import VARCHAR_LIMITS
+
+    cust = spark.createDataFrame(
+        [(1, "F" * 60, "L", "e@x", "addr", "city", "ST", "9" * 12)],
+        "CustomerID int, FirstName string, LastName string, Email string,"
+        " Address string, City string, State string, ZipCode string",
+    )
+    conformed, report = varchar_enforce(cust, VARCHAR_LIMITS["customers"])
+    row = conformed.collect()[0]
+    for col, lim in VARCHAR_LIMITS["customers"].items():
+        assert len(row[col]) <= lim
+    rep = {r["col_name"]: r["n_overlength"] for r in report.collect()}
+    assert rep["FirstName"] == 1 and rep["ZipCode"] == 1 and rep["City"] == 0
+
+
+def test_varchar_enforce_rejects_bad_registry(spark):
+    from glue_jobs_for_data_pipeline_spark.operators.validation import (
+        varchar_enforce,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id int, a string")
+    with pytest.raises(ValueError):
+        varchar_enforce(df, {})
+    with pytest.raises(ValueError):
+        varchar_enforce(df, {"nope": 5})
