@@ -178,6 +178,14 @@ BENCH_QUERIES = [
     "x_graph_pagerank",
     "x_mm_ingest_pipeline",
     "x_dedup_embedding_cosine",
+    # r15 new-operator batch: only the two above the ~0.7 s warm
+    # billing threshold — DSIR importance weights (gram explode +
+    # bucket-model broadcast join) and the count-min sketch (4-row
+    # probe explode + sketch merge agg). The other three r15 additions
+    # (VARCHAR enforcement 0.33 s, cluster quality 0.44 s, scatter
+    # matrix 0.35 s warm at sf0.1) stay off the bill.
+    "x_text_dsir_weights",
+    "x_olap_countmin_sketch",
 ]
 
 # The host's recurring noise mode concentrates on the winnowing pair

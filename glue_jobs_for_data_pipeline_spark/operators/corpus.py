@@ -310,3 +310,104 @@ def greedy_pack_by_group(
             yield pd.DataFrame(out)
 
     return prepared.mapInPandas(pack, out_schema)
+
+
+def _hashed_grams(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """Bag-of-hashed-ngrams featurization (unigrams + word bigrams of
+    the lowercased whitespace tokens, md5-hashed onto ``n_buckets``
+    buckets) — the DSIR feature space. md5 (not xxhash64) so an oracle
+    engine states the identical buckets. Returns one row per gram
+    occurrence: (id_col, every other input column, bucket)."""
+    out_cols = [c for c in df.columns if c != text_col]
+    toks = df.select(
+        *out_cols,
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__w"),
+    )
+    w = F.col("__w")
+    # bigrams as zip_with over the two shifted slices: slice length 0
+    # on 1-token docs -> empty array, no index-0 edge case
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        toks.select(*out_cols, F.explode(F.concat(w, bigrams)).alias("__gram"))
+        .withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5(F.col("__gram")), 1, 8), 16, 10)
+            .cast("long")
+            % n_buckets,
+        )
+        .drop("__gram")
+    )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_pred: "F.Column",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit Laplace-smoothed
+    multinomial bag-of-hashed-ngrams models on the target slice
+    (rows where ``target_pred`` holds) and on the full raw corpus,
+    then score every document with its log-likelihood ratio
+
+        logw(d) = sum_b n_b(d) * [ln p_target(b) - ln p_raw(b)].
+
+    Resampling docs with probability proportional to exp(logw) tilts
+    the raw corpus toward the target distribution; in practice the
+    weights feed x_sample_weighted's deterministic weighted reservoir.
+
+    This is the paper-faithful PRODUCTION tier: ln() is
+    library-dependent at the ulp (the PMI linear-lift rationale,
+    mining_pack.py), so the hash-gated catalog query
+    (curation_pack.py::x_text_dsir_weights) states exact-integer
+    sufficient statistics with a single-division ratio surrogate, and
+    this tier is property-tested against it (tests/test_curation.py:
+    both tiers rank the target language's docs above the rest).
+
+    Scale shape: one explode->groupBy over (doc, bucket) — map-side
+    combinable; the bucket model is <= n_buckets rows, broadcast into
+    the scoring join; the per-doc reduce is a map-side-combinable sum.
+    No driver materialization anywhere (totals ride a 1-row scalar
+    broadcast, the temperature-mix pattern).
+
+    Returns (id_col, n_grams, logw).
+    """
+    g = _hashed_grams(
+        docs.select(id_col, text_col, target_pred.alias("__is_t")),
+        id_col,
+        text_col,
+        n_buckets,
+    )
+    dc = g.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("n"))
+    st = g.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("t"),
+        F.count(F.lit(1)).alias("r"),
+    )
+    tot = st.agg(
+        F.sum("t").alias("tt"), F.sum("r").alias("rt")
+    )  # 1 row
+    scored = (
+        dc.join(F.broadcast(st), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__c",
+            F.col("n")
+            * (
+                F.log((F.col("t") + alpha) / (F.col("tt") + alpha * n_buckets))
+                - F.log((F.col("r") + alpha) / (F.col("rt") + alpha * n_buckets))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_grams"),
+        F.sum("__c").alias("logw"),
+    )

@@ -1174,3 +1174,139 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def scatter_matrix_int(
+    vectors: DataFrame, qvec_col: str = "qv", dim: int = 64
+) -> DataFrame:
+    """Exact-integer moment (scatter) matrix over grid-quantized
+    embeddings — the sufficient statistics of covariance/PCA, computed
+    the way a 1000-executor job must: each partition folds its rows
+    into ONE int64 (dim x dim) X^T X partial plus component sums via
+    an Arrow matmul kernel, and the partials merge by plain integer
+    addition (map-side-combinable groupBy) — order-insensitive, so the
+    result is bit-identical on any engine/cluster and value-hash
+    checkable (the kmeans_fit_int_grid rationale applied to second
+    moments). The exchange moves O(parts * dim^2) scalar rows, never
+    vectors.
+
+    Long-format output, 1-based dims: (i, j, s) with 1 <= i <= j <=
+    dim is the upper scatter triangle sum(q_i * q_j); (i, 0) holds the
+    component sums sum(q_i); (0, 0) holds the row count. cov =
+    (S - m m^T / n) / n follows driver-side in float (pca_fit).
+    Overflow headroom: |q| <= 2^11 grids give per-row products <=
+    2^22; int64 holds ~2^41 such rows per cell.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType(), False),
+            T.StructField("j", T.IntegerType(), False),
+            T.StructField("s", T.LongType(), False),
+        ]
+    )
+    iu, ju = np.triu_indices(dim)
+
+    def partials(batches):
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        msum = np.zeros(dim, dtype=np.int64)
+        total = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(q, dtype=np.int64) for q in pdf[qvec_col]]
+            )
+            acc += X.T @ X
+            msum += X.sum(axis=0)
+            total += len(X)
+        if total == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate(
+                    [iu + 1, np.arange(1, dim + 1), [0]]
+                ).astype("int32"),
+                "j": np.concatenate(
+                    [ju + 1, np.zeros(dim, dtype=int), [0]]
+                ).astype("int32"),
+                "s": np.concatenate(
+                    [acc[iu, ju], msum, [total]]
+                ).astype("int64"),
+            }
+        )
+
+    part = vectors.select(qvec_col).mapInPandas(partials, schema=out_schema)
+    return part.groupBy("i", "j").agg(F.sum("s").cast("long").alias("s"))
+
+
+def pca_fit(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    scale: int = 1024,
+):
+    """PCA over the embedding column: moments via the exact-integer
+    scatter kernel (scatter_matrix_int — one distributed pass), then
+    the dim x dim eigendecomposition driver-side in numpy (64x64 —
+    constant work, the same bounded-collect class as k-means
+    centroids). Returns (components, eigvals, mean): components is a
+    (k, dim) float64 array of unit eigenvectors sorted by descending
+    eigenvalue — the production float tier (eigh is library numerics,
+    so only the integer MOMENTS sit behind the hash gate, the
+    ln()/PMI split applied to linear algebra). Sign convention: each
+    component's largest-|coordinate| entry is made positive, so the
+    basis is deterministic across BLAS builds up to eigenvalue ties.
+    """
+    import numpy as np
+
+    dim = len(corpus.select(vec_col).first()[0])
+    q = corpus.select(_grid_quantize(vec_col, scale).alias("qv"))
+    rows = scatter_matrix_int(q, "qv", dim=dim).collect()
+    S = np.zeros((dim, dim), dtype=np.float64)
+    m = np.zeros(dim, dtype=np.float64)
+    n = 0
+    for r in rows:
+        if r["i"] == 0:
+            n = r["s"]
+        elif r["j"] == 0:
+            m[r["i"] - 1] = r["s"]
+        else:
+            S[r["i"] - 1, r["j"] - 1] = r["s"]
+            S[r["j"] - 1, r["i"] - 1] = r["s"]
+    if n == 0:
+        raise ValueError("pca_fit: empty corpus")
+    cov = (S - np.outer(m, m) / n) / n / (scale * scale)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1
+    return comps, vals[order], m / n / scale
+
+
+def pca_project(
+    df: DataFrame,
+    components,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project the embedding column onto fitted components (mean-free
+    inner products — centering shifts all points equally and is
+    omitted, the standard whitening-free projection): a (k x dim)
+    literal folded into one JVM expression per output dim, map-only,
+    codegen-friendly — no Python in the hot path."""
+    exprs = []
+    for ci, comp in enumerate(components):
+        terms = " + ".join(
+            f"CAST({vec_col}[{d}] AS DOUBLE) * {float(w)!r}D"
+            for d, w in enumerate(comp)
+        )
+        exprs.append(f"({terms})")
+    return df.withColumn(
+        out_col, F.expr("array(" + ", ".join(exprs) + ")")
+    )

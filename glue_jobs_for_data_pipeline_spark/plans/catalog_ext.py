@@ -1193,6 +1193,157 @@ def x_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_quality_sql(
+    n_cells: int = 8, n_iters: int = 3, scale: int = 1024, dim: int = 64
+) -> str:
+    """Cluster-quality metrics restated in SQL: the shared grid-kmeans
+    CTE prefix trains the cells, a final integer-L2 assignment keeps
+    each vector's distance to its own centroid, and the inter-centroid
+    minima come from the k x k centroid self-join (k rows — constant).
+    Every statistic is an exact BIGINT, so the hash gate pins the whole
+    evaluation."""
+    d2 = _kmeans_grid_d2
+    parts = _kmeans_grid_cells_parts(n_cells, n_iters, scale, dim)
+    parts.append(
+        f"""a AS (
+  SELECT vec_id, cell, d2 FROM (
+    SELECT v.vec_id, c.cell, {d2('v.qv', 'c.cent', dim)} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2('v.qv', 'c.cent', dim)}, c.cell) AS rk
+    FROM q v CROSS JOIN c{n_iters} c) t WHERE rk = 1),
+inter AS (
+  SELECT c1.cell, MIN({d2('c1.cent', 'c2.cent', dim)}) AS mi
+  FROM c{n_iters} c1 JOIN c{n_iters} c2 ON c1.cell <> c2.cell
+  GROUP BY c1.cell)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(a.d2) AS BIGINT) AS wcss,
+       CAST(MAX(a.d2) AS BIGINT) AS max_d2,
+       CAST(i.mi AS BIGINT) AS min_inter_d2
+FROM a JOIN inter i ON i.cell = a.cell
+GROUP BY a.cell, i.mi
+"""
+    )
+
+
+@_q("x_emb_cluster_quality", _cluster_quality_sql())
+def x_emb_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation over the STAGED k-means model —
+    the health check a production ANN/semantic-dedup index needs after
+    (re)training: per-cell population (skew → hot probe cells), WCSS
+    (k-means inertia — the quantity Lloyd minimizes, summed per cell),
+    the worst member distance (cell radius), and the squared distance
+    to the nearest other centroid (separation). A cell whose radius
+    exceeds its separation is doing SemDeDup/IVF work with overlapping
+    neighborhoods — the signal to retrain with larger k.
+
+    All statistics are exact BIGINTs on the integer grid (the
+    kmeans_fit_int_grid contract), so the full evaluation —
+    assignment, inertia, radii, separations — value-hash-matches the
+    DuckDB restatement. Scale shape: one map-only assignment pass over
+    the corpus (k-struct literal, no shuffle), one map-side-combined
+    agg to k rows; the separation matrix is k^2 driver-side integer
+    ops on the already-staged model. Composes with
+    x_emb_centroids_stage exactly like the ANN/sampling consumers."""
+    cents = _staged_grid_centroids(spark, sf_dir, 8)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", similarity._grid_quantize("embedding", 1024).alias("qv")
+    )
+    vec = F.col("qv")
+
+    def d2(s):
+        return F.aggregate(
+            F.zip_with(vec, s["v"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    scored = F.transform(
+        similarity._int_centroid_literal(cents),
+        lambda s: F.struct(d2(s).alias("d2"), s["cell"].alias("cell")),
+    )
+    best = F.array_sort(scored)[0]  # (d2, cell) asc = lowest-cell ties
+    assigned = q.select(
+        "vec_id", best["cell"].alias("cell"), best["d2"].alias("d2")
+    )
+    # separation: k^2 exact-integer distances over the staged model —
+    # pure driver arithmetic on k collected rows, folded in as a literal
+    # map (the rank-kernel offsets pattern; no join, no shuffle)
+    min_inter = {
+        c1: min(
+            sum((a - b) * (a - b) for a, b in zip(v1, v2))
+            for c2, v2 in cents
+            if c2 != c1
+        )
+        for c1, v1 in cents
+    }
+    pairs: list = []
+    for c, mi in sorted(min_inter.items()):
+        pairs.extend((F.lit(c), F.lit(mi)))
+    mi_expr = F.element_at(F.create_map(*pairs), F.col("cell"))
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("d2").cast("long").alias("wcss"),
+            F.max("d2").cast("long").alias("max_d2"),
+        )
+        .withColumn("min_inter_d2", mi_expr.cast("long"))
+    )
+
+
+_X_SCATTER_SQL = r"""
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+  FROM embeddings),
+tri AS (
+  SELECT CAST(a.i AS INTEGER) AS i, CAST(b.j AS INTEGER) AS j,
+         CAST(SUM(qv[a.i] * qv[b.j]) AS BIGINT) AS s
+  FROM q, UNNEST(range(1, 65)) AS a(i), UNNEST(range(1, 65)) AS b(j)
+  WHERE b.j >= a.i
+  GROUP BY a.i, b.j),
+means AS (
+  SELECT CAST(t.i AS INTEGER) AS i, CAST(0 AS INTEGER) AS j,
+         CAST(SUM(qv[t.i]) AS BIGINT) AS s
+  FROM q, UNNEST(range(1, 65)) AS t(i) GROUP BY t.i),
+cnt AS (
+  SELECT CAST(0 AS INTEGER) AS i, CAST(0 AS INTEGER) AS j,
+         CAST(COUNT(*) AS BIGINT) AS s FROM q)
+SELECT * FROM tri UNION ALL SELECT * FROM means UNION ALL SELECT * FROM cnt
+"""
+
+
+@_q("x_emb_scatter_matrix", _X_SCATTER_SQL)
+def x_emb_scatter_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer scatter (second-moment) matrix of the embedding
+    corpus — the distributed half of PCA/covariance
+    (similarity.scatter_matrix_int): every partition folds its rows
+    into one int64 64x64 X^T X partial via an Arrow matmul kernel,
+    partials merge by integer addition (map-side-combinable groupBy —
+    the exchange moves O(parts * dim^2) scalars, never vectors), and
+    integer sums are order-insensitive, so DuckDB's row-at-a-time
+    restatement over the same grid builds the bit-identical matrix —
+    2145 hash-checked statistics (2080 upper-triangle moments + 64
+    component sums + the count). The 64x64 eigendecomposition is
+    driver-side constant work (similarity.pca_fit, the float
+    production tier — eigh is library numerics, the ln()/PMI split
+    applied to linear algebra); component quality is property-tested
+    in tests/test_similarity.py. This is the one-pass
+    training-pipeline primitive behind embedding whitening, PCA
+    dim-reduction before ANN indexing, and drift monitoring over
+    embedding batches (scatter matrices from two days merge by
+    addition, exactly like the CM/HLL sketch lines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(similarity._grid_quantize("embedding", 1024).alias("qv"))
+    return similarity.scatter_matrix_int(q, "qv", dim=64)
+
+
 def _cluster_balance_sql(
     n_cells: int = 8,
     quota: int = 20,

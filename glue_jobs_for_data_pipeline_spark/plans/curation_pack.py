@@ -1001,3 +1001,114 @@ def x_text_subword_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weights (hashed-ngram target/raw ratio)
+# --------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 1024
+
+_X_DSIR_SQL = rf"""
+WITH tk AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(lower(text)), '\s+') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id, lang, gram
+  FROM tk, UNNEST(list_concat(w,
+    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])))
+    AS t(gram)),
+b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)
+           % {_DSIR_BUCKETS} AS bucket
+  FROM g),
+dc AS (
+  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM b GROUP BY doc_id, bucket),
+st AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS r
+  FROM b GROUP BY bucket),
+tot AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS tt, CAST(SUM(r) AS BIGINT) AS rt
+  FROM st),
+agg AS (
+  SELECT dc.doc_id,
+         CAST(SUM(dc.n) AS BIGINT) AS n_grams,
+         CAST(SUM(dc.n * st.t) AS BIGINT) AS tsum,
+         CAST(SUM(dc.n * st.r) AS BIGINT) AS rsum
+  FROM dc JOIN st USING (bucket) GROUP BY dc.doc_id)
+SELECT doc_id, n_grams, tsum, rsum,
+       (CAST(tsum AS DOUBLE) * rt) / (CAST(rsum AS DOUBLE) * tt) AS score,
+       CAST(CASE WHEN (CAST(tsum AS DOUBLE) * rt)
+                    > (CAST(rsum AS DOUBLE) * tt)
+                 THEN 1 ELSE 0 END AS INTEGER) AS selected
+FROM agg, tot
+"""
+
+
+@_q("x_text_dsir_weights", _X_DSIR_SQL)
+def x_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weights for target-distribution data selection, after
+    DSIR (Xie et al. 2023): featurize every document as a bag of
+    md5-hashed unigrams+bigrams over 1024 buckets, fit target (lang =
+    'en') and raw (all docs) bucket models from EXACT integer counts,
+    and score each doc by how target-like its grams are. The
+    paper-faithful log-likelihood-ratio tier is
+    operators/corpus.py::dsir_log_weights (production scorer — ln() is
+    library-dependent at the ulp, the PMI linear-lift rationale, so it
+    can't sit behind the hash gate); the registered tier states the
+    integer sufficient statistics (tsum = sum_b n_b * t_b, rsum =
+    sum_b n_b * r_b) plus the single-division frequency-ratio
+    surrogate score = (tsum/tt)/(rsum/rt) — > 1 means the doc's grams
+    are more target-typical than corpus-average, the same decision
+    axis the log tier ranks by (their agreement is property-tested in
+    tests/test_curation.py). The weights feed x_sample_weighted's
+    deterministic weighted reservoir to complete the resampling step.
+
+    Scale shape: explode -> (doc, bucket) map-side-combinable agg;
+    the bucket model is <= 1024 rows broadcast into the scoring join;
+    totals ride a 1-row scalar broadcast (temperature-mix pattern); no
+    driver materialization. The integer products stay under 2^63 up to
+    ~sf10 corpus sizes (documented headroom; past that the statistics
+    widen to DOUBLE with the same expression text on both engines)."""
+    from ..operators.corpus import _hashed_grams
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    g = _hashed_grams(
+        docs.select("doc_id", "text", (F.col("lang") == "en").alias("__is_t")),
+        "doc_id",
+        "text",
+        _DSIR_BUCKETS,
+    )
+    dc = g.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    st = g.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("t"),
+        F.count(F.lit(1)).alias("r"),
+    )
+    tot = st.agg(
+        F.sum("t").cast("long").alias("tt"),
+        F.sum("r").cast("long").alias("rt"),
+    )
+    agg = (
+        dc.join(F.broadcast(st), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_grams"),
+            F.sum(F.col("n") * F.col("t")).cast("long").alias("tsum"),
+            F.sum(F.col("n") * F.col("r")).cast("long").alias("rsum"),
+        )
+    )
+    num = F.col("tsum").cast("double") * F.col("rt")
+    den = F.col("rsum").cast("double") * F.col("tt")
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_grams",
+        "tsum",
+        "rsum",
+        (num / den).alias("score"),
+        F.when(num > den, 1).otherwise(0).cast("int").alias("selected"),
+    )

@@ -1881,3 +1881,118 @@ def x_validate_varchar_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     _conformed, report = varchar_enforce(docs, _VARCHAR_DEMO_LIMITS)
     return report
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (deterministic, mergeable; md5 row hashes)
+# --------------------------------------------------------------------------
+
+_CMS_D, _CMS_W, _CMS_TOPN = 4, 256, 20
+
+_X_CMS_SQL = f"""
+WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS k FROM orders),
+cells AS (
+  SELECT j,
+         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|'
+                || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % {_CMS_W} AS col
+  FROM o, UNNEST([0, 1, 2, 3]) AS t(j)),
+cms AS (
+  SELECT j, col, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY j, col),
+exact AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM o GROUP BY k),
+top AS (
+  SELECT k, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, k LIMIT {_CMS_TOPN}),
+probes AS (
+  SELECT k, exact_cnt, j,
+         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|'
+                || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % {_CMS_W} AS col
+  FROM top, UNNEST([0, 1, 2, 3]) AS t(j))
+SELECT p.k AS o_custkey, p.exact_cnt,
+       CAST(MIN(c.cnt) AS BIGINT) AS cms_est,
+       CAST(MIN(c.cnt) - p.exact_cnt AS BIGINT) AS overcount
+FROM probes p JOIN cms c ON c.j = p.j AND c.col = p.col
+GROUP BY p.k, p.exact_cnt
+"""
+
+
+def _cms_col(j: int, key_str) -> "F.Column":
+    """Row-j CMS column index: md5('j|key') first 8 hex digits as a
+    positive 32-bit int, mod the sketch width — engine-portable (the
+    md5-twin trick), deterministic, pairwise-independent enough for
+    the CM guarantee in practice."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}|"), key_str)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+
+
+@_q("x_olap_countmin_sketch", _X_CMS_SQL)
+def x_olap_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over order
+    custkeys: d=4 rows x w=256 counters, row hashes from the md5-twin
+    trick so the sketch is DETERMINISTIC and engine-portable — DuckDB
+    rebuilds the identical counter matrix and the driver hash-checks
+    point estimates for the top-{n} keys against their exact counts.
+
+    Why it earns a catalog line next to HLL/grid-quantile: the CM
+    sketch is the MERGEABLE heavy-hitter/point-frequency summary — the
+    counter matrix is a pure sum, so partial per-partition sketches
+    combine by elementwise addition. Here that merge IS Spark's
+    map-side partial aggregation of the (j, col) groupBy: every
+    executor builds its local sketch, the exchange moves d*w = 1024 counters
+    per partition (never rows), and the reduce-side sum is the sketch
+    union — the same two-level shape a 1000-executor deployment or a
+    cross-day rollup uses (tests/test_metrics_pack.py pins
+    sketch(half A) + sketch(half B) == sketch(all)).
+
+    Estimates: est(k) = min_j cms[j][h_j(k)] >= exact(k) always
+    (one-sided error, pinned in tests); with w=256 the expected
+    overcount is ~ N/w per row, min over d=4 rows. The output stakes
+    both sides: exact_cnt from a real groupBy, cms_est from the
+    sketch, overcount = the (non-negative) gap. Top-20 selection is
+    orderBy+limit — per-partition TakeOrdered + driver merge of 20
+    rows, never a global sort."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("k")
+    )
+    ks = F.col("k").cast("string")
+    probe_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("j"), _cms_col(j, ks).alias("col")
+            )
+            for j in range(_CMS_D)
+        ]
+    )
+    cells = o.select(F.explode(probe_structs).alias("c")).select(
+        "c.j", "c.col"
+    )
+    cms = cells.groupBy("j", "col").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    exact = o.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    top = exact.orderBy(F.col("exact_cnt").desc(), F.col("k")).limit(
+        _CMS_TOPN
+    )
+    probes = top.select(
+        "k", "exact_cnt", F.explode(probe_structs).alias("c")
+    ).select("k", "exact_cnt", "c.j", "c.col")
+    return (
+        probes.join(F.broadcast(cms), ["j", "col"])
+        .groupBy("k", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            F.col("k").alias("o_custkey"),
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )

@@ -283,3 +283,76 @@ def test_subword_encode_fixture_invariants(spark, sf_dir):
         assert r["n_subword_tokens"] * 4 >= r["n_chars"]
         assert r["n_subword_tokens"] <= r["n_chars"]
         assert r["n_subword_tokens"] >= r["n_words"]
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights: both tiers agree on the decision axis
+# --------------------------------------------------------------------------
+
+
+def test_dsir_tiers_rank_target_language_above_rest(spark, sf_dir):
+    """The paper-faithful log-likelihood tier (dsir_log_weights) and
+    the hash-gated integer-ratio tier (x_text_dsir_weights) must both
+    put target-language docs above the rest on average, and broadly
+    agree with each other doc-by-doc."""
+    from glue_jobs_for_data_pipeline_spark.operators.corpus import (
+        dsir_log_weights,
+    )
+    from glue_jobs_for_data_pipeline_spark.plans.curation_pack import (
+        x_text_dsir_weights,
+    )
+    from glue_jobs_for_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    logw = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_log_weights(docs, F.col("lang") == "en").collect()
+    }
+    ratio = {
+        r["doc_id"]: r["score"]
+        for r in x_text_dsir_weights(spark, sf_dir).collect()
+    }
+    lang = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    assert set(logw) == set(ratio) == set(lang)
+
+    def mean(xs):
+        xs = list(xs)
+        return sum(xs) / len(xs)
+
+    # both tiers separate the target language on average
+    assert mean(logw[d] for d in logw if lang[d] == "en") > mean(
+        logw[d] for d in logw if lang[d] != "en"
+    )
+    assert mean(ratio[d] for d in ratio if lang[d] == "en") > mean(
+        ratio[d] for d in ratio if lang[d] != "en"
+    )
+
+    # doc-level agreement: rank correlation between the tiers is
+    # clearly positive. It is NOT near 1 by construction — the log
+    # tier weights rare-bucket evidence multiplicatively while the
+    # ratio surrogate is linear in bucket counts — so the pinned bound
+    # is "same decision axis", not "same ordering" (observed ~0.58 on
+    # the sf0.001 fixture).
+    ids = sorted(logw)
+    def ranks(scores):
+        order = sorted(ids, key=lambda d: (scores[d], d))
+        return {d: i for i, d in enumerate(order)}
+    ra, rb = ranks(logw), ranks(ratio)
+    n = len(ids)
+    d2 = sum((ra[d] - rb[d]) ** 2 for d in ids)
+    spearman = 1 - 6 * d2 / (n * (n * n - 1))
+    assert spearman > 0.4, spearman
+
+
+def test_dsir_log_weights_handles_single_token_docs(spark):
+    from glue_jobs_for_data_pipeline_spark.operators.corpus import (
+        dsir_log_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello", True), (2, "hello world", False), (3, "x", False)],
+        "doc_id int, text string, is_t boolean",
+    )
+    out = dsir_log_weights(df, F.col("is_t"), text_col="text").collect()
+    got = {r["doc_id"]: r["n_grams"] for r in out}
+    assert got == {1: 1, 2: 3, 3: 1}  # bigram only where >= 2 tokens

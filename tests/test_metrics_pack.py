@@ -120,3 +120,69 @@ def test_phash_clusters_transitive_closure(spark, sf_dir):
         members.setdefault(cl, []).append(doc)
     for cl, docs in members.items():
         assert cl == min(docs)
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: one-sided error + mergeability
+# --------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    from glue_jobs_for_data_pipeline_spark.plans.metrics_pack import (
+        x_olap_countmin_sketch,
+    )
+
+    rows = x_olap_countmin_sketch(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["cms_est"] >= r["exact_cnt"], r
+        assert r["overcount"] == r["cms_est"] - r["exact_cnt"]
+
+
+def test_cms_partial_sketches_merge_to_whole(spark, sf_dir):
+    """The CM counter matrix is a pure sum: sketch(half A) + sketch(half
+    B) must equal sketch(all) cell-by-cell — the property that makes
+    map-side partial aggregation (and cross-day rollups) the merge."""
+    from pyspark.sql import functions as F
+
+    from glue_jobs_for_data_pipeline_spark.plans.metrics_pack import (
+        _CMS_D,
+        _cms_col,
+    )
+    from glue_jobs_for_data_pipeline_spark.sources.readers import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("k"),
+        (F.col("o_orderkey") % 2).alias("half"),
+    )
+    ks = F.col("k").cast("string")
+    cells = o.select(
+        "half",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("j"),
+                        _cms_col(j, ks).alias("col"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("half", "c.j", "c.col")
+
+    whole = {
+        (r["j"], r["col"]): r["cnt"]
+        for r in cells.groupBy("j", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    merged: dict = {}
+    for r in (
+        cells.groupBy("half", "j", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    ):
+        key = (r["j"], r["col"])
+        merged[key] = merged.get(key, 0) + r["cnt"]
+    assert merged == whole

@@ -412,3 +412,70 @@ def test_int_assign_numpy_tier_matches_hof_tier(spark):
             )
         )
         assert got == want, f"n_probe={n_probe}"
+
+
+def test_cluster_quality_invariants(spark, sf_dir):
+    """x_emb_cluster_quality: memberships cover the corpus exactly
+    once, inertia/radius are consistent (wcss <= n * max_d2), and
+    every separation entry matches a brute-force recompute over the
+    staged model."""
+    from glue_jobs_for_data_pipeline_spark.plans.catalog_ext import (
+        _staged_grid_centroids,
+        x_emb_cluster_quality,
+    )
+    from glue_jobs_for_data_pipeline_spark.sources.readers import load_table
+
+    rows = x_emb_cluster_quality(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_members"] for r in rows) == n_vecs
+    for r in rows:
+        assert 0 <= r["wcss"] <= r["n_members"] * r["max_d2"]
+        assert r["min_inter_d2"] > 0
+
+    cents = dict(_staged_grid_centroids(spark, sf_dir, 8))
+    for r in rows:
+        v1 = cents[r["cell"]]
+        brute = min(
+            sum((a - b) * (a - b) for a, b in zip(v1, v2))
+            for c2, v2 in cents.items()
+            if c2 != r["cell"]
+        )
+        assert r["min_inter_d2"] == brute
+
+
+def test_scatter_matrix_matches_numpy_and_pca_is_sane(spark, sf_dir):
+    """scatter_matrix_int == numpy X.T@X on the collected fixture
+    (exact ints), and pca_fit's components are orthonormal with
+    descending explained variance that beats random directions."""
+    import numpy as np
+
+    from glue_jobs_for_data_pipeline_spark.operators.similarity import (
+        _grid_quantize,
+        pca_fit,
+        pca_project,
+        scatter_matrix_int,
+    )
+    from glue_jobs_for_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(_grid_quantize("embedding", 1024).alias("qv"))
+    X = np.asarray([np.asarray(r["qv"]) for r in q.collect()], dtype=np.int64)
+    got = {(r["i"], r["j"]): r["s"] for r in scatter_matrix_int(q).collect()}
+    S = X.T @ X
+    assert got[(0, 0)] == len(X)
+    assert got[(1, 0)] == int(X[:, 0].sum())
+    for i, j in [(1, 1), (1, 2), (5, 64), (64, 64)]:
+        assert got[(i, j)] == int(S[i - 1, j - 1]), (i, j)
+    assert len(got) == 64 * 65 // 2 + 64 + 1
+
+    comps, vals, _mean = pca_fit(emb, k=4)
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-9)
+    assert all(vals[i] >= vals[i + 1] for i in range(3))
+    # projected variance along PC1 >= variance along every raw axis
+    proj = pca_project(emb, comps[:1])
+    p = np.asarray([r["pca"][0] for r in proj.select("pca").collect()])
+    Xf = np.asarray(
+        [np.asarray(r["embedding"]) for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    assert p.var() >= Xf.var(axis=0).max() - 1e-9
