@@ -186,6 +186,12 @@ BENCH_QUERIES = [
     # matrix 0.35 s warm at sf0.1) stay off the bill.
     "x_text_dsir_weights",
     "x_olap_countmin_sketch",
+    # r15 late pair: group-aware k-fold (CC consumer of the staged
+    # pair table, 1.25 s warm) and the runtime bloom-filter join
+    # (eager conf-bracketed materialization, 0.81 s) — both above the
+    # billing threshold
+    "x_split_group_kfold",
+    "x_storage_runtime_bloom_filter",
 ]
 
 # The host's recurring noise mode concentrates on the winnowing pair

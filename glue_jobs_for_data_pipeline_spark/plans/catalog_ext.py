@@ -511,6 +511,64 @@ def x_split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KFOLD_K = 5
+
+
+@_q(
+    "x_split_group_kfold",
+    _CC_SQL_T.format(th=_TH_CLUSTER)
+    + f""",
+membership AS (
+  SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN cc ON cc.u = d.doc_id)
+SELECT doc_id, group_id,
+       CAST(CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % {_KFOLD_K} AS INTEGER) AS fold
+FROM membership""",
+)
+def x_split_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE k-fold split — the leakage-SAFE companion to
+    x_split_neardup_leakage (which only MEASURES the damage of a
+    per-doc hash split): every document is assigned to one of 5
+    folds (_KFOLD_K) by hashing its near-dup CLUSTER representative
+    (the connected-component min-id over the staged pair table;
+    singletons represent themselves), so a near-twin pair can never
+    straddle a fold boundary — the GroupKFold semantic
+    train/validation contamination control needs. Deterministic and
+    join-free on the assignment side: fold is a pure md5 function of
+    group_id, so any later consumer recomputes membership from the
+    (doc_id, group_id) columns without a split table (the
+    split_by_hash rule). Scale shape: the CC runs once over the staged
+    pairs (log-convergent label propagation), the corpus-sized step is
+    one left join against the component table (pair-graph-sized, far
+    smaller than the corpus) + map-only hashing. The no-straddle
+    invariant is pinned in tests/test_sampling.py over every staged
+    pair at the fixture SFs."""
+    from ..operators.graph import connected_components
+
+    # staged once per process (r15); see _staged_neardup_pairs
+    pairs = _staged_neardup_pairs(spark, sf_dir)
+    cc = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    m = docs.join(cc, "doc_id", "left_outer").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("group_id"),
+    )
+    return m.withColumn(
+        "fold",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("group_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _KFOLD_K
+        ).cast("int"),
+    )
+
+
 @_q("x_dedup_minhash_lsh")  # xxhash64-based -> no SQL oracle; rows-only
 def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16-band LSH candidate pairs with estimated Jaccard,
@@ -5069,3 +5127,75 @@ def x_dedup_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_expr=F.split(F.col("p_name"), " ").getItem(0),
         max_dist=3,
     )
+
+
+# --------------------------------------------------------------------------
+# Round-15 addition: runtime bloom-filter join pruning (row-level DPP)
+# --------------------------------------------------------------------------
+
+_X_BLOOM_SQL = """
+WITH urgent AS (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN urgent ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+
+@_q("x_storage_runtime_bloom_filter", _X_BLOOM_SQL)
+def x_storage_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME bloom-filter join pruning — the ROW-level sibling of
+    dynamic partition pruning: when the selective side of a shuffle
+    join is too big to broadcast (the 100 TB fact-fact case; broadcast
+    handles only small dims, partition pruning only partition keys),
+    Catalyst builds a bloom_filter_agg over the creation side's join
+    keys at RUN time and injects might_contain into the fact scan's
+    filters, so most non-matching fact rows die before the exchange
+    instead of being shuffled and discarded by the join.
+
+    The demo brackets the two thresholds that gate injection at these
+    toy sizes (application-side scan >= 10 GB by default — trivially
+    true at 100 TB, never true in a fixture) and pins the join to SMJ
+    with the merge hint for the same reason; it materializes the
+    result to scratch UNDER the bracket and then RESTORES every conf,
+    so nothing leaks into other queries' plans. The executed plan is
+    asserted to contain the bloom filter AT RUNTIME inside the query —
+    a silently-not-injected bloom would fail loudly here (and in
+    tests/test_storage.py), not just produce an unremarkable plan.
+    Semantics are bloom-independent (false positives only cost work,
+    the join still filters exactly), which is what the DuckDB oracle
+    states with the plain static join."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    out = _scratch_dir("spark_graft_bloom_") + "/agg"
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        urgent = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        joined = li.hint("merge").join(
+            urgent, li["l_orderkey"] == urgent["o_orderkey"]
+        )
+        agg = joined.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        agg.write.mode("overwrite").parquet(out)
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        if "bloom_filter_agg" not in plan:
+            raise AssertionError(
+                "runtime bloom filter was not injected into the join plan"
+            )
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    return spark.read.parquet(out)

@@ -199,3 +199,23 @@ def test_token_budget_agrees_with_reference(spark, docs, budget):
             want.append(i)
             spent[g] = spent.get(g, 0) + n
     assert got == sorted(want)
+
+
+def test_group_kfold_no_neardup_pair_straddles_folds(spark, sf_dir):
+    """x_split_group_kfold: both endpoints of every staged near-dup
+    pair land in the SAME fold (the GroupKFold guarantee), folds cover
+    0..k-1, and assignment is a pure function of group_id."""
+    from glue_jobs_for_data_pipeline_spark.plans.catalog_ext import (
+        _KFOLD_K,
+        _staged_neardup_pairs,
+        x_split_group_kfold,
+    )
+
+    assign = {r["doc_id"]: r["fold"] for r in x_split_group_kfold(spark, sf_dir).collect()}
+    pairs = _staged_neardup_pairs(spark, sf_dir).collect()
+    assert len(pairs) > 0  # the fixture plants near-dups
+    for p in pairs:
+        assert assign[p["doc_a"]] == assign[p["doc_b"]], p
+    assert set(assign.values()) <= set(range(_KFOLD_K))
+    # a 500-doc corpus into 5 hash folds: every fold is populated
+    assert len(set(assign.values())) == _KFOLD_K

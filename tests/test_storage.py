@@ -291,3 +291,47 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:800]
     assert df.count() > 0
+
+
+def test_runtime_bloom_filter_injected_and_confs_restored(spark, sf_dir):
+    """x_storage_runtime_bloom_filter: the query itself asserts
+    bloom_filter_agg in the executed plan (it raises otherwise); here
+    we additionally pin that the conf bracket restores every session
+    value and the result matches the plain static join."""
+    from pyspark.sql import functions as F
+
+    from glue_jobs_for_data_pipeline_spark.plans.catalog_ext import (
+        x_storage_runtime_bloom_filter,
+    )
+    from glue_jobs_for_data_pipeline_spark.sources.readers import load_table
+
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    before = {k: spark.conf.get(k) for k in keys}
+    got = {
+        r["l_returnflag"]: (r["cnt"], r["sum_qty"])
+        for r in x_storage_runtime_bloom_filter(spark, sf_dir).collect()
+    }
+    after = {k: spark.conf.get(k) for k in keys}
+    assert before == after
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    want = {
+        r["l_returnflag"]: (r["cnt"], r["sum_qty"])
+        for r in li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .collect()
+    }
+    assert got == want
