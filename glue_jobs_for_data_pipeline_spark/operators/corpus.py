@@ -373,28 +373,26 @@ def dsir_log_weights(
     this tier is property-tested against it (tests/test_curation.py:
     both tiers rank the target language's docs above the rest).
 
-    Scale shape: one explode->groupBy over (doc, bucket) — map-side
-    combinable; the bucket model is <= n_buckets rows, broadcast into
-    the scoring join; the per-doc reduce is a map-side-combinable sum.
-    No driver materialization anywhere (totals ride a 1-row scalar
-    broadcast, the temperature-mix pattern).
+    Scale shape: ONE explode->groupBy over (doc, bucket) — map-side
+    combinable; the bucket model (st) is derived FROM that per-doc
+    table rather than from a second scan of the gram explode, so the
+    expensive stage (tokenize + bigram + md5 + explode) runs exactly
+    once and ReuseExchange shares its shuffle between the two join
+    sides; the model is <= n_buckets rows, broadcast into the scoring
+    join; the per-doc reduce is a map-side-combinable sum. No driver
+    materialization anywhere (totals ride a 1-row scalar broadcast,
+    the temperature-mix pattern).
 
-    Returns (id_col, n_grams, logw).
+    Documents whose text is NULL produce no grams (split(NULL) is
+    NULL); they are returned with n_grams = 0 and logw = 0.0 — the
+    neutral weight — rather than silently dropped, so a resampling
+    consumer joining weights back to the corpus keeps every doc.
+
+    Returns (id_col, n_grams, logw) — one row per input document.
     """
-    g = _hashed_grams(
-        docs.select(id_col, text_col, target_pred.alias("__is_t")),
-        id_col,
-        text_col,
-        n_buckets,
+    dc, st, tot = _dsir_sufficient_stats(
+        docs, target_pred, id_col, text_col, n_buckets
     )
-    dc = g.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("n"))
-    st = g.groupBy("bucket").agg(
-        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("t"),
-        F.count(F.lit(1)).alias("r"),
-    )
-    tot = st.agg(
-        F.sum("t").alias("tt"), F.sum("r").alias("rt")
-    )  # 1 row
     scored = (
         dc.join(F.broadcast(st), "bucket")
         .crossJoin(F.broadcast(tot))
@@ -407,7 +405,72 @@ def dsir_log_weights(
             ),
         )
     )
-    return scored.groupBy(id_col).agg(
+    agg = scored.groupBy(id_col).agg(
         F.sum("n").cast("long").alias("n_grams"),
         F.sum("__c").alias("logw"),
     )
+    # NULL-text docs vanish at the explode; reattach them with the
+    # neutral weight so the output covers every input document
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left_outer")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"),
+        )
+    )
+
+
+def _dsir_sufficient_stats(
+    docs: DataFrame,
+    target_pred: "F.Column",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The DSIR sufficient statistics both tiers share — one source of
+    truth so the log tier and the hash-gated ratio tier
+    (curation_pack.py::x_text_dsir_weights) cannot drift:
+
+    - dc:  (id_col, bucket, n) per-doc bucket counts, plus the doc's
+           constant target flag carried through as ``is_t``;
+    - st:  (bucket, t, r) target/raw gram-occurrence counts, derived
+           FROM dc (sum of n where is_t / sum of n) — bucket-count
+           identical to recounting the gram explode, but the explode
+           executes once;
+    - tot: 1-row (tt, rt) totals over st.
+    """
+    from .dedup import _cached
+
+    g = _hashed_grams(
+        docs.select(id_col, text_col, target_pred.alias("__is_t")),
+        id_col,
+        text_col,
+        n_buckets,
+    )
+    # dc is read by THREE subplans (the scoring join's probe side, st,
+    # and tot through st); Catalyst does not reuse the exchange across
+    # them, so without the cache the gram explode — the expensive
+    # stage — executes three times. The cache is a performance hint
+    # only (recompute reproduces identical values) and is released via
+    # dedup.release_caches() like every operator scratch cache.
+    dc = _cached(
+        g.groupBy(id_col, "bucket").agg(
+            F.count(F.lit(1)).alias("n"),
+            # target_pred is constant per doc; first() under that
+            # invariant is deterministic
+            F.first("__is_t").alias("is_t"),
+        )
+    )
+    st = _cached(
+        dc.groupBy("bucket").agg(
+            F.sum(F.when(F.col("is_t"), F.col("n")).otherwise(0)).alias("t"),
+            F.sum("n").alias("r"),
+        )
+    )
+    tot = st.agg(
+        F.sum("t").cast("long").alias("tt"),
+        F.sum("r").cast("long").alias("rt"),
+    )  # 1 row
+    return dc, st, tot

@@ -1192,7 +1192,9 @@ def scatter_matrix_int(
 
     Long-format output, 1-based dims: (i, j, s) with 1 <= i <= j <=
     dim is the upper scatter triangle sum(q_i * q_j); (i, 0) holds the
-    component sums sum(q_i); (0, 0) holds the row count. cov =
+    component sums sum(q_i); (0, 0) holds the row count. An EMPTY
+    input returns zero rows — no (0,0,0) marker — and the oracle twin
+    states the same (HAVING COUNT(*) > 0 on its count CTE). cov =
     (S - m m^T / n) / n follows driver-side in float (pca_fit).
     Overflow headroom: |q| <= 2^11 grids give per-row products <=
     2^22; int64 holds ~2^41 such rows per cell.
@@ -1263,7 +1265,10 @@ def pca_fit(
     """
     import numpy as np
 
-    dim = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).first()
+    if head is None:
+        raise ValueError("pca_fit: empty corpus")
+    dim = len(head[0])
     q = corpus.select(_grid_quantize(vec_col, scale).alias("qv"))
     rows = scatter_matrix_int(q, "qv", dim=dim).collect()
     S = np.zeros((dim, dim), dtype=np.float64)

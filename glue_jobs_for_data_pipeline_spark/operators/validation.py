@@ -340,12 +340,16 @@ def varchar_enforce(
     aggs = []
     for c, n in limits.items():
         ln = F.length(F.col(c))
+        # counts coalesce to 0 on an empty input (SUM over zero rows is
+        # NULL in SQL) so consumers can gate on `n_overlength == 0`
+        # without a null check; max_observed stays NULL when there is
+        # nothing to observe — that is a fact, not a zero.
         aggs += [
-            F.sum(F.when(ln > n, 1).otherwise(0))
+            F.coalesce(F.sum(F.when(ln > n, 1).otherwise(0)), F.lit(0))
             .cast("long")
             .alias(f"__over_{c}"),
             F.max(ln).cast("int").alias(f"__max_{c}"),
-            F.sum(F.when(ln > n, ln - n).otherwise(0))
+            F.coalesce(F.sum(F.when(ln > n, ln - n).otherwise(0)), F.lit(0))
             .cast("long")
             .alias(f"__trunc_{c}"),
         ]

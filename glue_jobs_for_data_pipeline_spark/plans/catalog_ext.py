@@ -1372,7 +1372,7 @@ means AS (
   FROM q, UNNEST(range(1, 65)) AS t(i) GROUP BY t.i),
 cnt AS (
   SELECT CAST(0 AS INTEGER) AS i, CAST(0 AS INTEGER) AS j,
-         CAST(COUNT(*) AS BIGINT) AS s FROM q)
+         CAST(COUNT(*) AS BIGINT) AS s FROM q HAVING COUNT(*) > 0)
 SELECT * FROM tri UNION ALL SELECT * FROM means UNION ALL SELECT * FROM cnt
 """
 
@@ -5157,22 +5157,23 @@ def x_storage_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFram
     The demo brackets the two thresholds that gate injection at these
     toy sizes (application-side scan >= 10 GB by default — trivially
     true at 100 TB, never true in a fixture) and pins the join to SMJ
-    with the merge hint for the same reason; it materializes the
-    result to scratch UNDER the bracket and then RESTORES every conf,
-    so nothing leaks into other queries' plans. The executed plan is
-    asserted to contain the bloom filter AT RUNTIME inside the query —
-    a silently-not-injected bloom would fail loudly here (and in
-    tests/test_storage.py), not just produce an unremarkable plan.
-    Semantics are bloom-independent (false positives only cost work,
-    the join still filters exactly), which is what the DuckDB oracle
-    states with the plain static join."""
+    with the merge hint for the same reason; it executes the aggregate
+    UNDER the bracket (a bounded collect — the result is one row per
+    returnflag) and then RESTORES every conf, so nothing leaks into
+    other queries' plans. The assertion reads the QueryExecution of
+    the DataFrame that was just collected — the AQE FINAL plan that
+    actually ran, not a never-executed sibling — so a
+    silently-not-injected (or AQE-dropped) bloom fails loudly here
+    (and in tests/test_storage.py), not just produces an unremarkable
+    plan. Semantics are bloom-independent (false positives only cost
+    work, the join still filters exactly), which is what the DuckDB
+    oracle states with the plain static join."""
     confs = {
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
         "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
     old = {k: spark.conf.get(k) for k in confs}
-    out = _scratch_dir("spark_graft_bloom_") + "/agg"
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
@@ -5189,13 +5190,14 @@ def x_storage_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFram
             .cast("double")
             .alias("sum_qty"),
         )
-        agg.write.mode("overwrite").parquet(out)
+        rows = agg.collect()  # executes agg's own QueryExecution
         plan = agg._jdf.queryExecution().executedPlan().toString()
         if "bloom_filter_agg" not in plan:
             raise AssertionError(
-                "runtime bloom filter was not injected into the join plan"
+                "runtime bloom filter was not injected into the "
+                "executed join plan"
             )
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
-    return spark.read.parquet(out)
+    return spark.createDataFrame(rows, agg.schema)

@@ -1075,23 +1075,13 @@ def x_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver materialization. The integer products stay under 2^63 up to
     ~sf10 corpus sizes (documented headroom; past that the statistics
     widen to DOUBLE with the same expression text on both engines)."""
-    from ..operators.corpus import _hashed_grams
+    from ..operators.corpus import _dsir_sufficient_stats
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    g = _hashed_grams(
-        docs.select("doc_id", "text", (F.col("lang") == "en").alias("__is_t")),
-        "doc_id",
-        "text",
-        _DSIR_BUCKETS,
-    )
-    dc = g.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
-    st = g.groupBy("bucket").agg(
-        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("t"),
-        F.count(F.lit(1)).alias("r"),
-    )
-    tot = st.agg(
-        F.sum("t").cast("long").alias("tt"),
-        F.sum("r").cast("long").alias("rt"),
+    # the SAME sufficient-statistics pipeline the log tier runs (one
+    # source of truth; one gram explode shared by both join sides)
+    dc, st, tot = _dsir_sufficient_stats(
+        docs, (F.col("lang") == "en"), "doc_id", "text", _DSIR_BUCKETS
     )
     agg = (
         dc.join(F.broadcast(st), "bucket")

@@ -1848,11 +1848,12 @@ _VARCHAR_DEMO_LIMITS = {"lang": 10, "source": 50, "text": 500}
 
 _X_VARCHAR_SQL = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS col_name, CAST({n} AS INTEGER) AS declared_len,
-       CAST(SUM(CASE WHEN length({c}) > {n} THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_overlength,
+       CAST(COALESCE(SUM(CASE WHEN length({c}) > {n} THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_overlength,
        CAST(MAX(length({c})) AS INTEGER) AS max_observed,
-       CAST(SUM(CASE WHEN length({c}) > {n} THEN length({c}) - {n}
-                     ELSE 0 END) AS BIGINT) AS chars_truncated
+       CAST(COALESCE(SUM(CASE WHEN length({c}) > {n}
+                              THEN length({c}) - {n} ELSE 0 END), 0)
+            AS BIGINT) AS chars_truncated
 FROM documents"""
     for c, n in _VARCHAR_DEMO_LIMITS.items()
 )

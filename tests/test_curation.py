@@ -356,3 +356,17 @@ def test_dsir_log_weights_handles_single_token_docs(spark):
     out = dsir_log_weights(df, F.col("is_t"), text_col="text").collect()
     got = {r["doc_id"]: r["n_grams"] for r in out}
     assert got == {1: 1, 2: 3, 3: 1}  # bigram only where >= 2 tokens
+
+
+def test_dsir_log_weights_keeps_null_text_docs_with_neutral_weight(spark):
+    from glue_jobs_for_data_pipeline_spark.operators.corpus import (
+        dsir_log_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world", True), (2, None, False), (3, "hello", False)],
+        "doc_id int, text string, is_t boolean",
+    )
+    out = {r["doc_id"]: r for r in dsir_log_weights(df, F.col("is_t")).collect()}
+    assert set(out) == {1, 2, 3}  # the NULL-text doc is not dropped
+    assert out[2]["n_grams"] == 0 and out[2]["logw"] == 0.0

@@ -479,3 +479,56 @@ def test_scatter_matrix_matches_numpy_and_pca_is_sane(spark, sf_dir):
         dtype=np.float64,
     )
     assert p.var() >= Xf.var(axis=0).max() - 1e-9
+
+
+def test_pca_fit_empty_corpus_raises_value_error(spark):
+    import pytest
+
+    from glue_jobs_for_data_pipeline_spark.operators.similarity import pca_fit
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        pca_fit(empty)
+
+
+def test_scatter_matrix_empty_input_yields_zero_rows(spark):
+    from glue_jobs_for_data_pipeline_spark.operators.similarity import (
+        scatter_matrix_int,
+    )
+
+    empty = spark.createDataFrame([], "qv array<long>")
+    assert scatter_matrix_int(empty, "qv").count() == 0
+
+
+def test_scatter_matrix_property_random_vectors_match_numpy(spark):
+    """Property check on adversarial values (negatives, tiny, large):
+    the Arrow partial-merge pipeline equals numpy X.T@X exactly for
+    any int64 grid input — partition count must not matter."""
+    import numpy as np
+
+    from glue_jobs_for_data_pipeline_spark.operators.similarity import (
+        scatter_matrix_int,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 8
+    X = np.concatenate(
+        [
+            rng.randint(-2048, 2048, size=(40, dim)),
+            np.full((3, dim), -2048),
+            np.zeros((2, dim), dtype=int),
+        ]
+    ).astype(np.int64)
+    df = spark.createDataFrame(
+        [(r.tolist(),) for r in X], "qv array<long>"
+    ).repartition(7)  # force multiple partials
+    got = {
+        (r["i"], r["j"]): r["s"]
+        for r in scatter_matrix_int(df, "qv", dim=dim).collect()
+    }
+    S = X.T @ X
+    for i in range(dim):
+        assert got[(i + 1, 0)] == int(X[:, i].sum())
+        for j in range(i, dim):
+            assert got[(i + 1, j + 1)] == int(S[i, j]), (i, j)
+    assert got[(0, 0)] == len(X)

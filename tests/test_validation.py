@@ -274,3 +274,15 @@ def test_varchar_enforce_rejects_bad_registry(spark):
         varchar_enforce(df, {})
     with pytest.raises(ValueError):
         varchar_enforce(df, {"nope": 5})
+
+
+def test_varchar_enforce_empty_input_reports_zero_counts(spark):
+    from glue_jobs_for_data_pipeline_spark.operators.validation import (
+        varchar_enforce,
+    )
+
+    df = spark.createDataFrame([], "id int, a string")
+    _conformed, report = varchar_enforce(df, {"a": 5})
+    row = report.collect()[0]
+    assert row["n_overlength"] == 0 and row["chars_truncated"] == 0
+    assert row["max_observed"] is None  # nothing observed is not zero
