@@ -370,3 +370,61 @@ def test_dsir_log_weights_keeps_null_text_docs_with_neutral_weight(spark):
     out = {r["doc_id"]: r for r in dsir_log_weights(df, F.col("is_t")).collect()}
     assert set(out) == {1, 2, 3}  # the NULL-text doc is not dropped
     assert out[2]["n_grams"] == 0 and out[2]["logw"] == 0.0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab c\tD!é ")),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_hashed_grams_match_python_reference(spark, texts):
+    """_hashed_grams' unigram+bigram multiset equals a pure-Python
+    re-tokenization for ANY messy-whitespace/unicode text (the gram
+    set is the part both DSIR tiers and the SQL twin must agree on;
+    bucket hashing is md5 and engine-portable by construction)."""
+    import re
+    from collections import Counter
+
+    from glue_jobs_for_data_pipeline_spark.operators.corpus import (
+        _hashed_grams,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = Counter(
+        (r["doc_id"], r["bucket"])
+        for r in _hashed_grams(df, "doc_id", "text", 64).collect()
+    )
+
+    import hashlib
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) % 64
+
+    want: Counter = Counter()
+    for i, t in enumerate(texts):
+        # Spark trim() and DuckDB trim() strip SPACES only (not tabs) —
+        # the engines agree with each other, so the reference must
+        # strip(" "), not Python's all-whitespace strip()
+        w = re.split(r"\s+", t.strip(" ").lower())
+        grams = list(w) + [f"{a} {b}" for a, b in zip(w, w[1:])]
+        for g in grams:
+            want[(i, bucket(g))] += 1
+    assert got == want

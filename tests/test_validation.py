@@ -286,3 +286,50 @@ def test_varchar_enforce_empty_input_reports_zero_counts(spark):
     row = report.collect()[0]
     assert row["n_overlength"] == 0 and row["chars_truncated"] == 0
     assert row["max_observed"] is None  # nothing observed is not zero
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.one_of(st.none(), st.text(min_size=0, max_size=20)),
+        min_size=0,
+        max_size=12,
+    ),
+    limit=st.integers(min_value=1, max_value=12),
+)
+def test_varchar_enforce_properties(spark, rows, limit):
+    """For ANY string column and limit: conformed lengths never exceed
+    the limit, under-limit values pass through byte-identical, NULLs
+    survive, and the report's counters equal a pure-Python recount."""
+    from glue_jobs_for_data_pipeline_spark.operators.validation import (
+        varchar_enforce,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rows)], "id int, a string"
+    )
+    conformed, report = varchar_enforce(df, {"a": limit})
+    got = {r["id"]: r["a"] for r in conformed.collect()}
+    for i, v in enumerate(rows):
+        if v is None:
+            assert got[i] is None
+        elif len(v) <= limit:
+            assert got[i] == v
+        else:
+            assert got[i] == v[:limit]
+    rep = report.collect()[0]
+    vals = [v for v in rows if v is not None]
+    assert rep["n_overlength"] == sum(1 for v in vals if len(v) > limit)
+    assert rep["chars_truncated"] == sum(
+        max(len(v) - limit, 0) for v in vals
+    )
+    assert rep["max_observed"] == (max(map(len, vals)) if vals else None)
