@@ -271,6 +271,7 @@ def gc_orphans(table_dir: str) -> list[int]:
 
 _MANIFEST_DIR = "_MANIFEST"
 _HEAD = "_HEAD"
+_REFS_DIR = "_REFS"
 _COMMIT_LOCK = "_COMMIT.lock"
 # A lock older than this is presumed abandoned even if its pid was
 # recycled by another process (liveness check alone can false-positive).
@@ -311,8 +312,10 @@ class Catalog:
 
         <root>/<table>/v=<N>/part-*.parquet   per-table immutable versions
         <root>/_MANIFEST/m=<M>.json           immutable manifests:
-                                              {"tables": {name: version}}
-        <root>/_HEAD                          pointer file holding M
+                                              {"tables": {name: version},
+                                               "parent": M'}
+        <root>/_HEAD                          main ref (pointer holding M)
+        <root>/_REFS/<branch>                 additional branch refs (r15)
 
     A transaction stages every table's new version, writes ONE new
     manifest holding the full updated table->version mapping, then
@@ -338,34 +341,163 @@ class Catalog:
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
 
     # -- read side ---------------------------------------------------
-    def head(self) -> int | None:
+    def _ref_path(self, branch: str) -> str:
+        """Pointer file for a ref. ``main`` IS the legacy _HEAD file —
+        existing catalogs gain branching with no migration; other refs
+        live under _REFS/<name>."""
+        if branch == "main":
+            return os.path.join(self.root, _HEAD)
+        if not branch or not all(c.isalnum() or c in "-_." for c in branch):
+            raise ValueError(f"invalid branch name: {branch!r}")
+        return os.path.join(self.root, _REFS_DIR, branch)
+
+    def head(self, branch: str = "main") -> int | None:
         try:
-            with open(os.path.join(self.root, _HEAD)) as f:
+            with open(self._ref_path(branch)) as f:
                 return int(f.read().strip())
         except (FileNotFoundError, ValueError):
             return None
 
-    def manifest(self) -> dict[str, int]:
+    def manifest(self, branch: str = "main") -> dict[str, int]:
         """Committed table -> version mapping ({} before first commit)."""
-        head = self.head()
+        head = self.head(branch)
         if head is None:
             return {}
         path = os.path.join(self.root, _MANIFEST_DIR, f"m={head}.json")
         with open(path) as f:
             return {k: int(v) for k, v in json.load(f)["tables"].items()}
 
+    def _manifest_parent(self, m: int) -> int | None:
+        """Parent manifest id, or None for roots / pre-branching
+        manifests (written before parents were recorded)."""
+        path = os.path.join(self.root, _MANIFEST_DIR, f"m={m}.json")
+        try:
+            with open(path) as f:
+                parent = json.load(f).get("parent")
+        except FileNotFoundError:
+            return None
+        return int(parent) if parent is not None else None
+
     def table_dir(self, name: str) -> str:
         return os.path.join(self.root, name)
 
-    def read(self, spark: SparkSession, name: str) -> DataFrame:
-        """Scan a table AS OF the committed manifest — never a staged or
-        half-committed state."""
-        versions = self.manifest()
+    def read(
+        self, spark: SparkSession, name: str, branch: str = "main"
+    ) -> DataFrame:
+        """Scan a table AS OF the committed manifest of ``branch`` —
+        never a staged or half-committed state."""
+        versions = self.manifest(branch)
         if name not in versions:
-            raise FileNotFoundError(f"table {name!r} not in committed manifest")
+            raise FileNotFoundError(
+                f"table {name!r} not in committed manifest of {branch!r}"
+            )
         return _read_version_df(
             spark, _version_dir(self.table_dir(name), versions[name])
         )
+
+    # -- branches ------------------------------------------------------
+    def branches(self) -> dict[str, int | None]:
+        """Every ref -> its manifest id (``main`` always listed)."""
+        out: dict[str, int | None] = {"main": self.head()}
+        rdir = os.path.join(self.root, _REFS_DIR)
+        if os.path.isdir(rdir):
+            for name in sorted(os.listdir(rdir)):
+                out[name] = self.head(name)
+        return out
+
+    def create_branch(self, name: str, from_branch: str = "main") -> int:
+        """Create ``name`` pointing at ``from_branch``'s current
+        manifest — O(1) metadata, ZERO data copy: manifests and table
+        versions are immutable and shared, so a branch is just another
+        pointer into the same DAG (the Nessie/Iceberg-branching model;
+        experiments fork the warehouse without duplicating a byte).
+        Refuses to overwrite an existing ref."""
+        src = self.head(from_branch)
+        if src is None:
+            raise ValueError(f"branch {from_branch!r} has no commits to fork")
+        ref = self._ref_path(name)
+        if name == "main" or os.path.exists(ref):
+            raise ValueError(f"branch {name!r} already exists")
+        os.makedirs(os.path.dirname(ref), exist_ok=True)
+        self._set_ref(name, src, expected=None)
+        return src
+
+    def delete_branch(self, name: str) -> None:
+        """Drop a ref (never ``main``). Data stays until gc/vacuum —
+        deleting a branch only unpins its manifests."""
+        if name == "main":
+            raise ValueError("cannot delete main")
+        os.unlink(self._ref_path(name))
+
+    def merge_ff(self, branch: str, into: str = "main") -> int:
+        """FAST-FORWARD merge: move ``into``'s ref to ``branch``'s
+        manifest, allowed only when ``into``'s current manifest is an
+        ancestor of (or equal to) ``branch``'s — i.e. nothing was
+        committed to ``into`` since the fork, so the move cannot lose
+        a commit. Divergent branches raise: a non-FF merge needs a
+        rebase (re-run the branch's transactions on top of ``into``),
+        which is application logic, not catalog metadata — the same
+        posture as a conditional-put conflict. The swap itself is a
+        locked compare-and-swap on ``into``'s ref, so a racing commit
+        to ``into`` turns the merge into a retryable
+        ConcurrentCommitError instead of a lost update."""
+        b_head = self.head(branch)
+        if b_head is None:
+            raise ValueError(f"branch {branch!r} has no commits")
+        i_head = self.head(into)
+        if i_head is not None:
+            cur: int | None = b_head
+            while cur is not None and cur != i_head:
+                cur = self._manifest_parent(cur)
+            if cur != i_head:
+                raise ValueError(
+                    f"non-fast-forward: {into!r} (m={i_head}) is not an "
+                    f"ancestor of {branch!r} (m={b_head}); rebase the "
+                    "branch's transactions onto the current head"
+                )
+        self._set_ref(into, b_head, expected=i_head)
+        return b_head
+
+    def _set_ref(
+        self, branch: str, m: int, expected: int | None
+    ) -> None:
+        """Atomically point ``branch`` at manifest ``m`` under the
+        commit lock, failing if the ref moved from ``expected`` (the
+        same CAS discipline as _commit — ref swaps and commits share
+        one lock, so no interleaving can lose an update)."""
+        lock = os.path.join(self.root, _COMMIT_LOCK)
+        fd = None
+        for attempt in (0, 1):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if attempt == 0 and self._reclaim_stale_lock(lock):
+                    continue
+                raise ConcurrentCommitError(
+                    f"another live commit holds {lock}"
+                ) from None
+        try:
+            os.write(fd, f"{os.getpid()} {time.time()}".encode())
+            os.close(fd)
+            if self.head(branch) != expected:
+                raise ConcurrentCommitError(
+                    f"ref {branch!r} moved {expected} -> "
+                    f"{self.head(branch)}; re-check and retry"
+                )
+            ref = self._ref_path(branch)
+            tmp = ref + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(m))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, ref)
+            _fsync_dir(os.path.dirname(ref))
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
 
     # -- write side --------------------------------------------------
     @staticmethod
@@ -419,7 +551,10 @@ class Catalog:
         return max([self.head() or 0, *existing], default=0) + 1
 
     def _commit(
-        self, staged: dict[str, int], expected_head: int | None = None
+        self,
+        staged: dict[str, int],
+        expected_head: int | None = None,
+        branch: str = "main",
     ) -> int:
         """Write the merged manifest (immutable file), then swap _HEAD —
         the ONLY publish point; everything before it is abortable.
@@ -457,31 +592,37 @@ class Catalog:
         try:
             os.write(fd, f"{os.getpid()} {time.time()}".encode())
             os.close(fd)
-            if expected_head is not None and self.head() != expected_head:
+            parent = self.head(branch)
+            if expected_head is not None and parent != expected_head:
                 raise ConcurrentCommitError(
-                    f"HEAD moved {expected_head} -> {self.head()} since this "
-                    "transaction opened; re-read, restage, retry"
+                    f"ref {branch!r} moved {expected_head} -> {parent} since "
+                    "this transaction opened; re-read, restage, retry"
                 )
             m = self._next_manifest()
-            merged = {**self.manifest(), **staged}
+            merged = {**self.manifest(branch), **staged}
             mpath = os.path.join(self.root, _MANIFEST_DIR, f"m={m}.json")
             tmp = mpath + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"tables": merged}, f)
+                # parent link = the manifest this one was committed on
+                # top of — the ancestry chain merge_ff walks
+                json.dump({"tables": merged, "parent": parent}, f)
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, mpath)
             _fsync_dir(os.path.dirname(mpath))
             # the commit point: one atomic metadata op covers every table
-            head_tmp = os.path.join(self.root, _HEAD) + ".tmp"
+            ref = self._ref_path(branch)
+            os.makedirs(os.path.dirname(ref), exist_ok=True)
+            head_tmp = ref + ".tmp"
             with open(head_tmp, "w") as f:
                 f.write(str(m))
                 f.flush()
                 os.fsync(f.fileno())
-            os.replace(head_tmp, os.path.join(self.root, _HEAD))
-            # rename atomicity is not rename durability: sync the root
-            # dir or a crash can roll HEAD back to the old manifest
-            _fsync_dir(self.root)
+            os.replace(head_tmp, ref)
+            # rename atomicity is not rename durability: sync the
+            # parent dir or a crash can roll the ref back to the old
+            # manifest
+            _fsync_dir(os.path.dirname(ref))
             return m
         finally:
             try:
@@ -489,8 +630,8 @@ class Catalog:
             except FileNotFoundError:
                 pass
 
-    def transaction(self) -> "CatalogTransaction":
-        return CatalogTransaction(self)
+    def transaction(self, branch: str = "main") -> "CatalogTransaction":
+        return CatalogTransaction(self, branch)
 
     def compact_table(
         self,
@@ -536,12 +677,22 @@ class Catalog:
         versions but no manifest entry at all, so it is treated as
         cur = 0 and fully reclaimed — iterating only committed tables
         left those orphans forever.
-        Same caveat as gc_orphans: only call with no writer in flight."""
-        versions = self.manifest()
+        Same caveat as gc_orphans: only call with no writer in flight.
+
+        Branch-aware (r15): "committed" means referenced by ANY ref's
+        manifest — a version published only on an experiment branch is
+        live state, not debris, so the high-water mark per table is the
+        max across every branch head."""
+        versions: dict[str, int] = {}
+        for branch in self.branches():
+            for name, v in self.manifest(branch).items():
+                versions[name] = max(versions.get(name, 0), v)
         removed: dict[str, list[int]] = {}
         for name in os.listdir(self.root):
             tdir = self.table_dir(name)
-            if name in (_MANIFEST_DIR, _HEAD, _COMMIT_LOCK) or not os.path.isdir(tdir):
+            if name in (
+                _MANIFEST_DIR, _HEAD, _REFS_DIR, _COMMIT_LOCK,
+            ) or not os.path.isdir(tdir):
                 continue
             cur = versions.get(name, 0)
             for d in os.listdir(tdir):
@@ -572,14 +723,17 @@ class CatalogTransaction:
     didn't (nothing published).
     """
 
-    def __init__(self, catalog: Catalog) -> None:
+    def __init__(self, catalog: Catalog, branch: str = "main") -> None:
         self._catalog = catalog
+        self._branch = branch
         self._staged: dict[str, int] = {}
         # optimistic-concurrency snapshot: commit fails (and rolls the
-        # staged versions back) if HEAD moves before we publish —
-        # without this, {**manifest(), **staged} re-read at commit time
-        # silently drops a racing writer's tables (ADVICE r13)
-        self._expected_head = catalog.head()
+        # staged versions back) if THIS BRANCH's ref moves before we
+        # publish — without this, {**manifest(), **staged} re-read at
+        # commit time silently drops a racing writer's tables (ADVICE
+        # r13). Writers on DIFFERENT branches never conflict: each CAS
+        # guards its own ref.
+        self._expected_head = catalog.head(branch)
 
     def overwrite(
         self, df: DataFrame, name: str, partition_by: tuple[str, ...] = ()
@@ -604,7 +758,9 @@ class CatalogTransaction:
         try:
             if exc_type is None:
                 self._catalog._commit(
-                    self._staged, expected_head=self._expected_head
+                    self._staged,
+                    expected_head=self._expected_head,
+                    branch=self._branch,
                 )
                 self._staged = {}
         finally:

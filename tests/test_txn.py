@@ -326,7 +326,7 @@ def test_catalog_concurrent_writer_loses_with_cas_error(spark, tmp_path):
     t_a.overwrite(_df(spark, 2), "dim")
     t_b.overwrite(_df(spark, 3), "dim")
     assert t_a.__exit__(None, None, None) is False  # winner commits
-    with pytest.raises(txn.ConcurrentCommitError, match="HEAD moved"):
+    with pytest.raises(txn.ConcurrentCommitError, match="'main' moved"):
         t_b.__exit__(None, None, None)
     # winner's state committed; loser's staged version reclaimed
     assert cat.read(spark, "dim").selectExpr("max(tag)").first()[0] == 2
@@ -478,3 +478,113 @@ def test_catalog_threaded_writers_serialize_without_lost_updates(spark, tmp_path
     assert set(manifest) == {"seed"} | {f"tab_{i}" for i in range(8)}
     for i in range(8):
         assert cat.read(spark, f"tab_{i}").selectExpr("max(tag)").first()[0] == i
+
+
+# --------------------------------------------------------------------------
+# Branch refs (r15): fork / isolated commits / fast-forward merge / gc
+# --------------------------------------------------------------------------
+
+
+def test_branch_fork_isolates_commits_and_shares_data(spark, tmp_path):
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 1), "dim")
+        t.overwrite(_df(spark, 1), "fact")
+    fork_m = cat.create_branch("exp")
+    assert fork_m == cat.head()
+    # zero data copy: the branch resolves to the SAME version dirs
+    assert cat.manifest("exp") == cat.manifest()
+
+    with cat.transaction(branch="exp") as t:
+        t.overwrite(_df(spark, 9), "dim")
+    # branch sees the new dim; main is untouched; fact is still shared
+    assert cat.read(spark, "dim", branch="exp").selectExpr("max(tag)").first()[0] == 9
+    assert cat.read(spark, "dim").selectExpr("max(tag)").first()[0] == 1
+    assert cat.manifest("exp")["fact"] == cat.manifest()["fact"]
+    assert cat.branches().keys() == {"main", "exp"}
+
+
+def test_branch_writers_on_different_refs_do_not_conflict(spark, tmp_path):
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 1), "dim")
+    cat.create_branch("a")
+    cat.create_branch("b")
+    ta, tb = cat.transaction(branch="a"), cat.transaction(branch="b")
+    with ta as t:
+        t.overwrite(_df(spark, 2), "dim")
+    with tb as t:  # opened before a's commit; different ref -> no CAS clash
+        t.overwrite(_df(spark, 3), "dim")
+    assert cat.read(spark, "dim", branch="a").selectExpr("max(tag)").first()[0] == 2
+    assert cat.read(spark, "dim", branch="b").selectExpr("max(tag)").first()[0] == 3
+
+
+def test_branch_same_ref_cas_still_fires(spark, tmp_path):
+    import pytest
+
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 1), "dim")
+    cat.create_branch("exp")
+    loser = cat.transaction(branch="exp")
+    with cat.transaction(branch="exp") as t:
+        t.overwrite(_df(spark, 2), "dim")
+    with pytest.raises(txn.ConcurrentCommitError):
+        with loser as t:
+            t.overwrite(_df(spark, 3), "dim")
+
+
+def test_merge_ff_moves_main_and_rejects_divergence(spark, tmp_path):
+    import pytest
+
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 1), "dim")
+    cat.create_branch("exp")
+    with cat.transaction(branch="exp") as t:
+        t.overwrite(_df(spark, 9), "dim")
+    with cat.transaction(branch="exp") as t:
+        t.overwrite(_df(spark, 10), "dim")
+    m = cat.merge_ff("exp")  # main did not move since the fork -> FF ok
+    assert cat.head() == m == cat.head("exp")
+    assert cat.read(spark, "dim").selectExpr("max(tag)").first()[0] == 10
+
+    # diverge: commit to BOTH refs, then FF must refuse
+    cat.create_branch("exp2")
+    with cat.transaction(branch="exp2") as t:
+        t.overwrite(_df(spark, 20), "dim")
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 30), "dim")
+    with pytest.raises(ValueError, match="non-fast-forward"):
+        cat.merge_ff("exp2")
+
+
+def test_gc_uncommitted_preserves_branch_only_versions(spark, tmp_path):
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 1), "dim")
+    cat.create_branch("exp")
+    with cat.transaction(branch="exp") as t:
+        t.overwrite(_df(spark, 9), "dim")
+    # the branch's dim version is NEWER than main's manifest entry but
+    # referenced by the exp ref -> NOT debris
+    removed = cat.gc_uncommitted()
+    assert removed == {}
+    assert cat.read(spark, "dim", branch="exp").selectExpr("max(tag)").first()[0] == 9
+    # after the branch is deleted the version is unreferenced -> debris
+    cat.delete_branch("exp")
+    removed = cat.gc_uncommitted()
+    assert "dim" in removed and removed["dim"]
+    assert cat.read(spark, "dim").selectExpr("max(tag)").first()[0] == 1
+
+
+def test_branch_name_validation_and_main_protection(tmp_path):
+    import pytest
+
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with pytest.raises(ValueError):
+        cat._ref_path("../escape")
+    with pytest.raises(ValueError):
+        cat.delete_branch("main")
+    with pytest.raises(ValueError):
+        cat.create_branch("x")  # nothing committed to fork yet
