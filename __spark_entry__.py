@@ -32,9 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate consumes exactly the FIRST 50 keys of
 # queries(), so registration order is the coverage knob. Round 15
-# priority order (the r14 verdict's tasks #1 and #6 — 49 explicit
-# entries below + the first 1 parity key that _ordered_keys
-# auto-appends = 50):
+# priority order (the r14 verdict's tasks #1 and #6 — 50 explicit
+# entries below = the full window):
 # (a) the COMPLETE 25-key r08-evidence cohort — the oldest driver
 #     evidence left, retired in one edit;
 # (b) the two keys that never had ANY driver row (rows-only by design;
@@ -51,8 +50,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     x_market_basket_lift (distinct basket set checkpointed),
 #     x_graph_pagerank (oracle nodes CTE now unions dst);
 # (d) always-on m1/m2 core + m5 (stale-lock reclamation added r15).
-# Slot 50 auto-fills with the first parity key (registration order),
-# driver-green in r14.
+# No parity auto-fill this round (all 46 parity keys driver-green r14
+# and sweep-green both SFs every round).
 # Carried to r16 (sweep-green at both SFs every round; newest driver
 # evidence r14): x_mm_binary_ingest, x_graph_edges_stage,
 # x_mm_ingest_pipeline, x_storage_bucketed_join,
@@ -120,11 +119,11 @@ _WINDOW_FIRST = [
     "x_olap_grid_quantile_sketch",
     "x_market_basket_lift",
     "x_graph_pagerank",
-    # (c2) NEW in r15, seated for first driver evidence (7):
+    # (c2) NEW in r15, seated for first driver evidence (8):
     # VARCHAR enforcement (SURVEY §1.2 residue closed), DSIR importance
     # weights, staged-model cluster quality, count-min sketch, PCA
     # scatter moments, group-aware k-fold split, runtime bloom-filter
-    # join pruning
+    # join pruning, catalog branch isolation + fast-forward merge
     "x_validate_varchar_len",
     "x_text_dsir_weights",
     "x_emb_cluster_quality",
@@ -132,6 +131,7 @@ _WINDOW_FIRST = [
     "x_emb_scatter_matrix",
     "x_split_group_kfold",
     "x_storage_runtime_bloom_filter",
+    "x_storage_branch_isolation",
     # (d) always-on core + commit path (3)
     "m1_scd2_upsert",
     "m2_j2_fact_population",

@@ -192,6 +192,9 @@ BENCH_QUERIES = [
     # billing threshold
     "x_split_group_kfold",
     "x_storage_runtime_bloom_filter",
+    # r15 close: catalog branch fork -> isolated rewrite -> FF merge
+    # (three catalog commits + three digest reads per invocation)
+    "x_storage_branch_isolation",
 ]
 
 # The host's recurring noise mode concentrates on the winnowing pair

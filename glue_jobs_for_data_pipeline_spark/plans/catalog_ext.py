@@ -5201,3 +5201,72 @@ def x_storage_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFram
         for k, v in old.items():
             spark.conf.set(k, v)
     return spark.createDataFrame(rows, agg.schema)
+
+
+# --------------------------------------------------------------------------
+# Round-15 addition: catalog branch isolation + fast-forward merge
+# --------------------------------------------------------------------------
+
+_X_BRANCH_SQL = """
+SELECT 'main' AS ref, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM customer
+UNION ALL
+SELECT 'exp' AS ref, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT 'merged' AS ref, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+@_q("x_storage_branch_isolation", _X_BRANCH_SQL)
+def x_storage_branch_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog BRANCHING exercised end-to-end under the hash gate
+    (sources/txn.py branch refs, r15): commit the customer dim on
+    main, fork an ``exp`` branch (O(1) metadata, zero data copy —
+    manifests and version dirs are immutable and shared), commit a
+    filtered rewrite on the branch, then read BOTH refs — main must
+    still see every row while the branch sees only its rewrite (the
+    isolation half) — and finally fast-forward-merge the branch into
+    main and read main again (the publish half). The emitted
+    (ref, n, key_sum) rows are pure functions of the source table, so
+    DuckDB states the expected state of each ref without ever seeing
+    the catalog: a broken CAS, a shared-version mutation, or a merge
+    that lost the branch commit all flip a row. This is the
+    experiment-fork workflow a training-data team runs at 100 TB —
+    rewrite a dim on a branch, validate, promote with one pointer
+    swap."""
+    from ..sources.txn import Catalog
+
+    cat = Catalog(_scratch_dir("spark_graft_branchiso_") + "/wh")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    with cat.transaction() as t:
+        t.overwrite(base, "dim_customer")
+    cat.create_branch("exp")
+    with cat.transaction(branch="exp") as t:
+        t.overwrite(
+            cat.read(spark, "dim_customer", branch="exp").filter(
+                F.col("c_mktsegment") == "BUILDING"
+            ),
+            "dim_customer",
+        )
+
+    def digest(ref: str, label: str) -> DataFrame:
+        return cat.read(spark, "dim_customer", branch=ref).agg(
+            F.lit(label).alias("ref"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+        ).select("ref", "n", "key_sum")
+
+    # isolation: main still full while exp holds the rewrite
+    main_before = digest("main", "main")
+    exp_state = digest("exp", "exp")
+    # publish: one pointer swap moves main to the branch's manifest
+    cat.merge_ff("exp")
+    merged = digest("main", "merged")
+    return main_before.unionByName(exp_state).unionByName(merged)
