@@ -38,6 +38,7 @@ import json
 import os
 import shutil
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -287,6 +288,18 @@ class ConcurrentCommitError(RuntimeError):
     an Iceberg/Delta conditional-put conflict."""
 
 
+class MergeConflictError(ValueError):
+    """Raised by Catalog.rebase when a table was rewritten on BOTH the
+    branch and the target since their merge base. ``tables`` carries
+    the sorted conflicting table names; versions are whole-table
+    snapshots, so there is no automatic row-level resolution — the
+    caller re-runs its branch transactions on a fresh fork."""
+
+    def __init__(self, msg: str, tables: list[str]) -> None:
+        super().__init__(msg)
+        self.tables = tables
+
+
 def _fsync_dir(path: str) -> None:
     """fsync a DIRECTORY so a just-os.replace()d entry inside it is
     durable across power loss (POSIX: rename atomicity does not imply
@@ -424,10 +437,17 @@ class Catalog:
 
     def delete_branch(self, name: str) -> None:
         """Drop a ref (never ``main``). Data stays until gc/vacuum —
-        deleting a branch only unpins its manifests."""
+        deleting a branch only unpins its manifests.
+
+        Runs under the commit lock (ADVICE r15): an unlocked unlink
+        races _set_ref/_commit on the same ref — the writer's
+        ``os.replace`` can resurrect the branch just after the unlink,
+        or the delete can drop a commit that just won its CAS. One
+        shared lock serializes deletes with every ref swap."""
         if name == "main":
             raise ValueError("cannot delete main")
-        os.unlink(self._ref_path(name))
+        with self._locked():
+            os.unlink(self._ref_path(name))
 
     def merge_ff(self, branch: str, into: str = "main") -> int:
         """FAST-FORWARD merge: move ``into``'s ref to ``branch``'s
@@ -458,28 +478,119 @@ class Catalog:
         self._set_ref(into, b_head, expected=i_head)
         return b_head
 
+    def _manifest_tables(self, m: int | None) -> dict[str, int]:
+        """Table -> version mapping of manifest ``m`` ({} for None)."""
+        if m is None:
+            return {}
+        path = os.path.join(self.root, _MANIFEST_DIR, f"m={m}.json")
+        with open(path) as f:
+            return {k: int(v) for k, v in json.load(f)["tables"].items()}
+
+    def _merge_base(self, a: int, b: int) -> int | None:
+        """Nearest common ancestor of manifests ``a`` and ``b`` along
+        parent links (None when the histories never meet — e.g.
+        pre-branching manifests with no recorded parent)."""
+        ancestors: set[int] = set()
+        cur: int | None = a
+        while cur is not None:
+            ancestors.add(cur)
+            cur = self._manifest_parent(cur)
+        cur = b
+        while cur is not None:
+            if cur in ancestors:
+                return cur
+            cur = self._manifest_parent(cur)
+        return None
+
+    def rebase(self, branch: str, onto: str = "main") -> int:
+        """REBASE a diverged branch onto ``onto``'s current head — the
+        non-fast-forward story merge_ff refuses by design: a three-way
+        manifest merge at TABLE granularity. The branch's change set is
+        every table whose version differs from the merge-base manifest;
+        replaying it means writing ONE new manifest =
+        {**manifest(onto), **branch_changes} with parent = onto's head,
+        then CAS-ing the branch ref to it. After a clean rebase the
+        branch IS a fast-forward of ``onto``, so merge_ff promotes it
+        with one pointer swap.
+
+        Conflicts are detected, never silently resolved: a table
+        rewritten on BOTH sides since the fork raises
+        MergeConflictError naming the tables (version history is
+        whole-table snapshots, so there is no row-level merge to
+        attempt — the caller re-runs its transaction on a fresh
+        branch, exactly like a git rebase conflict). No data moves:
+        like every catalog op this is pure metadata — version dirs are
+        immutable and shared, so the rebase cost is one small JSON
+        write however many TB the tables hold.
+
+        Runs under the commit lock with CAS semantics on BOTH refs: if
+        either ``onto`` or ``branch`` moves between the read and the
+        swap, ConcurrentCommitError — re-read and retry."""
+        b_head = self.head(branch)
+        o_head = self.head(onto)
+        if b_head is None:
+            raise ValueError(f"branch {branch!r} has no commits")
+        if o_head is None:
+            raise ValueError(f"branch {onto!r} has no commits")
+        if b_head == o_head:
+            return b_head
+        base = self._merge_base(b_head, o_head)
+        if base == o_head:
+            return b_head  # already based on onto — nothing to replay
+        base_t = self._manifest_tables(base)
+        b_changed = {
+            k: v
+            for k, v in self._manifest_tables(b_head).items()
+            if base_t.get(k) != v
+        }
+        o_changed = {
+            k
+            for k, v in self._manifest_tables(o_head).items()
+            if base_t.get(k) != v
+        }
+        conflicts = sorted(set(b_changed) & o_changed)
+        if conflicts:
+            raise MergeConflictError(
+                f"rebase {branch!r} onto {onto!r}: table(s) rewritten "
+                f"on both sides since the fork: {conflicts}; re-run the "
+                "branch's transactions on a fresh fork",
+                conflicts,
+            )
+        with self._locked():
+            if self.head(branch) != b_head or self.head(onto) != o_head:
+                raise ConcurrentCommitError(
+                    f"ref {branch!r} or {onto!r} moved during rebase; "
+                    "re-read and retry"
+                )
+            m = self._next_manifest()
+            merged = {**self._manifest_tables(o_head), **b_changed}
+            mpath = os.path.join(self.root, _MANIFEST_DIR, f"m={m}.json")
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"tables": merged, "parent": o_head}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, mpath)
+            _fsync_dir(os.path.dirname(mpath))
+            ref = self._ref_path(branch)
+            rtmp = ref + ".tmp"
+            with open(rtmp, "w") as f:
+                f.write(str(m))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(rtmp, ref)
+            _fsync_dir(os.path.dirname(ref))
+            return m
+
     def _set_ref(
         self, branch: str, m: int, expected: int | None
     ) -> None:
         """Atomically point ``branch`` at manifest ``m`` under the
         commit lock, failing if the ref moved from ``expected`` (the
-        same CAS discipline as _commit — ref swaps and commits share
-        one lock, so no interleaving can lose an update)."""
-        lock = os.path.join(self.root, _COMMIT_LOCK)
-        fd = None
-        for attempt in (0, 1):
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                if attempt == 0 and self._reclaim_stale_lock(lock):
-                    continue
-                raise ConcurrentCommitError(
-                    f"another live commit holds {lock}"
-                ) from None
-        try:
-            os.write(fd, f"{os.getpid()} {time.time()}".encode())
-            os.close(fd)
+        same CAS discipline as _commit — ref swaps, commits, and
+        branch deletes share one lock, so no interleaving can lose an
+        update)."""
+        with self._locked():
             if self.head(branch) != expected:
                 raise ConcurrentCommitError(
                     f"ref {branch!r} moved {expected} -> "
@@ -493,13 +604,39 @@ class Catalog:
                 os.fsync(f.fileno())
             os.replace(tmp, ref)
             _fsync_dir(os.path.dirname(ref))
+
+    # -- write side --------------------------------------------------
+    @contextmanager
+    def _locked(self):
+        """Hold the catalog-wide commit lock (O_CREAT|O_EXCL file with
+        ``pid ts`` contents and stale-holder reclamation — see
+        _reclaim_stale_lock). EVERY metadata mutation — manifest
+        commit, ref swap, branch delete — runs inside this one lock,
+        so no pair of them can interleave."""
+        lock = os.path.join(self.root, _COMMIT_LOCK)
+        fd = None
+        for attempt in (0, 1):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if attempt == 0 and self._reclaim_stale_lock(lock):
+                    continue
+                raise ConcurrentCommitError(
+                    f"another live commit holds {lock}; retry after it "
+                    "finishes (crashed holders are reclaimed "
+                    "automatically)"
+                ) from None
+        try:
+            os.write(fd, f"{os.getpid()} {time.time()}".encode())
+            os.close(fd)
+            yield
         finally:
             try:
                 os.unlink(lock)
             except FileNotFoundError:
                 pass
 
-    # -- write side --------------------------------------------------
     @staticmethod
     def _reclaim_stale_lock(lock: str) -> bool:
         """Remove ``lock`` if its holder is provably gone: the recorded
@@ -576,22 +713,7 @@ class Catalog:
         race: if two waiters reclaim the same corpse, one wins O_EXCL
         and the other raises ConcurrentCommitError — still retryable,
         never a double-acquire."""
-        lock = os.path.join(self.root, _COMMIT_LOCK)
-        fd = None
-        for attempt in (0, 1):
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                if attempt == 0 and self._reclaim_stale_lock(lock):
-                    continue
-                raise ConcurrentCommitError(
-                    f"another live commit holds {lock}; retry after it "
-                    "finishes (crashed holders are reclaimed automatically)"
-                ) from None
-        try:
-            os.write(fd, f"{os.getpid()} {time.time()}".encode())
-            os.close(fd)
+        with self._locked():
             parent = self.head(branch)
             if expected_head is not None and parent != expected_head:
                 raise ConcurrentCommitError(
@@ -624,11 +746,6 @@ class Catalog:
             # manifest
             _fsync_dir(os.path.dirname(ref))
             return m
-        finally:
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass
 
     def transaction(self, branch: str = "main") -> "CatalogTransaction":
         return CatalogTransaction(self, branch)
@@ -668,44 +785,99 @@ class Catalog:
             txn.overwrite(compacted, name, partition_by or ())
         return self.head()
 
-    def gc_uncommitted(self) -> dict[str, list[int]]:
-        """Delete per-table version directories not referenced by the
-        committed manifest and NEWER than its entry — debris from
-        writers that crashed after staging but before the HEAD swap.
+    def _reachable_manifests(self) -> set[int]:
+        """Manifest ids reachable from ANY ref by parent-walk — the
+        live metadata set for gc."""
+        seen: set[int] = set()
+        for head in self.branches().values():
+            cur = head
+            while cur is not None and cur not in seen:
+                seen.add(cur)
+                cur = self._manifest_parent(cur)
+        return seen
+
+    def gc_uncommitted(self, grace_seconds: float = 0.0) -> dict[str, list[int]]:
+        """Delete per-table version directories referenced by NO
+        reachable manifest — debris from writers that crashed after
+        staging but before the ref swap, and versions pinned only by
+        since-deleted branches.
+
+        Reachability-EXACT (ADVICE r15): the live set is the exact
+        (table, version) pairs in every manifest reachable from any
+        ref by parent-walk — not a max-per-table high-water mark,
+        which leaked debris that landed BETWEEN two refs' pinned
+        versions forever (main pins v3, a branch pins v5, a crashed
+        writer orphaned v4: v4 < max(3,5) was never reclaimed).
         Scans ALL table directories under root (ADVICE r13): a table
         that was being INTRODUCED by a crashed transaction has staged
-        versions but no manifest entry at all, so it is treated as
-        cur = 0 and fully reclaimed — iterating only committed tables
-        left those orphans forever.
-        Same caveat as gc_orphans: only call with no writer in flight.
+        versions but no manifest entry at all, so every version is
+        unreferenced and the empty dir is removed too. Unreachable
+        manifest FILES (crashed half-commits, deleted-branch history)
+        are swept as well, reported under the reserved key
+        ``_MANIFEST``.
 
-        Branch-aware (r15): "committed" means referenced by ANY ref's
-        manifest — a version published only on an experiment branch is
-        live state, not debris, so the high-water mark per table is the
-        max across every branch head."""
-        versions: dict[str, int] = {}
-        for branch in self.branches():
-            for name, v in self.manifest(branch).items():
-                versions[name] = max(versions.get(name, 0), v)
-        removed: dict[str, list[int]] = {}
-        for name in os.listdir(self.root):
-            tdir = self.table_dir(name)
-            if name in (
-                _MANIFEST_DIR, _HEAD, _REFS_DIR, _COMMIT_LOCK,
-            ) or not os.path.isdir(tdir):
-                continue
-            cur = versions.get(name, 0)
-            for d in os.listdir(tdir):
-                if d.startswith("v=") and d.split("=", 1)[1].isdigit():
-                    v = int(d.split("=", 1)[1])
-                    if v > cur:
-                        shutil.rmtree(_version_dir(tdir, v), ignore_errors=True)
-                        removed.setdefault(name, []).append(v)
-            # a never-committed table dir emptied of versions is itself
-            # debris; remove it if nothing else lives there
-            if name not in versions and not os.listdir(tdir):
-                os.rmdir(tdir)
-        return {k: sorted(v) for k, v in removed.items()}
+        Concurrency: runs under the commit lock, so it can never
+        interleave with a ref swap (a manifest is reachable or not —
+        never mid-flip). A version STAGED by an in-flight transaction
+        is unreferenced until its commit, though, so with writers
+        running pass ``grace_seconds`` >= the longest transaction
+        (e.g. 300): anything whose mtime is inside the window is
+        presumed in-flight and skipped — the retention-window contract
+        every object-store GC uses. The default 0 keeps the original
+        "no writer in flight" semantics (reclaim everything now)."""
+        now = time.time()
+
+        def _fresh(path: str) -> bool:
+            if grace_seconds <= 0:
+                return False
+            try:
+                return now - os.stat(path).st_mtime < grace_seconds
+            except OSError:
+                return True  # vanished mid-scan -> leave it alone
+
+        with self._locked():
+            reachable = self._reachable_manifests()
+            mdir = os.path.join(self.root, _MANIFEST_DIR)
+            live: dict[str, set[int]] = {}
+            for m in reachable:
+                try:
+                    with open(os.path.join(mdir, f"m={m}.json")) as f:
+                        tables = json.load(f)["tables"]
+                except FileNotFoundError:
+                    continue
+                for name, v in tables.items():
+                    live.setdefault(name, set()).add(int(v))
+            removed: dict[str, list[int]] = {}
+            for name in os.listdir(self.root):
+                tdir = self.table_dir(name)
+                if name in (
+                    _MANIFEST_DIR, _HEAD, _REFS_DIR, _COMMIT_LOCK,
+                ) or not os.path.isdir(tdir):
+                    continue
+                keep = live.get(name, set())
+                for d in os.listdir(tdir):
+                    if d.startswith("v=") and d.split("=", 1)[1].isdigit():
+                        v = int(d.split("=", 1)[1])
+                        vdir = _version_dir(tdir, v)
+                        if v not in keep and not _fresh(vdir):
+                            shutil.rmtree(vdir, ignore_errors=True)
+                            removed.setdefault(name, []).append(v)
+                # a never-committed table dir emptied of versions is
+                # itself debris; remove it if nothing else lives there
+                if name not in live and not os.listdir(tdir):
+                    os.rmdir(tdir)
+            for fname in os.listdir(mdir):
+                if fname.startswith("m=") and fname.endswith(".json"):
+                    mid = fname[len("m=") : -len(".json")]
+                    mpath = os.path.join(mdir, fname)
+                    if (
+                        mid.isdigit()
+                        and int(mid) not in reachable
+                        and not _fresh(mpath)
+                    ):
+                        os.unlink(mpath)
+                        removed.setdefault("_MANIFEST", []).append(int(mid))
+            return {k: sorted(v) for k, v in removed.items()}
 
 
 class CatalogTransaction:
@@ -724,6 +896,13 @@ class CatalogTransaction:
     """
 
     def __init__(self, catalog: Catalog, branch: str = "main") -> None:
+        # a non-main branch must already exist (ADVICE r15): without
+        # this, a typo'd branch name silently spawned an orphan ref
+        # with an empty base at commit time instead of failing fast
+        if branch != "main" and catalog.head(branch) is None:
+            raise ValueError(
+                f"unknown branch {branch!r}; create_branch() it first"
+            )
         self._catalog = catalog
         self._branch = branch
         self._staged: dict[str, int] = {}

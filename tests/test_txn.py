@@ -588,3 +588,234 @@ def test_branch_name_validation_and_main_protection(tmp_path):
         cat.delete_branch("main")
     with pytest.raises(ValueError):
         cat.create_branch("x")  # nothing committed to fork yet
+
+
+# --------------------------------------------------------------------------
+# r16: reachability-exact gc, locked branch deletes, unknown-branch guard,
+# rebase (three-way manifest merge), and branch-level race stress
+# --------------------------------------------------------------------------
+
+
+def test_gc_reclaims_orphan_between_ref_pins(spark, tmp_path):
+    """ADVICE r15: main pins v1, a branch pins v3, a crashed writer
+    orphaned v2 BETWEEN them — the old max-per-table high-water mark
+    (max(1,3)=3) never reclaimed v2; the reachability-exact gc must."""
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 1), "dim")
+    cat.create_branch("exp")
+    # crashed writer: stage v2, never commit
+    dead = cat.transaction().__enter__()
+    dead.overwrite(_df(spark, 2), "dim")
+    dead._staged = {}  # crash before the exit publish
+    # branch commits v3 on top
+    with cat.transaction(branch="exp") as t:
+        t.overwrite(_df(spark, 3), "dim")
+    assert os.path.isdir(tmp_path / "wh" / "dim" / "v=2")
+    removed = cat.gc_uncommitted()
+    assert removed == {"dim": [2]}
+    # both pinned versions still read
+    assert cat.read(spark, "dim").selectExpr("max(tag)").first()[0] == 1
+    assert cat.read(spark, "dim", branch="exp").selectExpr("max(tag)").first()[0] == 3
+
+
+def test_gc_sweeps_unreachable_manifests(spark, tmp_path):
+    """Deleting a branch unpins its manifests; gc removes the manifest
+    FILES too (reported under the reserved _MANIFEST key)."""
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 1), "dim")
+    cat.create_branch("exp")
+    with cat.transaction(branch="exp") as t:
+        t.overwrite(_df(spark, 9), "dim")
+    exp_m = cat.head("exp")
+    cat.delete_branch("exp")
+    removed = cat.gc_uncommitted()
+    assert removed["_MANIFEST"] == [exp_m]
+    assert not os.path.exists(
+        tmp_path / "wh" / "_MANIFEST" / f"m={exp_m}.json"
+    )
+    assert cat.read(spark, "dim").selectExpr("max(tag)").first()[0] == 1
+
+
+def test_transaction_on_unknown_branch_fails_fast(spark, tmp_path):
+    """ADVICE r15: a typo'd branch name must raise at open, not spawn
+    an orphan empty-base ref at commit time."""
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:  # main is always allowed
+        t.overwrite(_df(spark, 1), "dim")
+    with pytest.raises(ValueError, match="unknown branch"):
+        cat.transaction(branch="expp")
+    assert "expp" not in cat.branches()
+
+
+def test_delete_branch_respects_commit_lock(spark, tmp_path):
+    """ADVICE r15: delete_branch takes the same lock as ref swaps, so
+    it cannot interleave with a commit's CAS on the same ref."""
+    import time as _time
+
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 1), "dim")
+    cat.create_branch("exp")
+    lock = os.path.join(str(tmp_path / "wh"), txn._COMMIT_LOCK)
+    with open(lock, "w") as f:
+        f.write(f"{os.getpid()} {_time.time()}")  # live, fresh holder
+    with pytest.raises(txn.ConcurrentCommitError):
+        cat.delete_branch("exp")
+    os.unlink(lock)
+    cat.delete_branch("exp")
+    assert "exp" not in cat.branches()
+
+
+def test_rebase_replays_branch_onto_moved_main(spark, tmp_path):
+    """Divergent histories on DISJOINT tables: rebase writes one new
+    manifest {onto's tables, branch's changes}, after which merge_ff
+    promotes it — neither side's commit is lost."""
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 1), "dim")
+        t.overwrite(_df(spark, 1), "fact")
+    cat.create_branch("exp")
+    with cat.transaction(branch="exp") as t:
+        t.overwrite(_df(spark, 9), "dim")
+    with cat.transaction() as t:  # main moves too -> diverged
+        t.overwrite(_df(spark, 5), "fact")
+    with pytest.raises(ValueError, match="non-fast-forward"):
+        cat.merge_ff("exp")
+    m = cat.rebase("exp")
+    assert cat.head("exp") == m
+    # rebase moved only the branch ref; main untouched until merge
+    assert cat.read(spark, "dim").selectExpr("max(tag)").first()[0] == 1
+    cat.merge_ff("exp")
+    assert cat.read(spark, "dim").selectExpr("max(tag)").first()[0] == 9
+    assert cat.read(spark, "fact").selectExpr("max(tag)").first()[0] == 5
+
+
+def test_rebase_conflict_names_tables_and_moves_nothing(spark, tmp_path):
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 1), "dim")
+    cat.create_branch("exp")
+    with cat.transaction(branch="exp") as t:
+        t.overwrite(_df(spark, 9), "dim")
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 5), "dim")  # same table on both sides
+    b_head, o_head = cat.head("exp"), cat.head()
+    with pytest.raises(txn.MergeConflictError) as ei:
+        cat.rebase("exp")
+    assert ei.value.tables == ["dim"]
+    # a refused rebase is a pure no-op on both refs
+    assert (cat.head("exp"), cat.head()) == (b_head, o_head)
+
+
+def test_rebase_noop_when_already_based(spark, tmp_path):
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 1), "dim")
+    cat.create_branch("exp")
+    assert cat.rebase("exp") == cat.head("exp")  # same head as main
+    with cat.transaction(branch="exp") as t:
+        t.overwrite(_df(spark, 9), "dim")
+    h = cat.head("exp")
+    assert cat.rebase("exp") == h  # main is the merge base -> FF shape
+
+
+def test_branch_commit_vs_merge_vs_gc_threaded(spark, tmp_path):
+    """VERDICT r15 task 5: threaded writers on N branches, a racing
+    rebase+fast-forward merger, and gc (with the retention grace
+    window that makes it writer-safe) all running concurrently.
+    Invariants: no lost branch commit — every branch's LAST tag
+    survives on main after the final merges; losers only ever see
+    ConcurrentCommitError (or a retryable non-FF ValueError); and gc
+    never deletes a version any surviving ref resolves to."""
+    import threading
+
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 0), "seed")
+    n_branches = 4
+    for i in range(n_branches):
+        cat.create_branch(f"b{i}")
+    errors: list[Exception] = []
+    done = threading.Event()
+
+    def writer(i: int) -> None:
+        try:
+            for commit_no in range(3):
+                for _ in range(60):
+                    try:
+                        with cat.transaction(branch=f"b{i}") as t:
+                            t.overwrite(
+                                _df(spark, 100 * i + commit_no), f"tab_{i}"
+                            )
+                        break
+                    except txn.ConcurrentCommitError:
+                        continue
+                else:
+                    raise RuntimeError(f"writer {i} exhausted retries")
+        except Exception as exc:  # noqa: BLE001 — collected for assert
+            errors.append(exc)
+
+    def merger() -> None:
+        # races the writers: any interleaving must either merge cleanly
+        # or fail with a retryable conflict — never corrupt a ref
+        import time as _time
+
+        while not done.is_set():
+            for i in range(n_branches):
+                _time.sleep(0.02)  # keep lock contention realistic
+                try:
+                    cat.rebase(f"b{i}")
+                    cat.merge_ff(f"b{i}")
+                except (txn.ConcurrentCommitError, ValueError):
+                    continue
+                except Exception as exc:  # noqa: BLE001
+                    errors.append(exc)
+                    return
+
+    def gc_loop() -> None:
+        # writer-safe mode: grace window >= the longest transaction, so
+        # freshly staged (not yet committed) versions are off-limits
+        import time as _time
+
+        while not done.is_set():
+            _time.sleep(0.05)
+            try:
+                cat.gc_uncommitted(grace_seconds=300.0)
+            except txn.ConcurrentCommitError:
+                continue  # a commit holds the lock — next sweep
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+                return
+
+    threads = [
+        threading.Thread(target=writer, args=(i,)) for i in range(n_branches)
+    ] + [threading.Thread(target=merger), threading.Thread(target=gc_loop)]
+    for th in threads:
+        th.start()
+    for th in threads[:n_branches]:
+        th.join()
+    done.set()
+    for th in threads[n_branches:]:
+        th.join()
+    if errors:
+        raise AssertionError(errors)
+    # quiesced: final rebase+ff per branch must land every last commit
+    for i in range(n_branches):
+        for _ in range(40):
+            try:
+                cat.rebase(f"b{i}")
+                cat.merge_ff(f"b{i}")
+                break
+            except (txn.ConcurrentCommitError, ValueError):
+                continue
+        else:
+            raise AssertionError(f"merge of b{i} never succeeded")
+    final = cat.manifest()
+    assert {f"tab_{i}" for i in range(n_branches)} <= set(final)
+    for i in range(n_branches):
+        assert (
+            cat.read(spark, f"tab_{i}").selectExpr("max(tag)").first()[0]
+            == 100 * i + 2
+        )
