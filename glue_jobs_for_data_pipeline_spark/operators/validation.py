@@ -337,9 +337,18 @@ def varchar_enforce(
     if missing:
         raise ValueError(f"varchar_enforce: unknown columns {missing}")
 
+    # aliases are indexed (__over_0, not __over_<name>) and every
+    # column reference is backtick-quoted with doubled inner backticks
+    # — the one escape Spark's attribute parser defines — so a column
+    # name containing quotes or backticks can never break a parsed
+    # string (ADVICE r15: the previous stack()/selectExpr build broke
+    # on such names even though they passed the membership check)
+    def _ref(c: str):
+        return df["`{}`".format(c.replace("`", "``"))]
+
     aggs = []
-    for c, n in limits.items():
-        ln = F.length(F.col(c))
+    for i, (c, n) in enumerate(limits.items()):
+        ln = F.length(_ref(c))
         # counts coalesce to 0 on an empty input (SUM over zero rows is
         # NULL in SQL) so consumers can gate on `n_overlength == 0`
         # without a null check; max_observed stays NULL when there is
@@ -347,23 +356,31 @@ def varchar_enforce(
         aggs += [
             F.coalesce(F.sum(F.when(ln > n, 1).otherwise(0)), F.lit(0))
             .cast("long")
-            .alias(f"__over_{c}"),
-            F.max(ln).cast("int").alias(f"__max_{c}"),
+            .alias(f"__over_{i}"),
+            F.max(ln).cast("int").alias(f"__max_{i}"),
             F.coalesce(F.sum(F.when(ln > n, ln - n).otherwise(0)), F.lit(0))
             .cast("long")
-            .alias(f"__trunc_{c}"),
+            .alias(f"__trunc_{i}"),
         ]
     one = df.agg(*aggs)
-    stacked = ", ".join(
-        f"'{c}', CAST({n} AS INT), `__over_{c}`, `__max_{c}`, `__trunc_{c}`"
-        for c, n in limits.items()
+    # explode(array(struct...)) is the programmatic stack(): same
+    # single-pass Generate over the 1-row aggregate, no string parsing
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.lit(n).cast("int").alias("declared_len"),
+                    F.col(f"__over_{i}").alias("n_overlength"),
+                    F.col(f"__max_{i}").alias("max_observed"),
+                    F.col(f"__trunc_{i}").alias("chars_truncated"),
+                )
+                for i, (c, n) in enumerate(limits.items())
+            ]
+        )
     )
-    report = one.selectExpr(
-        f"stack({len(limits)}, {stacked}) AS "
-        "(col_name, declared_len, n_overlength, max_observed, "
-        "chars_truncated)"
-    )
+    report = one.select(rows.alias("r")).select("r.*")
     conformed = df
     for c, n in limits.items():
-        conformed = conformed.withColumn(c, F.substring(F.col(c), 1, n))
+        conformed = conformed.withColumn(c, F.substring(_ref(c), 1, n))
     return conformed, report

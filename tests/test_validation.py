@@ -333,3 +333,26 @@ def test_varchar_enforce_properties(spark, rows, limit):
         max(len(v) - limit, 0) for v in vals
     )
     assert rep["max_observed"] == (max(map(len, vals)) if vals else None)
+
+
+def test_varchar_enforce_hostile_column_names(spark):
+    """ADVICE r15: names containing quotes/backticks must flow through
+    the programmatic struct build — no SQL-parsed string anywhere."""
+    from glue_jobs_for_data_pipeline_spark.operators.validation import (
+        varchar_enforce,
+    )
+
+    hostile = "we`ird 'name"
+    df = spark.createDataFrame(
+        [("abcdef",), ("xy",)], f"`{hostile.replace('`', '``')}` string"
+    )
+    assert df.columns == [hostile]
+    conformed, report = varchar_enforce(df, {hostile: 3})
+    r = report.collect()[0]
+    assert r["col_name"] == hostile
+    assert r["declared_len"] == 3
+    assert r["n_overlength"] == 1
+    assert r["max_observed"] == 6
+    assert r["chars_truncated"] == 3
+    vals = sorted(row[0] for row in conformed.collect())
+    assert vals == ["abc", "xy"]
