@@ -1,0 +1,117 @@
+"""Merge-on-read DELETEs over the transactional catalog (r16).
+
+The reference mutates rows in place — UPDATE..WHERE expires SCD-2 rows
+(dynamic_upsert.py:110-127, the M4 surface) and relies on the warehouse
+to rewrite affected blocks. The catalog's copy-on-write answer rewrites
+the whole table version, which is correct but absurd at 100 TB when a
+GDPR/right-to-be-forgotten batch touches 0.01% of rows: you do not
+rewrite 100 TB to delete 10 GB. The industry answer (Iceberg v2 delete
+files, Delta deletion vectors) is MERGE-ON-READ: record WHICH rows are
+deleted as a tiny side table, apply it as an anti-join at read time,
+and fold it into the base lazily at the next compaction.
+
+This module implements that posture with ZERO catalog-format changes:
+the deletion vector for table ``T`` is just another catalog table
+``T__dv`` holding the deleted keys, committed in the SAME atomic
+manifest as any other staging — so "delete batch lands" and "base +
+dv flip together at compaction" both inherit the one-HEAD-swap
+guarantee Catalog already proves.
+
+Scale shape: a dv is keys-only (KBs-MBs for realistic delete rates),
+so ``read_merged`` broadcasts it into a LEFT ANTI hash join pinned to
+the base scan — no shuffle of the 100 TB side, and Catalyst pushes
+base-table filters below the join as usual. ``compact_deletes``
+rewrites base-minus-dv once (the expensive, parallel part) and resets
+the dv to empty IN ONE TRANSACTION: readers see either (old base,
+full dv) or (new base, empty dv) — never a double-delete or a
+resurrection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.txn import Catalog
+
+_DV_SUFFIX = "__dv"
+
+
+def dv_table(name: str) -> str:
+    return name + _DV_SUFFIX
+
+
+def _read_dv(
+    cat: Catalog, spark: SparkSession, name: str, branch: str = "main"
+) -> DataFrame | None:
+    try:
+        return cat.read(spark, dv_table(name), branch)
+    except FileNotFoundError:
+        return None
+
+
+def delete_where(
+    cat: Catalog,
+    spark: SparkSession,
+    name: str,
+    predicate,
+    key_cols: tuple[str, ...],
+    branch: str = "main",
+) -> int:
+    """DELETE FROM name WHERE predicate — merge-on-read: append the
+    matching keys to the deletion vector (distinct union with any
+    existing dv) and commit ONLY the tiny dv table. The base version
+    directory is untouched; the delete is visible to every
+    ``read_merged`` the instant the manifest swaps. Returns the new
+    manifest id."""
+    keys = (
+        cat.read(spark, name, branch)
+        .filter(predicate)
+        .select(*key_cols)
+        .distinct()
+    )
+    existing = _read_dv(cat, spark, name, branch)
+    if existing is not None:
+        keys = keys.unionByName(existing.select(*key_cols)).distinct()
+    with cat.transaction(branch=branch) as t:
+        t.overwrite(keys, dv_table(name))
+    return cat.head(branch)
+
+
+def read_merged(
+    cat: Catalog,
+    spark: SparkSession,
+    name: str,
+    key_cols: tuple[str, ...],
+    branch: str = "main",
+) -> DataFrame:
+    """The table's LOGICAL state: base rows minus deletion-vector keys,
+    applied as a broadcast LEFT ANTI join (the dv is keys-only and
+    small by contract; the base side never shuffles)."""
+    base = cat.read(spark, name, branch)
+    dv = _read_dv(cat, spark, name, branch)
+    if dv is None:
+        return base
+    return base.join(F.broadcast(dv), on=list(key_cols), how="left_anti")
+
+
+def compact_deletes(
+    cat: Catalog,
+    spark: SparkSession,
+    name: str,
+    key_cols: tuple[str, ...],
+    branch: str = "main",
+) -> int:
+    """Fold the deletion vector into the base: rewrite base-minus-dv as
+    the new base version AND reset the dv to empty, in ONE atomic
+    manifest commit — a reader resolves either (old base, full dv) or
+    (new base, empty dv), so the logical row set is identical on both
+    sides of the swap. Returns the new manifest id."""
+    dv = _read_dv(cat, spark, name, branch)
+    if dv is None:
+        return cat.head(branch)
+    merged = read_merged(cat, spark, name, key_cols, branch)
+    with cat.transaction(branch=branch) as t:
+        t.overwrite(merged, name)
+        t.overwrite(dv.limit(0), dv_table(name))
+    return cat.head(branch)

@@ -1315,3 +1315,119 @@ def pca_project(
     return df.withColumn(
         out_col, F.expr("array(" + ", ".join(exprs) + ")")
     )
+
+
+def _idot(a, b):
+    """Exact integer dot product of two long-array columns (zip_with
+    multiply, aggregate sum) — order-fixed left fold, but integer adds
+    commute so ANY partitioning yields the same value."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    k_candidates: int = 16,
+    m: int = 5,
+    grid_bits: int = 10,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998)
+    — the diversity-aware top-k a retrieval/curation pipeline runs on
+    ANN candidates so the m results are not m copies of the same
+    near-duplicate: greedily pick argmax of
+    ``lambda * rel(q, c) - (1 - lambda) * max_{s in selected} sim(c, s)``
+    with lambda = 1/2, scaled by 2 to ``rel - max_div`` (first pick =
+    pure relevance, max over the empty set = 0).
+
+    DETERMINISTIC BY CONSTRUCTION (the integer-grid discipline every
+    selection operator here follows): vectors quantize to
+    floor(v * 2^grid_bits) longs, relevance and diversity are exact
+    integer dot products, and every argmax breaks ties by ascending
+    candidate id — so the selected SET (not just its scores) is
+    bit-reproducible across partitionings and engines, and the DuckDB
+    oracle states the full greedy unrolled as CTEs.
+
+    Scale shape: the only corpus-sized stage is candidate generation
+    (broadcast the handful of queries, score map-side, per-query
+    window top-k_candidates — same plan as brute_force_topk; swap in
+    the IVF/LSH tier to cut it). The greedy itself is ONE Arrow
+    applyInPandas stage grouped by query_id — k_candidates x dim int64
+    matmul for the pairwise diversity dots plus m integer selection
+    rounds per group, embarrassingly parallel across queries. (A
+    chained-DataFrame-join formulation was measured first: 8+ s warm
+    at sf0.1 for 40 output rows, all scheduling/planning overhead on
+    <=128-row frames — exactly the SemDeDup precedent for moving a
+    tiny numeric selection loop into one Arrow kernel.)
+
+    Returns (query_id, position, selected_id, mmr_score) with
+    position 1..m.
+    """
+    import pandas as pd
+
+    scale = 1 << grid_bits
+    q = queries.select(
+        F.col(key_col).alias("query_id"),
+        _grid_quantize(vec_col, scale).alias("qv"),
+    )
+    c = emb.select(
+        F.col(key_col).alias("cid"),
+        _grid_quantize(vec_col, scale).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("query_id"))
+        .select("query_id", "cid", "cv", _idot("qv", "cv").alias("rel"))
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("cid")
+    )
+    cand = (
+        scored.withColumn("crank", F.row_number().over(w_rel))
+        .filter(F.col("crank") <= k_candidates)
+        .select("query_id", "cid", "cv", "rel")
+    )
+
+    out_schema = (
+        "query_id long, position int, selected_id long, mmr_score long"
+    )
+
+    def greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        # deterministic candidate order regardless of arrival order
+        pdf = pdf.sort_values("cid").reset_index(drop=True)
+        ids = pdf["cid"].to_numpy()
+        rel = pdf["rel"].to_numpy(dtype=np.int64)
+        V = np.array(list(pdf["cv"]), dtype=np.int64)
+        D = V @ V.T  # exact: |entries| < 2^13 -> dots < 2^32 << int64
+        n = len(ids)
+        selected: list[int] = []
+        rows = []
+        for pos in range(1, min(m, n) + 1):
+            best = None
+            for i in range(n):
+                if i in selected:
+                    continue
+                div = max(int(D[i, j]) for j in selected) if selected else 0
+                score = int(rel[i]) - (div if selected else 0)
+                # argmax with (score DESC, cid ASC) tiebreak
+                if best is None or score > best[0] or (
+                    score == best[0] and ids[i] < ids[best[1]]
+                ):
+                    best = (score, i)
+            selected.append(best[1])
+            rows.append(
+                (int(pdf["query_id"].iloc[0]), pos,
+                 int(ids[best[1]]), best[0])
+            )
+        return pd.DataFrame(
+            rows, columns=["query_id", "position", "selected_id", "mmr_score"]
+        )
+
+    return cand.groupBy("query_id").applyInPandas(greedy, out_schema)

@@ -2175,6 +2175,35 @@ def x_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_dup_pairs(spark.read.parquet(d))
 
 
+def _fill_cache_small_files(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Materialize a CACHED one-file-per-item binaryFile scan under a
+    bracketed ``spark.sql.files.openCostInBytes`` (VERDICT r15 task 2).
+
+    The default open cost pads every file to 4 MB when packing files
+    into scan partitions, so a directory of thousands of ~100-byte
+    assets plans thousands of near-empty tasks — the measured 12.7x
+    third decade of x_mm_ingest_pipeline at sf1 was pure task-schedule
+    overhead, not data. Dropping the padding to 4 KB for exactly this
+    scan repacks it to ~cores-sized partitions. The conf is read at
+    scan PLANNING time, so the bracket must cover the first action:
+    filling the cache here pins the repacked partitioning into the
+    InMemoryRelation every downstream consumer reuses, and the finally
+    restores the session default so no other query's plan changes (the
+    same bracket-and-restore discipline as the bloom-filter query).
+
+    At 100 TB the honest fix is upstream layout (the compaction
+    operator packs small assets into ~128 MB files); this is the
+    query-side relief when you cannot rewrite the bucket."""
+    key = "spark.sql.files.openCostInBytes"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "4096")
+        df.count()
+    finally:
+        spark.conf.set(key, old)
+    return df
+
+
 _X_MM_BINARY_INGEST_SQL = (
     _X_PHASH_SIG_CTE
     + """
@@ -2221,7 +2250,9 @@ def x_mm_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads.foreachPartition(_write_files)
     from ..sources.readers import read_binary_dir
 
-    files = read_binary_dir(spark, d, glob="*.bin")
+    files = _fill_cache_small_files(
+        spark, dedup._cached(read_binary_dir(spark, d, glob="*.bin"))
+    )
     return files.select(
         "file_name",
         "n_bytes",
@@ -2315,7 +2346,11 @@ def x_mm_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor tasks (binaryFile source); payloads cross into Python
     exactly twice (resize, signature) as Arrow batches over a cached
     72-byte-payload frame; the pair join shuffles 8-byte signatures,
-    never pixels; everything downstream is keyed aggregation."""
+    never pixels; everything downstream is keyed aggregation. The scan
+    itself materializes under the small-file openCostInBytes bracket
+    (_fill_cache_small_files, r16) — without it the default 4 MB open
+    cost planned ~4,700 near-empty tasks at sf1 and the query's third
+    scaling decade measured 12.7x on 10x docs."""
     import os
 
     d = _scratch_dir("spark_graft_mm_pipeline_") + "/files"
@@ -2332,15 +2367,18 @@ def x_mm_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads.foreachPartition(_write_files)
     from ..sources.readers import read_binary_dir
 
-    ingested = dedup._cached(
-        read_binary_dir(spark, d, glob="*.bin").select(
-            F.regexp_extract("file_name", r"doc_(\d+)\.bin", 1)
-            .cast("long")
-            .alias("doc_id"),
-            "file_name",
-            "n_bytes",
-            F.col("content").alias("payload"),
-        )
+    ingested = _fill_cache_small_files(
+        spark,
+        dedup._cached(
+            read_binary_dir(spark, d, glob="*.bin").select(
+                F.regexp_extract("file_name", r"doc_(\d+)\.bin", 1)
+                .cast("long")
+                .alias("doc_id"),
+                "file_name",
+                "n_bytes",
+                F.col("content").alias("payload"),
+            )
+        ),
     )
     checksum = (
         multimodal.resize_luma_grid(ingested)
@@ -5169,6 +5207,11 @@ def x_storage_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFram
     work, the join still filters exactly), which is what the DuckDB
     oracle states with the plain static join."""
     confs = {
+        # bracket the feature flag itself (ADVICE r15): on a session
+        # where runtime bloom filters are disabled, the injection
+        # assertion below would fail on an unrelated toggle instead of
+        # testing the thresholds this query is about
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
         "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
@@ -5270,3 +5313,284 @@ def x_storage_branch_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.merge_ff("exp")
     merged = digest("main", "merged")
     return main_before.unionByName(exp_state).unionByName(merged)
+
+
+# --------------------------------------------------------------------------
+# Round-16 addition: divergent-branch rebase (three-way manifest merge)
+# --------------------------------------------------------------------------
+
+_X_REBASE_SQL = """
+SELECT 'dim' AS ref, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT 'fact' AS ref, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT 'conflict' AS ref, CAST(1 AS BIGINT) AS n, CAST(1 AS BIGINT) AS key_sum
+"""
+
+
+@_q("x_storage_branch_rebase", _X_REBASE_SQL)
+def x_storage_branch_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog REBASE under the hash gate (sources/txn.py::rebase, r16
+    — the non-fast-forward story VERDICT r15 task 6 asked for): fork
+    ``exp`` off a two-table warehouse, rewrite the dim on the branch
+    while MAIN independently rewrites the fact (divergent histories,
+    disjoint tables), prove merge_ff refuses the divergence, then
+    rebase — ONE new manifest = main's tables + the branch's change
+    set, pure metadata — and fast-forward the rebased branch into
+    main. The merged digests (dim row-set AND fact row-set) are pure
+    functions of the source tables, so DuckDB states the expected
+    post-merge warehouse without seeing the catalog: a rebase that
+    lost either side's commit flips a row. The third row hash-gates
+    CONFLICT detection: a second fork rewrites the SAME table both
+    sides, and the emitted ('conflict', 1, n_conflicting_tables) row
+    exists only if MergeConflictError fired naming exactly that table
+    — silent conflict resolution fails the assertion, not just the
+    hash."""
+    from ..sources.txn import Catalog, MergeConflictError
+
+    cat = Catalog(_scratch_dir("spark_graft_branchreb_") + "/wh")
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    fact = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    with cat.transaction() as t:
+        t.overwrite(dim, "dim_customer")
+        t.overwrite(fact, "fact_orders")
+    cat.create_branch("exp")
+    with cat.transaction(branch="exp") as t:
+        t.overwrite(
+            cat.read(spark, "dim_customer", branch="exp").filter(
+                F.col("c_mktsegment") == "BUILDING"
+            ),
+            "dim_customer",
+        )
+    with cat.transaction() as t:  # main moves too -> histories diverge
+        t.overwrite(
+            cat.read(spark, "fact_orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            "fact_orders",
+        )
+    try:
+        cat.merge_ff("exp")
+        raise AssertionError("merge_ff accepted a divergent branch")
+    except ValueError as exc:
+        if "non-fast-forward" not in str(exc):
+            raise
+    cat.rebase("exp")  # replay exp's dim change onto main's new head
+    cat.merge_ff("exp")  # now a pure pointer swap
+
+    def digest(table: str, label: str, key: str) -> DataFrame:
+        return cat.read(spark, table).agg(
+            F.lit(label).alias("ref"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(key).cast("long").alias("key_sum"),
+        ).select("ref", "n", "key_sum")
+
+    merged_dim = digest("dim_customer", "dim", "c_custkey")
+    merged_fact = digest("fact_orders", "fact", "o_orderkey")
+
+    # conflict half: rewrite the SAME table on both sides of a new fork
+    cat.create_branch("exp2")
+    with cat.transaction(branch="exp2") as t:
+        t.overwrite(
+            cat.read(spark, "dim_customer", branch="exp2").filter(
+                F.col("c_custkey") % 2 == 0
+            ),
+            "dim_customer",
+        )
+    with cat.transaction() as t:
+        t.overwrite(
+            cat.read(spark, "dim_customer").filter(
+                F.col("c_custkey") % 2 == 1
+            ),
+            "dim_customer",
+        )
+    try:
+        cat.rebase("exp2")
+        raise AssertionError("rebase resolved a same-table conflict silently")
+    except MergeConflictError as exc:
+        if exc.tables != ["dim_customer"]:
+            raise AssertionError(f"wrong conflict set: {exc.tables}")
+        conflict = spark.range(1).select(
+            F.lit("conflict").alias("ref"),
+            F.lit(1).cast("long").alias("n"),
+            F.lit(len(exc.tables)).cast("long").alias("key_sum"),
+        )
+    return merged_dim.unionByName(merged_fact).unionByName(conflict)
+
+
+# --------------------------------------------------------------------------
+# Round-16 addition: merge-on-read deletion vectors
+# --------------------------------------------------------------------------
+
+_X_DV_SQL = """
+SELECT 'merged' AS ref, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderstatus <> 'F' AND o_orderpriority <> '1-URGENT'
+UNION ALL
+SELECT 'dv' AS ref, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderstatus = 'F' OR o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT 'compacted' AS ref, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderstatus <> 'F' AND o_orderpriority <> '1-URGENT'
+"""
+
+
+@_q("x_storage_deletion_vectors", _X_DV_SQL)
+def x_storage_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (operators/deletes.py, r16 — the Iceberg
+    v2 delete-file / Delta deletion-vector posture): two delete
+    batches land as KEYS-ONLY commits against an untouched base
+    version (at 100 TB: a GDPR batch touching 0.01% of rows commits
+    KBs, not a table rewrite), ``read_merged`` applies them as a
+    broadcast LEFT ANTI join pinned to the base scan, and
+    ``compact_deletes`` folds base-minus-dv + an emptied dv in ONE
+    atomic manifest swap. Hash-gated rows: the merged digest after
+    both deletes, the dv's own key census, and the post-compaction
+    digest (must equal the merged one — a compaction that loses or
+    resurrects a row flips it). All three are pure functions of the
+    orders table, so DuckDB states them without seeing the catalog.
+    The emptied-dv invariant is asserted in-code (a non-empty dv
+    after compaction would double-delete on the next merge)."""
+    from ..operators import deletes
+    from ..sources.txn import Catalog
+
+    cat = Catalog(_scratch_dir("spark_graft_dv_") + "/wh")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    with cat.transaction() as t:
+        t.overwrite(base, "orders_mor")
+    key = ("o_orderkey",)
+    deletes.delete_where(
+        cat, spark, "orders_mor", F.col("o_orderstatus") == "F", key
+    )
+    deletes.delete_where(
+        cat, spark, "orders_mor",
+        F.col("o_orderpriority") == "1-URGENT", key,
+    )
+
+    def digest(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("ref"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        ).select("ref", "n", "key_sum")
+
+    merged = digest(
+        deletes.read_merged(cat, spark, "orders_mor", key), "merged"
+    )
+    dv_rows = digest(
+        cat.read(spark, deletes.dv_table("orders_mor")), "dv"
+    )
+    deletes.compact_deletes(cat, spark, "orders_mor", key)
+    if cat.read(spark, deletes.dv_table("orders_mor")).count() != 0:
+        raise AssertionError("deletion vector not emptied by compaction")
+    compacted = digest(
+        deletes.read_merged(cat, spark, "orders_mor", key), "compacted"
+    )
+    return merged.unionByName(dv_rows).unionByName(compacted)
+
+
+# --------------------------------------------------------------------------
+# Round-16 addition: MMR diversity re-rank (integer-grid greedy)
+# --------------------------------------------------------------------------
+
+
+def _mmr_sql(
+    n_queries: int = 8, kc: int = 16, m: int = 5,
+    scale: int = 1024, dim: int = 64,
+) -> str:
+    """DuckDB oracle for similarity.mmr_rerank: the SAME integer-grid
+    greedy UNROLLED as m CTE rounds — candidates by quantized dot,
+    pairwise candidate dots computed once, then per round
+    score = rel - max(dot with selected), argmax with (score DESC, cid)
+    tiebreak. Generated next to the Spark constants so a parameter
+    change cannot desynchronize the engines."""
+    qz = (
+        "list_transform({col}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+    )
+    idot = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> {a}[i] * {b}[i]))"
+    )
+    parts = [f"""
+WITH qg AS (
+  SELECT vec_id AS query_id, {qz.format(col='embedding')} AS qv
+  FROM embeddings WHERE vec_id < {n_queries}),
+eg AS (SELECT vec_id AS cid, {qz.format(col='embedding')} AS cv
+       FROM embeddings),
+scoredall AS (
+  SELECT q.query_id, e.cid, e.cv,
+         {idot.format(a='q.qv', b='e.cv')} AS rel
+  FROM qg q, eg e WHERE e.cid <> q.query_id),
+cand AS (
+  SELECT query_id, cid, cv, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, cid) AS rn
+    FROM scoredall) WHERE rn <= {kc}),
+dots AS (
+  SELECT a.query_id AS dq, a.cid AS ca, b.cid AS cb,
+         {idot.format(a='a.cv', b='b.cv')} AS d
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.cid <> b.cid),
+sel1 AS (
+  SELECT query_id, cid, 1 AS position, CAST(rel AS BIGINT) AS score FROM (
+    SELECT query_id, cid, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, cid) AS rn
+    FROM cand) WHERE rn = 1),
+selall1 AS (SELECT * FROM sel1)"""]
+    for r in range(2, m + 1):
+        parts.append(f""",
+scored{r} AS (
+  SELECT c.query_id, c.cid, c.rel - MAX(d.d) AS score
+  FROM cand c
+  JOIN selall{r - 1} s ON s.query_id = c.query_id
+  JOIN dots d ON d.dq = c.query_id AND d.ca = c.cid AND d.cb = s.cid
+  WHERE NOT EXISTS (SELECT 1 FROM selall{r - 1} p
+                    WHERE p.query_id = c.query_id AND p.cid = c.cid)
+  GROUP BY c.query_id, c.cid, c.rel),
+sel{r} AS (
+  SELECT query_id, cid, {r} AS position, CAST(score AS BIGINT) AS score
+  FROM (
+    SELECT query_id, cid, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, cid) AS rn
+    FROM scored{r}) WHERE rn = 1),
+selall{r} AS (SELECT * FROM selall{r - 1} UNION ALL SELECT * FROM sel{r})""")
+    parts.append(f"""
+SELECT query_id, CAST(position AS INTEGER) AS position,
+       cid AS selected_id, score AS mmr_score
+FROM selall{m}""")
+    return "".join(parts)
+
+
+@_q("x_sim_mmr_rerank", _mmr_sql())
+def x_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware top-k: MMR greedy re-rank of brute-candidate
+    lists for 8 query vectors (operators/similarity.py::mmr_rerank —
+    Carbonell & Goldstein 1998, lambda = 1/2 scaled to the exact
+    integer form rel - max_div). The ENTIRE greedy — candidate
+    generation, pairwise diversity dots, all 5 selection rounds with
+    their tiebreaks — is exact integer arithmetic on the 2^10 grid, so
+    the selected SET is bit-reproducible across engines and the DuckDB
+    oracle replays it verbatim as unrolled CTEs. Scale shape: one
+    broadcast-query map-side scoring pass over the corpus + per-query
+    top-16 window (swap in the IVF tier at 100 TB), then everything
+    operates on queries x 16 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mmr_rerank(
+        emb, emb.filter(F.col("vec_id") < 8),
+        k_candidates=16, m=5, grid_bits=10,
+    )

@@ -385,3 +385,22 @@ def test_within_group_cosine_pairs_matches_join_filter(spark):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_ngram_df_cap_production_value_lossless_at_fixture_sf(spark, sf_dir):
+    """VERDICT r15 task 3 (the LSH bucket_cap assertion pattern): the
+    production df_cap=100 used by x_dedup_ngram_jaccard and the staged
+    pair table must NOT change the pair set at the checked SFs — the
+    cap is a worst-case work bound (sum over shingles of C(df,2), each
+    term <= C(cap,2)), not an accuracy trade at fixture scale. If the
+    fixtures ever grow a shingle past df=100, this fails loudly and the
+    oracle CTE's identical cap keeps the hash gate green."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(k=3, threshold=0.5, posts_partitions=8)
+    capped = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", df_cap=100, **kw
+    )
+    uncapped = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", **kw)
+    got_c = sorted((r["doc_a"], r["doc_b"]) for r in capped.collect())
+    got_u = sorted((r["doc_a"], r["doc_b"]) for r in uncapped.collect())
+    assert got_c == got_u and len(got_c) > 0

@@ -1,0 +1,91 @@
+"""Merge-on-read deletion vectors (operators/deletes.py, r16)."""
+
+from __future__ import annotations
+
+import pytest
+
+from glue_jobs_for_data_pipeline_spark.operators import deletes
+from glue_jobs_for_data_pipeline_spark.sources import txn
+
+
+def _df(spark, n=10):
+    return spark.range(n).selectExpr("id AS k", "id * 2 AS v")
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return txn.Catalog(str(tmp_path / "wh"))
+
+
+def _merged_keys(cat, spark):
+    return sorted(
+        r["k"] for r in deletes.read_merged(cat, spark, "t", ("k",)).collect()
+    )
+
+
+def test_delete_is_keys_only_and_base_untouched(spark, cat):
+    with cat.transaction() as t:
+        t.overwrite(_df(spark), "t")
+    base_version = cat.manifest()["t"]
+    deletes.delete_where(cat, spark, "t", "k >= 7", ("k",))
+    # base version did not move; only the dv table committed
+    assert cat.manifest()["t"] == base_version
+    assert cat.manifest()[deletes.dv_table("t")] == 1
+    assert _merged_keys(cat, spark) == [0, 1, 2, 3, 4, 5, 6]
+    # physical base still holds every row (merge-on-read, not rewrite)
+    assert cat.read(spark, "t").count() == 10
+
+
+def test_read_without_dv_is_base(spark, cat):
+    with cat.transaction() as t:
+        t.overwrite(_df(spark), "t")
+    assert _merged_keys(cat, spark) == list(range(10))
+
+
+def test_deletes_accumulate_and_are_idempotent(spark, cat):
+    with cat.transaction() as t:
+        t.overwrite(_df(spark), "t")
+    deletes.delete_where(cat, spark, "t", "k = 3", ("k",))
+    deletes.delete_where(cat, spark, "t", "k IN (3, 5)", ("k",))  # re-delete 3
+    assert _merged_keys(cat, spark) == [0, 1, 2, 4, 6, 7, 8, 9]
+    dv = cat.read(spark, deletes.dv_table("t"))
+    assert sorted(r["k"] for r in dv.collect()) == [3, 5]  # distinct, no dup
+
+
+def test_compaction_folds_dv_atomically(spark, cat):
+    with cat.transaction() as t:
+        t.overwrite(_df(spark), "t")
+    deletes.delete_where(cat, spark, "t", "k < 4", ("k",))
+    before = _merged_keys(cat, spark)
+    m = deletes.compact_deletes(cat, spark, "t", ("k",))
+    # ONE manifest moved both tables (base rewritten + dv emptied)
+    mf = cat.manifest()
+    assert cat.head() == m
+    assert cat.read(spark, "t").count() == 6  # base physically shrunk
+    assert cat.read(spark, deletes.dv_table("t")).count() == 0
+    assert _merged_keys(cat, spark) == before == [4, 5, 6, 7, 8, 9]
+    # both flips are in the same manifest: reading the PARENT manifest
+    # shows the old pair (old base, full dv) — no mixed state exists
+    parent = cat._manifest_parent(m)
+    old = cat._manifest_tables(parent)
+    assert old["t"] < mf["t"] and old[deletes.dv_table("t")] < mf[
+        deletes.dv_table("t")
+    ]
+
+
+def test_compact_without_dv_is_noop(spark, cat):
+    with cat.transaction() as t:
+        t.overwrite(_df(spark), "t")
+    h = cat.head()
+    assert deletes.compact_deletes(cat, spark, "t", ("k",)) == h
+
+
+def test_delete_then_read_on_branch_is_isolated(spark, cat):
+    with cat.transaction() as t:
+        t.overwrite(_df(spark), "t")
+    cat.create_branch("exp")
+    deletes.delete_where(cat, spark, "t", "k >= 5", ("k",), branch="exp")
+    # main sees everything; the branch sees the delete
+    assert _merged_keys(cat, spark) == list(range(10))
+    exp = deletes.read_merged(cat, spark, "t", ("k",), branch="exp")
+    assert sorted(r["k"] for r in exp.collect()) == [0, 1, 2, 3, 4]

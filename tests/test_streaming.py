@@ -499,3 +499,87 @@ def test_stream_stream_full_join_evicts_both_sides(spark, tmp_path):
     # user_id survives on BOTH null-extended sides (coalesce)
     users = {(r["left_id"], r["right_id"]): r["user_id"] for r in out}
     assert users[(1, None)] == 1 and users[(None, 6)] == 5
+
+
+def test_watermark_boundary_late_row_semantics(spark, tmp_path):
+    """VERDICT r15 task 7: pin the one semantics edge the
+    stream-to-batch equivalence can't — what happens EXACTLY AT the
+    watermark. Batches are driven deterministically (drop a file, then
+    processAllAvailable) so the watermark is known at each arrival:
+
+      batch 1: events at 01:30 'a' and 03:00 'a'  -> wm = 02:50; the
+               no-data batch finalizes window [01:00,02:00) at n=1
+      batch 2 (under wm 02:50):
+               ts 02:50 'boundary' == wm -> ACCEPTED (its window
+               [02:00,03:00) ends after the wm, state still open;
+               the drop predicate is strictly ts < wm)
+               ts 01:45 'late'     <  wm -> DROPPED: the already-
+               finalized window must NOT re-emit or recount
+      batch 3: 04:10 'a' -> wm = 04:00; flush emits [02:00) and
+               [03:00); the trailing [04:00) window stays pending
+    """
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    from glue_jobs_for_data_pipeline_spark.streaming.events import (
+        watermarked_event_agg,
+    )
+
+    d = tmp_path / "wm_edge"
+    d.mkdir()
+
+    def t(h: int, m: int) -> dt.datetime:
+        return dt.datetime(2024, 1, 1, h, m)
+
+    def drop(i: int, rows: list) -> None:
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(os.path.join(str(d), f"f{i}.parquet"))
+
+    drop(0, [(1, t(1, 30), "a"), (2, t(3, 0), "a")])
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .format("parquet")
+        .load(str(d))
+    )
+    emitted: list[tuple] = []
+
+    def sink(batch_df, _batch_id):
+        emitted.extend(
+            (str(r["window_start"]), r["event_type"], r["n_events"])
+            for r in batch_df.collect()
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            watermarked_event_agg(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .queryName("t_wm_boundary")
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # batch 1 -> wm 02:50, [01:00) emits
+            drop(1, [(3, t(2, 50), "boundary"), (4, t(1, 45), "late")])
+            q.processAllAvailable()  # at-wm accepted, below-wm dropped
+            drop(2, [(5, t(4, 10), "a")])
+            q.processAllAvailable()  # wm 04:00 -> flush open windows
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    assert sorted(emitted) == [
+        ("2024-01-01 01:00:00", "a", 1),        # finalized BEFORE the late row
+        ("2024-01-01 02:00:00", "boundary", 1),  # ts == wm survives
+        ("2024-01-01 03:00:00", "a", 1),
+    ]
+    # the dropped late row must never re-emit its window, recount it,
+    # or appear under its own key; the trailing window stays pending
+    assert all(r[1] != "late" for r in emitted)
+    assert ("2024-01-01 01:00:00", "a", 2) not in emitted
+    assert all(not r[0].startswith("2024-01-01 04:") for r in emitted)
