@@ -31,111 +31,97 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate consumes exactly the FIRST 50 keys of
-# queries(), so registration order is the coverage knob. Round 15
-# priority order (the r14 verdict's tasks #1 and #6 — 50 explicit
-# entries below = the full window):
-# (a) the COMPLETE 25-key r08-evidence cohort — the oldest driver
-#     evidence left, retired in one edit;
-# (b) the two keys that never had ANY driver row (rows-only by design;
-#     the driver records the weaker rows-only check once):
-#     x_olap_approx_percentiles, x_olap_hll_partial_merge;
-# (c) keys whose PLAN or ORACLE changed in r15: the two NEW stage
-#     queries (x_dedup_pairs_stage — near-dup pair table staged once —
-#     and x_emb_centroids_stage — both k-means trainings staged once),
-#     their seven consumers (x_dedup_cc_clusters, x_corpus_dedup_cc,
-#     x_corpus_dedup_quality_keep, x_split_neardup_leakage,
-#     x_dedup_semantic_semdedup, x_corpus_cluster_balance,
-#     x_sim_ivf_kmeans_topk), x_olap_grid_quantile_sketch (bin width
-#     fixed to the documented $100 grid — ADVICE r14 medium),
-#     x_market_basket_lift (distinct basket set checkpointed),
-#     x_graph_pagerank (oracle nodes CTE now unions dst);
-# (d) always-on m1/m2 core + m5 (stale-lock reclamation added r15).
-# No parity auto-fill this round (all 46 parity keys driver-green r14
-# and sweep-green both SFs every round).
-# Carried to r16 (sweep-green at both SFs every round; newest driver
-# evidence r14): x_mm_binary_ingest, x_graph_edges_stage,
-# x_mm_ingest_pipeline, x_storage_bucketed_join,
-# x_storage_dynamic_partition_pruning, x_validate_observed_load,
-# x_graph_triangles, x_graph_degree_hist, x_graph_kcore,
-# x_graph_coreness, the r07-cohort (r14 evidence), and the parity keys
-# past slot 50.
-# Permanently rows-only by design (weaker driver check only):
-# x_dedup_minhash_lsh, x_dedup_simhash, x_olap_approx_distinct,
-# x_corpus_prep_neardup, x_olap_freq_items (plus (b) above, seated
-# once this round so every one of the catalog keys has a driver row).
-# Entries rotated OUT keep a regression check via
-# tools/oracle_check.py over ALL keys — run pre-commit with
-# --pandas-oracle, full sweep committed per round as
-# ORACLE_SWEEP_r{N}.json.
-# Rows-only keys DELIBERATELY consuming window slots this round: the
-# r14 verdict's task #6 — each gets its one (weaker, rows-only) driver
-# row so every catalog key has driver evidence at least once. Rotate
-# them back out in r16.
-_WINDOW_ROWS_ONLY_OK = {
-    "x_olap_approx_percentiles",
-    "x_olap_hll_partial_merge",
-}
+# queries(), so registration order is the coverage knob. Round 16
+# priority order (the r15 verdict's task #1, executed as planned —
+# 50 explicit entries below = the full window, ALL oracle-able, so the
+# target is 50/50 hash-green with zero no_oracle rows):
+# (a) the 10-key carried list named in the r15 plan — newest driver
+#     evidence r14;
+# (b) the complete 17-key r07-origin cohort (reseated r14; every
+#     stream/merge/ts key in it), retiring the oldest remaining
+#     x_* driver evidence in one edit;
+# (c) keys NEW or plan-changed in r16: x_storage_branch_rebase (new —
+#     divergent-branch rebase, verdict task 6),
+#     x_storage_deletion_vectors (new — merge-on-read deletes),
+#     x_sim_mmr_rerank (new — integer-grid MMR diversity re-rank),
+#     x_storage_runtime_bloom_filter (conf bracket now pins the
+#     feature flag — ADVICE r15), x_validate_varchar_len (report
+#     pivot rebuilt as struct/explode, hostile-name safe — ADVICE
+#     r15), x_mm_binary_ingest + x_mm_ingest_pipeline (already in (a);
+#     scan now materializes under the openCostInBytes bracket —
+#     verdict task 2);
+# (d) always-on m1/m2 core + m5 (txn.py lock/gc/rebase rework r16);
+# (e) parity keys p6..f4 — the 15 oldest-evidence parity keys (the
+#     r14 auto-fill refreshed s1..p5; these are the next tranche).
+# Carried to r17 (sweep-green at both SFs every round): the parity
+# keys f5..m4 (r13-or-older driver evidence), x_storage_branch_isolation
+# and the rest of the r15-seated cohort (r15 evidence), and the
+# r08-cohort reseated in r15.
+# Permanently rows-only by design (weaker driver check only; each got
+# its one seated driver row in r15): x_dedup_minhash_lsh,
+# x_dedup_simhash, x_olap_approx_distinct, x_corpus_prep_neardup,
+# x_olap_freq_items, x_olap_approx_percentiles,
+# x_olap_hll_partial_merge — rotated back OUT this round per the r15
+# plan; their exact twins stay hash-gated.
+_WINDOW_ROWS_ONLY_OK: set[str] = set()  # r16: no rows-only keys seated
 
 _WINDOW_FIRST = [
-    # (a) the complete r08-evidence cohort, seated in full (25)
-    "x_dedup_fuzzy_match",
-    "x_events_anomaly_mad",
-    "x_events_funnel_windowed",
-    "x_events_top_paths",
-    "x_events_transitions",
-    "x_events_wau",
-    "x_events_winsorize",
-    "x_olap_conditional_kernels",
-    "x_olap_distribution_window",
-    "x_olap_full_outer_join",
-    "x_olap_mode",
-    "x_olap_mom_growth",
-    "x_olap_q12_style",
-    "x_olap_regression",
-    "x_olap_skyline",
-    "x_sample_weighted",
-    "x_scd2_hash_keys",
-    "x_skew_salted_agg",
-    "x_storage_partition_pruning",
-    "x_storage_zorder_roundtrip",
-    "x_text_boilerplate_removal",
-    "x_text_string_kernels",
-    "x_ts_asof_forward",
-    "x_ts_ohlc",
-    "x_ts_twap",
-    # (b) never driver-checked, rows-only by design (2)
-    "x_olap_approx_percentiles",
-    "x_olap_hll_partial_merge",
-    # (c) plan/oracle changed in r15 (12)
-    "x_dedup_pairs_stage",
-    "x_emb_centroids_stage",
-    "x_dedup_cc_clusters",
-    "x_corpus_dedup_cc",
-    "x_corpus_dedup_quality_keep",
-    "x_split_neardup_leakage",
-    "x_dedup_semantic_semdedup",
-    "x_corpus_cluster_balance",
-    "x_sim_ivf_kmeans_topk",
-    "x_olap_grid_quantile_sketch",
-    "x_market_basket_lift",
-    "x_graph_pagerank",
-    # (c2) NEW in r15, seated for first driver evidence (8):
-    # VARCHAR enforcement (SURVEY §1.2 residue closed), DSIR importance
-    # weights, staged-model cluster quality, count-min sketch, PCA
-    # scatter moments, group-aware k-fold split, runtime bloom-filter
-    # join pruning, catalog branch isolation + fast-forward merge
-    "x_validate_varchar_len",
-    "x_text_dsir_weights",
-    "x_emb_cluster_quality",
-    "x_olap_countmin_sketch",
-    "x_emb_scatter_matrix",
-    "x_split_group_kfold",
+    # (a) the carried list from the r15 plan (10)
+    "x_mm_binary_ingest",
+    "x_graph_edges_stage",
+    "x_mm_ingest_pipeline",
+    "x_storage_bucketed_join",
+    "x_storage_dynamic_partition_pruning",
+    "x_validate_observed_load",
+    "x_graph_triangles",
+    "x_graph_degree_hist",
+    "x_graph_kcore",
+    "x_graph_coreness",
+    # (b) the complete r07-origin cohort, reseated in full (17)
+    "x_merge_into",
+    "x_olap_q22_style",
+    "x_scd2_point_in_time",
+    "x_skew_salted_join",
+    "x_sql_frontend",
+    "x_stream_dedup",
+    "x_stream_sessionize",
+    "x_stream_static_join",
+    "x_stream_stream_full_join",
+    "x_stream_stream_left_join",
+    "x_stream_topk",
+    "x_stream_watermark_append",
+    "x_text_bigram_lm",
+    "x_text_tfidf",
+    "x_ts_gap_fill",
+    "x_ts_sessionize_native",
+    "x_validate_profile",
+    # (c) new or plan-changed in r16 (5)
+    "x_storage_branch_rebase",
+    "x_storage_deletion_vectors",
+    "x_sim_mmr_rerank",
     "x_storage_runtime_bloom_filter",
-    "x_storage_branch_isolation",
-    # (d) always-on core + commit path (3)
+    "x_validate_varchar_len",
+    # (d) always-on core + r16-reworked commit path (3)
     "m1_scd2_upsert",
     "m2_j2_fact_population",
     "m5_transactional_pipeline",
+    # (e) oldest-evidence parity tranche p6..f4 (15; f5/f6 carry to r17
+    #     so the new deletion-vector and MMR keys seat in the window)
+    "p6_null_predicate",
+    "p7_in_subquery_semi",
+    "p8_f12_table_dispatch",
+    "j1_inner_equijoin",
+    "j3_left_semi_join",
+    "a1_count_star",
+    "a2_groupby_count",
+    "a3_having",
+    "a4_distinct",
+    "w1_row_number",
+    "l1_limit",
+    "f1_extract_year",
+    "f2_extract_quarter",
+    "f3_extract_month",
+    "f4_extract_day",
 ]
 
 
