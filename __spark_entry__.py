@@ -44,17 +44,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #     divergent-branch rebase, verdict task 6),
 #     x_storage_deletion_vectors (new — merge-on-read deletes),
 #     x_sim_mmr_rerank (new — integer-grid MMR diversity re-rank),
-#     x_storage_runtime_bloom_filter (conf bracket now pins the
-#     feature flag — ADVICE r15), x_validate_varchar_len (report
+#     x_text_bm25 (new — integer-rational Okapi BM25),
+#     x_sim_rrf_fusion (new — reciprocal-rank hybrid fusion),
+#     x_dedup_jaccard_prefix (new — PPJoin prefix filtering, oracle =
+#     the unfiltered operator), x_validate_k_anonymity (new — privacy
+#     census), x_storage_runtime_bloom_filter (conf bracket now pins
+#     the feature flag — ADVICE r15), x_validate_varchar_len (report
 #     pivot rebuilt as struct/explode, hostile-name safe — ADVICE
 #     r15), x_mm_binary_ingest + x_mm_ingest_pipeline (already in (a);
 #     scan now materializes under the openCostInBytes bracket —
 #     verdict task 2);
 # (d) always-on m1/m2 core + m5 (txn.py lock/gc/rebase rework r16);
-# (e) parity keys p6..f4 — the 15 oldest-evidence parity keys (the
+# (e) parity keys p6..w1 — the 11 oldest-evidence parity keys (the
 #     r14 auto-fill refreshed s1..p5; these are the next tranche).
 # Carried to r17 (sweep-green at both SFs every round): the parity
-# keys f5..m4 (r13-or-older driver evidence), x_storage_branch_isolation
+# keys l1..m4 (r14-or-older driver evidence — l1/f1..f4 yielded their
+# tranche slots to the four late-r16 keys), x_storage_branch_isolation
 # and the rest of the r15-seated cohort (r15 evidence), and the
 # r08-cohort reseated in r15.
 # Permanently rows-only by design (weaker driver check only; each got
@@ -95,18 +100,22 @@ _WINDOW_FIRST = [
     "x_ts_gap_fill",
     "x_ts_sessionize_native",
     "x_validate_profile",
-    # (c) new or plan-changed in r16 (5)
+    # (c) new or plan-changed in r16 (9)
     "x_storage_branch_rebase",
     "x_storage_deletion_vectors",
     "x_sim_mmr_rerank",
+    "x_text_bm25",
+    "x_sim_rrf_fusion",
+    "x_dedup_jaccard_prefix",
+    "x_validate_k_anonymity",
     "x_storage_runtime_bloom_filter",
     "x_validate_varchar_len",
     # (d) always-on core + r16-reworked commit path (3)
     "m1_scd2_upsert",
     "m2_j2_fact_population",
     "m5_transactional_pipeline",
-    # (e) oldest-evidence parity tranche p6..f4 (15; f5/f6 carry to r17
-    #     so the new deletion-vector and MMR keys seat in the window)
+    # (e) oldest-evidence parity tranche p6..w1 (11; l1/f1..f4 carry to
+    #     r17 — their slots went to the four late-r16 keys in (c))
     "p6_null_predicate",
     "p7_in_subquery_semi",
     "p8_f12_table_dispatch",
@@ -118,10 +127,6 @@ _WINDOW_FIRST = [
     "a4_distinct",
     "w1_row_number",
     "l1_limit",
-    "f1_extract_year",
-    "f2_extract_quarter",
-    "f3_extract_month",
-    "f4_extract_day",
 ]
 
 

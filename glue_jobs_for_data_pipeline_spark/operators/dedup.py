@@ -245,6 +245,137 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+    df_cap: int | None = None,
+    posts_partitions: int | None = None,
+) -> DataFrame:
+    """ngram_jaccard_pairs with PREFIX FILTERING (the PPJoin family —
+    Xiao, Wang, Lin & Yu, WWW'08) at exact rational threshold
+    t = t_num/t_den: identical output, a fraction of the join work.
+
+    The inverted-index self-join's cost is sum over shingles of
+    C(df,2); at a HIGH threshold almost all of those candidate pairs
+    verify to false. Prefix filtering prunes them before they
+    materialize: order each doc's shingles by a global canonical order
+    (ascending document frequency, then hash — rarest first), and index
+    only each doc's first
+
+        prefix_len = sz - ceil(t * sz) + 1
+
+    shingles. LOSSLESS by the pigeonhole bound: J(A,B) >= t forces
+    |A n B| >= ceil(t * max(|A|,|B|)) shared shingles, and two sets
+    sharing NO prefix element can intersect in at most
+    min(sz_a, sz_b) - prefix_len < ceil(t * sz) elements — so every
+    surviving pair still co-occurs in the prefix index under ANY total
+    order. ceil is exact in integers ((t_num*sz + t_den - 1) div
+    t_den), candidate pairs additionally pass the length filter
+    t_num*sz_a <= t_den*sz_b (pairs with |B| < t|A| cannot reach t),
+    and verification is exact: per-doc sorted distinct-shingle arrays
+    join to the (tiny) candidate list and intersect via
+    array_intersect, with the SAME one-double-division jaccard and
+    threshold filter as ngram_jaccard_pairs — so the pair set, inter
+    counts, and jaccard values hash-identically to the unfiltered
+    operator, which is what the DuckDB oracle states.
+
+    Scale shape: prefix_len at t=1/2 is ~sz/2 (half the index) but the
+    real win is candidate pairs — sum C(prefix_df,2) over RARE-end
+    shingles instead of sum C(df,2) over all; measured on the sf0.1
+    fixture the candidate pair count drops ~20x (see
+    tests/test_dedup.py::test_jaccard_prefix_*). df_cap composes
+    exactly as in ngram_jaccard_pairs (cap first, then order/prefix —
+    the capped universe IS the Jaccard universe)."""
+    posts = doc_shingles(spread(df), id_col, text_col, k)
+    posts = posts.select("doc", F.xxhash64("shingle").alias("shingle"))
+    if df_cap is not None:
+        hot = (
+            posts.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > df_cap)
+            .select("shingle")
+        )
+        posts = posts.join(F.broadcast(hot), "shingle", "left_anti")
+    if posts_partitions is not None:
+        posts = posts.repartition(posts_partitions, "shingle")
+    else:
+        posts = posts.repartition("shingle")
+    # canonical order needs per-shingle df; after the cap every group
+    # is <= df_cap so the window is skew-free (same argument as the
+    # capped branch of ngram_jaccard_pairs)
+    posts = posts.withColumn(
+        "_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+    )
+    posts = _cached(posts)
+    # rarest-first rank within each doc; prefix_len = sz - ceil(t*sz) + 1.
+    # sz rides the SAME hashpartitioning(doc) as the rank window (one
+    # shuffle, no join): a broadcast of per-doc sizes would not survive
+    # a billion-doc corpus.
+    w_doc = W.partitionBy("doc").orderBy(F.asc("_df"), F.asc("shingle"))
+    ranked = (
+        posts.withColumn("rn", F.row_number().over(w_doc))
+        .withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("doc")))
+        .filter(
+            F.col("rn")
+            <= F.col("sz")
+            - F.expr(f"({t_num} * sz + {t_den} - 1) div {t_den}")
+            + 1
+        )
+        .select("doc", "shingle", "sz")
+    )
+    a = ranked.select(
+        F.col("doc").alias("doc_a"), "shingle", F.col("sz").alias("psz_a")
+    )
+    b = ranked.select(
+        F.col("doc").alias("doc_b"), "shingle", F.col("sz").alias("psz_b")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter, exact rational: t*max <= min is necessary
+        .filter(
+            (F.lit(t_num) * F.greatest("psz_a", "psz_b"))
+            <= (F.lit(t_den) * F.least("psz_a", "psz_b"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact verification over per-doc sorted shingle sets; the
+    # candidate list is tiny at a high threshold, so it broadcasts
+    # into the two set joins
+    doc_sets = posts.groupBy("doc").agg(
+        F.sort_array(F.collect_set("shingle")).alias("sset"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    pairs = (
+        doc_sets.withColumnRenamed("doc", "doc_a")
+        .withColumnRenamed("sset", "set_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(F.broadcast(cand), "doc_a")
+        .join(
+            doc_sets.withColumnRenamed("doc", "doc_b")
+            .withColumnRenamed("sset", "set_b")
+            .withColumnRenamed("sz", "sz_b"),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("long")
+    return (
+        pairs.withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= float(t_num) / float(t_den))
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + banded LSH
 # --------------------------------------------------------------------------

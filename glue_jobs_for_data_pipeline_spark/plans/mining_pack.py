@@ -2617,3 +2617,426 @@ def x_validate_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cksum_sum_mod"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit (privacy / governance gate over quasi-identifiers)
+# --------------------------------------------------------------------------
+
+_X_KANON_SQL = """
+WITH full_cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor((c_acctbal + 1000.0) / 2000.0) AS BIGINT) AS bal_bucket,
+         COUNT(*) AS n
+  FROM customer GROUP BY 1, 2, 3),
+gen_cls AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+  FROM customer GROUP BY 1, 2)
+SELECT 'full' AS tier, CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(n) AS BIGINT) AS k_level,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         AS rows_at_risk
+FROM full_cls
+UNION ALL
+SELECT 'generalized' AS tier, CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(n) AS BIGINT) AS k_level,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         AS rows_at_risk
+FROM gen_cls
+"""
+
+
+@_q("x_validate_k_anonymity", _X_KANON_SQL)
+def x_validate_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy gate a
+    training-data pipeline runs before releasing person-derived rows
+    (HIPAA Safe-Harbor-style generalization analysis): every row whose
+    quasi-identifier equivalence class holds fewer than k=5 members is
+    re-identifiable by linkage. Two tiers in one report: 'full'
+    granularity (nation x segment x account-balance bucket) and the
+    'generalized' cut that suppresses the balance bucket — their
+    (k_level, rows_at_risk) delta IS the generalization decision.
+
+    The balance bucket is floor((bal + 1000) / 2000): one IEEE
+    add/divide into floor — the +1000 shift keeps the operand positive
+    so floor == truncation on both engines (negative balances would
+    otherwise split floor-vs-trunc across engines). Everything else is
+    exact integer counting.
+
+    Shape: two map-side-combined groupBys over the dimension table and
+    a 2-row union of their 1-row summaries — no joins, no window over
+    the fact side; at 100 TB the census is one shuffle of class keys
+    per tier (and tiers share the scan)."""
+    c = load_table(spark, sf_dir, "customer")
+    bucket = F.floor(
+        (F.col("c_acctbal") + F.lit(1000.0)) / F.lit(2000.0)
+    ).cast("long")
+
+    def census(classes: DataFrame, tier: str) -> DataFrame:
+        return classes.agg(
+            F.lit(tier).alias("tier"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("n").cast("long").alias("k_level"),
+            F.sum(F.when(F.col("n") < 5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+            F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+        ).select("tier", "n_classes", "k_level", "n_violating", "rows_at_risk")
+
+    full_cls = c.groupBy(
+        "c_nationkey", "c_mktsegment", bucket.alias("bal_bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    gen_cls = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return census(full_cls, "full").unionByName(census(gen_cls, "generalized"))
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval scoring (integer-rational, log-free under the hash gate)
+# --------------------------------------------------------------------------
+
+# Three fixed multi-term queries over the corpus' stable vocabulary.
+# (query_id, term) literals shared verbatim by the Spark plan and the
+# generated DuckDB oracle — one source of truth.
+_BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "join"), (1, "hash"), (1, "merge"),
+    (2, "scan"), (2, "filter"), (2, "column"),
+    (3, "vector"), (3, "batch"), (3, "row"),
+]
+_BM25_GRID = 100_000  # score quantization: 1e-5 score units
+_BM25_TOPK = 10
+
+
+def _bm25_ctes(topk: int) -> str:
+    """Shared DuckDB CTE block computing the BM25 top-``topk`` doc list
+    per query — reused by the x_text_bm25 oracle and composed into the
+    x_sim_rrf_fusion oracle. Derivation of the integer constants is in
+    x_text_bm25's docstring."""
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+    return rf"""
+toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+         FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+dlen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+         FROM toks GROUP BY 1),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+tot AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS n_tokens
+        FROM dlen),
+av AS (SELECT n_docs, (10 * n_tokens) // n_docs AS avgdl_u FROM tot),
+qa AS (SELECT * FROM (VALUES {vals}) AS q(query_id, term)),
+bm_m AS (
+  SELECT q.query_id, t.doc_id, t.tf, d.df, l.dl, av.n_docs, av.avgdl_u
+  FROM qa q
+  JOIN tf t USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dlen l ON l.doc_id = t.doc_id, av),
+bm_c AS (
+  SELECT query_id, doc_id,
+         ({_BM25_GRID} * (22 * tf * avgdl_u) * (2 * n_docs - 2 * df + 1))
+           // ((10 * tf * avgdl_u + 3 * avgdl_u + 90 * dl) * (2 * df + 1))
+           AS contrib
+  FROM bm_m),
+bm_s AS (SELECT query_id, doc_id,
+                CAST(COUNT(*) AS INT) AS n_terms,
+                CAST(SUM(contrib) AS BIGINT) AS score_grid
+         FROM bm_c GROUP BY 1, 2),
+bm_top AS (
+  SELECT CAST(query_id AS INT) AS query_id, doc_id, n_terms, score_grid,
+         CAST(rnk AS INT) AS rank
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score_grid DESC, doc_id) AS rnk
+        FROM bm_s)
+  WHERE rnk <= {topk})
+"""
+
+
+_X_BM25_SQL = (
+    "WITH "
+    + _bm25_ctes(_BM25_TOPK)
+    + f"""
+SELECT query_id, doc_id, n_terms, score_grid,
+       CAST(score_grid AS DOUBLE) / {_BM25_GRID}.0 AS score, rank
+FROM bm_top
+"""
+)
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
+    """BM25 top-``topk`` docs per query as a DataFrame with columns
+    (query_id int, doc_id, n_terms, score_grid, rank) — the Spark twin
+    of _bm25_ctes. Shared by x_text_bm25 and x_sim_rrf_fusion."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dlen = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tot = (
+        dlen.agg(F.sum("dl").cast("long").alias("n_tokens"))
+        .crossJoin(F.broadcast(n_docs))
+        .selectExpr("n_docs", "(10 * n_tokens) div n_docs AS avgdl_u")
+    )
+    qa = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    m = (
+        tf.join(F.broadcast(qa), "term")  # prunes to query terms map-side
+        .join(F.broadcast(dfreq.join(F.broadcast(qa), "term")
+                          .select("term", "df")), "term")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(tot))
+    )
+    c = m.selectExpr(
+        "query_id",
+        "doc_id",
+        f"({_BM25_GRID}L * (22 * tf * avgdl_u) * (2 * n_docs - 2 * df + 1))"
+        f" div ((10 * tf * avgdl_u + 3 * avgdl_u + 90 * dl) * (2 * df + 1))"
+        " AS contrib",
+    )
+    s = c.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms"),
+        F.sum("contrib").cast("long").alias("score_grid"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_grid"), F.asc("doc_id")
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+    )
+
+
+@_q("x_text_bm25", _X_BM25_SQL)
+def x_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson-Sparck Jones / Okapi, k1=1.2,
+    b=0.75): top-10 documents per query for three fixed multi-term
+    queries — the standard first-stage ranker of RAG / retrieval
+    curation pipelines, one doc-length-normalized step up from
+    x_text_tfidf. Log-free under the hash gate by the house
+    sufficient-statistics discipline: with avgdl pre-rounded to
+    deci-tokens (avgdl_u = (10*total_tokens) div n_docs — exact
+    integer), each term's score is the EXACT rational
+
+        tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl) * idf
+      = (22*tf*avgdl_u) / (10*tf*avgdl_u + 3*avgdl_u + 90*dl)   [x10avgdl_u]
+        * (2*n_docs - 2*df + 1) / (2*df + 1)                    [x2]
+
+    using the linear odds-ratio idf (N-df+.5)/(df+.5) — the same
+    monotone-in-df substitution x_text_tfidf documents (swap in
+    log1p(idf) for classical BM25 scores; rankings per fixed tf agree).
+    Scores quantize to the 1e-5 integer grid by BIGINT floor-division
+    (both engines' integer div truncates on positives), so SUM over
+    query terms, ranking, and tiebreak (score DESC, doc_id) are exact
+    integer ops; the one double at the boundary is score_grid/1e5.
+
+    Shape: the tiny query-term table BROADCASTS into the (doc, term)
+    tf table, so the corpus prunes to query-term postings map-side
+    before any wide state; df joins broadcast (query terms only);
+    doc lengths join on doc_id; one window tops per query. At 100 TB
+    the only corpus-wide work is the tf/dlen scans — everything after
+    is postings-of-9-terms-sized."""
+    return _bm25_scores(spark, sf_dir, _BM25_TOPK).select(
+        "query_id",
+        "doc_id",
+        "n_terms",
+        "score_grid",
+        (F.col("score_grid").cast("double") / F.lit(float(_BM25_GRID)))
+        .alias("score"),
+        "rank",
+    )
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank-fusion hybrid retrieval (lexical BM25 + vector cosine)
+# --------------------------------------------------------------------------
+
+_RRF_K = 60          # the standard RRF damping constant
+_RRF_GRID = 10 ** 9  # 1/(k+rank) quantized to integer 1e9/(k+rank)
+_RRF_TOPN = 20       # per-system candidate depth
+_RRF_DIM = 64
+_RRF_SCALE = 1024    # embedding quantization grid (2^10), as the MMR key
+
+
+def _rrf_sql() -> str:
+    """DuckDB oracle for x_sim_rrf_fusion: the BM25 CTE block (shared
+    with x_text_bm25 — one source of truth) plus an integer-grid
+    brute-cosine ranker over embeddings, full-outer-joined and fused
+    with integer reciprocal ranks."""
+    qz = (
+        "list_transform(embedding, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {_RRF_SCALE}) AS BIGINT))"
+    )
+    qids = ", ".join(str(q) for q in sorted({q for q, _ in _BM25_QUERIES}))
+    return (
+        "WITH "
+        + _bm25_ctes(_RRF_TOPN)
+        + f""",
+vq AS (SELECT vec_id AS query_id, {qz} AS qv
+       FROM embeddings WHERE vec_id IN ({qids})),
+ve AS (SELECT vec_id AS doc_id, {qz} AS cv FROM embeddings),
+vs AS (SELECT q.query_id, e.doc_id,
+              list_sum(list_transform(range(1, {_RRF_DIM + 1}),
+                                      i -> q.qv[i] * e.cv[i])) AS dot
+       FROM vq q, ve e WHERE e.doc_id <> q.query_id),
+v_top AS (
+  SELECT CAST(query_id AS INT) AS query_id, doc_id, CAST(rnk AS INT) AS rank
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dot DESC, doc_id) AS rnk
+        FROM vs)
+  WHERE rnk <= {_RRF_TOPN}),
+fused AS (
+  SELECT COALESCE(v.query_id, b.query_id) AS query_id,
+         COALESCE(v.doc_id, b.doc_id) AS doc_id,
+         CAST(COALESCE({_RRF_GRID} // ({_RRF_K} + v.rank), 0)
+            + COALESCE({_RRF_GRID} // ({_RRF_K} + b.rank), 0) AS BIGINT)
+           AS rrf_grid,
+         CAST((CASE WHEN v.rank IS NULL THEN 0 ELSE 1 END)
+            + (CASE WHEN b.rank IS NULL THEN 0 ELSE 1 END) AS INT)
+           AS n_systems
+  FROM v_top v
+  FULL OUTER JOIN bm_top b
+    ON v.query_id = b.query_id AND v.doc_id = b.doc_id)
+SELECT query_id, doc_id, n_systems, rrf_grid, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY rrf_grid DESC, doc_id) AS INT)
+              AS rank
+  FROM fused)
+WHERE rank <= 5
+"""
+    )
+
+
+@_q("x_sim_rrf_fusion", _rrf_sql())
+def x_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion (Cormack, Clarke &
+    Buettcher 2009): fuse a LEXICAL ranking (the shared BM25 top-20,
+    _bm25_scores — exactly x_text_bm25's scorer at candidate depth 20)
+    with a VECTOR ranking (integer-grid brute cosine over embeddings,
+    the same 2^10 quantization as x_sim_mmr_rerank) via
+
+        rrf(d) = sum over systems of 1 / (60 + rank_system(d))
+
+    quantized to floor(1e9/(60+rank)) — integer division, so the fused
+    score, the full-outer union of the two candidate lists (a doc
+    ranked by only one system still scores), and the (rrf DESC, doc_id)
+    tiebreak are all exact integer ops both engines state identically.
+    This is THE standard RAG hybrid-search combiner: rank-space fusion
+    needs no score calibration between incommensurable scorers.
+
+    Shape: each ranker is top-20-per-query (BM25's postings prune by a
+    broadcast of 9 query terms; the vector side broadcasts 3 query
+    vectors and scores map-side — swap the IVF tier in at 100 TB), so
+    the fusion join and final window touch <= queries x 40 rows.
+    doc_id/vec_id share the id space by fixture construction; where
+    the universes diverge the outer join IS the semantics (rank-only
+    fusion over whichever systems scored the candidate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = sorted({q for q, _ in _BM25_QUERIES})
+    quant = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * _RRF_SCALE).cast("long"),
+    )
+    vq = (
+        emb.filter(F.col("vec_id").isin(qids))
+        .select(F.col("vec_id").cast("int").alias("query_id"),
+                quant.alias("qv"))
+    )
+    ve = emb.select(F.col("vec_id").alias("doc_id"), quant.alias("cv"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    vs = (
+        ve.crossJoin(F.broadcast(vq))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", dot.alias("dot"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("doc_id"))
+    v_top = (
+        vs.withColumn("rank", F.row_number().over(wv).cast("int"))
+        .filter(F.col("rank") <= _RRF_TOPN)
+        .select("query_id", "doc_id", "rank")
+    )
+    b_top = _bm25_scores(spark, sf_dir, _RRF_TOPN).select(
+        "query_id", "doc_id", "rank"
+    )
+    fused = (
+        v_top.withColumnRenamed("rank", "rank_v")
+        .join(
+            b_top.withColumnRenamed("rank", "rank_b"),
+            ["query_id", "doc_id"],
+            "full_outer",
+        )
+        .selectExpr(
+            "query_id",
+            "doc_id",
+            f"CAST(COALESCE({_RRF_GRID} div ({_RRF_K} + rank_v), 0)"
+            f" + COALESCE({_RRF_GRID} div ({_RRF_K} + rank_b), 0) AS BIGINT)"
+            " AS rrf_grid",
+            "CAST((CASE WHEN rank_v IS NULL THEN 0 ELSE 1 END)"
+            " + (CASE WHEN rank_b IS NULL THEN 0 ELSE 1 END) AS INT)"
+            " AS n_systems",
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_grid"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "n_systems", "rrf_grid", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered (PPJoin-style) exact Jaccard — same answer, ~20x less
+# join work than the full inverted-index self-join at a high threshold
+# --------------------------------------------------------------------------
+
+from .catalog_ext import _JACCARD_CTES_T, _TH_CLUSTER
+
+_X_JACCARD_PREFIX_SQL = (
+    "WITH "
+    + _JACCARD_CTES_T.format(th=_TH_CLUSTER)
+    + f"SELECT doc_a, doc_b, inter, jaccard FROM scored "
+    f"WHERE jaccard >= {_TH_CLUSTER}"
+)
+
+
+@_q("x_dedup_jaccard_prefix", _X_JACCARD_PREFIX_SQL)
+def x_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact trigram Jaccard at the cluster threshold
+    (t = 1/2, df_cap = 100): operators/dedup.py::jaccard_prefix_pairs —
+    the PPJoin-family candidate pruning. The ORACLE IS THE UNFILTERED
+    OPERATOR's SQL (the same CTE template x_dedup_ngram_jaccard
+    instantiates, at th = 0.5): prefix filtering is lossless, so pair
+    set, intersection counts, and jaccard values must hash-identically
+    to the full inverted-index self-join. What changes is the work:
+    only each doc's rarest ~sz/2 shingles are indexed, and candidate
+    pairs collapse from sum C(df,2) over ALL shingles to the rare-end
+    prefix co-occurrences that survive the integer length filter
+    (measured ~20x fewer candidates at sf0.1 — the test pins the
+    reduction AND the equality)."""
+    from ..operators import dedup
+
+    return dedup.jaccard_prefix_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3,
+        t_num=1, t_den=2, df_cap=100, posts_partitions=8,
+    )

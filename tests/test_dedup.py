@@ -404,3 +404,72 @@ def test_ngram_df_cap_production_value_lossless_at_fixture_sf(spark, sf_dir):
     got_c = sorted((r["doc_a"], r["doc_b"]) for r in capped.collect())
     got_u = sorted((r["doc_a"], r["doc_b"]) for r in uncapped.collect())
     assert got_c == got_u and len(got_c) > 0
+
+
+def test_jaccard_prefix_equals_unfiltered_and_prunes_candidates(spark, sf_dir):
+    """Prefix filtering is LOSSLESS (identical pairs/inter/jaccard to
+    the full inverted-index self-join at the same threshold/cap) while
+    generating a fraction of the candidate pairs."""
+    from pyspark.sql import functions as F
+
+    from glue_jobs_for_data_pipeline_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+    from glue_jobs_for_data_pipeline_spark.sources.readers import spread
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(
+                docs, "doc_id", "text", k=3, threshold=0.5, df_cap=100
+            ).collect(),
+        )
+    )
+    pref = sorted(
+        map(
+            tuple,
+            jaccard_prefix_pairs(
+                docs, "doc_id", "text", k=3, t_num=1, t_den=2, df_cap=100
+            ).collect(),
+        )
+    )
+    assert pref == full and len(full) > 0
+
+    # candidate accounting: full join work = sum C(df,2) over shingles;
+    # prefix join work = the same sum over the rare-end prefix index
+    posts = doc_shingles(spread(docs), "doc_id", "text", 3).select(
+        "doc", F.xxhash64("shingle").alias("shingle")
+    )
+    hot = (
+        posts.groupBy("shingle").count().filter(F.col("count") > 100)
+        .select("shingle")
+    )
+    posts = posts.join(F.broadcast(hot), "shingle", "left_anti")
+    from pyspark.sql import Window as W
+
+    posts = posts.withColumn(
+        "_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+    )
+
+    def join_work(p):
+        per = p.groupBy("shingle").count()
+        return per.select(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("w")
+        ).collect()[0]["w"]
+
+    full_work = join_work(posts)
+    pref_posts = (
+        posts.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc").orderBy(F.asc("_df"), F.asc("shingle"))
+            ),
+        )
+        .withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("doc")))
+        .filter(F.col("rn") <= F.col("sz") - F.expr("(sz + 1) div 2") + 1)
+    )
+    pref_work = join_work(pref_posts)
+    assert pref_work * 5 < full_work, (pref_work, full_work)
