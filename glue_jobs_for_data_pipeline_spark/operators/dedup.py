@@ -344,28 +344,41 @@ def jaccard_prefix_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact verification over per-doc sorted shingle sets; the
-    # candidate list is tiny at a high threshold, so it broadcasts
-    # into the two set joins
-    doc_sets = posts.groupBy("doc").agg(
-        F.sort_array(F.collect_set("shingle")).alias("sset"),
-        F.count(F.lit(1)).alias("sz"),
-    )
-    pairs = (
-        doc_sets.withColumnRenamed("doc", "doc_a")
-        .withColumnRenamed("sset", "set_a")
-        .withColumnRenamed("sz", "sz_a")
+    # the tiny candidate list has TWO consumers below (the doc filter
+    # and the pair join) and an expensive lineage — cache it so the
+    # prefix self-join runs once
+    cand = _cached(cand)
+    # exact verification scaled to the CANDIDATE count, not the corpus:
+    # broadcast the tiny candidate list into doc_a's postings (map-side
+    # over the cache), then count shared shingles by joining doc_b's
+    # postings on shingle — which REUSES the cache's
+    # hashpartitioning(shingle), so verification adds no corpus-wide
+    # shuffle (a full-corpus collect_set-to-arrays build would)
+    inter = (
+        posts.select(F.col("doc").alias("doc_a"), "shingle")
         .join(F.broadcast(cand), "doc_a")
-        .join(
-            doc_sets.withColumnRenamed("doc", "doc_b")
-            .withColumnRenamed("sset", "set_b")
-            .withColumnRenamed("sz", "sz_b"),
-            "doc_b",
-        )
+        .join(posts.select(F.col("doc").alias("_vb"), "shingle"), "shingle")
+        .filter(F.col("_vb") == F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
     )
-    inter = F.size(F.array_intersect("set_a", "set_b")).cast("long")
+    # sizes only for docs in some candidate pair — broadcastable at any
+    # corpus scale (the unfiltered per-doc size table would not be)
+    docs_involved = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    sizes = (
+        posts.join(F.broadcast(docs_involved), "doc")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    sz_a = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
-        pairs.withColumn("inter", inter)
+        inter.join(F.broadcast(sz_a), "doc_a")
+        .join(F.broadcast(sz_b), "doc_b")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
