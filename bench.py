@@ -195,6 +195,20 @@ BENCH_QUERIES = [
     # r15 close: catalog branch fork -> isolated rewrite -> FF merge
     # (three catalog commits + three digest reads per invocation)
     "x_storage_branch_isolation",
+    # r16 batch, everything >0.7 s warm at sf0.1: divergent-branch
+    # rebase (five catalog commits + conflict fork), merge-on-read
+    # deletion vectors (two delete commits + merged read + compaction),
+    # MMR re-rank (brute candidates + Arrow greedy), BM25 (two corpus
+    # scans + query-term postings), RRF fusion (BM25 at depth 20 + the
+    # vector ranker + fusion), and prefix-filtered Jaccard (the full
+    # index/rank/verify pipeline; its crossover economics are in
+    # SCALE.md). k-anonymity (0.37 s) stays off the bill.
+    "x_storage_branch_rebase",
+    "x_storage_deletion_vectors",
+    "x_sim_mmr_rerank",
+    "x_text_bm25",
+    "x_sim_rrf_fusion",
+    "x_dedup_jaccard_prefix",
 ]
 
 # The host's recurring noise mode concentrates on the winnowing pair
