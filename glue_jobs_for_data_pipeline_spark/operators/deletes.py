@@ -29,12 +29,18 @@ resurrection.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.txn import Catalog
+from ..sources.txn import Catalog, ConcurrentCommitError
 
 _DV_SUFFIX = "__dv"
+# CAS-retry budget: under N-way same-table contention the last writer
+# needs ~N attempts, and a commit-lock collision (not just a moved
+# ref) also costs one — size generously, back off linearly
+_COMMIT_RETRIES = 16
 
 
 def dv_table(name: str) -> str:
@@ -63,19 +69,40 @@ def delete_where(
     existing dv) and commit ONLY the tiny dv table. The base version
     directory is untouched; the delete is visible to every
     ``read_merged`` the instant the manifest swaps. Returns the new
-    manifest id."""
-    keys = (
-        cat.read(spark, name, branch)
-        .filter(predicate)
-        .select(*key_cols)
-        .distinct()
-    )
-    existing = _read_dv(cat, spark, name, branch)
-    if existing is not None:
-        keys = keys.unionByName(existing.select(*key_cols)).distinct()
-    with cat.transaction(branch=branch) as t:
-        t.overwrite(keys, dv_table(name))
-    return cat.head(branch)
+    manifest id.
+
+    Concurrency: the commit is CAS-guarded by the transaction's
+    expected-head snapshot, so a racing writer on the same branch
+    cannot be silently dropped — the loser's commit raises and this
+    function RETRIES from a fresh read of the dv (the Iceberg/Delta
+    delete-commit posture: read-union-CAS until it lands, bounded)."""
+    last: ConcurrentCommitError | None = None
+    for attempt in range(_COMMIT_RETRIES):
+        try:
+            # all reads go through the TRANSACTION'S snapshot
+            # (read_committed), so the union is of exactly the state
+            # the commit CASes against — no TOCTOU window between a
+            # current-head read and the snapshot
+            with cat.transaction(branch=branch) as t:
+                keys = (
+                    t.read_committed(spark, name)
+                    .filter(predicate)
+                    .select(*key_cols)
+                    .distinct()
+                )
+                try:
+                    existing = t.read_committed(spark, dv_table(name))
+                    keys = keys.unionByName(
+                        existing.select(*key_cols)
+                    ).distinct()
+                except FileNotFoundError:
+                    pass
+                t.overwrite(keys, dv_table(name))
+            return cat.head(branch)
+        except ConcurrentCommitError as exc:
+            last = exc  # ref moved (or lock contended): re-read, retry
+            time.sleep(0.02 * (attempt + 1))
+    raise last  # type: ignore[misc]
 
 
 def read_merged(
@@ -106,12 +133,27 @@ def compact_deletes(
     the new base version AND reset the dv to empty, in ONE atomic
     manifest commit — a reader resolves either (old base, full dv) or
     (new base, empty dv), so the logical row set is identical on both
-    sides of the swap. Returns the new manifest id."""
-    dv = _read_dv(cat, spark, name, branch)
-    if dv is None:
-        return cat.head(branch)
-    merged = read_merged(cat, spark, name, key_cols, branch)
-    with cat.transaction(branch=branch) as t:
-        t.overwrite(merged, name)
-        t.overwrite(dv.limit(0), dv_table(name))
-    return cat.head(branch)
+    sides of the swap. Returns the new manifest id.
+
+    Concurrency: a delete batch landing between this compaction's read
+    and its commit would be silently resurrected if the commit won —
+    the CAS makes the commit LOSE instead, and the retry re-reads the
+    (now larger) dv and compacts it too."""
+    last: ConcurrentCommitError | None = None
+    for attempt in range(_COMMIT_RETRIES):
+        try:
+            with cat.transaction(branch=branch) as t:
+                try:
+                    dv = t.read_committed(spark, dv_table(name))
+                except FileNotFoundError:
+                    return cat.head(branch)
+                merged = t.read_committed(spark, name).join(
+                    F.broadcast(dv), on=list(key_cols), how="left_anti"
+                )
+                t.overwrite(merged, name)
+                t.overwrite(dv.limit(0), dv_table(name))
+            return cat.head(branch)
+        except ConcurrentCommitError as exc:
+            last = exc
+            time.sleep(0.02 * (attempt + 1))
+    raise last  # type: ignore[misc]

@@ -63,16 +63,41 @@ def _version_dir(table_dir: str, version: int) -> str:
 
 
 def _next_version(table_dir: str) -> int:
-    """Next unused version number (scans v=* dirs so orphaned, uncommitted
-    versions are never reused — a concurrent or crashed writer's staging
-    directory stays out of the way)."""
+    """Next unused version number (scans v=* dirs AND v=*.claim
+    reservation markers, so neither an orphaned staging directory nor a
+    concurrent writer's just-reserved number is ever reused)."""
     cur = current_version(table_dir) or 0
-    existing = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(table_dir)
-        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
-    ] if os.path.isdir(table_dir) else []
+    existing = []
+    if os.path.isdir(table_dir):
+        for d in os.listdir(table_dir):
+            if not d.startswith("v="):
+                continue
+            tail = d.split("=", 1)[1]
+            if tail.endswith(".claim"):
+                tail = tail[: -len(".claim")]
+            if tail.isdigit():
+                existing.append(int(tail))
     return max([cur, *existing], default=0) + 1
+
+
+def _reserve_version(table_dir: str) -> int:
+    """Atomically RESERVE the next version number with an
+    O_CREAT|O_EXCL claim file — without this, two writers staging the
+    same table concurrently both scan max+1, pick the same number, and
+    their parquet writes collide (mode('overwrite') deletes the
+    rival's half-written data). The loser of the O_EXCL race rescans;
+    the claim is removed once the version directory itself exists (the
+    directory then blocks reuse). A crashed writer's stale claim just
+    skips a number — gc_uncommitted sweeps stray claim files."""
+    while True:
+        version = _next_version(table_dir)
+        claim = os.path.join(table_dir, f"v={version}.claim")
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        os.close(fd)
+        return version
 
 
 def _publish(table_dir: str, version: int) -> None:
@@ -98,14 +123,22 @@ def stage_version(
     column types from ``col=value`` directory names (inference would
     silently turn a string partition value like '0042' into int 42)."""
     os.makedirs(table_dir, exist_ok=True)
-    version = _next_version(table_dir)
+    version = _reserve_version(table_dir)
     vdir = _version_dir(table_dir, version)
-    w = df.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(vdir)
-    with open(os.path.join(vdir, "_SCHEMA.json"), "w") as f:
-        f.write(df.schema.json())
+    try:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(vdir)
+        with open(os.path.join(vdir, "_SCHEMA.json"), "w") as f:
+            f.write(df.schema.json())
+    finally:
+        # the version DIRECTORY now blocks number reuse (or the write
+        # failed and the skipped number is harmless) — drop the claim
+        try:
+            os.unlink(os.path.join(table_dir, f"v={version}.claim"))
+        except FileNotFoundError:
+            pass
     return version
 
 
@@ -856,6 +889,16 @@ class Catalog:
                     continue
                 keep = live.get(name, set())
                 for d in os.listdir(tdir):
+                    if d.startswith("v=") and d.endswith(".claim"):
+                        # stale reservation from a crashed stager (a
+                        # live one is inside the grace window)
+                        cpath = os.path.join(tdir, d)
+                        if not _fresh(cpath):
+                            try:
+                                os.unlink(cpath)
+                            except FileNotFoundError:
+                                pass
+                        continue
                     if d.startswith("v=") and d.split("=", 1)[1].isdigit():
                         v = int(d.split("=", 1)[1])
                         vdir = _version_dir(tdir, v)
@@ -928,6 +971,30 @@ class CatalogTransaction:
         return _read_version_df(
             spark,
             _version_dir(self._catalog.table_dir(name), self._staged[name]),
+        )
+
+    def read_committed(self, spark: SparkSession, name: str) -> DataFrame:
+        """Scan a table AS OF THIS TRANSACTION'S SNAPSHOT — the exact
+        head the commit will CAS against. Catalog.read resolves the
+        CURRENT head instead, so a read-modify-write built on it has a
+        TOCTOU window (a commit landing between the read and this
+        transaction's open would be silently overwritten by a
+        stale-read union that still CAS-succeeds). Reading through the
+        snapshot closes it: either the commit lands and the read was
+        of the immediately preceding state (linearizable), or the ref
+        moved and the commit raises ConcurrentCommitError — retry from
+        a fresh transaction. This is snapshot isolation's read side,
+        same contract as Iceberg's table-scan-at-snapshot inside a
+        pending commit."""
+        versions = self._catalog._manifest_tables(self._expected_head)
+        if name not in versions:
+            raise FileNotFoundError(
+                f"table {name!r} not in snapshot m={self._expected_head} "
+                f"of branch {self._branch!r}"
+            )
+        return _read_version_df(
+            spark,
+            _version_dir(self._catalog.table_dir(name), versions[name]),
         )
 
     def __enter__(self) -> "CatalogTransaction":

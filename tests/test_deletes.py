@@ -89,3 +89,104 @@ def test_delete_then_read_on_branch_is_isolated(spark, cat):
     assert _merged_keys(cat, spark) == list(range(10))
     exp = deletes.read_merged(cat, spark, "t", ("k",), branch="exp")
     assert sorted(r["k"] for r in exp.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_concurrent_delete_batches_none_lost(spark, tmp_path):
+    """Lost-update safety (r16): N threads each commit a disjoint
+    delete batch on the SAME table via delete_where's CAS-retry loop.
+    Every batch must survive — a stale-read union overwriting a racing
+    writer's dv would silently resurrect rows. Reads go through the
+    transaction snapshot (read_committed), so each retry unions the
+    state its commit CASes against."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from glue_jobs_for_data_pipeline_spark.operators import deletes
+    from glue_jobs_for_data_pipeline_spark.sources.txn import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    with cat.transaction() as t:
+        t.overwrite(base, "t")
+
+    errs: list[Exception] = []
+
+    def worker(lo: int) -> None:
+        try:
+            deletes.delete_where(
+                cat, spark, "t",
+                (F.col("k") >= lo) & (F.col("k") < lo + 10), ("k",),
+            )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(lo,)) for lo in
+               (0, 20, 40, 60, 80)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    dv_keys = {
+        r["k"] for r in cat.read(spark, deletes.dv_table("t")).collect()
+    }
+    expect = {k for lo in (0, 20, 40, 60, 80) for k in range(lo, lo + 10)}
+    assert dv_keys == expect  # no batch lost, none invented
+    merged = {
+        r["k"] for r in deletes.read_merged(cat, spark, "t", ("k",)).collect()
+    }
+    assert merged == set(range(100)) - expect
+
+
+def test_compaction_racing_delete_resurrects_nothing(spark, tmp_path):
+    """compact_deletes retries when a delete batch lands mid-compaction
+    (its CAS loses), and the retry folds the newer dv too."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from glue_jobs_for_data_pipeline_spark.operators import deletes
+    from glue_jobs_for_data_pipeline_spark.sources.txn import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(spark.range(50).select(F.col("id").alias("k")), "t")
+    deletes.delete_where(cat, spark, "t", F.col("k") < 5, ("k",))
+
+    errs: list[Exception] = []
+
+    def compactor() -> None:
+        try:
+            deletes.compact_deletes(cat, spark, "t", ("k",))
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    def deleter() -> None:
+        try:
+            deletes.delete_where(
+                cat, spark, "t", (F.col("k") >= 40) & (F.col("k") < 45), ("k",)
+            )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    ts = [threading.Thread(target=compactor),
+          threading.Thread(target=deleter)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errs, errs
+    # whatever the interleaving, the LOGICAL state is exact: both
+    # delete batches applied, nothing resurrected
+    merged = {
+        r["k"] for r in deletes.read_merged(cat, spark, "t", ("k",)).collect()
+    }
+    assert merged == set(range(5, 40)) | {45, 46, 47, 48, 49}
+    # and a final compaction settles to (clean base, empty dv)
+    deletes.compact_deletes(cat, spark, "t", ("k",))
+    assert cat.read(spark, deletes.dv_table("t")).count() == 0
+    base_rows = {r["k"] for r in cat.read(spark, "t").collect()}
+    assert base_rows == merged
