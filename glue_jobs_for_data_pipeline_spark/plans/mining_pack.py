@@ -3033,10 +3033,24 @@ def x_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs collapse from sum C(df,2) over ALL shingles to the rare-end
     prefix co-occurrences that survive the integer length filter
     (measured ~20x fewer candidates at sf0.1 — the test pins the
-    reduction AND the equality)."""
+    reduction AND the equality).
+
+    posts_partitions scales with the corpus footprint (source parquet
+    bytes / 400 KB clamped to [4, 32] — a stat() call, no count job;
+    measured optima: ~4 at sf0.1's 595 KB, ~16 at sf1's 6 MB, where
+    fixed-8 left ~20% on the table). Partitioning cannot change the
+    output — every op here is exact integer counting or a single final
+    division — so the oracle is unaffected."""
+    import os
+
     from ..operators import dedup
 
+    try:
+        nbytes = os.stat(os.path.join(sf_dir, "documents.parquet")).st_size
+        pp = max(4, min(32, nbytes // 400_000))
+    except OSError:
+        pp = 8
     return dedup.jaccard_prefix_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3,
-        t_num=1, t_den=2, df_cap=100, posts_partitions=8,
+        t_num=1, t_den=2, df_cap=100, posts_partitions=pp,
     )
