@@ -327,6 +327,11 @@ def jaccard_prefix_pairs(
         )
         .select("doc", "shingle", "sz")
     )
+    # BOTH sides of the prefix self-join consume `ranked`; uncached,
+    # each side re-runs the two doc-partitioned windows over the full
+    # posting list (measured 1.7x the whole query on a boilerplate
+    # corpus) — same multi-consumer rule as the posts cache above
+    ranked = _cached(ranked)
     a = ranked.select(
         F.col("doc").alias("doc_a"), "shingle", F.col("sz").alias("psz_a")
     )
@@ -354,26 +359,29 @@ def jaccard_prefix_pairs(
     # postings on shingle — which REUSES the cache's
     # hashpartitioning(shingle), so verification adds no corpus-wide
     # shuffle (a full-corpus collect_set-to-arrays build would)
+    docs_involved = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    # postings restricted to candidate docs (map-side broadcast filter
+    # over the cache) — BOTH verify sides use this, so a hot shared
+    # shingle fans out over candidate docs only, never the corpus
+    posts_cand = _cached(posts.join(F.broadcast(docs_involved), "doc"))
     inter = (
-        posts.select(F.col("doc").alias("doc_a"), "shingle")
+        posts_cand.select(F.col("doc").alias("doc_a"), "shingle")
         .join(F.broadcast(cand), "doc_a")
-        .join(posts.select(F.col("doc").alias("_vb"), "shingle"), "shingle")
+        .join(
+            posts_cand.select(F.col("doc").alias("_vb"), "shingle"),
+            "shingle",
+        )
         .filter(F.col("_vb") == F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("inter"))
     )
     # sizes only for docs in some candidate pair — broadcastable at any
     # corpus scale (the unfiltered per-doc size table would not be)
-    docs_involved = (
-        cand.select(F.col("doc_a").alias("doc"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc")))
-        .distinct()
-    )
-    sizes = (
-        posts.join(F.broadcast(docs_involved), "doc")
-        .groupBy("doc")
-        .agg(F.count(F.lit(1)).alias("sz"))
-    )
+    sizes = posts_cand.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     sz_a = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (

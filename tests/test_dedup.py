@@ -473,3 +473,38 @@ def test_jaccard_prefix_equals_unfiltered_and_prunes_candidates(spark, sf_dir):
     )
     pref_work = join_work(pref_posts)
     assert pref_work * 5 < full_work, (pref_work, full_work)
+
+
+def test_jaccard_prefix_lossless_on_boilerplate_corpus(spark):
+    """Equality on the adversarial shape the prefix filter exists for:
+    heavy within-group boilerplate (df-tied shingles, where the
+    canonical order falls through to the hash tiebreak) plus planted
+    exact clones. Catches prefix-selection bugs the natural-text
+    fixture cannot (its df spectrum has no mass ties)."""
+    from glue_jobs_for_data_pipeline_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows, did = [], 0
+    for g in range(20):
+        boiler = " ".join(f"b{g}_{i}" for i in range(30))
+        first = None
+        for j in range(10):
+            text = boiler + " " + " ".join(
+                f"u{did}_{i}" for i in range(12)
+            )
+            if first is None:
+                first = text
+            rows.append((did, text))
+            did += 1
+        rows.append((did, first))  # planted clone of the group head
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(k=3, df_cap=100)
+    full = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.8, **kw).collect()))
+    pref = sorted(map(tuple, jaccard_prefix_pairs(
+        docs, "doc_id", "text", t_num=4, t_den=5, **kw).collect()))
+    assert pref == full
+    assert len(full) == 20  # exactly the planted clone pairs
