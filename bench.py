@@ -209,6 +209,9 @@ BENCH_QUERIES = [
     "x_text_bm25",
     "x_sim_rrf_fusion",
     "x_dedup_jaccard_prefix",
+    # r16 close: catalog commit log (4 scripted commits + 8 as-of
+    # filtered counts; 1.3 s warm)
+    "x_storage_commit_log",
 ]
 
 # The host's recurring noise mode concentrates on the winnowing pair

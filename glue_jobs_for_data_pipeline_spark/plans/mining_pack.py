@@ -3054,3 +3054,119 @@ def x_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3,
         t_num=1, t_den=2, df_cap=100, posts_partitions=pp,
     )
+
+
+# --------------------------------------------------------------------------
+# Catalog commit log (audit/lineage surface; Delta DESCRIBE HISTORY /
+# Iceberg snapshots equivalent) under the hash gate
+# --------------------------------------------------------------------------
+
+_X_COMMIT_LOG_SQL = """
+WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+cb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer
+       WHERE c_mktsegment = 'BUILDING'),
+cbe AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0),
+f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+      WHERE o_orderpriority = '1-URGENT'),
+fe AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+       WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0)
+SELECT 1 AS seq, 'dim_customer' AS tables_changed,
+       (SELECT n FROM c) AS dim_rows, CAST(NULL AS BIGINT) AS fact_rows
+UNION ALL
+SELECT 2, 'fact_orders', (SELECT n FROM c), (SELECT n FROM f)
+UNION ALL
+SELECT 3, 'dim_customer', (SELECT n FROM cb), (SELECT n FROM f)
+UNION ALL
+SELECT 4, 'dim_customer,fact_orders',
+       (SELECT n FROM cbe), (SELECT n FROM fe)
+"""
+
+
+@_q("x_storage_commit_log", _X_COMMIT_LOG_SQL)
+def x_storage_commit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log audit over the transactional catalog
+    (sources/txn.py::Catalog.log + read_asof — the DESCRIBE
+    HISTORY / snapshot-lineage surface): four scripted commits (dim,
+    fact, dim rewrite, then a MULTI-TABLE transaction touching both)
+    and the emitted report walks the log oldest-first, naming each
+    commit's table-level change set and the AS-OF row count of every
+    table in that snapshot. The counts are pure functions of the
+    source tables, so DuckDB states the whole expected history without
+    seeing the catalog: a log that misorders commits, misattributes a
+    change set (the in-code assertion also pins it), or resolves an
+    as-of read against the wrong snapshot flips a row. Pure metadata
+    plus one filtered count per (commit, table) — the log itself costs
+    one small JSON read per commit at any data scale."""
+    from ..sources.txn import Catalog
+
+    from .catalog_ext import _scratch_dir
+
+    cat = Catalog(_scratch_dir("spark_graft_clog_") + "/wh")
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    fact = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).filter(F.col("o_orderpriority") == "1-URGENT")
+    with cat.transaction() as t:
+        t.overwrite(dim, "dim_customer")
+    with cat.transaction() as t:
+        t.overwrite(fact, "fact_orders")
+    with cat.transaction() as t:
+        t.overwrite(
+            cat.read(spark, "dim_customer").filter(
+                F.col("c_mktsegment") == "BUILDING"
+            ),
+            "dim_customer",
+        )
+    with cat.transaction() as t:  # multi-table commit: ONE log entry
+        t.overwrite(
+            cat.read(spark, "dim_customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .filter(F.col("c_custkey") % 2 == 0),
+            "dim_customer",
+        )
+        t.overwrite(
+            cat.read(spark, "fact_orders").filter(
+                F.col("o_orderkey") % 2 == 0
+            ),
+            "fact_orders",
+        )
+    log = cat.log()
+    expected = [
+        ["dim_customer"],
+        ["fact_orders"],
+        ["dim_customer"],
+        ["dim_customer", "fact_orders"],
+    ]
+    if [e["changed"] for e in log] != expected or any(
+        e["removed"] for e in log
+    ):
+        raise AssertionError(f"commit log misattributed changes: {log}")
+
+    out = None
+    for seq, e in enumerate(log, start=1):
+        def asof_count(table: str):
+            try:
+                return cat.read_asof(spark, table, e["manifest"]).agg(
+                    F.count(F.lit(1)).cast("long").alias("n")
+                )
+            except FileNotFoundError:
+                return spark.range(1).select(
+                    F.lit(None).cast("long").alias("n")
+                )
+        row = (
+            asof_count("dim_customer")
+            .withColumnRenamed("n", "dim_rows")
+            .crossJoin(asof_count("fact_orders")
+                       .withColumnRenamed("n", "fact_rows"))
+            .select(
+                F.lit(seq).alias("seq"),
+                F.lit(",".join(e["changed"])).alias("tables_changed"),
+                "dim_rows",
+                "fact_rows",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

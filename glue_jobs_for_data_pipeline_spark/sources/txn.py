@@ -441,6 +441,55 @@ class Catalog:
             spark, _version_dir(self.table_dir(name), versions[name])
         )
 
+    def read_asof(
+        self, spark: SparkSession, name: str, manifest: int
+    ) -> DataFrame:
+        """Scan a table AS OF an arbitrary manifest id — catalog-level
+        time travel (Iceberg `FOR SYSTEM_VERSION AS OF`): any manifest
+        still reachable from a ref resolves, because version
+        directories are immutable and gc only sweeps the unreachable.
+        Raises FileNotFoundError when the table is not in that
+        snapshot."""
+        versions = self._manifest_tables(manifest)
+        if name not in versions:
+            raise FileNotFoundError(
+                f"table {name!r} not in manifest m={manifest}"
+            )
+        return _read_version_df(
+            spark, _version_dir(self.table_dir(name), versions[name])
+        )
+
+    def log(self, branch: str = "main") -> list[dict]:
+        """The branch's COMMIT LOG, oldest first — the audit/lineage
+        surface every lakehouse exposes (Delta DESCRIBE HISTORY,
+        Iceberg snapshots): one entry per manifest on the parent walk
+        from the ref, with the table-level change set vs its parent.
+        Pure metadata (one small JSON read per commit) at any data
+        scale. Each entry: {"manifest", "parent", "changed": sorted
+        table names whose version differs from the parent (additions
+        included), "removed": tables present in the parent but not the
+        child, "n_tables": size of the snapshot}."""
+        entries: list[dict] = []
+        cur = self.head(branch)
+        while cur is not None:
+            tables = self._manifest_tables(cur)
+            parent = self._manifest_parent(cur)
+            ptables = self._manifest_tables(parent)
+            entries.append(
+                {
+                    "manifest": cur,
+                    "parent": parent,
+                    "changed": sorted(
+                        t for t, v in tables.items() if ptables.get(t) != v
+                    ),
+                    "removed": sorted(set(ptables) - set(tables)),
+                    "n_tables": len(tables),
+                }
+            )
+            cur = parent
+        entries.reverse()
+        return entries
+
     # -- branches ------------------------------------------------------
     def branches(self) -> dict[str, int | None]:
         """Every ref -> its manifest id (``main`` always listed)."""

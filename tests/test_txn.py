@@ -819,3 +819,42 @@ def test_branch_commit_vs_merge_vs_gc_threaded(spark, tmp_path):
             cat.read(spark, f"tab_{i}").selectExpr("max(tag)").first()[0]
             == 100 * i + 2
         )
+
+
+def test_commit_log_and_read_asof(spark, tmp_path):
+    """Catalog.log walks oldest-first with exact per-commit change
+    sets; read_asof resolves any reachable snapshot; a rebase's
+    replayed manifest appears on the branch log with main's head as
+    parent."""
+    from pyspark.sql import functions as F
+
+    from glue_jobs_for_data_pipeline_spark.sources.txn import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(spark.range(10).select(F.col("id").alias("k")), "a")
+    with cat.transaction() as t:
+        t.overwrite(spark.range(4).select(F.col("id").alias("k")), "a")
+        t.overwrite(spark.range(7).select(F.col("id").alias("k")), "b")
+    log = cat.log()
+    assert [e["changed"] for e in log] == [["a"], ["a", "b"]]
+    assert log[0]["parent"] is None and log[1]["parent"] == log[0]["manifest"]
+    assert [e["n_tables"] for e in log] == [1, 2]
+    # as-of: first snapshot still shows the 10-row version of `a`
+    assert cat.read_asof(spark, "a", log[0]["manifest"]).count() == 10
+    assert cat.read_asof(spark, "a", log[1]["manifest"]).count() == 4
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        cat.read_asof(spark, "b", log[0]["manifest"])
+    # branch + rebase lineage: the replayed manifest's parent is the
+    # new main head, and the branch log shows main's history + replay
+    cat.create_branch("exp")
+    with cat.transaction(branch="exp") as t:
+        t.overwrite(spark.range(2).select(F.col("id").alias("k")), "b")
+    with cat.transaction() as t:
+        t.overwrite(spark.range(3).select(F.col("id").alias("k")), "a")
+    cat.rebase("exp")
+    blog = cat.log("exp")
+    assert [e["changed"] for e in blog[-2:]] == [["a"], ["b"]]
+    assert blog[-1]["parent"] == cat.head("main")
