@@ -310,6 +310,9 @@ _COMMIT_LOCK = "_COMMIT.lock"
 # A lock older than this is presumed abandoned even if its pid was
 # recycled by another process (liveness check alone can false-positive).
 _LOCK_STALE_SECONDS = 300.0
+# how long a commit waits for the catalog lock before raising the
+# retryable ConcurrentCommitError (see Catalog._locked)
+_LOCK_WAIT_SECONDS = 2.0
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -694,21 +697,33 @@ class Catalog:
         ``pid ts`` contents and stale-holder reclamation — see
         _reclaim_stale_lock). EVERY metadata mutation — manifest
         commit, ref swap, branch delete — runs inside this one lock,
-        so no pair of them can interleave."""
+        so no pair of them can interleave.
+
+        Acquisition WAITS (25 ms polls, up to _LOCK_WAIT_SECONDS)
+        instead of failing on first contention: metadata critical
+        sections are milliseconds (a gc sweep at most seconds), so a
+        short bounded wait turns almost every lock collision into a
+        success instead of burning a caller's CAS-retry — the Iceberg
+        lock-wait posture. A holder alive past the budget still raises
+        ConcurrentCommitError (retryable), and stale corpses are
+        reclaimed on every poll."""
         lock = os.path.join(self.root, _COMMIT_LOCK)
         fd = None
-        for attempt in (0, 1):
+        deadline = time.time() + _LOCK_WAIT_SECONDS
+        while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 break
             except FileExistsError:
-                if attempt == 0 and self._reclaim_stale_lock(lock):
+                if self._reclaim_stale_lock(lock):
                     continue
-                raise ConcurrentCommitError(
-                    f"another live commit holds {lock}; retry after it "
-                    "finishes (crashed holders are reclaimed "
-                    "automatically)"
-                ) from None
+                if time.time() >= deadline:
+                    raise ConcurrentCommitError(
+                        f"another live commit holds {lock}; retry after "
+                        "it finishes (crashed holders are reclaimed "
+                        "automatically)"
+                    ) from None
+                time.sleep(0.025)
         try:
             os.write(fd, f"{os.getpid()} {time.time()}".encode())
             os.close(fd)

@@ -741,9 +741,11 @@ def test_branch_commit_vs_merge_vs_gc_threaded(spark, tmp_path):
     done = threading.Event()
 
     def writer(i: int) -> None:
+        import time as _time
+
         try:
             for commit_no in range(3):
-                for _ in range(60):
+                for attempt in range(120):
                     try:
                         with cat.transaction(branch=f"b{i}") as t:
                             t.overwrite(
@@ -751,6 +753,10 @@ def test_branch_commit_vs_merge_vs_gc_threaded(spark, tmp_path):
                             )
                         break
                     except txn.ConcurrentCommitError:
+                        # backoff: a CAS loss costs a full re-stage, so
+                        # give the merger's ref churn time to quiesce
+                        # instead of racing it at staging speed
+                        _time.sleep(0.02 * min(attempt + 1, 10))
                         continue
                 else:
                     raise RuntimeError(f"writer {i} exhausted retries")
@@ -764,7 +770,12 @@ def test_branch_commit_vs_merge_vs_gc_threaded(spark, tmp_path):
 
         while not done.is_set():
             for i in range(n_branches):
-                _time.sleep(0.02)  # keep lock contention realistic
+                # realistic merger cadence: spinning at staging speed
+                # turns the test into a designed livelock (every writer
+                # CAS loses to a rebase that happened mid-stage)
+                _time.sleep(0.25)
+                if done.is_set():
+                    break
                 try:
                     cat.rebase(f"b{i}")
                     cat.merge_ff(f"b{i}")
