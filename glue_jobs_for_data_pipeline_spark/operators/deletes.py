@@ -47,11 +47,11 @@ def dv_table(name: str) -> str:
     return name + _DV_SUFFIX
 
 
-def _read_dv(
-    cat: Catalog, spark: SparkSession, name: str, branch: str = "main"
+def _read_dv_asof(
+    cat: Catalog, spark: SparkSession, name: str, manifest: int
 ) -> DataFrame | None:
     try:
-        return cat.read(spark, dv_table(name), branch)
+        return cat.read_asof(spark, dv_table(name), manifest)
     except FileNotFoundError:
         return None
 
@@ -98,7 +98,9 @@ def delete_where(
                 except FileNotFoundError:
                     pass
                 t.overwrite(keys, dv_table(name))
-            return cat.head(branch)
+            # the manifest THIS commit published — not a head re-read,
+            # which a racing writer could have moved past (ADVICE r16)
+            return t.committed_manifest
         except ConcurrentCommitError as exc:
             last = exc  # ref moved (or lock contended): re-read, retry
             time.sleep(0.02 * (attempt + 1))
@@ -114,9 +116,22 @@ def read_merged(
 ) -> DataFrame:
     """The table's LOGICAL state: base rows minus deletion-vector keys,
     applied as a broadcast LEFT ANTI join (the dv is keys-only and
-    small by contract; the base side never shuffles)."""
-    base = cat.read(spark, name, branch)
-    dv = _read_dv(cat, spark, name, branch)
+    small by contract; the base side never shuffles).
+
+    Base and dv resolve from ONE pinned manifest snapshot (ADVICE
+    r16): two independent head reads let a compact_deletes commit land
+    between them, handing the reader old base + emptied dv — a
+    resurrection of every compacted delete. Pinning head once makes
+    the read atomic: either (old base, full dv) or (new base, empty
+    dv), exactly the invariant compact_deletes's single manifest swap
+    provides."""
+    h = cat.head(branch)
+    if h is None:
+        # no commits on the branch yet; surface the same error
+        # cat.read would (table cannot exist in an empty manifest)
+        return cat.read(spark, name, branch)
+    base = cat.read_asof(spark, name, h)
+    dv = _read_dv_asof(cat, spark, name, h)
     if dv is None:
         return base
     return base.join(F.broadcast(dv), on=list(key_cols), how="left_anti")
@@ -152,7 +167,9 @@ def compact_deletes(
                 )
                 t.overwrite(merged, name)
                 t.overwrite(dv.limit(0), dv_table(name))
-            return cat.head(branch)
+            # this commit's own manifest id (ADVICE r16), not a head
+            # re-read a racing writer could have advanced
+            return t.committed_manifest
         except ConcurrentCommitError as exc:
             last = exc
             time.sleep(0.02 * (attempt + 1))

@@ -310,6 +310,10 @@ _COMMIT_LOCK = "_COMMIT.lock"
 # A lock older than this is presumed abandoned even if its pid was
 # recycled by another process (liveness check alone can false-positive).
 _LOCK_STALE_SECONDS = 300.0
+# gc never reclaims a v=*.claim reservation younger than this, even at
+# grace_seconds=0 — a claim is held only for the duration of one
+# staging write, so anything past the floor is a crashed stager
+_CLAIM_MIN_AGE_SECONDS = 300.0
 # how long a commit waits for the catalog lock before raising the
 # retryable ConcurrentCommitError (see Catalog._locked)
 _LOCK_WAIT_SECONDS = 2.0
@@ -924,11 +928,12 @@ class Catalog:
         "no writer in flight" semantics (reclaim everything now)."""
         now = time.time()
 
-        def _fresh(path: str) -> bool:
-            if grace_seconds <= 0:
+        def _fresh(path: str, horizon: float | None = None) -> bool:
+            h = grace_seconds if horizon is None else horizon
+            if h <= 0:
                 return False
             try:
-                return now - os.stat(path).st_mtime < grace_seconds
+                return now - os.stat(path).st_mtime < h
             except OSError:
                 return True  # vanished mid-scan -> leave it alone
 
@@ -954,10 +959,20 @@ class Catalog:
                 keep = live.get(name, set())
                 for d in os.listdir(tdir):
                     if d.startswith("v=") and d.endswith(".claim"):
-                        # stale reservation from a crashed stager (a
-                        # live one is inside the grace window)
+                        # stale reservation from a crashed stager. A
+                        # claim is ALWAYS given a minimum age before
+                        # reclaim, even at grace_seconds=0 (ADVICE
+                        # r16): unlinking a live in-flight claim
+                        # re-enables the version-number collision
+                        # _reserve_version exists to prevent. A real
+                        # stager holds its claim only for the staging
+                        # write, so the floor covers any live writer;
+                        # a crashed one is swept on the next gc pass.
                         cpath = os.path.join(tdir, d)
-                        if not _fresh(cpath):
+                        if not _fresh(
+                            cpath,
+                            max(grace_seconds, _CLAIM_MIN_AGE_SECONDS),
+                        ):
                             try:
                                 os.unlink(cpath)
                             except FileNotFoundError:
@@ -1013,6 +1028,12 @@ class CatalogTransaction:
         self._catalog = catalog
         self._branch = branch
         self._staged: dict[str, int] = {}
+        # manifest id THIS transaction published (None until a commit
+        # happens; stays None for an empty transaction). Callers that
+        # report "the manifest my write landed in" must read this, not
+        # re-read head() after exit — a racing commit can move head
+        # past ours between the swap and the re-read (ADVICE r16).
+        self.committed_manifest: int | None = None
         # optimistic-concurrency snapshot: commit fails (and rolls the
         # staged versions back) if THIS BRANCH's ref moves before we
         # publish — without this, {**manifest(), **staged} re-read at
@@ -1066,8 +1087,11 @@ class CatalogTransaction:
 
     def __exit__(self, exc_type, exc, tb) -> bool:
         try:
-            if exc_type is None:
-                self._catalog._commit(
+            # an empty transaction publishes NOTHING — no empty
+            # manifest, no head bump (a read-only bracket that early-
+            # returns must not mint commits; ADVICE r16 follow-on)
+            if exc_type is None and self._staged:
+                self.committed_manifest = self._catalog._commit(
                     self._staged,
                     expected_head=self._expected_head,
                     branch=self._branch,

@@ -190,3 +190,45 @@ def test_compaction_racing_delete_resurrects_nothing(spark, tmp_path):
     assert cat.read(spark, deletes.dv_table("t")).count() == 0
     base_rows = {r["k"] for r in cat.read(spark, "t").collect()}
     assert base_rows == merged
+
+
+def test_delete_returns_its_own_commit_manifest(spark, cat):
+    """delete_where/compact_deletes report the manifest THEIR commit
+    published (ADVICE r16) — verifiable because that manifest's diff
+    vs its parent must contain exactly the tables they staged."""
+    with cat.transaction() as t:
+        t.overwrite(_df(spark), "t")
+    m = deletes.delete_where(cat, spark, "t", "k >= 7", ("k",))
+    assert deletes.dv_table("t") in cat._manifest_tables(m)
+    parent = cat._manifest_parent(m)
+    assert deletes.dv_table("t") not in cat._manifest_tables(parent)
+    m2 = deletes.compact_deletes(cat, spark, "t", ("k",))
+    assert cat._manifest_tables(m2)["t"] > cat._manifest_tables(m)["t"]
+
+
+def test_read_merged_pins_one_snapshot_across_compaction(
+    spark, cat, monkeypatch
+):
+    """A compaction landing BETWEEN read_merged's base read and its dv
+    read must not hand the reader (old base, emptied dv) — that
+    resurrects every compacted delete (ADVICE r16 high). The injection
+    runs compact_deletes inside the first read_asof call; the pinned
+    snapshot must still resolve the pre-compaction (base, dv) pair."""
+    with cat.transaction() as t:
+        t.overwrite(_df(spark), "t")
+    deletes.delete_where(cat, spark, "t", "k < 4", ("k",))
+
+    real_read_asof = txn.Catalog.read_asof
+    fired = {"done": False}
+
+    def racy_read_asof(self, spark_, name, manifest):
+        df = real_read_asof(self, spark_, name, manifest)
+        if not fired["done"]:
+            fired["done"] = True  # before re-entering via compaction
+            deletes.compact_deletes(cat, spark_, "t", ("k",))
+        return df
+
+    monkeypatch.setattr(txn.Catalog, "read_asof", racy_read_asof)
+    merged = deletes.read_merged(cat, spark, "t", ("k",))
+    assert sorted(r["k"] for r in merged.collect()) == [4, 5, 6, 7, 8, 9]
+    assert fired["done"]  # the race actually happened

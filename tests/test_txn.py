@@ -869,3 +869,50 @@ def test_commit_log_and_read_asof(spark, tmp_path):
     blog = cat.log("exp")
     assert [e["changed"] for e in blog[-2:]] == [["a"], ["b"]]
     assert blog[-1]["parent"] == cat.head("main")
+
+
+def test_empty_transaction_publishes_nothing(spark, tmp_path):
+    """A bracket that stages nothing (read-only use, early return)
+    must not mint an empty manifest or bump head (ADVICE r16)."""
+    from glue_jobs_for_data_pipeline_spark.sources.txn import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(spark.range(3).toDF("id"), "t")
+    h = cat.head()
+    with cat.transaction() as t2:
+        pass
+    assert cat.head() == h
+    assert t2.committed_manifest is None
+
+
+def test_transaction_exposes_committed_manifest(spark, tmp_path):
+    from glue_jobs_for_data_pipeline_spark.sources.txn import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(spark.range(3).toDF("id"), "t")
+    assert t.committed_manifest == cat.head()
+
+
+def test_gc_never_reclaims_fresh_claim_at_grace_zero(spark, tmp_path):
+    """gc_uncommitted(grace_seconds=0) must leave a LIVE stager's
+    v=*.claim reservation alone (ADVICE r16): unlinking it re-enables
+    the version-number collision _reserve_version prevents. Only a
+    claim older than the minimum age is swept."""
+    import os
+
+    from glue_jobs_for_data_pipeline_spark.sources import txn as txn_mod
+    from glue_jobs_for_data_pipeline_spark.sources.txn import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(spark.range(3).toDF("id"), "t")
+    claim = os.path.join(cat.table_dir("t"), "v=9.claim")
+    open(claim, "w").close()  # an in-flight writer's reservation
+    cat.gc_uncommitted(grace_seconds=0)
+    assert os.path.exists(claim)  # fresh -> untouched
+    old = txn_mod.time.time() - txn_mod._CLAIM_MIN_AGE_SECONDS - 60
+    os.utime(claim, (old, old))
+    cat.gc_uncommitted(grace_seconds=0)
+    assert not os.path.exists(claim)  # aged past the floor -> swept
