@@ -45,6 +45,47 @@ from pyspark.sql import DataFrame, SparkSession
 _POINTER = "_CURRENT"
 
 
+def _apply_schema_ops(df: DataFrame, ops: list[dict]) -> DataFrame:
+    """Replay a table's recorded schema-evolution ops over a version
+    scan (r17 — the Iceberg schema-evolution posture: metadata maps
+    old data files into the CURRENT schema; no file is rewritten).
+
+    Each op is applied only where it is still needed, which makes the
+    replay IDEMPOTENT across file generations: a version dir written
+    BEFORE a rename still has the old column (renamed here); one
+    written after already has the new name (op skipped). Likewise an
+    added column materializes as its recorded default only in files
+    that predate the add. Ops replay in recorded order, so chained
+    renames (a->b then b->c) resolve on files of any age."""
+    from pyspark.sql import functions as F
+
+    for op in ops:
+        if op["op"] == "rename":
+            if op["old"] in df.columns and op["new"] not in df.columns:
+                df = df.withColumnRenamed(op["old"], op["new"])
+        elif op["op"] == "add":
+            if op["col"] not in df.columns:
+                df = df.withColumn(
+                    op["col"], F.lit(op.get("default")).cast(op["type"])
+                )
+        else:  # pragma: no cover - rejected at evolve_schema time
+            raise ValueError(f"unknown schema op: {op!r}")
+    return df
+
+
+def _validate_schema_ops(ops: list[dict]) -> None:
+    for op in ops:
+        kind = op.get("op")
+        if kind == "rename":
+            if not op.get("old") or not op.get("new") or op["old"] == op["new"]:
+                raise ValueError(f"bad rename op: {op!r}")
+        elif kind == "add":
+            if not op.get("col") or not op.get("type"):
+                raise ValueError(f"bad add op: {op!r}")
+        else:
+            raise ValueError(f"unknown schema op kind: {op!r}")
+
+
 def _pointer_path(table_dir: str) -> str:
     return os.path.join(table_dir, _POINTER)
 
@@ -434,18 +475,30 @@ class Catalog:
     def table_dir(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    def _read_table(
+        self, spark: SparkSession, name: str, manifest: int | None, label: str
+    ) -> DataFrame:
+        """Resolve ``name`` in manifest ``manifest`` and scan it,
+        replaying any schema-evolution ops that snapshot records for
+        the table (r17) — so a version dir written before an
+        add/rename column still reads under the snapshot's schema."""
+        versions = self._manifest_tables(manifest)
+        if name not in versions:
+            raise FileNotFoundError(f"table {name!r} not in {label}")
+        df = _read_version_df(
+            spark, _version_dir(self.table_dir(name), versions[name])
+        )
+        ops = self._manifest_schemas(manifest).get(name)
+        return _apply_schema_ops(df, ops) if ops else df
+
     def read(
         self, spark: SparkSession, name: str, branch: str = "main"
     ) -> DataFrame:
         """Scan a table AS OF the committed manifest of ``branch`` —
         never a staged or half-committed state."""
-        versions = self.manifest(branch)
-        if name not in versions:
-            raise FileNotFoundError(
-                f"table {name!r} not in committed manifest of {branch!r}"
-            )
-        return _read_version_df(
-            spark, _version_dir(self.table_dir(name), versions[name])
+        return self._read_table(
+            spark, name, self.head(branch),
+            f"committed manifest of {branch!r}",
         )
 
     def read_asof(
@@ -457,14 +510,7 @@ class Catalog:
         directories are immutable and gc only sweeps the unreachable.
         Raises FileNotFoundError when the table is not in that
         snapshot."""
-        versions = self._manifest_tables(manifest)
-        if name not in versions:
-            raise FileNotFoundError(
-                f"table {name!r} not in manifest m={manifest}"
-            )
-        return _read_version_df(
-            spark, _version_dir(self.table_dir(name), versions[name])
-        )
+        return self._read_table(spark, name, manifest, f"manifest m={manifest}")
 
     def log(self, branch: str = "main") -> list[dict]:
         """The branch's COMMIT LOG, oldest first — the audit/lineage
@@ -475,13 +521,16 @@ class Catalog:
         scale. Each entry: {"manifest", "parent", "changed": sorted
         table names whose version differs from the parent (additions
         included), "removed": tables present in the parent but not the
-        child, "n_tables": size of the snapshot}."""
+        child, "n_tables": size of the snapshot, "schema_changed":
+        tables whose evolution op list grew in this commit (r17)}."""
         entries: list[dict] = []
         cur = self.head(branch)
         while cur is not None:
             tables = self._manifest_tables(cur)
             parent = self._manifest_parent(cur)
             ptables = self._manifest_tables(parent)
+            schemas = self._manifest_schemas(cur)
+            pschemas = self._manifest_schemas(parent)
             entries.append(
                 {
                     "manifest": cur,
@@ -491,6 +540,10 @@ class Catalog:
                     ),
                     "removed": sorted(set(ptables) - set(tables)),
                     "n_tables": len(tables),
+                    "schema_changed": sorted(
+                        t for t, ops in schemas.items()
+                        if pschemas.get(t, []) != ops
+                    ),
                 }
             )
             cur = parent
@@ -575,6 +628,43 @@ class Catalog:
         with open(path) as f:
             return {k: int(v) for k, v in json.load(f)["tables"].items()}
 
+    def _manifest_schemas(self, m: int | None) -> dict[str, list[dict]]:
+        """Table -> cumulative schema-evolution op list of manifest
+        ``m`` ({} for None and for pre-r17 manifests, which lack the
+        key — fully backward compatible)."""
+        if m is None:
+            return {}
+        path = os.path.join(self.root, _MANIFEST_DIR, f"m={m}.json")
+        with open(path) as f:
+            return json.load(f).get("schemas", {})
+
+    def evolve_schema(
+        self, name: str, ops: list[dict], branch: str = "main"
+    ) -> int:
+        """Record schema-evolution ops for ``name`` in a METADATA-ONLY
+        commit (r17): no data file moves, but every later read of the
+        table — current, as-of, or through a transaction snapshot —
+        replays the cumulative op list over whatever version dir it
+        resolves, so snapshots written before the evolution surface
+        under the new schema (the dynamic form of the reference's
+        dict-driven DDL, dynamic_upsert.py:9-26).
+
+        Supported ops: ``{"op": "rename", "old": a, "new": b}`` and
+        ``{"op": "add", "col": c, "type": ddl, "default": v}`` (default
+        optional -> NULL). At 100 TB this is the only sane ALTER TABLE:
+        one small JSON commit instead of a table rewrite. Reads AS OF a
+        manifest BEFORE this commit replay only the ops recorded there
+        — time travel sees the schema of its era."""
+        _validate_schema_ops(ops)
+        if not ops:
+            raise ValueError("evolve_schema: empty op list")
+        return self._commit(
+            {},
+            expected_head=self.head(branch),
+            branch=branch,
+            schema_ops={name: list(ops)},
+        )
+
     def _merge_base(self, a: int, b: int) -> int | None:
         """Nearest common ancestor of manifests ``a`` and ``b`` along
         parent links (None when the histories never meet — e.g.
@@ -637,7 +727,23 @@ class Catalog:
             for k, v in self._manifest_tables(o_head).items()
             if base_t.get(k) != v
         }
-        conflicts = sorted(set(b_changed) & o_changed)
+        # schema evolution merges three-way at TABLE granularity too:
+        # a table whose op list grew on both sides since the fork is a
+        # conflict (op order across forks is undecidable), same policy
+        # as data versions
+        base_s = self._manifest_schemas(base)
+        b_s = self._manifest_schemas(b_head)
+        o_s = self._manifest_schemas(o_head)
+        b_changed_s = {
+            k: v for k, v in b_s.items() if base_s.get(k, []) != v
+        }
+        o_changed_s = {
+            k for k, v in o_s.items() if base_s.get(k, []) != v
+        }
+        conflicts = sorted(
+            (set(b_changed) & o_changed)
+            | (set(b_changed_s) & o_changed_s)
+        )
         if conflicts:
             raise MergeConflictError(
                 f"rebase {branch!r} onto {onto!r}: table(s) rewritten "
@@ -653,10 +759,14 @@ class Catalog:
                 )
             m = self._next_manifest()
             merged = {**self._manifest_tables(o_head), **b_changed}
+            merged_s = {**o_s, **b_changed_s}
+            mdoc: dict = {"tables": merged, "parent": o_head}
+            if merged_s:
+                mdoc["schemas"] = merged_s
             mpath = os.path.join(self.root, _MANIFEST_DIR, f"m={m}.json")
             tmp = mpath + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"tables": merged, "parent": o_head}, f)
+                json.dump(mdoc, f)
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, mpath)
@@ -793,6 +903,7 @@ class Catalog:
         staged: dict[str, int],
         expected_head: int | None = None,
         branch: str = "main",
+        schema_ops: dict[str, list[dict]] | None = None,
     ) -> int:
         """Write the merged manifest (immutable file), then swap _HEAD —
         the ONLY publish point; everything before it is abortable.
@@ -823,12 +934,23 @@ class Catalog:
                 )
             m = self._next_manifest()
             merged = {**self.manifest(branch), **staged}
+            # schema-evolution metadata carries forward on EVERY
+            # commit (like tables); an evolve_schema commit appends
+            # its ops to the table's cumulative replay list
+            schemas = {
+                k: list(v) for k, v in self._manifest_schemas(parent).items()
+            }
+            for tname, ops in (schema_ops or {}).items():
+                schemas[tname] = schemas.get(tname, []) + list(ops)
+            doc: dict = {"tables": merged, "parent": parent}
+            if schemas:
+                doc["schemas"] = schemas
             mpath = os.path.join(self.root, _MANIFEST_DIR, f"m={m}.json")
             tmp = mpath + ".tmp"
             with open(tmp, "w") as f:
                 # parent link = the manifest this one was committed on
                 # top of — the ancestry chain merge_ff walks
-                json.dump({"tables": merged, "parent": parent}, f)
+                json.dump(doc, f)
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, mpath)
@@ -1071,15 +1193,9 @@ class CatalogTransaction:
         a fresh transaction. This is snapshot isolation's read side,
         same contract as Iceberg's table-scan-at-snapshot inside a
         pending commit."""
-        versions = self._catalog._manifest_tables(self._expected_head)
-        if name not in versions:
-            raise FileNotFoundError(
-                f"table {name!r} not in snapshot m={self._expected_head} "
-                f"of branch {self._branch!r}"
-            )
-        return _read_version_df(
-            spark,
-            _version_dir(self._catalog.table_dir(name), versions[name]),
+        return self._catalog._read_table(
+            spark, name, self._expected_head,
+            f"snapshot m={self._expected_head} of branch {self._branch!r}",
         )
 
     def __enter__(self) -> "CatalogTransaction":

@@ -916,3 +916,132 @@ def test_gc_never_reclaims_fresh_claim_at_grace_zero(spark, tmp_path):
     os.utime(claim, (old, old))
     cat.gc_uncommitted(grace_seconds=0)
     assert not os.path.exists(claim)  # aged past the floor -> swept
+
+
+def _evo_cat(spark, tmp_path):
+    from glue_jobs_for_data_pipeline_spark.sources.txn import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(
+            spark.range(5).selectExpr("id AS k", "CAST(id AS STRING) AS name"),
+            "t",
+        )
+    return cat
+
+
+def test_schema_evolution_replays_old_files_under_new_schema(spark, tmp_path):
+    """evolve_schema is metadata-only: the v1 data files are untouched,
+    but a current read renames and back-fills the added column with its
+    recorded default (r17 — the one sane ALTER TABLE at 100 TB)."""
+    cat = _evo_cat(spark, tmp_path)
+    v1 = cat.manifest()["t"]
+    cat.evolve_schema("t", [
+        {"op": "rename", "old": "name", "new": "label"},
+        {"op": "add", "col": "tier", "type": "string", "default": "std"},
+    ])
+    assert cat.manifest()["t"] == v1  # no data file moved
+    rows = cat.read(spark, "t").orderBy("k").collect()
+    assert rows[0].asDict() == {"k": 0, "label": "0", "tier": "std"}
+    assert {r["tier"] for r in rows} == {"std"}
+
+
+def test_schema_evolution_time_travel_sees_schema_of_its_era(spark, tmp_path):
+    cat = _evo_cat(spark, tmp_path)
+    m1 = cat.head()
+    m2 = cat.evolve_schema("t", [
+        {"op": "rename", "old": "name", "new": "label"},
+    ])
+    assert cat.read_asof(spark, "t", m1).columns == ["k", "name"]
+    assert cat.read_asof(spark, "t", m2).columns == ["k", "label"]
+
+
+def test_schema_evolution_new_writes_and_chained_renames(spark, tmp_path):
+    """Files written AFTER the evolution already have the new schema —
+    ops skip them (idempotent replay); a second rename chains onto the
+    first for files of any generation."""
+    cat = _evo_cat(spark, tmp_path)
+    cat.evolve_schema("t", [
+        {"op": "rename", "old": "name", "new": "label"},
+        {"op": "add", "col": "tier", "type": "string", "default": "std"},
+    ])
+    with cat.transaction() as t:
+        cur = cat.read(spark, "t")
+        t.overwrite(
+            cur.unionByName(
+                spark.createDataFrame(
+                    [(9, "nine", "gold")], "k long, label string, tier string"
+                )
+            ),
+            "t",
+        )
+    cat.evolve_schema("t", [{"op": "rename", "old": "label", "new": "title"}])
+    rows = {r["k"]: (r["title"], r["tier"])
+            for r in cat.read(spark, "t").collect()}
+    assert rows[9] == ("nine", "gold")
+    assert rows[0] == ("0", "std")
+    # transaction-snapshot reads conform too
+    with cat.transaction() as t:
+        assert t.read_committed(spark, "t").columns == ["k", "title", "tier"]
+
+
+def test_schema_evolution_rebase_carries_and_conflicts(spark, tmp_path):
+    """A branch's schema evolution replays onto main through rebase;
+    evolving the SAME table on both sides since the fork is a
+    MergeConflictError, same policy as data-version conflicts."""
+    from glue_jobs_for_data_pipeline_spark.sources.txn import (
+        Catalog,
+        MergeConflictError,
+    )
+
+    cat = _evo_cat(spark, tmp_path)
+    with cat.transaction() as t:
+        t.overwrite(spark.range(3).toDF("id"), "other")
+    cat.create_branch("exp")
+    cat.evolve_schema("t", [
+        {"op": "rename", "old": "name", "new": "label"},
+    ], branch="exp")
+    with cat.transaction() as t:  # main moves a DIFFERENT table
+        t.overwrite(spark.range(4).toDF("id"), "other")
+    cat.rebase("exp")
+    cat.merge_ff("exp")
+    assert cat.read(spark, "t").columns == ["k", "label"]
+    assert cat.read(spark, "other").count() == 4
+    # conflict half
+    cat.create_branch("exp2")
+    cat.evolve_schema("t", [
+        {"op": "add", "col": "a", "type": "int", "default": 1},
+    ], branch="exp2")
+    cat.evolve_schema("t", [
+        {"op": "add", "col": "b", "type": "int", "default": 2},
+    ])
+    try:
+        cat.rebase("exp2")
+        raise AssertionError("rebase merged divergent schema evolution")
+    except MergeConflictError as exc:
+        assert exc.tables == ["t"]
+
+
+def test_schema_evolution_in_commit_log(spark, tmp_path):
+    cat = _evo_cat(spark, tmp_path)
+    cat.evolve_schema("t", [
+        {"op": "add", "col": "z", "type": "int", "default": 0},
+    ])
+    log = cat.log()
+    assert log[-1]["schema_changed"] == ["t"]
+    assert log[-1]["changed"] == []  # metadata-only commit
+    assert log[-2]["schema_changed"] == []
+
+
+def test_schema_evolution_rejects_bad_ops(spark, tmp_path):
+    import pytest as _pytest
+
+    cat = _evo_cat(spark, tmp_path)
+    for bad in (
+        [],
+        [{"op": "rename", "old": "x", "new": "x"}],
+        [{"op": "add", "col": "c"}],
+        [{"op": "drop", "col": "k"}],
+    ):
+        with _pytest.raises(ValueError):
+            cat.evolve_schema("t", bad)
