@@ -183,6 +183,92 @@ def stage_version(
     return version
 
 
+def stage_version_append(
+    df: DataFrame, table_dir: str, base_version: int
+) -> int:
+    """Stage a new version = base version's files + ``df``'s rows,
+    WITHOUT rewriting the base (r17 — the Iceberg add-files posture on
+    a filesystem): the base version's parquet files are HARD-LINKED
+    into the new version directory (O(existing files) metadata ops,
+    zero data copied; falls back to copy across filesystems), then the
+    new rows land beside them as ordinary appended part files. At
+    100 TB an append commits O(new data) + O(file count), never a
+    table rewrite — this is what makes a streaming micro-batch sink
+    into the catalog affordable.
+
+    The appended frame must match the base's recorded schema EXACTLY:
+    a mixed-schema version dir would be read under one schema and
+    Spark's parquet reader silently nulls columns missing from older
+    files — the silent poisoning conform.py exists to refuse. Callers
+    with drifted sources conform first (sources/conform.py) or
+    overwrite."""
+    base_dir = _version_dir(table_dir, base_version)
+    schema_path = os.path.join(base_dir, "_SCHEMA.json")
+    base_schema_json: str | None = None
+    if os.path.exists(schema_path):
+        from pyspark.sql.types import StructType
+
+        with open(schema_path) as f:
+            base_schema_json = f.read()
+        base_schema = StructType.fromJson(json.loads(base_schema_json))
+
+        def _shape(st):  # name+type identity; nullability handled below
+            return {(f.name.lower(), f.dataType) for f in st.fields}
+
+        if _shape(base_schema) != _shape(df.schema):
+            raise ValueError(
+                "stage_version_append: appended schema differs from the "
+                "base version's recorded schema; conform_schema() the "
+                "batch or overwrite the table"
+            )
+        # record the RELAXED nullability: a field nullable on either
+        # side must read as nullable over the merged file set
+        df_null = {f.name.lower(): f.nullable for f in df.schema.fields}
+        for fld in base_schema.fields:
+            fld.nullable = fld.nullable or df_null[fld.name.lower()]
+        base_schema_json = base_schema.json()
+    version = _reserve_version(table_dir)
+    vdir = _version_dir(table_dir, version)
+    part_cols = _detect_partition_cols(base_dir)
+    try:
+        # new rows first (Spark creates the dir; append never deletes
+        # existing files), laid out like the base so partition
+        # discovery sees ONE consistent structure; then link the
+        # base's files in beside them
+        w = df.write.mode("append")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(vdir)
+        for root, _, files in os.walk(base_dir):
+            rel = os.path.relpath(root, base_dir)
+            dst_root = vdir if rel == "." else os.path.join(vdir, rel)
+            os.makedirs(dst_root, exist_ok=True)
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, fname)
+                dst = os.path.join(dst_root, fname)
+                if os.path.exists(dst):  # never clobber a new part file
+                    raise FileExistsError(
+                        f"appended part file collides with base: {dst}"
+                    )
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)  # cross-device fallback
+        with open(os.path.join(vdir, "_SCHEMA.json"), "w") as f:
+            f.write(base_schema_json or df.schema.json())
+    except BaseException:
+        shutil.rmtree(vdir, ignore_errors=True)
+        raise
+    finally:
+        try:
+            os.unlink(os.path.join(table_dir, f"v={version}.claim"))
+        except FileNotFoundError:
+            pass
+    return version
+
+
 def _read_version_df(spark: SparkSession, vdir: str) -> DataFrame:
     """Read a version directory, reapplying the staged schema when the
     sidecar exists (exact partition-column types; no inference)."""
@@ -1168,6 +1254,32 @@ class CatalogTransaction:
         self, df: DataFrame, name: str, partition_by: tuple[str, ...] = ()
     ) -> int:
         version = stage_version(df, self._catalog.table_dir(name), partition_by)
+        self._staged[name] = version
+        return version
+
+    def append(self, df: DataFrame, name: str) -> int:
+        """Stage base + new rows as a new version WITHOUT rewriting the
+        base (stage_version_append: base part files hard-link into the
+        new version dir; only ``df`` is actually written). Chains onto
+        a version already staged in THIS transaction, else onto the
+        transaction's snapshot; a table absent from both degrades to a
+        plain overwrite (first write IS the append). Commit semantics
+        are unchanged — the staged version publishes atomically with
+        everything else in the bracket, CAS-guarded against racing
+        writers."""
+        if name in self._staged:
+            base_v = self._staged[name]
+        else:
+            snap = self._catalog._manifest_tables(self._expected_head)
+            if name not in snap:
+                return self.overwrite(df, name)
+            base_v = snap[name]
+        version = stage_version_append(
+            df, self._catalog.table_dir(name), base_v
+        )
+        # replacing our own earlier stage: drop the superseded dir
+        if name in self._staged and self._staged[name] != version:
+            discard_version(self._catalog.table_dir(name), self._staged[name])
         self._staged[name] = version
         return version
 

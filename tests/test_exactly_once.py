@@ -1,0 +1,174 @@
+"""Exactly-once streaming commits into the catalog (r17):
+streaming/exactly_once.py + the stage_version_append add-files
+primitive it rides on."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from glue_jobs_for_data_pipeline_spark.sources import txn
+from glue_jobs_for_data_pipeline_spark.streaming import exactly_once as xo
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return txn.Catalog(str(tmp_path / "wh"))
+
+
+def _rows(cat, spark, name):
+    return sorted(r["k"] for r in cat.read(spark, name).collect())
+
+
+# -- stage_version_append ------------------------------------------------
+
+
+def test_append_links_base_and_adds_rows(spark, cat):
+    with cat.transaction() as t:
+        t.overwrite(spark.range(5).selectExpr("id AS k"), "t")
+    base_v = cat.manifest()["t"]
+    with cat.transaction() as t:
+        t.append(spark.range(5, 8).selectExpr("id AS k"), "t")
+    assert _rows(cat, spark, "t") == list(range(8))
+    # base version untouched and its files shared via hard links
+    base_dir = txn._version_dir(cat.table_dir("t"), base_v)
+    new_dir = txn._version_dir(cat.table_dir("t"), cat.manifest()["t"])
+    base_parts = [f for f in os.listdir(base_dir) if f.endswith(".parquet")]
+    assert base_parts
+    for f in base_parts:
+        assert os.stat(os.path.join(base_dir, f)).st_nlink >= 2
+        assert os.path.exists(os.path.join(new_dir, f))
+
+
+def test_append_to_absent_table_is_first_write(spark, cat):
+    with cat.transaction() as t:
+        t.append(spark.range(3).selectExpr("id AS k"), "t")
+    assert _rows(cat, spark, "t") == [0, 1, 2]
+
+
+def test_append_chains_within_one_transaction(spark, cat):
+    with cat.transaction() as t:
+        t.overwrite(spark.range(2).selectExpr("id AS k"), "t")
+    with cat.transaction() as t:
+        t.append(spark.range(2, 4).selectExpr("id AS k"), "t")
+        t.append(spark.range(4, 6).selectExpr("id AS k"), "t")
+    assert _rows(cat, spark, "t") == list(range(6))
+    # superseded intra-transaction stage was discarded, not leaked
+    vdirs = [
+        d for d in os.listdir(cat.table_dir("t"))
+        if d.startswith("v=") and not d.endswith(".claim")
+    ]
+    assert len(vdirs) == 2  # base + final; superseded stage reclaimed
+
+
+def test_append_refuses_schema_drift(spark, cat):
+    with cat.transaction() as t:
+        t.overwrite(spark.range(2).selectExpr("id AS k"), "t")
+    with pytest.raises(ValueError, match="schema"):
+        with cat.transaction() as t:
+            t.append(
+                spark.range(2).selectExpr("id AS k", "id AS extra"), "t"
+            )
+    # failed bracket rolled back: table unchanged
+    assert _rows(cat, spark, "t") == [0, 1]
+
+
+def test_append_preserves_partition_layout(spark, cat):
+    df = spark.range(6).selectExpr("id AS k", "CAST(id % 2 AS INT) AS p")
+    with cat.transaction() as t:
+        t.overwrite(df, "t", partition_by=("p",))
+    extra = spark.createDataFrame([(10, 0), (11, 1)], "k long, p int")
+    with cat.transaction() as t:
+        t.append(extra, "t")
+    got = cat.read(spark, "t")
+    assert sorted(r["k"] for r in got.collect()) == [0, 1, 2, 3, 4, 5, 10, 11]
+    # partition pruning still works on the appended version
+    pruned = got.filter("p = 0")
+    assert sorted(r["k"] for r in pruned.collect()) == [0, 2, 4, 10]
+
+
+# -- exactly-once sink ---------------------------------------------------
+
+
+def _mk_source(spark, tmp_path, n_files=3, rows_per=4):
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    k = 0
+    for i in range(n_files):
+        spark.createDataFrame(
+            [(k + j,) for j in range(rows_per)], "k long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+        k += rows_per
+    return src, n_files * rows_per
+
+
+def test_stream_commits_exactly_once_across_microbatches(
+    spark, cat, tmp_path
+):
+    src, total = _mk_source(spark, tmp_path)
+    stream = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    xo.stream_append_exactly_once(
+        stream, cat, "sink", str(tmp_path / "ckpt"), app_id="app1"
+    )
+    assert _rows(cat, spark, "sink") == list(range(total))
+    ids = xo.committed_batch_ids(cat, spark, "sink", "app1")
+    assert len(ids) >= 2  # maxFilesPerTrigger really split the drain
+
+
+def test_replayed_batch_is_noop(spark, cat, tmp_path):
+    """The at-least-once failure: crash AFTER the manifest commit but
+    BEFORE the streaming checkpoint records the batch -> restart
+    redelivers the same (batch_id, rows). The sink must converge, not
+    double-append."""
+    sink = xo.exactly_once_batch_sink(cat, "sink", "app1")
+    batch = spark.range(5).selectExpr("id AS k")
+    sink(batch, 0)
+    before = cat.head()
+    sink(batch, 0)  # the replay
+    assert cat.head() == before  # no manifest minted, nothing appended
+    assert _rows(cat, spark, "sink") == [0, 1, 2, 3, 4]
+    sink(spark.range(5, 7).selectExpr("id AS k"), 1)
+    assert _rows(cat, spark, "sink") == list(range(7))
+
+
+def test_rival_instances_of_same_batch_commit_once(spark, cat, tmp_path):
+    """Zombie-executor failover: two live instances of the SAME stream
+    deliver the same batch concurrently. The CAS makes one commit win;
+    the loser's retry sees the ledger row and no-ops."""
+    import threading
+
+    sink = xo.exactly_once_batch_sink(cat, "sink", "app1")
+    batch = spark.range(10).selectExpr("id AS k")
+    errs: list[Exception] = []
+
+    def run():
+        try:
+            sink(batch, 7)
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    ts = [threading.Thread(target=run) for _ in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert _rows(cat, spark, "sink") == list(range(10))  # exactly once
+    assert xo.committed_batch_ids(cat, spark, "sink", "app1") == {7}
+
+
+def test_ledger_is_namespaced_by_app_id(spark, cat, tmp_path):
+    """Two independent streams feeding one table must not mistake each
+    other's batch 0 for their own replay."""
+    a = xo.exactly_once_batch_sink(cat, "sink", "app_a")
+    b = xo.exactly_once_batch_sink(cat, "sink", "app_b")
+    a(spark.range(3).selectExpr("id AS k"), 0)
+    b(spark.range(3, 6).selectExpr("id AS k"), 0)  # same id, other app
+    assert _rows(cat, spark, "sink") == list(range(6))
+    assert xo.committed_batch_ids(cat, spark, "sink", "app_a") == {0}
+    assert xo.committed_batch_ids(cat, spark, "sink", "app_b") == {0}
