@@ -397,6 +397,72 @@ def jaccard_prefix_pairs(
     )
 
 
+# Measured r16 (SCALE.md "Prefix-Jaccard crossover hunt"): the full
+# codegen'd inverted-index join wins wall clock up to ~72M candidate
+# rows per node and the extrapolated crossover sits in the several-
+# hundred-million range, where the quadratic candidate term finally
+# dominates the prefix path's two fixed corpus shuffles. Below this,
+# prefix filtering is pure overhead; above it, the full join is first
+# slower and then simply impossible (web-crawl df distributions put
+# sum C(df,2) in the trillions).
+PREFIX_CROSSOVER_CANDIDATES = 300_000_000
+
+
+def candidate_pair_mass(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    df_cap: int | None = None,
+) -> int:
+    """The inverted-index self-join's joined-row count, sum over
+    shingles of C(df,2), WITHOUT materializing a single pair: one
+    map-side-combined groupBy over the postings (the same cardinality
+    sketch a warehouse optimizer would consult). This is the decision
+    statistic for full-join vs prefix-filtered Jaccard — linear to
+    compute, quadratic to ignore."""
+    posts = doc_shingles(spread(df), id_col, text_col, k).select(
+        "doc", F.xxhash64("shingle").alias("shingle")
+    )
+    dfs = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("d"))
+    if df_cap is not None:
+        dfs = dfs.filter(F.col("d") <= df_cap)
+    row = dfs.agg(F.sum(F.expr("d * (d - 1) DIV 2")).alias("m")).first()
+    return int(row["m"] or 0)
+
+
+def jaccard_pairs_auto(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+    df_cap: int | None = None,
+    posts_partitions: int | None = None,
+    crossover: int = PREFIX_CROSSOVER_CANDIDATES,
+) -> DataFrame:
+    """PRODUCTION SWITCH between the two output-identical Jaccard pair
+    operators (r17, closing the r16 'comment, not code' gap): measure
+    candidate mass with candidate_pair_mass, run the full inverted-
+    index join below the measured crossover (codegen wins at fixture
+    scales) and the PPJoin prefix-filtered path above it (the only
+    feasible plan at web-crawl df distributions). Both emit the same
+    (doc_a, doc_b, inter, jaccard) rows — losslessness is pinned by
+    tests/test_dedup.py — so the choice is pure physics, never
+    semantics, and the DuckDB oracle for any consumer is unchanged."""
+    mass = candidate_pair_mass(df, id_col, text_col, k, df_cap)
+    if mass > crossover:
+        return jaccard_prefix_pairs(
+            df, id_col, text_col, k, t_num, t_den, df_cap, posts_partitions
+        )
+    return ngram_jaccard_pairs(
+        df, id_col, text_col, k,
+        threshold=float(t_num) / float(t_den),
+        df_cap=df_cap, posts_partitions=posts_partitions,
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + banded LSH
 # --------------------------------------------------------------------------

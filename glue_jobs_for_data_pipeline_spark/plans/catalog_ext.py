@@ -325,9 +325,13 @@ def _staged_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly like the co-purchase edge stage (mining_pack r14)."""
     path = _NEARDUP_STAGE_CACHE.get(sf_dir)
     if path is None:
-        pairs = dedup.ngram_jaccard_pairs(
+        # production switch (r17): full join below the measured
+        # candidate-mass crossover, prefix-filtered above it — output-
+        # identical either way (_TH_CLUSTER = 1/2 exactly), so the
+        # oracle is branch-independent
+        pairs = dedup.jaccard_pairs_auto(
             load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3,
-            threshold=_TH_CLUSTER, df_cap=100, posts_partitions=8,
+            t_num=1, t_den=2, df_cap=100, posts_partitions=8,
         ).select("doc_a", "doc_b")
         path = _scratch_dir("spark_graft_neardup_pairs_") + "/pairs"
         pairs.write.mode("overwrite").parquet(path)
@@ -3287,6 +3291,67 @@ def x_stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch.coalesce(1).write.mode("append").parquet(src_dir)
     drain(fx.SECOND_BATCH_DATE)
     return txn.read_committed(spark, dim_dir)
+
+
+_X_STREAM_XO_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+@_q("x_stream_exactly_once", _X_STREAM_XO_SQL)
+def x_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest THROUGH THE CATALOG
+    (streaming/exactly_once.py, r17 — the streaming analog of the
+    reference's transaction bracket, dynamic_upsert.py:108,151): the
+    event stream drains as multiple micro-batches (one file per
+    trigger), each committed as ONE atomic manifest carrying both the
+    hard-linked add-files append and a (app_id, batch_id) ledger row.
+    A replayed micro-batch — foreachBatch's at-least-once failure
+    mode, injected in-code after the drain — observes its ledger row
+    and publishes nothing (head asserted unmoved). The committed sink
+    therefore holds the source EXACTLY once, which is precisely what
+    the oracle states: a per-type digest of raw events equals the
+    same digest over the sink table."""
+    from ..sources.readers import load_events
+    from ..sources.txn import Catalog
+    from ..streaming.exactly_once import (
+        committed_batch_ids,
+        exactly_once_batch_sink,
+        stream_append_exactly_once,
+    )
+
+    root = _scratch_dir("spark_graft_xo_")
+    events = load_events(spark, sf_dir)
+    # split the fixture into several files so the file source genuinely
+    # delivers several micro-batches (maxFilesPerTrigger=1)
+    events.repartition(3).write.mode("overwrite").parquet(f"{root}/src")
+    cat = Catalog(f"{root}/wh")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{root}/src").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/src")
+    )
+    stream_append_exactly_once(
+        stream, cat, "events_ingest", f"{root}/ckpt", app_id="ingest"
+    )
+    # replay injection: redeliver a committed batch id — must no-op
+    done = committed_batch_ids(cat, spark, "events_ingest", "ingest")
+    if len(done) < 2:
+        raise AssertionError("drain did not split into micro-batches")
+    head_before = cat.head()
+    exactly_once_batch_sink(cat, "events_ingest", "ingest")(
+        events.limit(50), max(done)
+    )
+    if cat.head() != head_before:
+        raise AssertionError("replayed micro-batch minted a commit")
+    return cat.read(spark, "events_ingest").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
 
 
 # --------------------------------------------------------------------------

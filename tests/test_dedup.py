@@ -508,3 +508,44 @@ def test_jaccard_prefix_lossless_on_boilerplate_corpus(spark):
         docs, "doc_id", "text", t_num=4, t_den=5, **kw).collect()))
     assert pref == full
     assert len(full) == 20  # exactly the planted clone pairs
+
+
+def test_candidate_pair_mass_exact(spark, docs):
+    """candidate_pair_mass equals the brute-force sum over shingles of
+    C(df,2) — the exact joined-row count of the inverted-index
+    self-join."""
+    from collections import Counter
+
+    posts = dedup.doc_shingles(docs, "doc_id", "text", k=3).collect()
+    df_counts = Counter(r["shingle"] for r in posts)
+    want = sum(d * (d - 1) // 2 for d in df_counts.values())
+    got = dedup.candidate_pair_mass(docs, "doc_id", "text", k=3)
+    assert got == want > 0
+    # the cap removes hot shingles from the mass, same universe rule
+    capped_want = sum(
+        d * (d - 1) // 2 for d in df_counts.values() if d <= 2
+    )
+    assert dedup.candidate_pair_mass(docs, "doc_id", "text", 3, 2) == capped_want
+
+
+def test_jaccard_pairs_auto_switches_on_crossover(spark, docs):
+    """The production switch (r17): below the crossover the full join
+    runs, above it the prefix path — and BOTH emit identical rows, so
+    the dispatch can never change results, only plans."""
+    full = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.5
+        ).collect())
+    )
+    lo = sorted(  # huge crossover -> full-join branch
+        map(tuple, dedup.jaccard_pairs_auto(
+            docs, "doc_id", "text", k=3, t_num=1, t_den=2,
+            crossover=10**12,
+        ).collect())
+    )
+    hi = sorted(  # zero crossover -> prefix branch
+        map(tuple, dedup.jaccard_pairs_auto(
+            docs, "doc_id", "text", k=3, t_num=1, t_den=2, crossover=0,
+        ).collect())
+    )
+    assert lo == hi == full and len(full) > 0
