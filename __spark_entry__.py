@@ -31,102 +31,100 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate consumes exactly the FIRST 50 keys of
-# queries(), so registration order is the coverage knob. Round 16
-# priority order (the r15 verdict's task #1, executed as planned —
-# 50 explicit entries below = the full window, ALL oracle-able, so the
-# target is 50/50 hash-green with zero no_oracle rows):
-# (a) the 10-key carried list named in the r15 plan — newest driver
-#     evidence r14;
-# (b) the complete 17-key r07-origin cohort (reseated r14; every
-#     stream/merge/ts key in it), retiring the oldest remaining
-#     x_* driver evidence in one edit;
-# (c) keys NEW or plan-changed in r16: x_storage_branch_rebase (new —
-#     divergent-branch rebase, verdict task 6),
-#     x_storage_deletion_vectors (new — merge-on-read deletes),
-#     x_sim_mmr_rerank (new — integer-grid MMR diversity re-rank),
-#     x_text_bm25 (new — integer-rational Okapi BM25),
-#     x_sim_rrf_fusion (new — reciprocal-rank hybrid fusion),
-#     x_dedup_jaccard_prefix (new — PPJoin prefix filtering, oracle =
-#     the unfiltered operator), x_validate_k_anonymity (new — privacy
-#     census), x_storage_runtime_bloom_filter (conf bracket now pins
-#     the feature flag — ADVICE r15), x_validate_varchar_len (report
-#     pivot rebuilt as struct/explode, hostile-name safe — ADVICE
-#     r15), x_mm_binary_ingest + x_mm_ingest_pipeline (already in (a);
-#     scan now materializes under the openCostInBytes bracket —
-#     verdict task 2);
-# (d) always-on m1/m2 core + m5 (txn.py lock/gc/rebase rework r16);
-# (e) parity keys p6..w1 — the 11 oldest-evidence parity keys (the
-#     r14 auto-fill refreshed s1..p5; these are the next tranche).
-# Carried to r17 (sweep-green at both SFs every round): the parity
-# keys l1..m4 (r14-or-older driver evidence — l1/f1..f4 yielded their
-# tranche slots to the four late-r16 keys), x_storage_branch_isolation
-# and the rest of the r15-seated cohort (r15 evidence), and the
-# r08-cohort reseated in r15.
+# queries(), so registration order is the coverage knob. Round 17
+# priority order (the r16 verdict's task #1 — 50 explicit entries
+# below = the full window, ALL oracle-able, target 50/50 hash-green
+# with zero no_oracle rows):
+# (a) keys NEW or plan-changed in r17: x_stream_exactly_once (new —
+#     catalog exactly-once streaming sink via add-files appends),
+#     x_storage_schema_evolution (new — metadata-only ALTER with
+#     snapshot-aware replay), x_storage_commit_log (first driver row
+#     — was sweep-only in r16; log entries gained schema_changed),
+#     x_storage_deletion_vectors (plan changed — read_merged now pins
+#     one manifest snapshot for base+dv, ADVICE r16 high),
+#     x_dedup_pairs_stage (producer now dispatches through the
+#     candidate-mass switch; output-identical by construction);
+# (b) always-on m1/m2 core + m5 (txn.py commit/read-path rework r17);
+# (c) the 18 OLDEST-evidence parity keys (f1..f11, v1..v4, m3, m1b,
+#     m4 — last driver-green r08/r09; the verdict's named tranche
+#     plus the equally-old v-keys);
+# (d) the first 24 of the r15-seated/r08-origin x_* cohort in their
+#     r15 window order (driver evidence r15), refreshing the oldest
+#     x_* rows that fit.
+# Carried to r18 (sweep-green at both SFs every round): the rest of
+# the r15 cohort (x_ts_twap, x_dedup_cc_clusters, x_corpus_dedup_cc,
+# x_corpus_dedup_quality_keep, x_split_neardup_leakage,
+# x_dedup_semantic_semdedup, x_corpus_cluster_balance,
+# x_sim_ivf_kmeans_topk, x_olap_grid_quantile_sketch,
+# x_market_basket_lift, x_graph_pagerank, x_text_dsir_weights,
+# x_emb_cluster_quality, x_olap_countmin_sketch,
+# x_emb_scatter_matrix, x_split_group_kfold,
+# x_storage_branch_isolation, x_emb_centroids_stage), the parity keys
+# s1..p5 (r14 evidence) and p6..l1 (r16 evidence), and the r16-seated
+# x_* cohort (r16 evidence).
 # Permanently rows-only by design (weaker driver check only; each got
 # its one seated driver row in r15): x_dedup_minhash_lsh,
 # x_dedup_simhash, x_olap_approx_distinct, x_corpus_prep_neardup,
 # x_olap_freq_items, x_olap_approx_percentiles,
-# x_olap_hll_partial_merge — rotated back OUT this round per the r15
-# plan; their exact twins stay hash-gated.
-_WINDOW_ROWS_ONLY_OK: set[str] = set()  # r16: no rows-only keys seated
+# x_olap_hll_partial_merge — kept OUT; their exact twins stay
+# hash-gated.
+_WINDOW_ROWS_ONLY_OK: set[str] = set()  # r17: no rows-only keys seated
 
 _WINDOW_FIRST = [
-    # (a) the carried list from the r15 plan (10)
-    "x_mm_binary_ingest",
-    "x_graph_edges_stage",
-    "x_mm_ingest_pipeline",
-    "x_storage_bucketed_join",
-    "x_storage_dynamic_partition_pruning",
-    "x_validate_observed_load",
-    "x_graph_triangles",
-    "x_graph_degree_hist",
-    "x_graph_kcore",
-    "x_graph_coreness",
-    # (b) the complete r07-origin cohort, reseated in full (17)
-    "x_merge_into",
-    "x_olap_q22_style",
-    "x_scd2_point_in_time",
-    "x_skew_salted_join",
-    "x_sql_frontend",
-    "x_stream_dedup",
-    "x_stream_sessionize",
-    "x_stream_static_join",
-    "x_stream_stream_full_join",
-    "x_stream_stream_left_join",
-    "x_stream_topk",
-    "x_stream_watermark_append",
-    "x_text_bigram_lm",
-    "x_text_tfidf",
-    "x_ts_gap_fill",
-    "x_ts_sessionize_native",
-    "x_validate_profile",
-    # (c) new or plan-changed in r16 (9)
-    "x_storage_branch_rebase",
+    # (a) new or plan-changed in r17 (5)
+    "x_stream_exactly_once",
+    "x_storage_schema_evolution",
+    "x_storage_commit_log",
     "x_storage_deletion_vectors",
-    "x_sim_mmr_rerank",
-    "x_text_bm25",
-    "x_sim_rrf_fusion",
-    "x_dedup_jaccard_prefix",
-    "x_validate_k_anonymity",
-    "x_storage_runtime_bloom_filter",
-    "x_validate_varchar_len",
-    # (d) always-on core + r16-reworked commit path (3)
+    "x_dedup_pairs_stage",
+    # (b) always-on core + r17-reworked commit/read path (3)
     "m1_scd2_upsert",
     "m2_j2_fact_population",
     "m5_transactional_pipeline",
-    # (e) oldest-evidence parity tranche p6..w1 (11; l1/f1..f4 carry to
-    #     r17 — their slots went to the four late-r16 keys in (c))
-    "p6_null_predicate",
-    "p7_in_subquery_semi",
-    "p8_f12_table_dispatch",
-    "j1_inner_equijoin",
-    "j3_left_semi_join",
-    "a1_count_star",
-    "a2_groupby_count",
-    "a3_having",
-    "a4_distinct",
-    "w1_row_number",
-    "l1_limit",
+    # (c) oldest-evidence parity tranche, last driver-green r08/r09 (18)
+    "f1_extract_year",
+    "f2_extract_quarter",
+    "f3_extract_month",
+    "f4_extract_day",
+    "f5_extract_dow",
+    "f6_extract_week",
+    "f7_date_plus_int",
+    "f8_yesterday",
+    "f9_cast_string_date",
+    "f10_load_date_default",
+    "f11_decimal_multiply",
+    "v1_null_counts",
+    "v2_pk_duplicates",
+    "v3_registry_membership",
+    "v4_validation_report",
+    "m3_dim_dates",
+    "m1b_scd2_delta_upsert",
+    "m4_update_where",
+    # (d) r15-cohort refresh, r15 window order (24)
+    "x_dedup_fuzzy_match",
+    "x_events_anomaly_mad",
+    "x_events_funnel_windowed",
+    "x_events_top_paths",
+    "x_events_transitions",
+    "x_events_wau",
+    "x_events_winsorize",
+    "x_olap_conditional_kernels",
+    "x_olap_distribution_window",
+    "x_olap_full_outer_join",
+    "x_olap_mode",
+    "x_olap_mom_growth",
+    "x_olap_q12_style",
+    "x_olap_regression",
+    "x_olap_skyline",
+    "x_sample_weighted",
+    "x_scd2_hash_keys",
+    "x_skew_salted_agg",
+    "x_storage_partition_pruning",
+    "x_storage_zorder_roundtrip",
+    "x_text_boilerplate_removal",
+    "x_text_string_kernels",
+    "x_ts_asof_forward",
+    "x_ts_ohlc",
 ]
 
 
