@@ -3354,6 +3354,85 @@ def x_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X_STREAM_MV_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM events GROUP BY event_type
+"""
+
+
+@_q("x_stream_incremental_mv", _X_STREAM_MV_SQL)
+def x_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once INCREMENTAL VIEW MAINTENANCE
+    (streaming/exactly_once.py exactly_once_mv_sink, r17): every
+    micro-batch commits the raw append AND the refolded per-type
+    aggregate in ONE manifest — the multi-table analog of the
+    reference's dim+fact BEGIN/COMMIT (populate_fact.py:91,135-144) on
+    a stream. Per batch the view refold costs O(batch + view), never a
+    rescan of raw history. In-code assertions: the raw sink equals the
+    source exactly (count), a replayed batch moves neither table, and
+    every committed manifest's diff contains raw+mv+ledger TOGETHER
+    (atomicity, checked via the commit log). The returned view equals
+    the oracle's direct aggregate over raw events — the materialized
+    view invariant itself."""
+    from ..sources.readers import load_events
+    from ..sources.txn import Catalog
+    from ..streaming.exactly_once import (
+        committed_batch_ids,
+        exactly_once_mv_sink,
+    )
+
+    root = _scratch_dir("spark_graft_mv_")
+    events = load_events(spark, sf_dir)
+    events.repartition(3).write.mode("overwrite").parquet(f"{root}/src")
+    cat = Catalog(f"{root}/wh")
+
+    def mv_update(batch_df: DataFrame, cur: DataFrame | None) -> DataFrame:
+        delta = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+        )
+        if cur is None:
+            return delta
+        return (
+            cur.unionByName(delta)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("id_sum").cast("long").alias("id_sum"),
+            )
+        )
+
+    sink = exactly_once_mv_sink(cat, "events_raw", "events_mv", mv_update,
+                                app_id="mv")
+    q = (
+        spark.readStream.schema(spark.read.parquet(f"{root}/src").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/src")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # atomicity: every data commit changed raw, mv, and ledger together
+    for entry in cat.log():
+        if "events_raw" in entry["changed"] and (
+            "events_mv" not in entry["changed"]
+            or "events_raw__commits" not in entry["changed"]
+        ):
+            raise AssertionError(f"non-atomic mv commit: {entry}")
+    # replay injection: a redelivered batch moves neither table
+    done = committed_batch_ids(cat, spark, "events_raw", "mv")
+    head_before = cat.head()
+    sink(events.limit(50), max(done))
+    if cat.head() != head_before:
+        raise AssertionError("replayed micro-batch minted a commit")
+    if cat.read(spark, "events_raw").count() != events.count():
+        raise AssertionError("raw sink diverged from the source")
+    return cat.read(spark, "events_mv")
+
+
 # --------------------------------------------------------------------------
 # Composed corpus preparation (the end-to-end LLM data-pipeline flow)
 # --------------------------------------------------------------------------
@@ -5653,6 +5732,62 @@ def x_storage_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.read(spark, "dim_customer"), "rewritten", "display_name"
     )
     return replayed.unionByName(rewritten)
+
+
+# --------------------------------------------------------------------------
+# Round-17 addition: snapshot diff (the lakehouse CDC surface)
+# --------------------------------------------------------------------------
+
+_X_SNAPSHOT_DIFF_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 5 = 0 THEN 'X-CHANGED'
+            ELSE o_orderpriority END AS o_orderpriority,
+       'added' AS change
+FROM orders WHERE o_orderkey % 2 <> 0 AND o_orderkey % 3 = 0
+UNION ALL
+SELECT o_orderkey, CAST(NULL AS VARCHAR) AS o_orderpriority,
+       'removed' AS change
+FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, 'X-CHANGED' AS o_orderpriority, 'changed' AS change
+FROM orders
+WHERE o_orderkey % 2 <> 0 AND o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0
+"""
+
+
+@_q("x_storage_snapshot_diff", _X_SNAPSHOT_DIFF_SQL)
+def x_storage_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between two catalog snapshots
+    (Catalog.snapshot_diff, r17 — the Delta CDF / Iceberg
+    changelog-scan surface): commit v1 (orders keys not divisible by
+    3), commit v2 (keys not divisible by 2, priorities rewritten on
+    multiples of 5), then diff the two manifests by key. ONE
+    full-outer hash join classifies every row as added / removed /
+    changed — unchanged rows never emit, nothing data-sized touches
+    the driver. The oracle states the exact same row set from the
+    modular predicates alone, so the key pins keys, new-side values
+    (NULL for removals), and classification."""
+    from ..sources.txn import Catalog
+
+    cat = Catalog(_scratch_dir("spark_graft_snapdiff_") + "/wh")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    with cat.transaction() as t:
+        t.overwrite(base.filter(F.col("o_orderkey") % 3 != 0), "orders_cdc")
+    m_old = cat.head()
+    v2 = base.filter(F.col("o_orderkey") % 2 != 0).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X-CHANGED")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    with cat.transaction() as t:
+        t.overwrite(v2, "orders_cdc")
+    return cat.snapshot_diff(
+        spark, "orders_cdc", m_old, cat.head(),
+        key_cols=("o_orderkey",), compare_cols=("o_orderpriority",),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -57,15 +57,14 @@ def committed_batch_ids(
     }
 
 
-def exactly_once_batch_sink(
-    cat: Catalog, name: str, app_id: str, branch: str = "main"
+def _exactly_once_sink(
+    cat: Catalog, ledger_name: str, app_id: str, branch: str, stage
 ):
-    """Build the foreachBatch function: append the micro-batch and
-    record its id in ONE manifest commit; replays are no-ops.
-
-    ``app_id`` namespaces the ledger so several independent streams
-    can feed the same table without confusing each other's batch-id
-    sequences (Delta txn appId semantics)."""
+    """Shared exactly-once core: check the ledger inside the
+    transaction snapshot, run ``stage(t, spark, batch_df)`` to stage
+    the batch's effects, and commit them WITH the ledger row in one
+    manifest. CAS losses retry from a fresh snapshot (fresh replay
+    check included)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -76,7 +75,7 @@ def exactly_once_batch_sink(
             try:
                 with cat.transaction(branch=branch) as t:
                     try:
-                        ledger = t.read_committed(spark, ledger_table(name))
+                        ledger = t.read_committed(spark, ledger_name)
                         done = {
                             r["batch_id"]
                             for r in ledger.filter(
@@ -86,9 +85,9 @@ def exactly_once_batch_sink(
                     except FileNotFoundError:
                         ledger, done = None, set()
                     if batch_id in done:
-                        return  # replayed batch: exit stages nothing,
-                        # so the empty bracket publishes nothing
-                    t.append(batch_df, name)
+                        return  # replayed batch: the bracket exits
+                        # empty and publishes nothing
+                    stage(t, spark, batch_df)
                     entry = spark.createDataFrame(
                         [(app_id, int(batch_id))],
                         "app_id string, batch_id long",
@@ -96,7 +95,7 @@ def exactly_once_batch_sink(
                     t.overwrite(
                         ledger.unionByName(entry) if ledger is not None
                         else entry,
-                        ledger_table(name),
+                        ledger_name,
                     )
                 return
             except ConcurrentCommitError as exc:
@@ -105,6 +104,57 @@ def exactly_once_batch_sink(
         raise last  # type: ignore[misc]
 
     return sink
+
+
+def exactly_once_batch_sink(
+    cat: Catalog, name: str, app_id: str, branch: str = "main"
+):
+    """Build the foreachBatch function: append the micro-batch and
+    record its id in ONE manifest commit; replays are no-ops.
+
+    ``app_id`` namespaces the ledger so several independent streams
+    can feed the same table without confusing each other's batch-id
+    sequences (Delta txn appId semantics)."""
+    return _exactly_once_sink(
+        cat, ledger_table(name), app_id, branch,
+        lambda t, spark, batch_df: t.append(batch_df, name),
+    )
+
+
+def exactly_once_mv_sink(
+    cat: Catalog,
+    raw_name: str,
+    mv_name: str,
+    mv_update,
+    app_id: str,
+    branch: str = "main",
+):
+    """foreachBatch sink that maintains a raw table AND a derived
+    MATERIALIZED VIEW in the same exactly-once commit (r17): per
+    micro-batch, ONE manifest atomically carries (raw add-files
+    append, rewritten mv, ledger row) — a reader can never observe
+    raw data whose aggregate hasn't landed, or vice versa, and a
+    replayed batch touches neither. This is the multi-table analog of
+    the reference's cross-statement BEGIN/COMMIT
+    (populate_fact.py:91,135-144: dim + fact flip together).
+
+    ``mv_update(batch_df, current_mv_or_None) -> DataFrame`` folds the
+    new batch into the current view — incremental view maintenance,
+    so the per-batch cost is O(batch + view), never a rescan of the
+    raw history. The view is small by construction (an aggregate);
+    the raw side appends without rewriting."""
+
+    def stage(t, spark, batch_df: DataFrame) -> None:
+        t.append(batch_df, raw_name)
+        try:
+            cur = t.read_committed(spark, mv_name)
+        except FileNotFoundError:
+            cur = None
+        t.overwrite(mv_update(batch_df, cur), mv_name)
+
+    return _exactly_once_sink(
+        cat, ledger_table(raw_name), app_id, branch, stage
+    )
 
 
 def stream_append_exactly_once(

@@ -172,3 +172,35 @@ def test_ledger_is_namespaced_by_app_id(spark, cat, tmp_path):
     assert _rows(cat, spark, "sink") == list(range(6))
     assert xo.committed_batch_ids(cat, spark, "sink", "app_a") == {0}
     assert xo.committed_batch_ids(cat, spark, "sink", "app_b") == {0}
+
+
+def test_mv_sink_commits_raw_and_view_atomically(spark, cat, tmp_path):
+    from pyspark.sql import functions as F
+
+    def mv_update(batch_df, cur):
+        delta = batch_df.groupBy((F.col("k") % 2).alias("g")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        if cur is None:
+            return delta
+        return (
+            cur.unionByName(delta).groupBy("g")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+
+    sink = xo.exactly_once_mv_sink(cat, "raw", "mv", mv_update, "app")
+    sink(spark.range(4).selectExpr("id AS k"), 0)
+    sink(spark.range(4, 10).selectExpr("id AS k"), 1)
+    assert _rows(cat, spark, "raw") == list(range(10))
+    mv = {r["g"]: r["n"] for r in cat.read(spark, "mv").collect()}
+    assert mv == {0: 5, 1: 5}
+    # every commit carried raw+mv+ledger together
+    for entry in cat.log():
+        if "raw" in entry["changed"]:
+            assert "mv" in entry["changed"]
+            assert "raw__commits" in entry["changed"]
+    # replay: neither table moves
+    head = cat.head()
+    sink(spark.range(4).selectExpr("id AS k"), 1)
+    assert cat.head() == head
+    assert _rows(cat, spark, "raw") == list(range(10))

@@ -1045,3 +1045,52 @@ def test_schema_evolution_rejects_bad_ops(spark, tmp_path):
     ):
         with _pytest.raises(ValueError):
             cat.evolve_schema("t", bad)
+
+
+def test_snapshot_diff_classifies_rows(spark, tmp_path):
+    """added / removed / changed between two manifests; unchanged rows
+    never emit; removed rows carry NULL compare values."""
+    from glue_jobs_for_data_pipeline_spark.sources.txn import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    with cat.transaction() as t:
+        t.overwrite(v1, "t")
+    m1 = cat.head()
+    v2 = spark.createDataFrame(
+        [(1, "a"), (3, "C"), (4, "d")], "k long, v string"
+    )
+    with cat.transaction() as t:
+        t.overwrite(v2, "t")
+    got = {
+        r["k"]: (r["v"], r["change"])
+        for r in cat.snapshot_diff(
+            spark, "t", m1, cat.head(), ("k",), ("v",)
+        ).collect()
+    }
+    assert got == {
+        2: (None, "removed"),
+        3: ("C", "changed"),
+        4: ("d", "added"),
+    }  # k=1 unchanged -> absent
+
+
+def test_snapshot_diff_keys_only(spark, tmp_path):
+    """Without compare columns the diff is pure membership: no
+    'changed' class can fire."""
+    from glue_jobs_for_data_pipeline_spark.sources.txn import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(spark.range(5).toDF("k"), "t")
+    m1 = cat.head()
+    with cat.transaction() as t:
+        t.overwrite(spark.range(3, 8).toDF("k"), "t")
+    got = {
+        r["k"]: r["change"]
+        for r in cat.snapshot_diff(spark, "t", m1, cat.head(), ("k",)).collect()
+    }
+    assert got == {0: "removed", 1: "removed", 2: "removed",
+                   5: "added", 6: "added", 7: "added"}
