@@ -212,6 +212,22 @@ BENCH_QUERIES = [
     # r16 close: catalog commit log (4 scripted commits + 8 as-of
     # filtered counts; 1.3 s warm)
     "x_storage_commit_log",
+    # r17 batch, everything >0.7 s warm at sf0.1: exactly-once stream
+    # ingest (availableNow drain, 3+ micro-batch manifest commits with
+    # add-files appends + replay injection; ~4.4 s warm), exactly-once
+    # incremental view maintenance (raw append + mv refold + ledger
+    # per batch, atomicity walk over the commit log; ~4.9 s), schema
+    # evolution (two data commits + two metadata-only ALTERs + two
+    # conformed digests; ~0.9 s). Snapshot diff (0.55 s warm — one
+    # full-outer join over two committed snapshots) stays off the
+    # bill per the threshold.
+    "x_stream_exactly_once",
+    "x_stream_incremental_mv",
+    "x_storage_schema_evolution",
+    # r17: streaming corpus intake with cross-batch exact dedup — the
+    # doubled documents feed over 4 micro-batches, per-batch fp
+    # anti-join + two add-files appends per commit (~5.7 s warm)
+    "x_corpus_stream_ingest_dedup",
 ]
 
 # The host's recurring noise mode concentrates on the winnowing pair

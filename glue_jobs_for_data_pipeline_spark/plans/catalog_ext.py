@@ -3433,6 +3433,76 @@ def x_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.read(spark, "events_mv")
 
 
+_X_STREAM_INGEST_DEDUP_SQL = f"""
+WITH fps AS (
+  SELECT md5({_NORM_SQL}) AS fp FROM documents GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(('0x' || substring(fp, 1, 8)) AS BIGINT)) AS BIGINT)
+         AS fp_sum
+FROM fps
+"""
+
+
+@_q("x_corpus_stream_ingest_dedup", _X_STREAM_INGEST_DEDUP_SQL)
+def x_corpus_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus intake with CROSS-BATCH exact dedup, exactly
+    once (streaming/exactly_once.py exactly_once_dedup_sink, r17): the
+    documents table is DOUBLED (every doc delivered twice — the
+    at-least-once feed) and split across micro-batches; each batch
+    dedups within itself, anti-joins the committed fingerprint table,
+    and appends survivors + fingerprints + ledger row in ONE manifest.
+    The committed corpus is duplicate-free across the entire ingestion
+    history regardless of how the duplicates straddle batches. The
+    digest (unique-doc count + md5-twin fingerprint checksum) is
+    arrival-order-invariant — the fingerprint SET equals the batch
+    oracle's distinct normalized-text set no matter which copy of a
+    duplicate arrived first — so DuckDB states it from the raw table
+    alone. In-code: corpus row count == fingerprint count (the dedup
+    invariant) and a replayed batch moves nothing."""
+    from ..sources.txn import Catalog
+    from ..streaming.exactly_once import (
+        committed_batch_ids,
+        exactly_once_dedup_sink,
+    )
+
+    root = _scratch_dir("spark_graft_ingest_dedup_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    )
+    doubled.repartition(4).write.mode("overwrite").parquet(f"{root}/src")
+    cat = Catalog(f"{root}/wh")
+    sink = exactly_once_dedup_sink(
+        cat, "corpus", tx.content_fingerprint(F.col("text")), "doc_id",
+        app_id="ingest",
+    )
+    q = (
+        spark.readStream.schema(spark.read.parquet(f"{root}/src").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/src")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_corpus = cat.read(spark, "corpus").count()
+    n_fp = cat.read(spark, "corpus__fp").count()
+    if n_corpus != n_fp:
+        raise AssertionError("corpus and fingerprint table diverged")
+    done = committed_batch_ids(cat, spark, "corpus", "ingest")
+    head_before = cat.head()
+    sink(docs.limit(20), max(done))  # replay injection
+    if cat.head() != head_before:
+        raise AssertionError("replayed micro-batch minted a commit")
+    return cat.read(spark, "corpus__fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.conv(F.substring("_fp", 1, 8), 16, 10).cast("long")
+        ).cast("long").alias("fp_sum"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Composed corpus preparation (the end-to-end LLM data-pipeline flow)
 # --------------------------------------------------------------------------

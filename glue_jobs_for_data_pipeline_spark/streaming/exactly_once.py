@@ -157,6 +157,56 @@ def exactly_once_mv_sink(
     )
 
 
+def exactly_once_dedup_sink(
+    cat: Catalog,
+    corpus_name: str,
+    fingerprint_col,
+    id_col: str,
+    app_id: str,
+    branch: str = "main",
+):
+    """Streaming CORPUS INGESTION with cross-batch exact dedup (r17 —
+    the incremental training-data intake loop): per micro-batch, keep
+    one row per fingerprint within the batch (min ``id_col``,
+    deterministic), drop fingerprints already committed by EARLIER
+    batches via a left-anti join against the fingerprint table, then
+    append survivors AND their fingerprints atomically with the ledger
+    row. The committed corpus is therefore exactly-once AND
+    duplicate-free across the whole ingestion history — the streaming
+    analog of operators/incremental.py::dedup_ingest with the catalog's
+    crash story.
+
+    Scale shape: the seen-fingerprint side is 16-byte keys (one per
+    unique doc), joined hash-to-hash; both the corpus and the
+    fingerprint table grow by add-files appends, so a batch costs
+    O(batch + fp-join), never a history rewrite."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    fp_name = corpus_name + "__fp"
+
+    def stage(t, spark, batch_df: DataFrame) -> None:
+        b = batch_df.withColumn("_fp", fingerprint_col)
+        w = Window.partitionBy("_fp").orderBy(id_col)
+        survivors = (
+            b.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            seen = t.read_committed(spark, fp_name)
+            survivors = survivors.join(seen, on="_fp", how="left_anti")
+        except FileNotFoundError:
+            pass
+        new_fp = survivors.select("_fp")
+        t.append(survivors.drop("_fp"), corpus_name)
+        t.append(new_fp, fp_name)
+
+    return _exactly_once_sink(
+        cat, ledger_table(corpus_name), app_id, branch, stage
+    )
+
+
 def stream_append_exactly_once(
     source_stream: DataFrame,
     cat: Catalog,

@@ -204,3 +204,29 @@ def test_mv_sink_commits_raw_and_view_atomically(spark, cat, tmp_path):
     sink(spark.range(4).selectExpr("id AS k"), 1)
     assert cat.head() == head
     assert _rows(cat, spark, "raw") == list(range(10))
+
+
+def test_dedup_sink_drops_cross_batch_duplicates(spark, cat, tmp_path):
+    from pyspark.sql import functions as F
+
+    sink = xo.exactly_once_dedup_sink(
+        cat, "corpus", F.md5("text"), "doc_id", "app"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(4, "bb"), (5, "cc")], "doc_id long, text string"
+    )
+    sink(b1, 0)  # within-batch dup: 3 drops (min-id survivor 1)
+    sink(b2, 1)  # cross-batch dup: 4 drops ('bb' committed by batch 0)
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in cat.read(spark, "corpus").collect()
+    )
+    assert got == [(1, "aa"), (2, "bb"), (5, "cc")]
+    assert cat.read(spark, "corpus__fp").count() == 3
+    # replay of batch 1 changes nothing
+    head = cat.head()
+    sink(b2, 1)
+    assert cat.head() == head
