@@ -450,7 +450,27 @@ def jaccard_pairs_auto(
     feasible plan at web-crawl df distributions). Both emit the same
     (doc_a, doc_b, inter, jaccard) rows — losslessness is pinned by
     tests/test_dedup.py — so the choice is pure physics, never
-    semantics, and the DuckDB oracle for any consumer is unchanged."""
+    semantics, and the DuckDB oracle for any consumer is unchanged.
+
+    Statistics are TIERED like an optimizer's: a df-capped corpus has
+    the PROVABLE bound mass <= postings * (df_cap-1)/2 and a doc's
+    distinct word-shingles cannot exceed ceil(chars/2) (every token
+    costs >= 2 characters incl. its separator), so ONE vectorized
+    column sum — sum(length(text)), far cheaper than building the
+    postings — decides all small corpora: if even the bound cannot
+    reach the crossover, run the full join with zero further
+    statistics cost. Only corpora within reach of the crossover pay
+    for the exact candidate-mass aggregation."""
+    if df_cap is not None:
+        from pyspark.sql import functions as _F
+
+        chars = df.agg(_F.sum(_F.length(text_col))).first()[0] or 0
+        if ((int(chars) + 1) // 2) * (df_cap - 1) // 2 <= crossover:
+            return ngram_jaccard_pairs(
+                df, id_col, text_col, k,
+                threshold=float(t_num) / float(t_den),
+                df_cap=df_cap, posts_partitions=posts_partitions,
+            )
     mass = candidate_pair_mass(df, id_col, text_col, k, df_cap)
     if mass > crossover:
         return jaccard_prefix_pairs(

@@ -549,3 +549,27 @@ def test_jaccard_pairs_auto_switches_on_crossover(spark, docs):
         ).collect())
     )
     assert lo == hi == full and len(full) > 0
+
+
+def test_jaccard_pairs_auto_cheap_tier_skips_exact_mass(
+    spark, docs, monkeypatch
+):
+    """Statistics tiering: a df-capped corpus whose char-count BOUND
+    cannot reach the crossover must dispatch on one column sum alone —
+    the exact candidate-mass aggregation never runs."""
+
+    def boom(*a, **k):
+        raise AssertionError("exact mass computed below the cheap bound")
+
+    monkeypatch.setattr(dedup, "candidate_pair_mass", boom)
+    out = dedup.jaccard_pairs_auto(
+        docs, "doc_id", "text", k=3, t_num=1, t_den=2, df_cap=100
+    )
+    assert out.count() > 0  # full-join branch ran, no exact stat
+    # forcing the boundary (crossover=0) must fall through to the
+    # exact statistic even with a cap
+    with pytest.raises(AssertionError, match="exact mass"):
+        dedup.jaccard_pairs_auto(
+            docs, "doc_id", "text", k=3, t_num=1, t_den=2, df_cap=100,
+            crossover=0,
+        )
