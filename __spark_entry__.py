@@ -42,6 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     raw+view+ledger in one manifest per micro-batch),
 #     x_corpus_stream_ingest_dedup (new — cross-batch dedup intake),
 #     x_storage_snapshot_diff (new — CDC between two manifests),
+#     x_storage_mor_upsert (new — Hudi-MOR delta upsert + compaction),
 #     x_storage_commit_log (first driver row — was sweep-only in r16;
 #     log entries gained schema_changed),
 #     x_storage_deletion_vectors (plan changed — read_merged now pins
@@ -52,13 +53,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # (c) the 18 OLDEST-evidence parity keys (f1..f11, v1..v4, m3, m1b,
 #     m4 — last driver-green r08/r09; the verdict's named tranche
 #     plus the equally-old v-keys);
-# (d) the first 21 of the r15-seated/r08-origin x_* cohort in their
+# (d) the first 20 of the r15-seated/r08-origin x_* cohort in their
 #     r15 window order (driver evidence r15), refreshing the oldest
 #     x_* rows that fit.
 # Carried to r18 (sweep-green at both SFs every round): the rest of
-# the r15 cohort (x_text_string_kernels, x_ts_asof_forward, x_ts_ohlc
-# — yielded their tranche slots to the three late-r17 keys in (a) —
-# plus x_ts_twap, x_dedup_cc_clusters, x_corpus_dedup_cc,
+# the r15 cohort (x_text_boilerplate_removal, x_text_string_kernels,
+# x_ts_asof_forward, x_ts_ohlc — yielded their tranche slots to the
+# four late-r17 keys in (a) — plus x_ts_twap, x_dedup_cc_clusters,
+# x_corpus_dedup_cc,
 # x_corpus_dedup_quality_keep, x_split_neardup_leakage,
 # x_dedup_semantic_semdedup, x_corpus_cluster_balance,
 # x_sim_ivf_kmeans_topk, x_olap_grid_quantile_sketch,
@@ -77,12 +79,13 @@ def entry(spark: SparkSession) -> DataFrame:
 _WINDOW_ROWS_ONLY_OK: set[str] = set()  # r17: no rows-only keys seated
 
 _WINDOW_FIRST = [
-    # (a) new or plan-changed in r17 (8)
+    # (a) new or plan-changed in r17 (9)
     "x_stream_exactly_once",
     "x_storage_schema_evolution",
     "x_stream_incremental_mv",
     "x_corpus_stream_ingest_dedup",
     "x_storage_snapshot_diff",
+    "x_storage_mor_upsert",
     "x_storage_commit_log",
     "x_storage_deletion_vectors",
     "x_dedup_pairs_stage",
@@ -130,7 +133,6 @@ _WINDOW_FIRST = [
     "x_skew_salted_agg",
     "x_storage_partition_pruning",
     "x_storage_zorder_roundtrip",
-    "x_text_boilerplate_removal",
 ]
 
 

@@ -228,6 +228,9 @@ BENCH_QUERIES = [
     # doubled documents feed over 4 micro-batches, per-batch fp
     # anti-join + two add-files appends per commit (~5.7 s warm)
     "x_corpus_stream_ingest_dedup",
+    # r17: merge-on-read upsert — three delta commits + a dv commit +
+    # merged read + atomic compaction (~2.7 s warm)
+    "x_storage_mor_upsert",
 ]
 
 # The host's recurring noise mode concentrates on the winnowing pair

@@ -1,0 +1,172 @@
+"""Merge-on-read UPSERT over the transactional catalog (r17).
+
+The reference's UPDATE..WHERE (dynamic_upsert.py:110-127) and the
+repo's MERGE key (x_merge_into) rewrite the whole table version —
+correct, and absurd at 100 TB when a CDC batch touches 0.01% of rows.
+``operators/deletes.py`` (r16) already solved the DELETE half with a
+keys-only deletion vector; this module completes the write side with
+the Hudi-MOR / Iceberg-v2 posture for UPDATE+INSERT:
+
+- upserted rows land in a tiny DELTA table (``T__delta``) holding the
+  LATEST version of each touched key — the "log file" of a Hudi
+  merge-on-read table;
+- the base version directory is untouched;
+- ``read_upserted`` resolves the logical state with one broadcast
+  anti-join + union: (base ANTI delta-keys) ∪ delta — the base side
+  never shuffles, the delta is small by contract;
+- ``compact_upserts`` folds the delta into a new base and empties it
+  in ONE atomic manifest commit (readers see either (old base, full
+  delta) or (new base, empty delta), never both or neither).
+
+Composition with deletes: both side tables are ordinary catalog
+tables, so a transaction can carry a delete batch and an upsert batch
+together, and the combined reader applies ((base ANTI delta) ANTI dv)
+∪ (delta ANTI dv) — a delete always beats a stale upsert of the same
+key because the dv is applied LAST.
+
+Concurrency: same CAS-retry posture as deletes.py — reads go through
+the transaction snapshot, the commit loses to any racing writer on the
+branch and retries from a fresh union, so concurrent upsert batches
+merge instead of clobbering (proven in tests/test_mor_upsert.py).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..sources.txn import Catalog, ConcurrentCommitError
+from .deletes import _read_dv_asof, dv_table
+
+_DELTA_SUFFIX = "__delta"
+_COMMIT_RETRIES = 16
+
+
+def delta_table(name: str) -> str:
+    return name + _DELTA_SUFFIX
+
+
+def _latest_per_key(df: DataFrame, key_cols: tuple[str, ...]) -> DataFrame:
+    """One row per key, deterministic: the greatest non-key attribute
+    tuple wins (a CDC batch can deliver several versions of a key)."""
+    others = [c for c in df.columns if c not in key_cols]
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc_nulls_last() for c in others]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def upsert_into(
+    cat: Catalog,
+    spark: SparkSession,
+    name: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    branch: str = "main",
+) -> int:
+    """UPSERT (update-or-insert by key) as a merge-on-read delta
+    commit: the batch replaces same-key rows in — and unions into —
+    the existing delta; the base version directory is untouched. The
+    write cost is O(touched keys), never O(table). Returns the commit's
+    own manifest id."""
+    last: ConcurrentCommitError | None = None
+    for attempt in range(_COMMIT_RETRIES):
+        try:
+            with cat.transaction(branch=branch) as t:
+                batch = _latest_per_key(updates, key_cols)
+                try:
+                    existing = t.read_committed(spark, delta_table(name))
+                    # the batch wins over the stored delta for its keys
+                    merged = batch.unionByName(
+                        existing.join(
+                            F.broadcast(batch.select(*key_cols)),
+                            on=list(key_cols),
+                            how="left_anti",
+                        )
+                    )
+                except FileNotFoundError:
+                    merged = batch
+                t.overwrite(merged, delta_table(name))
+            return t.committed_manifest
+        except ConcurrentCommitError as exc:
+            last = exc
+            time.sleep(0.02 * (attempt + 1))
+    raise last  # type: ignore[misc]
+
+
+def read_upserted(
+    cat: Catalog,
+    spark: SparkSession,
+    name: str,
+    key_cols: tuple[str, ...],
+    branch: str = "main",
+) -> DataFrame:
+    """The table's LOGICAL state under merge-on-read writes:
+    ((base ANTI delta-keys) ∪ delta) ANTI dv. Base, delta, and dv all
+    resolve from ONE pinned manifest snapshot (the deletes.py ADVICE
+    r16 lesson applied from birth), so a compaction or delete landing
+    mid-read can never mix generations. The dv applies LAST: a deleted
+    key stays deleted even if a stale delta row for it survives until
+    the next compaction."""
+    h = cat.head(branch)
+    if h is None:
+        return cat.read(spark, name, branch)  # surfaces FileNotFoundError
+    base = cat.read_asof(spark, name, h)
+    try:
+        delta = cat.read_asof(spark, delta_table(name), h)
+    except FileNotFoundError:
+        delta = None
+    if delta is not None:
+        base = base.join(
+            F.broadcast(delta.select(*key_cols)),
+            on=list(key_cols),
+            how="left_anti",
+        ).unionByName(delta)
+    dv = _read_dv_asof(cat, spark, name, h)
+    if dv is not None:
+        base = base.join(F.broadcast(dv), on=list(key_cols), how="left_anti")
+    return base
+
+
+def compact_upserts(
+    cat: Catalog,
+    spark: SparkSession,
+    name: str,
+    key_cols: tuple[str, ...],
+    branch: str = "main",
+) -> int:
+    """Fold the delta into the base — rewrite (base ANTI delta) ∪ delta
+    as the new base AND empty the delta in ONE manifest commit. A
+    racing upsert makes this commit lose its CAS and retry with the
+    larger delta, so nothing is ever silently dropped."""
+    last: ConcurrentCommitError | None = None
+    for attempt in range(_COMMIT_RETRIES):
+        try:
+            with cat.transaction(branch=branch) as t:
+                try:
+                    delta = t.read_committed(spark, delta_table(name))
+                except FileNotFoundError:
+                    return cat.head(branch)
+                merged = (
+                    t.read_committed(spark, name)
+                    .join(
+                        F.broadcast(delta.select(*key_cols)),
+                        on=list(key_cols),
+                        how="left_anti",
+                    )
+                    .unionByName(delta)
+                )
+                t.overwrite(merged, name)
+                t.overwrite(delta.limit(0), delta_table(name))
+            return t.committed_manifest
+        except ConcurrentCommitError as exc:
+            last = exc
+            time.sleep(0.02 * (attempt + 1))
+    raise last  # type: ignore[misc]

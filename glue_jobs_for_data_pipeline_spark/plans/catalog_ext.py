@@ -5805,6 +5805,94 @@ def x_storage_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-17 addition: merge-on-read UPSERT (Hudi-MOR posture)
+# --------------------------------------------------------------------------
+
+_X_MOR_UPSERT_SQL = """
+WITH final AS (
+  SELECT c_custkey AS k,
+         CASE WHEN c_custkey % 14 = 0 THEN 'VVIP'
+              WHEN c_custkey % 7 = 0 THEN 'VIP'
+              ELSE c_mktsegment END AS segment
+  FROM customer WHERE c_custkey % 11 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000 AS k, 'NEW' AS segment
+  FROM customer WHERE c_custkey % 13 = 0)
+SELECT 'merged' AS ref, segment, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS key_sum
+FROM final GROUP BY segment
+UNION ALL
+SELECT 'compacted' AS ref, segment, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS key_sum
+FROM final GROUP BY segment
+"""
+
+
+@_q("x_storage_mor_upsert", _X_MOR_UPSERT_SQL)
+def x_storage_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPSERT end-to-end (operators/mor_upsert.py, r17 —
+    the Hudi-MOR / Iceberg-v2 write posture completing the r16
+    deletion vectors): two update batches (%7 -> VIP, then %14 ->
+    VVIP overriding half of them — later upserts win) and an insert
+    batch (+1M keys, NEW) land as tiny DELTA commits against an
+    untouched base; a delete batch (%11) lands as a dv commit and
+    beats any stale delta of the same key because the dv applies
+    LAST. The oracle states the whole composition as one CASE over
+    the raw customer table. Two digest generations are emitted —
+    'merged' (read through base∪delta∪dv) and 'compacted' (after
+    compact_upserts folds the delta in one atomic manifest) — and
+    must be identical, which is the compaction invariant itself; the
+    emptied delta is asserted in-code."""
+    from ..operators import deletes as _del
+    from ..operators import mor_upsert as mor
+    from ..sources.txn import Catalog
+
+    cat = Catalog(_scratch_dir("spark_graft_mor_") + "/wh")
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    with cat.transaction() as t:
+        t.overwrite(base, "dim_seg")
+    key = ("k",)
+    mor.upsert_into(
+        cat, spark, "dim_seg",
+        base.filter(F.col("k") % 7 == 0).withColumn("segment", F.lit("VIP")),
+        key,
+    )
+    mor.upsert_into(
+        cat, spark, "dim_seg",
+        base.filter(F.col("k") % 14 == 0).withColumn("segment", F.lit("VVIP")),
+        key,
+    )
+    mor.upsert_into(
+        cat, spark, "dim_seg",
+        base.filter(F.col("k") % 13 == 0).select(
+            (F.col("k") + 1000000).alias("k"), F.lit("NEW").alias("segment")
+        ),
+        key,
+    )
+    _del.delete_where(cat, spark, "dim_seg", F.col("k") % 11 == 0, key)
+
+    def digest(df: DataFrame, label: str) -> DataFrame:
+        return df.groupBy("segment").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("key_sum"),
+        ).select(F.lit(label).alias("ref"), "segment", "n", "key_sum")
+
+    merged = digest(
+        mor.read_upserted(cat, spark, "dim_seg", key), "merged"
+    )
+    mor.compact_upserts(cat, spark, "dim_seg", key)
+    if cat.read(spark, mor.delta_table("dim_seg")).count() != 0:
+        raise AssertionError("delta not emptied by compaction")
+    compacted = digest(
+        mor.read_upserted(cat, spark, "dim_seg", key), "compacted"
+    )
+    return merged.unionByName(compacted)
+
+
+# --------------------------------------------------------------------------
 # Round-17 addition: snapshot diff (the lakehouse CDC surface)
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,119 @@
+"""Merge-on-read UPSERT (operators/mor_upsert.py, r17)."""
+
+from __future__ import annotations
+
+import pytest
+
+from glue_jobs_for_data_pipeline_spark.operators import deletes, mor_upsert
+from glue_jobs_for_data_pipeline_spark.sources import txn
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return txn.Catalog(str(tmp_path / "wh"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def _state(cat, spark):
+    return {
+        r["k"]: r["v"]
+        for r in mor_upsert.read_upserted(cat, spark, "t", ("k",)).collect()
+    }
+
+
+def _seed(cat, spark):
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), "t")
+
+
+def test_upsert_updates_and_inserts_without_base_rewrite(spark, cat):
+    _seed(cat, spark)
+    base_v = cat.manifest()["t"]
+    m = mor_upsert.upsert_into(
+        cat, spark, "t", _df(spark, [(2, "B2"), (9, "new")]), ("k",)
+    )
+    assert cat.manifest()["t"] == base_v  # base untouched
+    assert mor_upsert.delta_table("t") in cat._manifest_tables(m)
+    assert _state(cat, spark) == {1: "a", 2: "B2", 3: "c", 9: "new"}
+
+
+def test_later_upserts_win_and_batches_collapse(spark, cat):
+    _seed(cat, spark)
+    mor_upsert.upsert_into(cat, spark, "t", _df(spark, [(2, "x1")]), ("k",))
+    mor_upsert.upsert_into(cat, spark, "t", _df(spark, [(2, "x2")]), ("k",))
+    # within one batch, the greatest attribute tuple wins (CDC backlog)
+    mor_upsert.upsert_into(
+        cat, spark, "t", _df(spark, [(3, "m1"), (3, "m9")]), ("k",)
+    )
+    assert _state(cat, spark) == {1: "a", 2: "x2", 3: "m9"}
+    # delta holds ONE row per touched key
+    delta = cat.read(spark, mor_upsert.delta_table("t"))
+    assert delta.count() == 2
+
+
+def test_compaction_folds_delta_atomically(spark, cat):
+    _seed(cat, spark)
+    mor_upsert.upsert_into(
+        cat, spark, "t", _df(spark, [(1, "A"), (7, "g")]), ("k",)
+    )
+    before = _state(cat, spark)
+    m = mor_upsert.compact_upserts(cat, spark, "t", ("k",))
+    assert cat.head() == m
+    assert _state(cat, spark) == before == {1: "A", 2: "b", 3: "c", 7: "g"}
+    assert cat.read(spark, mor_upsert.delta_table("t")).count() == 0
+    # base physically contains the folded rows now
+    assert {
+        r["k"]: r["v"] for r in cat.read(spark, "t").collect()
+    } == before
+    # both flips share ONE manifest: the parent shows old base + full delta
+    old = cat._manifest_tables(cat._manifest_parent(m))
+    new = cat._manifest_tables(m)
+    assert old["t"] < new["t"]
+    assert old[mor_upsert.delta_table("t")] < new[mor_upsert.delta_table("t")]
+
+
+def test_delete_beats_stale_upsert(spark, cat):
+    _seed(cat, spark)
+    mor_upsert.upsert_into(cat, spark, "t", _df(spark, [(2, "B2")]), ("k",))
+    deletes.delete_where(cat, spark, "t", "k = 2", ("k",))
+    assert _state(cat, spark) == {1: "a", 3: "c"}  # dv applies last
+    # and survives upsert compaction
+    mor_upsert.compact_upserts(cat, spark, "t", ("k",))
+    assert _state(cat, spark) == {1: "a", 3: "c"}
+
+
+def test_concurrent_upsert_batches_none_lost(spark, tmp_path):
+    import threading
+
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(
+            spark.range(50).selectExpr("id AS k", "'base' AS v"), "t"
+        )
+    errs: list[Exception] = []
+
+    def worker(lo: int) -> None:
+        try:
+            mor_upsert.upsert_into(
+                cat, spark, "t",
+                _df(spark, [(k, f"u{k}") for k in range(lo, lo + 5)]),
+                ("k",),
+            )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    ts = [threading.Thread(target=worker, args=(lo,)) for lo in
+          (0, 10, 20, 30, 100)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errs, errs
+    state = _state(cat, spark)
+    for lo in (0, 10, 20, 30, 100):
+        for k in range(lo, lo + 5):
+            assert state[k] == f"u{k}"  # every batch survived
+    assert len(state) == 55  # 50 base + 5 inserts at 100..104
