@@ -68,6 +68,12 @@ def _apply_schema_ops(df: DataFrame, ops: list[dict]) -> DataFrame:
                 df = df.withColumn(
                     op["col"], F.lit(op.get("default")).cast(op["type"])
                 )
+        elif op["op"] == "drop":
+            # metadata-only DROP COLUMN: old files keep the bytes (they
+            # are immutable), the replay projects the column away; a
+            # rewrite after the drop simply has nothing to project
+            if op["col"] in df.columns:
+                df = df.drop(op["col"])
         else:  # pragma: no cover - rejected at evolve_schema time
             raise ValueError(f"unknown schema op: {op!r}")
     return df
@@ -82,6 +88,9 @@ def _validate_schema_ops(ops: list[dict]) -> None:
         elif kind == "add":
             if not op.get("col") or not op.get("type"):
                 raise ValueError(f"bad add op: {op!r}")
+        elif kind == "drop":
+            if not op.get("col"):
+                raise ValueError(f"bad drop op: {op!r}")
         else:
             raise ValueError(f"unknown schema op kind: {op!r}")
 
@@ -735,9 +744,9 @@ class Catalog:
         under the new schema (the dynamic form of the reference's
         dict-driven DDL, dynamic_upsert.py:9-26).
 
-        Supported ops: ``{"op": "rename", "old": a, "new": b}`` and
+        Supported ops: ``{"op": "rename", "old": a, "new": b}``,
         ``{"op": "add", "col": c, "type": ddl, "default": v}`` (default
-        optional -> NULL). At 100 TB this is the only sane ALTER TABLE:
+        optional -> NULL), and ``{"op": "drop", "col": c}``. At 100 TB this is the only sane ALTER TABLE:
         one small JSON commit instead of a table rewrite. Reads AS OF a
         manifest BEFORE this commit replay only the ops recorded there
         — time travel sees the schema of its era."""

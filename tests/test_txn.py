@@ -1041,7 +1041,8 @@ def test_schema_evolution_rejects_bad_ops(spark, tmp_path):
         [],
         [{"op": "rename", "old": "x", "new": "x"}],
         [{"op": "add", "col": "c"}],
-        [{"op": "drop", "col": "k"}],
+        [{"op": "drop"}],
+        [{"op": "truncate", "col": "k"}],
     ):
         with _pytest.raises(ValueError):
             cat.evolve_schema("t", bad)
@@ -1094,3 +1095,24 @@ def test_snapshot_diff_keys_only(spark, tmp_path):
     }
     assert got == {0: "removed", 1: "removed", 2: "removed",
                    5: "added", 6: "added", 7: "added"}
+
+
+def test_schema_evolution_drop_column(spark, tmp_path):
+    """DROP COLUMN is metadata-only: old files keep the bytes, every
+    read projects the column away; add->drop->re-add round-trips, and
+    time travel before the drop still shows the column."""
+    cat = _evo_cat(spark, tmp_path)
+    m_before = cat.head()
+    cat.evolve_schema("t", [{"op": "drop", "col": "name"}])
+    assert cat.read(spark, "t").columns == ["k"]
+    assert cat.read_asof(spark, "t", m_before).columns == ["k", "name"]
+    # re-add under the same name: old files' surviving bytes must NOT
+    # resurrect — the drop projects first, the add backfills after
+    cat.evolve_schema("t", [
+        {"op": "add", "col": "name", "type": "string", "default": "fresh"},
+    ])
+    rows = cat.read(spark, "t").collect()
+    assert {r["name"] for r in rows} == {"fresh"}
+    # transaction-snapshot read agrees
+    with cat.transaction() as t:
+        assert t.read_committed(spark, "t").columns == ["k", "name"]
