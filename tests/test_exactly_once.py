@@ -230,3 +230,52 @@ def test_dedup_sink_drops_cross_batch_duplicates(spark, cat, tmp_path):
     head = cat.head()
     sink(b2, 1)
     assert cat.head() == head
+
+
+def test_append_after_schema_evolution_refuses_until_rewrite(spark, cat):
+    """Append requires the base files' recorded schema; after a
+    metadata-only evolution the conformed shape differs from the old
+    files, so append refuses (no silently mixed-schema version dir) —
+    and works again once a rewrite folds the evolution in."""
+    from pyspark.sql import functions as F
+
+    with cat.transaction() as t:
+        t.overwrite(
+            spark.range(3).selectExpr("id AS k", "'x' AS name"), "t"
+        )
+    cat.evolve_schema("t", [{"op": "rename", "old": "name", "new": "label"}])
+    evolved = cat.read(spark, "t")  # k, label
+    with pytest.raises(ValueError, match="schema"):
+        with cat.transaction() as t:
+            t.append(evolved.limit(1), "t")
+    # a rewrite (here: compaction-style overwrite of the conformed
+    # read) re-baselines the files; append then chains normally
+    with cat.transaction() as t:
+        t.overwrite(evolved, "t")
+    extra = spark.createDataFrame([(9, "new")], "k long, label string")
+    with cat.transaction() as t:
+        t.append(extra.select(F.col("k"), F.col("label")), "t")
+    assert sorted(r["k"] for r in cat.read(spark, "t").collect()) == [0, 1, 2, 9]
+
+
+def test_exactly_once_sink_into_partitioned_table(spark, cat, tmp_path):
+    """Composability: the exactly-once sink appends into a PARTITIONED
+    catalog table — each micro-batch's files land in the right
+    col=value subdirs beside the hard-linked base, and pruning still
+    works on the final version."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(4).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("p")
+    )
+    with cat.transaction() as t:
+        t.overwrite(base, "sink", partition_by=("p",))
+    sink = xo.exactly_once_batch_sink(cat, "sink", "app")
+    sink(spark.createDataFrame([(10, 0), (11, 1)], "k long, p int"), 0)
+    sink(spark.createDataFrame([(12, 0)], "k long, p int"), 1)
+    sink(spark.createDataFrame([(10, 0)], "k long, p int"), 0)  # replay
+    got = cat.read(spark, "sink")
+    assert sorted(r["k"] for r in got.collect()) == [0, 1, 2, 3, 10, 11, 12]
+    assert sorted(
+        r["k"] for r in got.filter("p = 0").collect()
+    ) == [0, 2, 10, 12]
