@@ -112,7 +112,7 @@ _WINDOW_FIRST = [
     "m3_dim_dates",
     "m1b_scd2_delta_upsert",
     "m4_update_where",
-    # (d) r15-cohort refresh, r15 window order (24)
+    # (d) r15-cohort refresh, r15 window order (20)
     "x_dedup_fuzzy_match",
     "x_events_anomaly_mad",
     "x_events_funnel_windowed",

@@ -461,18 +461,19 @@ def jaccard_pairs_auto(
     reach the crossover, run the full join with zero further
     statistics cost. Only corpora within reach of the crossover pay
     for the exact candidate-mass aggregation."""
+    use_prefix = False
+    bounded_below = False
     if df_cap is not None:
         from pyspark.sql import functions as _F
 
         chars = df.agg(_F.sum(_F.length(text_col))).first()[0] or 0
-        if ((int(chars) + 1) // 2) * (df_cap - 1) // 2 <= crossover:
-            return ngram_jaccard_pairs(
-                df, id_col, text_col, k,
-                threshold=float(t_num) / float(t_den),
-                df_cap=df_cap, posts_partitions=posts_partitions,
-            )
-    mass = candidate_pair_mass(df, id_col, text_col, k, df_cap)
-    if mass > crossover:
+        bounded_below = (
+            ((int(chars) + 1) // 2) * (df_cap - 1) // 2 <= crossover
+        )
+    if not bounded_below:
+        mass = candidate_pair_mass(df, id_col, text_col, k, df_cap)
+        use_prefix = mass > crossover
+    if use_prefix:
         return jaccard_prefix_pairs(
             df, id_col, text_col, k, t_num, t_den, df_cap, posts_partitions
         )

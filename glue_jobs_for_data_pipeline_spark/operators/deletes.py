@@ -143,12 +143,15 @@ def compact_deletes(
     name: str,
     key_cols: tuple[str, ...],
     branch: str = "main",
-) -> int:
+) -> int | None:
     """Fold the deletion vector into the base: rewrite base-minus-dv as
     the new base version AND reset the dv to empty, in ONE atomic
     manifest commit — a reader resolves either (old base, full dv) or
     (new base, empty dv), so the logical row set is identical on both
-    sides of the swap. Returns the new manifest id.
+    sides of the swap. Returns this compaction's own manifest id, or
+    None when there was no dv to fold (no commit happened — a head
+    re-read here could attribute a racing writer's manifest to this
+    no-op; code-review r17).
 
     Concurrency: a delete batch landing between this compaction's read
     and its commit would be silently resurrected if the commit won —
@@ -161,7 +164,7 @@ def compact_deletes(
                 try:
                     dv = t.read_committed(spark, dv_table(name))
                 except FileNotFoundError:
-                    return cat.head(branch)
+                    return None
                 merged = t.read_committed(spark, name).join(
                     F.broadcast(dv), on=list(key_cols), how="left_anti"
                 )

@@ -53,6 +53,9 @@ def _latest_per_key(df: DataFrame, key_cols: tuple[str, ...]) -> DataFrame:
     """One row per key, deterministic: the greatest non-key attribute
     tuple wins (a CDC batch can deliver several versions of a key)."""
     others = [c for c in df.columns if c not in key_cols]
+    if not others:
+        # keys-only batch: every version of a key is identical
+        return df.distinct()
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.col(c).desc_nulls_last() for c in others]
     )
@@ -74,26 +77,34 @@ def upsert_into(
     """UPSERT (update-or-insert by key) as a merge-on-read delta
     commit: the batch replaces same-key rows in — and unions into —
     the existing delta; the base version directory is untouched. The
-    write cost is O(touched keys), never O(table). Returns the commit's
-    own manifest id."""
+    write cost is O(touched keys), never O(table). A table with no
+    committed base yet takes the batch AS the base (the first upsert
+    IS the initial load — without this the rows would commit into an
+    unreadable delta-only black hole; code-review r17). Returns the
+    commit's own manifest id."""
     last: ConcurrentCommitError | None = None
     for attempt in range(_COMMIT_RETRIES):
         try:
             with cat.transaction(branch=branch) as t:
                 batch = _latest_per_key(updates, key_cols)
-                try:
-                    existing = t.read_committed(spark, delta_table(name))
-                    # the batch wins over the stored delta for its keys
-                    merged = batch.unionByName(
-                        existing.join(
-                            F.broadcast(batch.select(*key_cols)),
-                            on=list(key_cols),
-                            how="left_anti",
+                if name not in cat._manifest_tables(t._expected_head):
+                    # first write IS the initial load
+                    t.overwrite(batch, name)
+                else:
+                    try:
+                        existing = t.read_committed(spark, delta_table(name))
+                        # the batch wins over the stored delta for its
+                        # keys
+                        merged = batch.unionByName(
+                            existing.join(
+                                F.broadcast(batch.select(*key_cols)),
+                                on=list(key_cols),
+                                how="left_anti",
+                            )
                         )
-                    )
-                except FileNotFoundError:
-                    merged = batch
-                t.overwrite(merged, delta_table(name))
+                    except FileNotFoundError:
+                        merged = batch
+                    t.overwrite(merged, delta_table(name))
             return t.committed_manifest
         except ConcurrentCommitError as exc:
             last = exc
@@ -141,11 +152,14 @@ def compact_upserts(
     name: str,
     key_cols: tuple[str, ...],
     branch: str = "main",
-) -> int:
+) -> int | None:
     """Fold the delta into the base — rewrite (base ANTI delta) ∪ delta
     as the new base AND empty the delta in ONE manifest commit. A
     racing upsert makes this commit lose its CAS and retry with the
-    larger delta, so nothing is ever silently dropped."""
+    larger delta, so nothing is ever silently dropped. Returns this
+    compaction's own manifest id, or None when there was no delta to
+    fold (no commit happened — a head re-read here could attribute a
+    racing writer's manifest to this no-op; code-review r17)."""
     last: ConcurrentCommitError | None = None
     for attempt in range(_COMMIT_RETRIES):
         try:
@@ -153,7 +167,7 @@ def compact_upserts(
                 try:
                     delta = t.read_committed(spark, delta_table(name))
                 except FileNotFoundError:
-                    return cat.head(branch)
+                    return None
                 merged = (
                     t.read_committed(spark, name)
                     .join(

@@ -327,11 +327,17 @@ def _staged_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None:
         # production switch (r17): full join below the measured
         # candidate-mass crossover, prefix-filtered above it — output-
-        # identical either way (_TH_CLUSTER = 1/2 exactly), so the
-        # oracle is branch-independent
+        # identical either way, so the oracle is branch-independent.
+        # The rational threshold DERIVES from _TH_CLUSTER: a tuned
+        # constant then moves the staged pairs AND every consuming
+        # oracle template together (code-review r17).
+        from fractions import Fraction
+
+        _th = Fraction(_TH_CLUSTER).limit_denominator(1000)
         pairs = dedup.jaccard_pairs_auto(
             load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3,
-            t_num=1, t_den=2, df_cap=100, posts_partitions=8,
+            t_num=_th.numerator, t_den=_th.denominator,
+            df_cap=100, posts_partitions=8,
         ).select("doc_a", "doc_b")
         path = _scratch_dir("spark_graft_neardup_pairs_") + "/pairs"
         pairs.write.mode("overwrite").parquet(path)

@@ -455,6 +455,13 @@ _CLAIM_MIN_AGE_SECONDS = 300.0
 _LOCK_WAIT_SECONDS = 2.0
 
 
+# distinguishes "no CAS check requested" from "expected the catalog to
+# still be EMPTY" — with a plain None default, two transactions racing
+# to make the FIRST commit on a branch would both skip the CAS and the
+# loser's tables would be silently dropped (code-review r17)
+_CAS_UNSET = object()
+
+
 class ConcurrentCommitError(RuntimeError):
     """Raised when a Catalog commit loses an optimistic-concurrency
     race: the committed HEAD moved after this transaction opened, so
@@ -619,13 +626,30 @@ class Catalog:
         child, "n_tables": size of the snapshot, "schema_changed":
         tables whose evolution op list grew in this commit (r17)}."""
         entries: list[dict] = []
+        # one open+parse per manifest on the walk (each is consulted
+        # as child AND parent; the naive per-field reads cost ~4 opens
+        # per entry — code-review r17)
+        docs: dict[int, dict] = {}
+
+        def _doc(m: int | None) -> dict:
+            if m is None:
+                return {"tables": {}}
+            if m not in docs:
+                path = os.path.join(self.root, _MANIFEST_DIR, f"m={m}.json")
+                with open(path) as f:
+                    docs[m] = json.load(f)
+            return docs[m]
+
         cur = self.head(branch)
         while cur is not None:
-            tables = self._manifest_tables(cur)
-            parent = self._manifest_parent(cur)
-            ptables = self._manifest_tables(parent)
-            schemas = self._manifest_schemas(cur)
-            pschemas = self._manifest_schemas(parent)
+            doc = _doc(cur)
+            parent = doc.get("parent")
+            parent = int(parent) if parent is not None else None
+            pdoc = _doc(parent)
+            tables = {k: int(v) for k, v in doc["tables"].items()}
+            ptables = {k: int(v) for k, v in pdoc["tables"].items()}
+            schemas = doc.get("schemas", {})
+            pschemas = pdoc.get("schemas", {})
             entries.append(
                 {
                     "manifest": cur,
@@ -636,8 +660,9 @@ class Catalog:
                     "removed": sorted(set(ptables) - set(tables)),
                     "n_tables": len(tables),
                     "schema_changed": sorted(
-                        t for t, ops in schemas.items()
-                        if pschemas.get(t, []) != ops
+                        t
+                        for t in set(schemas) | set(pschemas)
+                        if pschemas.get(t, []) != schemas.get(t, [])
                     ),
                 }
             )
@@ -823,21 +848,26 @@ class Catalog:
             if base_t.get(k) != v
         }
         # schema evolution merges three-way at TABLE granularity too:
-        # a table whose op list grew on both sides since the fork is a
-        # conflict (op order across forks is undecidable), same policy
-        # as data versions
+        # a table whose op list CHANGED on both sides since the fork —
+        # grew, or was cleared by a rewrite — is a conflict (op order
+        # across forks is undecidable), same policy as data versions.
+        # Clearing counts as a change: a branch that rewrote a table
+        # reset its ops, and re-attaching the base's ops on rebase
+        # would replay them onto the rewrite's current-schema files
+        # (code-review r17).
         base_s = self._manifest_schemas(base)
         b_s = self._manifest_schemas(b_head)
         o_s = self._manifest_schemas(o_head)
         b_changed_s = {
-            k: v for k, v in b_s.items() if base_s.get(k, []) != v
+            k for k in set(base_s) | set(b_s)
+            if base_s.get(k, []) != b_s.get(k, [])
         }
         o_changed_s = {
-            k for k, v in o_s.items() if base_s.get(k, []) != v
+            k for k in set(base_s) | set(o_s)
+            if base_s.get(k, []) != o_s.get(k, [])
         }
         conflicts = sorted(
-            (set(b_changed) & o_changed)
-            | (set(b_changed_s) & o_changed_s)
+            (set(b_changed) & o_changed) | (b_changed_s & o_changed_s)
         )
         if conflicts:
             raise MergeConflictError(
@@ -854,7 +884,12 @@ class Catalog:
                 )
             m = self._next_manifest()
             merged = {**self._manifest_tables(o_head), **b_changed}
-            merged_s = {**o_s, **b_changed_s}
+            merged_s = dict(o_s)
+            for k in b_changed_s:  # branch's op state wins for its set
+                if k in b_s:
+                    merged_s[k] = b_s[k]
+                else:
+                    merged_s.pop(k, None)  # cleared by a branch rewrite
             mdoc: dict = {"tables": merged, "parent": o_head}
             if merged_s:
                 mdoc["schemas"] = merged_s
@@ -996,9 +1031,10 @@ class Catalog:
     def _commit(
         self,
         staged: dict[str, int],
-        expected_head: int | None = None,
+        expected_head: int | None = _CAS_UNSET,  # type: ignore[assignment]
         branch: str = "main",
         schema_ops: dict[str, list[dict]] | None = None,
+        keep_schema_ops: frozenset[str] | set[str] = frozenset(),
     ) -> int:
         """Write the merged manifest (immutable file), then swap _HEAD —
         the ONLY publish point; everything before it is abortable.
@@ -1022,7 +1058,7 @@ class Catalog:
         never a double-acquire."""
         with self._locked():
             parent = self.head(branch)
-            if expected_head is not None and parent != expected_head:
+            if expected_head is not _CAS_UNSET and parent != expected_head:
                 raise ConcurrentCommitError(
                     f"ref {branch!r} moved {expected_head} -> {parent} since "
                     "this transaction opened; re-read, restage, retry"
@@ -1035,6 +1071,19 @@ class Catalog:
             schemas = {
                 k: list(v) for k, v in self._manifest_schemas(parent).items()
             }
+            # a REWRITTEN table resets its op list: the staged version
+            # was produced against the conformed current schema, so
+            # replaying old ops onto its files would corrupt them —
+            # e.g. a drop-then-re-add's drop op would project away the
+            # REAL values a post-re-add rewrite computed and backfill
+            # the stale default (code-review r17). Readers of older
+            # manifests still see the ops recorded THERE. APPENDED
+            # versions are exempt (keep_schema_ops): their files carry
+            # the base's pre-evolution schema, so the ops must keep
+            # replaying over them.
+            for tname in staged:
+                if tname not in keep_schema_ops:
+                    schemas.pop(tname, None)
             for tname, ops in (schema_ops or {}).items():
                 schemas[tname] = schemas.get(tname, []) + list(ops)
             doc: dict = {"tables": merged, "parent": parent}
@@ -1140,7 +1189,11 @@ class Catalog:
             if f.endswith(".parquet")
         )
         n_files = max(1, math.ceil(total / target_file_bytes))
-        df = _read_version_df(spark, vdir)
+        # read CONFORMED (schema ops applied): the rewrite's commit
+        # resets the table's op list, so the compacted files must
+        # already embody the current schema — compacting raw would
+        # silently undo every pending evolution (code-review r17)
+        df = self.read(spark, name)
         compacted = (
             df.repartition(n_files, *partition_by)
             if partition_by
@@ -1292,6 +1345,7 @@ class CatalogTransaction:
         self._catalog = catalog
         self._branch = branch
         self._staged: dict[str, int] = {}
+        self._append_staged: set[str] = set()
         # manifest id THIS transaction published (None until a commit
         # happens; stays None for an empty transaction). Callers that
         # report "the manifest my write landed in" must read this, not
@@ -1311,6 +1365,9 @@ class CatalogTransaction:
     ) -> int:
         version = stage_version(df, self._catalog.table_dir(name), partition_by)
         self._staged[name] = version
+        # a rewrite supersedes any earlier append of the same table in
+        # this bracket — its files embody the current schema
+        self._append_staged.discard(name)
         return version
 
     def append(self, df: DataFrame, name: str) -> int:
@@ -1337,6 +1394,9 @@ class CatalogTransaction:
         if name in self._staged and self._staged[name] != version:
             discard_version(self._catalog.table_dir(name), self._staged[name])
         self._staged[name] = version
+        # appended files keep the base's (possibly pre-evolution)
+        # schema — the commit must NOT reset this table's op list
+        self._append_staged.add(name)
         return version
 
     def read_staged(self, spark: SparkSession, name: str) -> DataFrame:
@@ -1379,6 +1439,7 @@ class CatalogTransaction:
                     self._staged,
                     expected_head=self._expected_head,
                     branch=self._branch,
+                    keep_schema_ops=self._append_staged,
                 )
                 self._staged = {}
         finally:

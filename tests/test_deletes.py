@@ -77,7 +77,9 @@ def test_compact_without_dv_is_noop(spark, cat):
     with cat.transaction() as t:
         t.overwrite(_df(spark), "t")
     h = cat.head()
-    assert deletes.compact_deletes(cat, spark, "t", ("k",)) == h
+    # None = "nothing folded, no commit" — not a borrowed head id
+    assert deletes.compact_deletes(cat, spark, "t", ("k",)) is None
+    assert cat.head() == h
 
 
 def test_delete_then_read_on_branch_is_isolated(spark, cat):

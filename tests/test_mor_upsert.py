@@ -117,3 +117,31 @@ def test_concurrent_upsert_batches_none_lost(spark, tmp_path):
         for k in range(lo, lo + 5):
             assert state[k] == f"u{k}"  # every batch survived
     assert len(state) == 55  # 50 base + 5 inserts at 100..104
+
+
+def test_upsert_into_absent_table_is_initial_load(spark, cat):
+    """The first upsert IS the initial load — not a delta-only black
+    hole that read_upserted/compact_upserts cannot resolve."""
+    m = mor_upsert.upsert_into(
+        cat, spark, "t", _df(spark, [(1, "a"), (2, "b")]), ("k",)
+    )
+    assert m == cat.head()
+    assert _state(cat, spark) == {1: "a", 2: "b"}
+    assert mor_upsert.compact_upserts(cat, spark, "t", ("k",)) is None
+
+
+def test_upsert_keys_only_batch(spark, cat):
+    """A pure key-set feed (no non-key columns) must not crash the
+    latest-per-key window (empty ORDER BY; code-review r17)."""
+    mor_upsert.upsert_into(
+        cat, spark, "t", spark.range(3).selectExpr("id AS k"), ("k",)
+    )
+    mor_upsert.upsert_into(
+        cat, spark, "t",
+        spark.createDataFrame([(1,), (1,), (7,)], "k long"), ("k",),
+    )
+    got = sorted(
+        r["k"]
+        for r in mor_upsert.read_upserted(cat, spark, "t", ("k",)).collect()
+    )
+    assert got == [0, 1, 2, 7]

@@ -1116,3 +1116,99 @@ def test_schema_evolution_drop_column(spark, tmp_path):
     # transaction-snapshot read agrees
     with cat.transaction() as t:
         assert t.read_committed(spark, "t").columns == ["k", "name"]
+
+
+def test_rewrite_after_drop_readd_keeps_real_values(spark, tmp_path):
+    """The op-replay corruption class (code-review r17): after
+    drop('name') + re-add('name'), a transaction rewrites the table
+    with REAL computed values in the re-added column. The rewrite
+    resets the op list, so reads must keep those values — replaying
+    the old drop over the new files would project them away and
+    backfill the stale default."""
+    cat = _evo_cat(spark, tmp_path)
+    cat.evolve_schema("t", [{"op": "drop", "col": "name"}])
+    cat.evolve_schema("t", [
+        {"op": "add", "col": "name", "type": "string", "default": "fresh"},
+    ])
+    from pyspark.sql import functions as F
+
+    with cat.transaction() as t:
+        t.overwrite(
+            cat.read(spark, "t").withColumn(
+                "name", F.concat(F.lit("real-"), F.col("k"))
+            ),
+            "t",
+        )
+    rows = {r["k"]: r["name"] for r in cat.read(spark, "t").collect()}
+    assert rows[0] == "real-0" and "fresh" not in rows.values()
+    # and the manifest no longer carries ops for the rewritten table
+    assert "t" not in cat._manifest_schemas(cat.head())
+
+
+def test_append_preserves_pending_schema_ops(spark, tmp_path):
+    """An APPEND must NOT reset the op list: its files carry the
+    base's pre-evolution schema, so the ops still apply to them."""
+    cat = _evo_cat(spark, tmp_path)
+    cat.evolve_schema("t", [
+        {"op": "add", "col": "tier", "type": "string", "default": "std"},
+    ])
+    # appended rows match the BASE recorded schema (k, name)
+    with cat.transaction() as t:
+        t.append(
+            spark.createDataFrame([(9, "nine")], "k long, name string"), "t"
+        )
+    assert "t" in cat._manifest_schemas(cat.head())
+    rows = {r["k"]: r["tier"] for r in cat.read(spark, "t").collect()}
+    assert rows[9] == "std" and rows[0] == "std"
+
+
+def test_first_commit_race_on_empty_catalog_is_detected(spark, tmp_path):
+    """Two transactions both opened on an EMPTY catalog: the second
+    commit must raise ConcurrentCommitError, not silently replace the
+    first's manifest (the None-CAS hole; code-review r17)."""
+    import pytest as _pytest
+
+    from glue_jobs_for_data_pipeline_spark.sources.txn import (
+        Catalog,
+        ConcurrentCommitError,
+    )
+
+    cat = Catalog(str(tmp_path / "wh"))
+    t1 = cat.transaction()
+    t2 = cat.transaction()
+    with t1:
+        t1.overwrite(spark.range(2).toDF("a"), "ta")
+    with _pytest.raises(ConcurrentCommitError):
+        with t2:
+            t2.overwrite(spark.range(2).toDF("b"), "tb")
+    assert "ta" in cat.manifest()  # winner intact
+
+
+def test_rebase_respects_branch_schema_clear(spark, tmp_path):
+    """A branch that REWROTE an evolved table cleared its ops; rebase
+    must not re-attach the base's ops onto the rewrite's files."""
+    cat = _evo_cat(spark, tmp_path)
+    cat.evolve_schema("t", [
+        {"op": "rename", "old": "name", "new": "label"},
+    ])
+    cat.create_branch("exp")
+    with cat.transaction(branch="exp") as t:  # rewrite clears ops
+        t.overwrite(cat.read(spark, "t", branch="exp"), "t")
+    with cat.transaction() as t:  # main moves another table
+        t.overwrite(spark.range(2).toDF("id"), "other")
+    cat.rebase("exp")
+    cat.merge_ff("exp")
+    assert "t" not in cat._manifest_schemas(cat.head())
+    assert cat.read(spark, "t").columns == ["k", "label"]
+
+
+def test_compact_table_folds_pending_schema_ops(spark, tmp_path):
+    """compact_table reads CONFORMED and its rewrite resets the ops —
+    the compacted files embody the evolution instead of undoing it."""
+    cat = _evo_cat(spark, tmp_path)
+    cat.evolve_schema("t", [
+        {"op": "rename", "old": "name", "new": "label"},
+    ])
+    cat.compact_table(spark, "t")
+    assert "t" not in cat._manifest_schemas(cat.head())
+    assert cat.read(spark, "t").columns == ["k", "label"]
