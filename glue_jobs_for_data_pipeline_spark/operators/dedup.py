@@ -454,10 +454,11 @@ def jaccard_pairs_auto(
 
     Statistics are TIERED like an optimizer's: a df-capped corpus has
     the PROVABLE bound mass <= postings * (df_cap-1)/2 and a doc's
-    distinct word-shingles cannot exceed ceil(chars/2) (every token
+    distinct word-shingles cannot exceed ceil(len_i/2) (every token
     costs >= 2 characters incl. its separator), so ONE vectorized
-    column sum — sum(length(text)), far cheaper than building the
-    postings — decides all small corpora: if even the bound cannot
+    column sum — sum(ceil(length(text)/2)), summed PER DOC so the
+    bound never undercounts (ADVICE r17), far cheaper than building
+    the postings — decides all small corpora: if even the bound cannot
     reach the crossover, run the full join with zero further
     statistics cost. Only corpora within reach of the crossover pay
     for the exact candidate-mass aggregation."""
@@ -466,10 +467,16 @@ def jaccard_pairs_auto(
     if df_cap is not None:
         from pyspark.sql import functions as _F
 
-        chars = df.agg(_F.sum(_F.length(text_col))).first()[0] or 0
-        bounded_below = (
-            ((int(chars) + 1) // 2) * (df_cap - 1) // 2 <= crossover
+        # per-doc shingle bound is ceil(L_i/2); summing THAT (not
+        # ceil(sum(L)/2), which undercounts by up to n_docs/2 postings
+        # — ADVICE r17) keeps the bound a true upper bound
+        shingle_bound = (
+            df.agg(
+                _F.sum(_F.floor((_F.length(text_col) + _F.lit(1)) / 2))
+            ).first()[0]
+            or 0
         )
+        bounded_below = int(shingle_bound) * (df_cap - 1) // 2 <= crossover
     if not bounded_below:
         mass = candidate_pair_mass(df, id_col, text_col, k, df_cap)
         use_prefix = mass > crossover

@@ -75,7 +75,15 @@ def delete_where(
     expected-head snapshot, so a racing writer on the same branch
     cannot be silently dropped — the loser's commit raises and this
     function RETRIES from a fresh read of the dv (the Iceberg/Delta
-    delete-commit posture: read-union-CAS until it lands, bounded)."""
+    delete-commit posture: read-union-CAS until it lands, bounded).
+
+    Composition with merge-on-read upserts (ADVICE r17): when a
+    ``name__delta`` side table exists, touched keys' CURRENT values
+    live in the delta, not the base — so the predicate evaluates over
+    the merged logical view ((base ANTI delta-keys) ∪ delta) within
+    the same snapshot. Without this, DELETE WHERE on a non-key column
+    missed rows upserted INTO the predicate and wrongly deleted keys
+    upserted OUT of it."""
     last: ConcurrentCommitError | None = None
     for attempt in range(_COMMIT_RETRIES):
         try:
@@ -84,9 +92,21 @@ def delete_where(
             # the commit CASes against — no TOCTOU window between a
             # current-head read and the snapshot
             with cat.transaction(branch=branch) as t:
+                current = t.read_committed(spark, name)
+                try:
+                    # lazy import: mor_upsert imports this module
+                    from .mor_upsert import delta_table
+
+                    delta = t.read_committed(spark, delta_table(name))
+                    current = current.join(
+                        F.broadcast(delta.select(*key_cols)),
+                        on=list(key_cols),
+                        how="left_anti",
+                    ).unionByName(delta)
+                except FileNotFoundError:
+                    pass
                 keys = (
-                    t.read_committed(spark, name)
-                    .filter(predicate)
+                    current.filter(predicate)
                     .select(*key_cols)
                     .distinct()
                 )
@@ -164,6 +184,10 @@ def compact_deletes(
                 try:
                     dv = t.read_committed(spark, dv_table(name))
                 except FileNotFoundError:
+                    return None
+                if dv.isEmpty():
+                    # nothing to fold — rewriting a 100 TB base to
+                    # apply zero deletes is not a no-op (r18)
                     return None
                 merged = t.read_committed(spark, name).join(
                     F.broadcast(dv), on=list(key_cols), how="left_anti"

@@ -80,8 +80,14 @@ def upsert_into(
     write cost is O(touched keys), never O(table). A table with no
     committed base yet takes the batch AS the base (the first upsert
     IS the initial load — without this the rows would commit into an
-    unreadable delta-only black hole; code-review r17). Returns the
-    commit's own manifest id."""
+    unreadable delta-only black hole; code-review r17). An upsert
+    RESURRECTS a previously deleted key: the same commit rewrites the
+    deletion vector as dv ANTI batch-keys — without this the
+    dv-applies-last read suppressed the fresh upsert and the logical
+    state became compaction-order-dependent (compact_deletes emptied
+    the dv and resurrected the stale row; compact_upserts-first
+    dropped the upsert forever; ADVICE r17). Returns the commit's own
+    manifest id."""
     last: ConcurrentCommitError | None = None
     for attempt in range(_COMMIT_RETRIES):
         try:
@@ -105,6 +111,21 @@ def upsert_into(
                     except FileNotFoundError:
                         merged = batch
                     t.overwrite(merged, delta_table(name))
+                    # resurrect: drop the batch's keys from the dv in
+                    # the SAME atomic commit, so dv-applies-last never
+                    # hides a newer upsert (ADVICE r17)
+                    try:
+                        dv = t.read_committed(spark, dv_table(name))
+                        t.overwrite(
+                            dv.join(
+                                F.broadcast(batch.select(*key_cols)),
+                                on=list(key_cols),
+                                how="left_anti",
+                            ),
+                            dv_table(name),
+                        )
+                    except FileNotFoundError:
+                        pass
             return t.committed_manifest
         except ConcurrentCommitError as exc:
             last = exc
@@ -146,6 +167,37 @@ def read_upserted(
     return base
 
 
+def evolve_upserted_schema(
+    cat: Catalog,
+    name: str,
+    ops: list[dict],
+    branch: str = "main",
+) -> int:
+    """Schema-evolve a merge-on-read table: record the op list for the
+    BASE and — when they exist in the current manifest — its ``__delta``
+    and ``__dv`` side tables in ONE metadata commit (ADVICE r17:
+    ``Catalog.evolve_schema`` records ops per table name, so evolving
+    only the base left a pre-evolution delta that made
+    ``read_upserted``'s unionByName fail loudly). Replay is idempotent
+    per file generation, so a keys-only dv that lacks the op's column
+    is unaffected by renames of other columns and simply gains nothing
+    from drops of columns it never had."""
+    from ..sources.txn import _validate_schema_ops
+
+    _validate_schema_ops(ops)
+    if not ops:
+        raise ValueError("evolve_upserted_schema: empty op list")
+    head = cat.head(branch)
+    tables = cat._manifest_tables(head)
+    schema_ops = {name: list(ops)}
+    for side in (delta_table(name), dv_table(name)):
+        if side in tables:
+            schema_ops[side] = list(ops)
+    return cat._commit(
+        {}, expected_head=head, branch=branch, schema_ops=schema_ops
+    )
+
+
 def compact_upserts(
     cat: Catalog,
     spark: SparkSession,
@@ -167,6 +219,10 @@ def compact_upserts(
                 try:
                     delta = t.read_committed(spark, delta_table(name))
                 except FileNotFoundError:
+                    return None
+                if delta.isEmpty():
+                    # nothing to fold — never rewrite the base for an
+                    # already-compacted delta (r18)
                     return None
                 merged = (
                     t.read_committed(spark, name)

@@ -1,0 +1,231 @@
+"""Size-triggered RETENTION/compaction policy for merge-on-read chains
+(r18 — VERDICT r17 task #3).
+
+Every merge-on-read structure in this engine trades write cost for
+read-side debt: upserts accumulate in ``T__delta``, deletes in
+``T__dv`` / ``T__pdv``, exactly-once streaming appends accumulate part
+files in the base and rows in the ``T__commits`` ledger. Each is
+bounded per commit but UNBOUNDED over a long run — the classic
+lakehouse failure mode (a streaming table with 100k tiny files, a
+delete vector rivaling its base). The industry answer is a background
+maintenance policy (Delta OPTIMIZE + auto-compaction thresholds, Hudi
+compaction strategies, Iceberg's rewrite_data_files) that folds debt
+back into the base when it crosses size thresholds.
+
+``enforce_retention`` is that policy as one idempotent call: measure
+the current committed state (file counts + bytes from the version
+directories — pure filesystem metadata, no scan), compare against a
+``RetentionPolicy``, and run only the folds that are due, each through
+its existing atomic one-manifest compaction primitive:
+
+- positional deletes fold FIRST (``compact_positional_deletes``) —
+  they anchor to physical files, so they must resolve before any
+  rewrite invalidates them;
+- the upsert delta folds when it outgrows ``max_side_ratio`` x base
+  bytes (or ``max_side_bytes``) — read-side anti-join stays cheap;
+- the key deletion vector folds on the same thresholds;
+- the streaming ledger folds to ONE row per app_id (the max batch id —
+  Delta keeps exactly this, the latest ``txn`` version per appId;
+  Structured Streaming batch ids are monotonic per checkpoint, so the
+  max is a complete replay test) when it exceeds
+  ``max_ledger_rows_per_app`` x apps;
+- finally the BASE rewrites into ~target-sized files when its file
+  count exceeds ``max_base_files`` (``Catalog.compact_table``) — after
+  the pdv fold, so no positional anchor is pending.
+
+Reads are IDENTICAL before and after every step (each fold's own
+invariant, proven by the compaction primitives' tests and the
+``x_storage_retention_policy`` oracle key); the policy only changes
+the physical layout. Safe to run from a cron/maintenance thread while
+writers stream: every fold commits through the CAS-retry bracket, so
+racing batches serialize instead of losing updates.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.txn import Catalog, _version_dir
+from . import deletes as _deletes
+from . import mor_upsert as _mor
+from . import positional_deletes as _pdel
+
+
+@dataclass(frozen=True)
+class RetentionPolicy:
+    """Thresholds; None disables a dimension."""
+
+    # fold a side table (delta/dv/pdv) when its bytes exceed BOTH the
+    # absolute floor and the ratio of its base's bytes (the floor stops
+    # pointless rewrites of a large base to fold a few KB of deletes)
+    max_side_bytes: int | None = 8 << 20
+    max_side_ratio: float | None = 0.10
+    # rewrite the base into ~target-sized files past this file count
+    max_base_files: int | None = 64
+    target_file_bytes: int = 128 << 20
+    # fold the streaming ledger past this many rows per app_id
+    max_ledger_rows_per_app: int | None = 8
+
+
+def table_stats(cat: Catalog, name: str) -> dict | None:
+    """(files, bytes) of ``name``'s committed version directory — pure
+    filesystem metadata, no Spark scan. None when not committed."""
+    versions = cat.manifest()
+    if name not in versions:
+        return None
+    vdir = _version_dir(cat.table_dir(name), versions[name])
+    files = 0
+    size = 0
+    for root, _, names in os.walk(vdir):
+        for f in names:
+            if f.endswith(".parquet"):
+                files += 1
+                try:
+                    size += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return {"files": files, "bytes": size}
+
+
+def _side_due(
+    base: dict | None, side: dict | None, policy: RetentionPolicy
+) -> bool:
+    if side is None or side["bytes"] == 0 or base is None:
+        return False
+    if policy.max_side_bytes is None and policy.max_side_ratio is None:
+        return False
+    if (
+        policy.max_side_bytes is not None
+        and side["bytes"] < policy.max_side_bytes
+    ):
+        return False
+    if (
+        policy.max_side_ratio is not None
+        and side["bytes"] < policy.max_side_ratio * max(base["bytes"], 1)
+    ):
+        return False
+    return True
+
+
+def fold_ledger(
+    cat: Catalog, spark: SparkSession, name: str, branch: str = "main"
+) -> int | None:
+    """Fold the exactly-once commit ledger of ``name`` to ONE row per
+    app_id carrying the MAX batch id (the complete replay test for
+    monotonic Structured Streaming batch ids — the Delta txn-action
+    retention). Returns the fold's manifest id, or None when the
+    ledger is absent or already minimal."""
+    from ..streaming.exactly_once import ledger_table
+
+    lname = ledger_table(name)
+    with cat.transaction(branch=branch) as t:
+        try:
+            ledger = t.read_committed(spark, lname)
+        except FileNotFoundError:
+            return None
+        folded = ledger.groupBy("app_id").agg(
+            F.max("batch_id").alias("batch_id")
+        )
+        if ledger.count() == folded.count():
+            return None  # already one row per app — publish nothing
+        t.overwrite(folded, lname)
+    return t.committed_manifest
+
+
+def enforce_retention(
+    cat: Catalog,
+    spark: SparkSession,
+    name: str,
+    key_cols: tuple[str, ...] = (),
+    policy: RetentionPolicy = RetentionPolicy(),
+    branch: str = "main",
+) -> dict[str, bool]:
+    """Run every maintenance fold that is DUE for ``name`` under
+    ``policy`` (see module docstring for the order and why). Returns
+    {action: ran} for observability. ``key_cols`` is required only
+    when a delta or key-dv side table exists."""
+    actions = {
+        "fold_positional_deletes": False,
+        "fold_upsert_delta": False,
+        "fold_deletion_vector": False,
+        "fold_ledger": False,
+        "compact_base_files": False,
+    }
+    base = table_stats(cat, name)
+    if base is None:
+        return actions
+
+    # 1) positional deletes: must fold before any base rewrite
+    if _side_due(base, table_stats(cat, _pdel.pdv_table(name)), policy):
+        actions["fold_positional_deletes"] = (
+            _pdel.compact_positional_deletes(cat, spark, name, branch)
+            is not None
+        )
+        base = table_stats(cat, name)
+
+    # 2) upsert delta
+    if _side_due(base, table_stats(cat, _mor.delta_table(name)), policy):
+        if not key_cols:
+            raise ValueError(
+                f"retention on {name!r}: delta fold due but no key_cols"
+            )
+        actions["fold_upsert_delta"] = (
+            _mor.compact_upserts(cat, spark, name, key_cols, branch)
+            is not None
+        )
+        base = table_stats(cat, name)
+
+    # 3) key deletion vector
+    if _side_due(base, table_stats(cat, _deletes.dv_table(name)), policy):
+        if not key_cols:
+            raise ValueError(
+                f"retention on {name!r}: dv fold due but no key_cols"
+            )
+        actions["fold_deletion_vector"] = (
+            _deletes.compact_deletes(cat, spark, name, key_cols, branch)
+            is not None
+        )
+        base = table_stats(cat, name)
+
+    # 4) streaming ledger
+    if policy.max_ledger_rows_per_app is not None:
+        from ..streaming.exactly_once import ledger_table
+
+        lstats = table_stats(cat, ledger_table(name))
+        if lstats is not None:
+            try:
+                ledger = cat.read(spark, ledger_table(name), branch)
+                napps, nrows = (
+                    ledger.agg(
+                        F.countDistinct("app_id"), F.count(F.lit(1))
+                    ).first()
+                )
+                if nrows > policy.max_ledger_rows_per_app * max(napps, 1):
+                    actions["fold_ledger"] = (
+                        fold_ledger(cat, spark, name, branch) is not None
+                    )
+            except FileNotFoundError:
+                pass
+
+    # 5) base file-count compaction (pdv already folded above; key dv /
+    # delta survive a base rewrite — they match by key, not position)
+    if (
+        policy.max_base_files is not None
+        and base is not None
+        and base["files"] > policy.max_base_files
+    ):
+        pdv_stats = table_stats(cat, _pdel.pdv_table(name))
+        if pdv_stats is not None and pdv_stats["bytes"] > 0:
+            # sub-threshold positional deletes still pending: fold them
+            # now — a plain rewrite would strand their anchors
+            _pdel.compact_positional_deletes(cat, spark, name, branch)
+        cat.compact_table(
+            spark, name, target_file_bytes=policy.target_file_bytes
+        )
+        actions["compact_base_files"] = True
+
+    return actions

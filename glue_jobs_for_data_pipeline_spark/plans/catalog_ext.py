@@ -5815,15 +5815,16 @@ def x_storage_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _X_MOR_UPSERT_SQL = """
-WITH final AS (
+WITH logical AS (
   SELECT c_custkey AS k,
          CASE WHEN c_custkey % 14 = 0 THEN 'VVIP'
               WHEN c_custkey % 7 = 0 THEN 'VIP'
               ELSE c_mktsegment END AS segment
-  FROM customer WHERE c_custkey % 11 <> 0
+  FROM customer
   UNION ALL
   SELECT c_custkey + 1000000 AS k, 'NEW' AS segment
-  FROM customer WHERE c_custkey % 13 = 0)
+  FROM customer WHERE c_custkey % 13 = 0),
+final AS (SELECT k, segment FROM logical WHERE k % 11 <> 0)
 SELECT 'merged' AS ref, segment, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(k) AS BIGINT) AS key_sum
 FROM final GROUP BY segment
@@ -5843,8 +5844,10 @@ def x_storage_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch (+1M keys, NEW) land as tiny DELTA commits against an
     untouched base; a delete batch (%11) lands as a dv commit and
     beats any stale delta of the same key because the dv applies
-    LAST. The oracle states the whole composition as one CASE over
-    the raw customer table. Two digest generations are emitted —
+    LAST. The DELETE evaluates over the MERGED logical state (r18,
+    ADVICE r17): its key predicate prunes upsert-inserted NEW rows
+    too, which the oracle states by applying the %11 filter AFTER the
+    union. Two digest generations are emitted —
     'merged' (read through base∪delta∪dv) and 'compacted' (after
     compact_upserts folds the delta in one atomic manifest) — and
     must be identical, which is the compaction invariant itself; the
@@ -6047,3 +6050,105 @@ def x_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 8),
         k_candidates=16, m=5, grid_bits=10,
     )
+
+
+# --------------------------------------------------------------------------
+# Round-18 addition: position-based merge-on-read deletes (Iceberg v2
+# positional delete files / Delta deletion-vector fast path)
+# --------------------------------------------------------------------------
+
+_X_PDV_SQL = """
+WITH appended AS (
+  SELECT o_orderkey + 10000000 AS k, o_orderstatus AS status, o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0),
+base_kept AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice
+  FROM orders
+  WHERE o_orderstatus <> 'F' AND o_totalprice >= 50000),
+app_kept AS (
+  SELECT k, status, o_totalprice FROM appended
+  WHERE o_totalprice >= 50000),
+final AS (SELECT k, status FROM base_kept
+          UNION ALL SELECT k, status FROM app_kept)
+SELECT 'merged' AS ref, status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS key_sum
+FROM final GROUP BY status
+UNION ALL
+SELECT 'compacted' AS ref, status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS key_sum
+FROM final GROUP BY status
+"""
+
+
+@_q("x_storage_positional_deletes", _X_PDV_SQL)
+def x_storage_positional_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POSITIONAL merge-on-read deletes end-to-end
+    (operators/positional_deletes.py, r18 — Iceberg v2 positional
+    delete files; VERDICT r17 task #2): a delete batch records
+    (data_file, row_index) anchors against an untouched base — the
+    read path anti-joins on two scan-metadata columns Spark
+    materializes for free (_metadata.file_path / row_index, the Delta
+    deletion-vector mechanism). The composition under test is the one
+    that SEPARATES positional from equality deletes: after deleting
+    all status='F' rows, an APPEND adds rows that also carry
+    status='F' — hard-linked base files keep their anchors, while the
+    appended rows are born UNDELETED (asserted in-code), exactly the
+    Iceberg contract; a second positional delete then prunes
+    o_totalprice < 50000 across BOTH file generations. Digests are
+    emitted through the merged read and again after
+    compact_positional_deletes folds base-minus-positions + an emptied
+    pdv in ONE atomic manifest swap — both must match the oracle's
+    pure-content statement of the same deletes."""
+    from ..operators import positional_deletes as pdel
+    from ..sources.txn import Catalog
+
+    cat = Catalog(_scratch_dir("spark_graft_pdv_") + "/wh")
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        "o_totalprice",
+    )
+    with cat.transaction() as t:
+        t.overwrite(base, "orders_pos")
+    pdel.delete_where_positional(
+        cat, spark, "orders_pos", F.col("status") == "F"
+    )
+    appended = base.filter(F.col("k") % 10 == 0).select(
+        (F.col("k") + 10000000).alias("k"), "status", "o_totalprice"
+    )
+    with cat.transaction() as t:
+        t.append(appended, "orders_pos")
+    # appended F-status rows are born undeleted even though an earlier
+    # positional delete removed every base F row — the invariant that
+    # distinguishes positional from equality deletes
+    n_f_appended = (
+        pdel.read_positional(cat, spark, "orders_pos")
+        .filter((F.col("status") == "F") & (F.col("k") >= 10000000))
+        .count()
+    )
+    if n_f_appended == 0:
+        raise AssertionError(
+            "appended F rows were swallowed by a stale positional delete"
+        )
+    pdel.delete_where_positional(
+        cat, spark, "orders_pos", F.col("o_totalprice") < 50000
+    )
+
+    def digest(df: DataFrame, label: str) -> DataFrame:
+        return df.groupBy("status").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("key_sum"),
+        ).select(F.lit(label).alias("ref"), "status", "n", "key_sum")
+
+    merged = digest(
+        pdel.read_positional(cat, spark, "orders_pos"), "merged"
+    )
+    pdel.compact_positional_deletes(cat, spark, "orders_pos")
+    if cat.read(spark, pdel.pdv_table("orders_pos")).count() != 0:
+        raise AssertionError("pdv not emptied by compaction")
+    compacted = digest(
+        pdel.read_positional(cat, spark, "orders_pos"), "compacted"
+    )
+    return merged.unionByName(compacted)

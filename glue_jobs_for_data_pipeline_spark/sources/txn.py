@@ -44,6 +44,57 @@ from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "_CURRENT"
 
+# lossless type-widening lattice for the "widen" schema op (r18):
+# source simpleString -> simpleStrings it may widen to. DECIMAL
+# handled structurally (precision may grow, scale must not shrink
+# and integer digits must not shrink). Everything else is rejected —
+# a narrowing cast would silently truncate committed data.
+_WIDEN_OK: dict[str, set[str]] = {
+    "tinyint": {"smallint", "int", "bigint", "double", "decimal"},
+    "smallint": {"int", "bigint", "double", "decimal"},
+    "int": {"bigint", "double", "decimal"},
+    "bigint": {"decimal"},
+    "float": {"double"},
+    "date": {"timestamp"},
+}
+
+
+def _decimal_params(simple: str) -> tuple[int, int] | None:
+    """(precision, scale) of a ``decimal(p,s)`` simpleString, else
+    None."""
+    if not simple.startswith("decimal(") or not simple.endswith(")"):
+        return None
+    try:
+        p, s = simple[len("decimal(") : -1].split(",")
+        return int(p), int(s)
+    except ValueError:
+        return None
+
+
+def _is_widening(src_simple: str, dst_simple: str) -> bool:
+    """True iff casting ``src_simple`` -> ``dst_simple`` is lossless
+    for every representable value (the Iceberg/Delta type-promotion
+    contract: int->long, float->double, decimal precision growth with
+    non-shrinking scale, integer->decimal with room for every digit)."""
+    if src_simple == dst_simple:
+        return True
+    dst_dec = _decimal_params(dst_simple)
+    src_dec = _decimal_params(src_simple)
+    if src_dec is not None:
+        if dst_dec is None:
+            return False
+        (sp, ss), (dp, ds) = src_dec, dst_dec
+        # scale must not shrink, and integer digits must not shrink
+        return ds >= ss and (dp - ds) >= (sp - ss)
+    allowed = _WIDEN_OK.get(src_simple, set())
+    if dst_dec is not None:
+        if "decimal" not in allowed:
+            return False
+        dp, ds = dst_dec
+        digits = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 19}
+        return (dp - ds) >= digits.get(src_simple, 99)
+    return dst_simple in allowed
+
 
 def _apply_schema_ops(df: DataFrame, ops: list[dict]) -> DataFrame:
     """Replay a table's recorded schema-evolution ops over a version
@@ -74,6 +125,25 @@ def _apply_schema_ops(df: DataFrame, ops: list[dict]) -> DataFrame:
             # rewrite after the drop simply has nothing to project
             if op["col"] in df.columns:
                 df = df.drop(op["col"])
+        elif op["op"] == "widen":
+            # metadata-only TYPE WIDENING (r18 — Iceberg/Delta type
+            # promotion): files written before the widen carry the
+            # narrow type and are cast up here; files written after
+            # already match and are skipped (idempotent per file
+            # generation, like every other op). A non-widening state
+            # (e.g. the column was later re-added narrower) raises
+            # rather than silently truncating.
+            col = op["col"]
+            if col in df.columns:
+                cur = df.schema[col].dataType.simpleString()
+                dst = op["type"].lower().replace(" ", "")
+                if cur != dst:
+                    if not _is_widening(cur, dst):
+                        raise ValueError(
+                            f"widen replay on {col!r}: {cur} -> {dst} "
+                            "is not a lossless widening"
+                        )
+                    df = df.withColumn(col, F.col(col).cast(op["type"]))
         else:  # pragma: no cover - rejected at evolve_schema time
             raise ValueError(f"unknown schema op: {op!r}")
     return df
@@ -91,6 +161,17 @@ def _validate_schema_ops(ops: list[dict]) -> None:
         elif kind == "drop":
             if not op.get("col"):
                 raise ValueError(f"bad drop op: {op!r}")
+        elif kind == "widen":
+            if not op.get("col") or not op.get("type"):
+                raise ValueError(f"bad widen op: {op!r}")
+            dst = str(op["type"]).lower().replace(" ", "")
+            if dst not in {"smallint", "int", "bigint", "double",
+                           "timestamp"} and _decimal_params(dst) is None:
+                raise ValueError(
+                    f"widen target must be a widening-capable type "
+                    f"(smallint/int/bigint/double/timestamp/decimal(p,s)), "
+                    f"got {op!r}"
+                )
         else:
             raise ValueError(f"unknown schema op kind: {op!r}")
 
@@ -771,10 +852,19 @@ class Catalog:
 
         Supported ops: ``{"op": "rename", "old": a, "new": b}``,
         ``{"op": "add", "col": c, "type": ddl, "default": v}`` (default
-        optional -> NULL), and ``{"op": "drop", "col": c}``. At 100 TB this is the only sane ALTER TABLE:
+        optional -> NULL), ``{"op": "drop", "col": c}``, and
+        ``{"op": "widen", "col": c, "type": ddl}`` (lossless type
+        promotion only — int->bigint, float->double, decimal precision
+        growth; r18). At 100 TB this is the only sane ALTER TABLE:
         one small JSON commit instead of a table rewrite. Reads AS OF a
         manifest BEFORE this commit replay only the ops recorded there
-        — time travel sees the schema of its era."""
+        — time travel sees the schema of its era.
+
+        Merge-on-read tables (with a live ``__delta``/``__dv`` side
+        table): use ``operators.mor_upsert.evolve_upserted_schema``,
+        which records the ops for the side tables in the same commit —
+        evolving only the base leaves a pre-evolution delta whose
+        unionByName with the evolved base fails (ADVICE r17)."""
         _validate_schema_ops(ops)
         if not ops:
             raise ValueError("evolve_schema: empty op list")
@@ -1346,6 +1436,13 @@ class CatalogTransaction:
         self._branch = branch
         self._staged: dict[str, int] = {}
         self._append_staged: set[str] = set()
+        # tables whose staged chain BEGAN with an overwrite in this
+        # bracket: an append chained onto that rewrite inherits files
+        # that already embody the current schema, so the commit must
+        # still reset the table's schema-op list — without this,
+        # overwrite-then-append re-enabled the replay-over-rewrite
+        # corruption the r17 fix closed (ADVICE r17)
+        self._rewrite_base: set[str] = set()
         # manifest id THIS transaction published (None until a commit
         # happens; stays None for an empty transaction). Callers that
         # report "the manifest my write landed in" must read this, not
@@ -1368,6 +1465,7 @@ class CatalogTransaction:
         # a rewrite supersedes any earlier append of the same table in
         # this bracket — its files embody the current schema
         self._append_staged.discard(name)
+        self._rewrite_base.add(name)
         return version
 
     def append(self, df: DataFrame, name: str) -> int:
@@ -1395,7 +1493,11 @@ class CatalogTransaction:
             discard_version(self._catalog.table_dir(name), self._staged[name])
         self._staged[name] = version
         # appended files keep the base's (possibly pre-evolution)
-        # schema — the commit must NOT reset this table's op list
+        # schema — the commit must NOT reset this table's op list.
+        # Exception: a chain that began with an overwrite IN THIS
+        # bracket (self._rewrite_base) — those base files already
+        # embody the current schema, so the ops still reset at commit
+        # (the exclusion happens in __exit__ via _rewrite_base).
         self._append_staged.add(name)
         return version
 
@@ -1439,7 +1541,12 @@ class CatalogTransaction:
                     self._staged,
                     expected_head=self._expected_head,
                     branch=self._branch,
-                    keep_schema_ops=self._append_staged,
+                    # a staged chain whose base is a rewrite from this
+                    # same bracket embodies the current schema even if
+                    # appends followed — its op list must reset too
+                    # (ADVICE r17)
+                    keep_schema_ops=self._append_staged
+                    - self._rewrite_base,
                 )
                 self._staged = {}
         finally:

@@ -45,8 +45,11 @@ def ledger_table(name: str) -> str:
 def committed_batch_ids(
     cat: Catalog, spark, name: str, app_id: str, branch: str = "main"
 ) -> set[int]:
-    """Batch ids already committed for (table, app_id) — read from the
-    CURRENT committed ledger (metadata-sized: one row per batch)."""
+    """Batch ids present in the CURRENT committed ledger for
+    (table, app_id). After a retention fold (operators/retention.py
+    fold_ledger, r18) this is {max batch id} — use
+    ``latest_batch_id`` for the replay test, which is max-based and
+    therefore fold-proof."""
     try:
         ledger = cat.read(spark, ledger_table(name), branch)
     except FileNotFoundError:
@@ -55,6 +58,25 @@ def committed_batch_ids(
         r["batch_id"]
         for r in ledger.filter(ledger["app_id"] == app_id).collect()
     }
+
+
+def latest_batch_id(
+    cat: Catalog, spark, name: str, app_id: str, branch: str = "main"
+) -> int | None:
+    """MAX committed batch id for (table, app_id), or None. The
+    replay test is ``batch_id <= latest`` — complete because
+    Structured Streaming batch ids are strictly increasing per
+    checkpoint and this sink commits them in order, and robust to the
+    retention fold that keeps only the per-app max (Delta's txn-action
+    retention semantics)."""
+    try:
+        ledger = cat.read(spark, ledger_table(name), branch)
+    except FileNotFoundError:
+        return None
+    row = ledger.filter(ledger["app_id"] == app_id).agg(
+        {"batch_id": "max"}
+    ).first()
+    return None if row[0] is None else int(row[0])
 
 
 def _exactly_once_sink(
@@ -76,15 +98,18 @@ def _exactly_once_sink(
                 with cat.transaction(branch=branch) as t:
                     try:
                         ledger = t.read_committed(spark, ledger_name)
-                        done = {
-                            r["batch_id"]
-                            for r in ledger.filter(
-                                ledger["app_id"] == app_id
-                            ).collect()
-                        }
+                        row = ledger.filter(
+                            ledger["app_id"] == app_id
+                        ).agg({"batch_id": "max"}).first()
+                        done_max = None if row[0] is None else int(row[0])
                     except FileNotFoundError:
-                        ledger, done = None, set()
-                    if batch_id in done:
+                        ledger, done_max = None, None
+                    # replay test is MAX-based (r18): batch ids are
+                    # strictly increasing per checkpoint and committed
+                    # in order, so <= max means already committed —
+                    # and the test stays complete after a retention
+                    # fold keeps only the per-app max row
+                    if done_max is not None and batch_id <= done_max:
                         return  # replayed batch: the bracket exits
                         # empty and publishes nothing
                     stage(t, spark, batch_df)

@@ -130,6 +130,106 @@ def test_upsert_into_absent_table_is_initial_load(spark, cat):
     assert mor_upsert.compact_upserts(cat, spark, "t", ("k",)) is None
 
 
+def test_upsert_resurrects_deleted_key(spark, cat):
+    """An upsert AFTER a delete of the same key must resurrect it —
+    the commit purges the batch's keys from the dv, so the
+    dv-applies-last read order cannot suppress the fresh row
+    (ADVICE r17)."""
+    _seed(cat, spark)
+    deletes.delete_where(cat, spark, "t", "k = 2", ("k",))
+    assert _state(cat, spark) == {1: "a", 3: "c"}
+    mor_upsert.upsert_into(cat, spark, "t", _df(spark, [(2, "back")]), ("k",))
+    assert _state(cat, spark) == {1: "a", 2: "back", 3: "c"}
+    # other dv entries survive the purge
+    deletes.delete_where(cat, spark, "t", "k = 1", ("k",))
+    mor_upsert.upsert_into(cat, spark, "t", _df(spark, [(3, "C3")]), ("k",))
+    assert _state(cat, spark) == {2: "back", 3: "C3"}
+
+
+def test_resurrection_is_compaction_order_independent(spark, cat):
+    """delete k -> upsert k: the logical state must be identical no
+    matter which compaction runs first (ADVICE r17: before the dv
+    purge, compact_deletes resurrected the stale delta row while
+    compact_upserts-then-compact_deletes dropped the key forever)."""
+
+    def build(root):
+        c = txn.Catalog(str(root))
+        with c.transaction() as t:
+            t.overwrite(_df(spark, [(1, "a"), (2, "b")]), "t")
+        deletes.delete_where(c, spark, "t", "k = 2", ("k",))
+        mor_upsert.upsert_into(c, spark, "t", _df(spark, [(2, "B2")]), ("k",))
+        return c
+
+    import tempfile
+
+    want = {1: "a", 2: "B2"}
+    with tempfile.TemporaryDirectory() as d1:
+        c = build(d1)
+        deletes.compact_deletes(c, spark, "t", ("k",))
+        assert {
+            r["k"]: r["v"]
+            for r in mor_upsert.read_upserted(c, spark, "t", ("k",)).collect()
+        } == want
+        mor_upsert.compact_upserts(c, spark, "t", ("k",))
+        assert {
+            r["k"]: r["v"]
+            for r in mor_upsert.read_upserted(c, spark, "t", ("k",)).collect()
+        } == want
+    with tempfile.TemporaryDirectory() as d2:
+        c = build(d2)
+        mor_upsert.compact_upserts(c, spark, "t", ("k",))
+        deletes.compact_deletes(c, spark, "t", ("k",))
+        assert {
+            r["k"]: r["v"]
+            for r in mor_upsert.read_upserted(c, spark, "t", ("k",)).collect()
+        } == want
+
+
+def test_delete_where_sees_upserted_values(spark, cat):
+    """DELETE WHERE on a NON-KEY column must evaluate over the merged
+    logical state: rows upserted INTO the predicate are deleted, keys
+    upserted OUT of it survive (ADVICE r17 — the base-only predicate
+    missed both directions)."""
+    _seed(cat, spark)  # {1: a, 2: b, 3: c}
+    # 2 moves INTO the predicate, 3 moves OUT of it
+    mor_upsert.upsert_into(
+        cat, spark, "t", _df(spark, [(2, "zap"), (3, "keep")]), ("k",)
+    )
+    deletes.delete_where(cat, spark, "t", "v = 'zap' OR v = 'c'", ("k",))
+    # 2 (now 'zap') deleted; 3 (no longer 'c') kept
+    assert _state(cat, spark) == {1: "a", 3: "keep"}
+
+
+def test_evolve_upserted_schema_covers_delta(spark, cat):
+    """Schema evolution over a MoR table with a live delta: the op
+    list must replay over the delta side table too, or read_upserted's
+    unionByName explodes (ADVICE r17)."""
+    _seed(cat, spark)
+    mor_upsert.upsert_into(cat, spark, "t", _df(spark, [(2, "B2")]), ("k",))
+    mor_upsert.evolve_upserted_schema(
+        cat, "t", [{"op": "add", "col": "src", "type": "string",
+                    "default": "legacy"}]
+    )
+    rows = {
+        r["k"]: (r["v"], r["src"])
+        for r in mor_upsert.read_upserted(cat, spark, "t", ("k",)).collect()
+    }
+    assert rows == {
+        1: ("a", "legacy"), 2: ("B2", "legacy"), 3: ("c", "legacy")
+    }
+    # a post-evolution upsert writes the new schema; compaction folds
+    post = spark.createDataFrame(
+        [(9, "new", "cdc")], "k long, v string, src string"
+    )
+    mor_upsert.upsert_into(cat, spark, "t", post, ("k",))
+    mor_upsert.compact_upserts(cat, spark, "t", ("k",))
+    rows = {
+        r["k"]: (r["v"], r["src"])
+        for r in mor_upsert.read_upserted(cat, spark, "t", ("k",)).collect()
+    }
+    assert rows[9] == ("new", "cdc") and rows[1] == ("a", "legacy")
+
+
 def test_upsert_keys_only_batch(spark, cat):
     """A pure key-set feed (no non-key columns) must not crash the
     latest-per-key window (empty ORDER BY; code-review r17)."""

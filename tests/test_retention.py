@@ -1,0 +1,175 @@
+"""Size-triggered retention/compaction policy (operators/retention.py, r18)."""
+
+from __future__ import annotations
+
+import pytest
+
+from glue_jobs_for_data_pipeline_spark.operators import (
+    deletes,
+    mor_upsert,
+    positional_deletes as pdel,
+    retention,
+)
+from glue_jobs_for_data_pipeline_spark.sources import txn
+from glue_jobs_for_data_pipeline_spark.streaming import exactly_once as xo
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return txn.Catalog(str(tmp_path / "wh"))
+
+
+def _seed(cat, spark, n=20):
+    with cat.transaction() as t:
+        t.overwrite(
+            spark.range(n).selectExpr("id AS k", "CAST(id AS STRING) AS v"),
+            "t",
+        )
+
+
+def _state(cat, spark):
+    return {
+        r["k"]: r["v"]
+        for r in mor_upsert.read_upserted(cat, spark, "t", ("k",)).collect()
+    }
+
+
+# eager thresholds: everything is "due" the moment a side table exists
+EAGER = retention.RetentionPolicy(
+    max_side_bytes=1, max_side_ratio=None, max_base_files=None,
+    max_ledger_rows_per_app=1,
+)
+
+
+def test_noop_below_thresholds(spark, cat):
+    _seed(cat, spark)
+    mor_upsert.upsert_into(
+        cat, spark, "t",
+        spark.createDataFrame([(1, "x")], "k long, v string"), ("k",),
+    )
+    head = cat.head()
+    # lazy policy: tiny delta is nowhere near 8 MB / 10% of base
+    actions = retention.enforce_retention(cat, spark, "t", ("k",))
+    assert not any(actions.values())
+    assert cat.head() == head  # nothing committed
+
+
+def test_due_folds_run_and_reads_unchanged(spark, cat):
+    _seed(cat, spark)
+    mor_upsert.upsert_into(
+        cat, spark, "t",
+        spark.createDataFrame([(1, "x"), (99, "new")], "k long, v string"),
+        ("k",),
+    )
+    deletes.delete_where(cat, spark, "t", "k = 2", ("k",))
+    before = _state(cat, spark)
+    actions = retention.enforce_retention(
+        cat, spark, "t", ("k",), policy=EAGER
+    )
+    assert actions["fold_upsert_delta"] and actions["fold_deletion_vector"]
+    assert _state(cat, spark) == before
+    # side tables now empty — a second pass is a no-op
+    actions2 = retention.enforce_retention(
+        cat, spark, "t", ("k",), policy=EAGER
+    )
+    assert not any(actions2.values())
+
+
+def test_positional_fold_precedes_base_compaction(spark, cat):
+    """A pending pdv + a due base compaction: the policy folds the
+    positional deletes FIRST — a plain rewrite would strand their
+    anchors and resurrect the rows."""
+    _seed(cat, spark, n=30)
+    # many appends -> many small files
+    for i in range(6):
+        with cat.transaction() as t:
+            t.append(
+                spark.createDataFrame(
+                    [(100 + i, "a")], "k long, v string"
+                ),
+                "t",
+            )
+    pdel.delete_where_positional(cat, spark, "t", "k < 5 OR k = 103")
+    expect = sorted(
+        set(range(5, 30)) | {100, 101, 102, 104, 105}
+    )
+    policy = retention.RetentionPolicy(
+        max_side_bytes=None, max_side_ratio=None,
+        max_base_files=3, target_file_bytes=1 << 30,
+        max_ledger_rows_per_app=None,
+    )
+    actions = retention.enforce_retention(cat, spark, "t", policy=policy)
+    assert actions["compact_base_files"]
+    got = sorted(
+        r["k"] for r in pdel.read_positional(cat, spark, "t").collect()
+    )
+    assert got == expect
+    stats = retention.table_stats(cat, "t")
+    assert stats["files"] <= 3
+
+
+def test_long_streaming_run_keeps_bounded_files(spark, cat):
+    """The VERDICT r17 acceptance: a long exactly-once append run +
+    periodic retention keeps the base's file count bounded and the
+    committed rows exactly-once."""
+    sink = xo.exactly_once_batch_sink(cat, "s", "app1")
+    policy = retention.RetentionPolicy(
+        max_side_bytes=None, max_side_ratio=None,
+        max_base_files=6, target_file_bytes=1 << 30,
+        max_ledger_rows_per_app=2,
+    )
+    for b in range(12):
+        sink(
+            spark.createDataFrame([(b,)], "k long").coalesce(1), b
+        )
+        if b % 4 == 3:
+            retention.enforce_retention(cat, spark, "s", policy=policy)
+    stats = retention.table_stats(cat, "s")
+    assert stats["files"] <= 6 + 4  # bound + at most one epoch of drift
+    rows = sorted(r["k"] for r in cat.read(spark, "s").collect())
+    assert rows == list(range(12))
+    # ledger stayed bounded too
+    ledger = cat.read(spark, xo.ledger_table("s"))
+    assert ledger.count() <= 2
+
+
+def test_fold_ledger_keeps_replay_protection(spark, cat):
+    """After the ledger folds to one MAX row per app, a replay of any
+    OLDER batch id must still be a no-op (the max-based replay test)."""
+    sink = xo.exactly_once_batch_sink(cat, "s", "app1")
+    for b in range(5):
+        sink(spark.createDataFrame([(b,)], "k long"), b)
+    assert retention.fold_ledger(cat, spark, "s") is not None
+    ledger = cat.read(spark, xo.ledger_table("s"))
+    assert [
+        (r["app_id"], r["batch_id"]) for r in ledger.collect()
+    ] == [("app1", 4)]
+    head = cat.head()
+    sink(spark.createDataFrame([(2,)], "k long"), 2)  # old id replay
+    assert cat.head() == head
+    assert sorted(r["k"] for r in cat.read(spark, "s").collect()) == [
+        0, 1, 2, 3, 4,
+    ]
+    # and the NEXT real batch still lands
+    sink(spark.createDataFrame([(5,)], "k long"), 5)
+    assert sorted(r["k"] for r in cat.read(spark, "s").collect()) == [
+        0, 1, 2, 3, 4, 5,
+    ]
+    assert xo.latest_batch_id(cat, spark, "s", "app1") == 5
+
+
+def test_fold_ledger_minimal_is_noop(spark, cat):
+    sink = xo.exactly_once_batch_sink(cat, "s", "app1")
+    sink(spark.createDataFrame([(0,)], "k long"), 0)
+    assert retention.fold_ledger(cat, spark, "s") is None
+    assert retention.fold_ledger(cat, spark, "absent") is None
+
+
+def test_delta_fold_requires_key_cols(spark, cat):
+    _seed(cat, spark)
+    mor_upsert.upsert_into(
+        cat, spark, "t",
+        spark.createDataFrame([(1, "x")], "k long, v string"), ("k",),
+    )
+    with pytest.raises(ValueError, match="key_cols"):
+        retention.enforce_retention(cat, spark, "t", policy=EAGER)

@@ -1162,6 +1162,56 @@ def test_append_preserves_pending_schema_ops(spark, tmp_path):
     assert rows[9] == "std" and rows[0] == "std"
 
 
+def test_overwrite_then_append_resets_schema_ops(spark, tmp_path):
+    """OVERWRITE followed by APPEND on the same table in ONE
+    transaction: the staged chain began with a rewrite whose files
+    embody the current schema, so the commit must still reset the op
+    list — keeping it would replay a drop-then-re-add over the
+    rewrite's REAL values and backfill the stale default (ADVICE
+    r17, the re-enabled corruption path)."""
+    from pyspark.sql import functions as F
+
+    cat = _evo_cat(spark, tmp_path)
+    cat.evolve_schema("t", [{"op": "drop", "col": "name"}])
+    cat.evolve_schema("t", [
+        {"op": "add", "col": "name", "type": "string", "default": "fresh"},
+    ])
+    with cat.transaction() as t:
+        rewritten = cat.read(spark, "t").withColumn(
+            "name", F.concat(F.lit("real-"), F.col("k"))
+        )
+        t.overwrite(rewritten, "t")
+        t.append(
+            spark.createDataFrame(
+                [(9, "real-9")], "k long, name string"
+            ),
+            "t",
+        )
+    assert "t" not in cat._manifest_schemas(cat.head())
+    rows = {r["k"]: r["name"] for r in cat.read(spark, "t").collect()}
+    assert rows[0] == "real-0" and rows[9] == "real-9"
+    assert "fresh" not in rows.values()
+
+
+def test_append_then_overwrite_still_resets_ops(spark, tmp_path):
+    """APPEND then OVERWRITE in one bracket: the rewrite supersedes the
+    append, so the ops reset (the pre-r17 behavior, kept intact by the
+    _rewrite_base fix)."""
+    cat = _evo_cat(spark, tmp_path)
+    cat.evolve_schema("t", [
+        {"op": "rename", "old": "name", "new": "label"},
+    ])
+    with cat.transaction() as t:
+        t.append(
+            spark.createDataFrame([(8, "eight")], "k long, name string"), "t"
+        )
+        t.overwrite(
+            spark.createDataFrame([(1, "one")], "k long, label string"), "t"
+        )
+    assert "t" not in cat._manifest_schemas(cat.head())
+    assert cat.read(spark, "t").columns == ["k", "label"]
+
+
 def test_first_commit_race_on_empty_catalog_is_detected(spark, tmp_path):
     """Two transactions both opened on an EMPTY catalog: the second
     commit must raise ConcurrentCommitError, not silently replace the
@@ -1200,6 +1250,101 @@ def test_rebase_respects_branch_schema_clear(spark, tmp_path):
     cat.merge_ff("exp")
     assert "t" not in cat._manifest_schemas(cat.head())
     assert cat.read(spark, "t").columns == ["k", "label"]
+
+
+def test_schema_widening_replays_and_new_writes_skip(spark, tmp_path):
+    """widen INT->BIGINT and DECIMAL precision growth (r18): old files
+    cast up on read; files written after the widen already match and
+    replay as a no-op; time travel sees the narrow type of its era."""
+    from glue_jobs_for_data_pipeline_spark.sources.txn import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(
+            spark.range(4).selectExpr(
+                "CAST(id AS INT) AS k",
+                "CAST(id * 1.5 AS DECIMAL(8,2)) AS amt",
+            ),
+            "t",
+        )
+    m_before = cat.head()
+    cat.evolve_schema("t", [
+        {"op": "widen", "col": "k", "type": "bigint"},
+        {"op": "widen", "col": "amt", "type": "decimal(18,2)"},
+    ])
+    got = dict(cat.read(spark, "t").dtypes)
+    assert got["k"] == "bigint" and got["amt"] == "decimal(18,2)"
+    assert {r["k"] for r in cat.read(spark, "t").collect()} == {0, 1, 2, 3}
+    # time travel: the era before the widen keeps the narrow types
+    old = dict(cat.read_asof(spark, "t", m_before).dtypes)
+    assert old["k"] == "int" and old["amt"] == "decimal(8,2)"
+    # append rows in the BASE FILE schema (narrow) post-widen: the
+    # op keeps replaying over the appended files and widens them too
+    with cat.transaction() as t:
+        t.append(
+            spark.sql(
+                "SELECT CAST(9 AS INT) AS k, "
+                "CAST(13.50 AS DECIMAL(8,2)) AS amt"
+            ),
+            "t",
+        )
+    assert sorted(r["k"] for r in cat.read(spark, "t").collect()) == [
+        0, 1, 2, 3, 9,
+    ]
+    assert dict(cat.read(spark, "t").dtypes)["amt"] == "decimal(18,2)"
+
+
+def test_schema_widening_resets_on_rewrite(spark, tmp_path):
+    """The r17 replay-over-rewrite bug class, for widen: a rewrite
+    after the widen embodies the wide type and resets the op list —
+    no stale op is left to fight a later narrow re-add."""
+    from glue_jobs_for_data_pipeline_spark.sources.txn import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(spark.range(3).selectExpr("CAST(id AS INT) AS k"), "t")
+    cat.evolve_schema("t", [{"op": "widen", "col": "k", "type": "bigint"}])
+    with cat.transaction() as t:
+        t.overwrite(cat.read(spark, "t"), "t")  # embodies bigint
+    assert "t" not in cat._manifest_schemas(cat.head())
+    assert dict(cat.read(spark, "t").dtypes)["k"] == "bigint"
+
+
+def test_schema_widening_rejects_narrowing(spark, tmp_path):
+    """Narrowing is rejected: evolve_schema refuses targets no type can
+    widen to (e.g. string), and replay refuses any source->target pair
+    that is not losslessly widening — a metadata-only commit cannot
+    know the source type, so the replay gate is the authoritative one."""
+    import pytest as _pytest
+
+    from glue_jobs_for_data_pipeline_spark.sources.txn import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(spark.range(3).selectExpr("id AS k"), "t")  # bigint
+    with _pytest.raises(ValueError):
+        cat.evolve_schema(
+            "t", [{"op": "widen", "col": "k", "type": "string"}]
+        )
+    # bigint -> int is a narrowing; caught when the op replays
+    cat.evolve_schema("t", [{"op": "widen", "col": "k", "type": "int"}])
+    with _pytest.raises(ValueError, match="not a lossless widening"):
+        cat.read(spark, "t")
+
+
+def test_schema_widening_bigint_to_double_rejected(spark, tmp_path):
+    """bigint -> double loses integer precision past 2^53 — the replay
+    gate treats it as non-widening even though double 'feels' wider."""
+    import pytest as _pytest
+
+    from glue_jobs_for_data_pipeline_spark.sources.txn import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(spark.range(3).selectExpr("id AS k"), "t")
+    cat.evolve_schema("t", [{"op": "widen", "col": "k", "type": "double"}])
+    with _pytest.raises(ValueError, match="not a lossless widening"):
+        cat.read(spark, "t")
 
 
 def test_compact_table_folds_pending_schema_ops(spark, tmp_path):
