@@ -31,108 +31,104 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate consumes exactly the FIRST 50 keys of
-# queries(), so registration order is the coverage knob. Round 17
-# priority order (the r16 verdict's task #1 — 50 explicit entries
-# below = the full window, ALL oracle-able, target 50/50 hash-green
-# with zero no_oracle rows):
-# (a) keys NEW or plan-changed in r17: x_stream_exactly_once (new —
-#     catalog exactly-once streaming sink via add-files appends),
-#     x_storage_schema_evolution (new — metadata-only ALTER with
-#     snapshot-aware replay), x_stream_incremental_mv (new —
-#     raw+view+ledger in one manifest per micro-batch),
-#     x_corpus_stream_ingest_dedup (new — cross-batch dedup intake),
-#     x_storage_snapshot_diff (new — CDC between two manifests),
-#     x_storage_mor_upsert (new — Hudi-MOR delta upsert + compaction),
-#     x_storage_commit_log (first driver row — was sweep-only in r16;
-#     log entries gained schema_changed),
-#     x_storage_deletion_vectors (plan changed — read_merged now pins
-#     one manifest snapshot for base+dv, ADVICE r16 high),
-#     x_dedup_pairs_stage (producer now dispatches through the
-#     tiered candidate-mass switch; output-identical by construction);
-# (b) always-on m1/m2 core + m5 (txn.py commit/read-path rework r17);
-# (c) the 18 OLDEST-evidence parity keys (f1..f11, v1..v4, m3, m1b,
-#     m4 — last driver-green r08/r09; the verdict's named tranche
-#     plus the equally-old v-keys);
-# (d) the first 20 of the r15-seated/r08-origin x_* cohort in their
-#     r15 window order (driver evidence r15), refreshing the oldest
-#     x_* rows that fit.
-# Carried to r18 (sweep-green at both SFs every round): the rest of
-# the r15 cohort (x_text_boilerplate_removal, x_text_string_kernels,
-# x_ts_asof_forward, x_ts_ohlc — yielded their tranche slots to the
-# four late-r17 keys in (a) — plus x_ts_twap, x_dedup_cc_clusters,
-# x_corpus_dedup_cc,
-# x_corpus_dedup_quality_keep, x_split_neardup_leakage,
-# x_dedup_semantic_semdedup, x_corpus_cluster_balance,
-# x_sim_ivf_kmeans_topk, x_olap_grid_quantile_sketch,
-# x_market_basket_lift, x_graph_pagerank, x_text_dsir_weights,
-# x_emb_cluster_quality, x_olap_countmin_sketch,
-# x_emb_scatter_matrix, x_split_group_kfold,
-# x_storage_branch_isolation, x_emb_centroids_stage), the parity keys
-# s1..p5 (r14 evidence) and p6..l1 (r16 evidence), and the r16-seated
-# x_* cohort (r16 evidence).
+# queries(), so registration order is the coverage knob. Round 18
+# priority order (the r17 verdict's task #1: seat the carried r15
+# cohort + the oldest parity tranche; all 50 oracle-able, target
+# 50/50 hash-green with zero no_oracle rows):
+# (a) keys NEW in r18: x_storage_positional_deletes ((file,row_index)
+#     merge-on-read deletes, Iceberg v2 positional delete files),
+#     x_storage_schema_widening (lossless type-promotion "widen" op),
+#     x_storage_retention_policy (size-triggered fold of
+#     delta/dv/ledger debt + base file compaction);
+# (b) keys whose PLAN or GATE changed in r18:
+#     x_storage_mor_upsert (upsert now purges its keys from the dv —
+#     resurrection semantics, ADVICE r17 — and delete_where evaluates
+#     over the merged logical state; oracle updated accordingly),
+#     x_storage_deletion_vectors (delete_where merged-state read;
+#     empty-side compaction guards),
+#     x_olap_approx_distinct / x_olap_approx_percentiles /
+#     x_olap_hll_partial_merge (upgraded from rows-only to
+#     QUANTITATIVE hash gates: exact counts + deterministic
+#     error/rank/merge-consistency booleans — VERDICT r17 task #5),
+#     x_stream_exactly_once / x_stream_incremental_mv /
+#     x_corpus_stream_ingest_dedup (replay test is now MAX-based so
+#     the ledger can fold under retention);
+# (c) always-on m1/m2 core + m5;
+# (d) the carried r15 cohort (driver evidence r15 — the verdict's
+#     named leftovers first, then the rest of the cohort in its r15
+#     window order);
+# (e) the OLDEST parity tranche s1..p5 (driver evidence r14).
+# Carried to r19 (sweep-green at both SFs every round): parity
+# p6..l1 + f1..f11 + v1..v4 + m3/m1b/m4 (r17 evidence), the
+# r16-seated x_* cohort (r16 evidence), and the r17-refreshed
+# x_dedup_fuzzy_match..x_storage_zorder_roundtrip tranche (r17
+# evidence). x_dedup_pairs_stage's candidate-mass bound tightened in
+# r18 (per-doc ceil(len/2) sum) but the switch is output-identical
+# and it was driver-seated r17 — carried, not re-seated.
 # Permanently rows-only by design (weaker driver check only; each got
 # its one seated driver row in r15): x_dedup_minhash_lsh,
-# x_dedup_simhash, x_olap_approx_distinct, x_corpus_prep_neardup,
-# x_olap_freq_items, x_olap_approx_percentiles,
-# x_olap_hll_partial_merge — kept OUT; their exact twins stay
-# hash-gated.
-_WINDOW_ROWS_ONLY_OK: set[str] = set()  # r17: no rows-only keys seated
+# x_dedup_simhash, x_corpus_prep_neardup, x_olap_freq_items — kept
+# OUT; their exact twins stay hash-gated. (x_olap_approx_distinct,
+# x_olap_approx_percentiles and x_olap_hll_partial_merge left this
+# set in r18 via their quantitative gates.)
+_WINDOW_ROWS_ONLY_OK: set[str] = set()  # r18: no rows-only keys seated
 
 _WINDOW_FIRST = [
-    # (a) new or plan-changed in r17 (9)
+    # (a) new in r18 (3)
+    "x_storage_positional_deletes",
+    "x_storage_schema_widening",
+    "x_storage_retention_policy",
+    # (b) plan/gate changed in r18 (8)
+    "x_storage_mor_upsert",
+    "x_storage_deletion_vectors",
+    "x_olap_approx_distinct",
+    "x_olap_approx_percentiles",
+    "x_olap_hll_partial_merge",
     "x_stream_exactly_once",
-    "x_storage_schema_evolution",
     "x_stream_incremental_mv",
     "x_corpus_stream_ingest_dedup",
-    "x_storage_snapshot_diff",
-    "x_storage_mor_upsert",
-    "x_storage_commit_log",
-    "x_storage_deletion_vectors",
-    "x_dedup_pairs_stage",
-    # (b) always-on core + r17-reworked commit/read path (3)
+    # (c) always-on core (3)
     "m1_scd2_upsert",
     "m2_j2_fact_population",
     "m5_transactional_pipeline",
-    # (c) oldest-evidence parity tranche, last driver-green r08/r09 (18)
-    "f1_extract_year",
-    "f2_extract_quarter",
-    "f3_extract_month",
-    "f4_extract_day",
-    "f5_extract_dow",
-    "f6_extract_week",
-    "f7_date_plus_int",
-    "f8_yesterday",
-    "f9_cast_string_date",
-    "f10_load_date_default",
-    "f11_decimal_multiply",
-    "v1_null_counts",
-    "v2_pk_duplicates",
-    "v3_registry_membership",
-    "v4_validation_report",
-    "m3_dim_dates",
-    "m1b_scd2_delta_upsert",
-    "m4_update_where",
-    # (d) r15-cohort refresh, r15 window order (20)
-    "x_dedup_fuzzy_match",
-    "x_events_anomaly_mad",
-    "x_events_funnel_windowed",
-    "x_events_top_paths",
-    "x_events_transitions",
-    "x_events_wau",
-    "x_events_winsorize",
-    "x_olap_conditional_kernels",
-    "x_olap_distribution_window",
-    "x_olap_full_outer_join",
-    "x_olap_mode",
-    "x_olap_mom_growth",
-    "x_olap_q12_style",
-    "x_olap_regression",
-    "x_olap_skyline",
-    "x_sample_weighted",
-    "x_scd2_hash_keys",
-    "x_skew_salted_agg",
-    "x_storage_partition_pruning",
-    "x_storage_zorder_roundtrip",
+    # (d) carried r15 cohort, r15 evidence (22)
+    "x_text_boilerplate_removal",
+    "x_text_string_kernels",
+    "x_ts_asof_forward",
+    "x_ts_ohlc",
+    "x_ts_twap",
+    "x_dedup_cc_clusters",
+    "x_corpus_dedup_cc",
+    "x_corpus_dedup_quality_keep",
+    "x_split_neardup_leakage",
+    "x_dedup_semantic_semdedup",
+    "x_corpus_cluster_balance",
+    "x_sim_ivf_kmeans_topk",
+    "x_olap_grid_quantile_sketch",
+    "x_market_basket_lift",
+    "x_graph_pagerank",
+    "x_text_dsir_weights",
+    "x_emb_cluster_quality",
+    "x_olap_countmin_sketch",
+    "x_emb_scatter_matrix",
+    "x_split_group_kfold",
+    "x_storage_branch_isolation",
+    "x_emb_centroids_stage",
+    # (e) oldest parity tranche, r14 evidence (14)
+    "s1_csv_bulk_load",
+    "s2_truncate_and_load",
+    "s3_table_scan",
+    "s4_s7_staging_lifecycle",
+    "s5_ctas_cached",
+    "s6_insert_select_append",
+    "s1b_json_roundtrip",
+    "s1c_orc_roundtrip",
+    "s8_row_generator",
+    "p1_projection",
+    "p2_computed_column",
+    "p3_literal_column",
+    "p4_equality_filter",
+    "p5_conjunction",
 ]
 
 

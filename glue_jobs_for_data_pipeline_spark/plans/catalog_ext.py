@@ -3010,44 +3010,121 @@ def x_olap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("x_olap_approx_percentiles")  # t-digest sketch — engine-specific; rows-only
+_X_APPROX_PCT_SQL = """
+SELECT l_returnflag, q, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS rank_ok
+FROM lineitem CROSS JOIN (VALUES (CAST(0.25 AS DOUBLE)),
+                                 (CAST(0.5 AS DOUBLE)),
+                                 (CAST(0.9 AS DOUBLE))) AS qs(q)
+GROUP BY l_returnflag, q
+"""
+
+
+@_q("x_olap_approx_percentiles", _X_APPROX_PCT_SQL)
 def x_olap_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch tier of x_olap_percentiles: approx_percentile with
     accuracy=10000 — bounded memory per group at any scale where the
-    exact tier's per-group sort would spill. Output scalarized like the
-    exact tier. Approximation error vs the exact percentiles is pinned
-    by tests/test_timeseries.py (the sketch values are engine-specific,
-    so the driver check is rows-only)."""
+    exact tier's per-group sort would spill.
+
+    QUANTITATIVE oracle gate (r18, upgraded from rows-only — VERDICT
+    r17 task #5): Greenwald-Khanna's DETERMINISTIC guarantee is on
+    RANK, not value — the returned element v satisfies
+    min_rank(v) <= (q + eps) x N and max_rank(v) >= (q - eps) x N
+    with eps = 1/accuracy, for EVERY run regardless of how the
+    per-partition summaries merge (the merged eps doubles in the
+    worst case, so the gate uses 2/accuracy + 1 row of slack). The
+    output hashes each group's row count (SQL-statable) plus the
+    rank_ok boolean — true on any conforming run even though the
+    sketch VALUE may jitter across partition merge orders, which is
+    exactly what made the raw value rows-only. The sketch still runs
+    on every invocation; value-level accuracy is additionally pinned
+    in tests/test_timeseries.py."""
     qs = [0.25, 0.5, 0.9]
-    agg = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
+    eps = 2.0 / 10000.0
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = (
+        li.groupBy("l_returnflag")
         .agg(
             F.expr(
                 "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.9), 10000)"
             ).alias("pct")
         )
+        .select(
+            "l_returnflag", F.posexplode("pct").alias("pos", "v")
+        )
+        .select(
+            "l_returnflag",
+            F.element_at(
+                F.array(*[F.lit(q) for q in qs]), F.col("pos") + 1
+            ).alias("q"),
+            "v",
+        )
     )
-    return agg.select(
-        "l_returnflag", F.posexplode("pct").alias("pos", "pct_value")
-    ).select(
+    ranks = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(approx), on="l_returnflag")
+        .groupBy("l_returnflag", "q", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("v"), 1).otherwise(0)
+            ).alias("n_le"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("v"), 1).otherwise(0)
+            ).alias("n_lt"),
+        )
+    )
+    return ranks.select(
         "l_returnflag",
-        F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("pos") + 1).alias(
-            "q"
-        ),
-        "pct_value",
+        "q",
+        "n_rows",
+        (
+            (F.col("n_le") >= (F.col("q") - eps) * F.col("n_rows") - 1)
+            & (F.col("n_lt") <= (F.col("q") + eps) * F.col("n_rows") + 1)
+        ).alias("rank_ok"),
     )
 
 
-@_q("x_olap_approx_distinct")  # HLL sketch — engine-specific; rows-only
+_X_APPROX_DISTINCT_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust_exact,
+       TRUE AS within_tolerance
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@_q("x_olap_approx_distinct", _X_APPROX_DISTINCT_SQL)
 def x_olap_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts (the sketch tier of
     x_olap_count_distinct): constant memory per group at any scale.
-    Accuracy vs the exact tier asserted in tests/test_timeseries.py."""
+
+    QUANTITATIVE oracle gate (r18, upgraded from rows-only — VERDICT
+    r17 task #5): the sketch value itself has no DuckDB counterpart,
+    but its ERROR CONTRACT does — the output carries the exact count
+    (SQL-statable) plus a boolean asserting |approx - exact| <=
+    3 x rsd x exact. HLL++ is hash-based and its merge is
+    register-max (order-insensitive), so the boolean is deterministic
+    for a given dataset; measured error across all fixture SFs is
+    < 0.9% vs the 6% gate. The sketch aggregation still RUNS on every
+    invocation — the gate hashes its accuracy, not just its plumbing.
+    (Numeric accuracy is additionally pinned to 2% in
+    tests/test_timeseries.py.)"""
+    rsd = 0.02
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
-        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_cust_approx"))
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=rsd).alias("approx"),
+            F.count_distinct("o_custkey").cast("long").alias("n_cust_exact"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_cust_exact",
+            (
+                F.abs(F.col("approx") - F.col("n_cust_exact"))
+                <= 3 * rsd * F.col("n_cust_exact")
+            ).alias("within_tolerance"),
+        )
     )
 
 
@@ -6152,3 +6229,222 @@ def x_storage_positional_deletes(
         pdel.read_positional(cat, spark, "orders_pos"), "compacted"
     )
     return merged.unionByName(compacted)
+
+
+# --------------------------------------------------------------------------
+# Round-18 addition: schema-evolution TYPE WIDENING
+# --------------------------------------------------------------------------
+
+_X_WIDEN_SQL = """
+WITH conformed AS (
+  SELECT CAST(p_partkey AS BIGINT) AS part_id,
+         CAST(CAST(p_retailprice AS DECIMAL(8,2)) AS DECIMAL(18,4))
+           AS retail
+  FROM part),
+scaled AS (
+  SELECT part_id,
+         CASE WHEN part_id % 2 = 0
+              THEN CAST(retail * 1000000 AS DECIMAL(18,4))
+              ELSE retail END AS retail
+  FROM conformed)
+SELECT 'replayed' AS ref, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(part_id) AS BIGINT) AS id_sum,
+       CAST(CAST(SUM(retail) AS DECIMAL(38,4)) * 10000 AS BIGINT)
+         AS retail_ten_thousandths
+FROM conformed
+UNION ALL
+SELECT 'rewritten' AS ref, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(part_id) AS BIGINT) AS id_sum,
+       CAST(CAST(SUM(retail) AS DECIMAL(38,4)) * 10000 AS BIGINT)
+         AS retail_ten_thousandths
+FROM scaled
+"""
+
+
+@_q("x_storage_schema_widening", _X_WIDEN_SQL)
+def x_storage_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution TYPE WIDENING end-to-end (sources/txn.py
+    "widen" op, r18 — the Iceberg/Delta type-promotion contract;
+    VERDICT r17 task #4): commit a parts dim with INT keys and
+    DECIMAL(8,2) prices, then ALTER both columns by pure metadata
+    (INT -> BIGINT, DECIMAL(8,2) -> DECIMAL(18,4)) — zero data files
+    move; the v1 files replay under the wide schema ('replayed' row).
+    Then a transaction REWRITES the table with values only the wide
+    types can hold (even part ids scaled x1e6 — overflow in
+    DECIMAL(8,2)), exercising the r17 corruption class: the rewrite
+    resets the op list, so the widen must not replay over (or fight)
+    the already-wide files ('rewritten' row). In-code asserts pin the
+    replayed dtypes, the time-travel narrow dtypes of the pre-widen
+    era, and the op-list reset after the rewrite. At 100 TB the point
+    is ALTER COLUMN TYPE as one small JSON commit instead of a
+    full-table rewrite."""
+    from ..sources.txn import Catalog
+
+    cat = Catalog(_scratch_dir("spark_graft_widen_") + "/wh")
+    base = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("int").alias("part_id"),
+        F.col("p_retailprice").cast("decimal(8,2)").alias("retail"),
+    )
+    with cat.transaction() as t:
+        t.overwrite(base, "dim_part")
+    m1 = cat.head()
+    cat.evolve_schema("dim_part", [
+        {"op": "widen", "col": "part_id", "type": "bigint"},
+        {"op": "widen", "col": "retail", "type": "decimal(18,4)"},
+    ])
+    replayed_df = cat.read(spark, "dim_part")
+    if dict(replayed_df.dtypes) != {
+        "part_id": "bigint", "retail": "decimal(18,4)",
+    }:
+        raise AssertionError("widen replay did not surface wide types")
+    if dict(cat.read_asof(spark, "dim_part", m1).dtypes) != {
+        "part_id": "int", "retail": "decimal(8,2)",
+    }:
+        raise AssertionError("time travel leaked the widened schema")
+
+    def digest(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("part_id").cast("long").alias("id_sum"),
+            (F.sum("retail").cast("decimal(38,4)") * 10000)
+            .cast("long")
+            .alias("retail_ten_thousandths"),
+        ).select(
+            F.lit(label).alias("ref"), "n", "id_sum",
+            "retail_ten_thousandths",
+        )
+
+    replayed = digest(replayed_df, "replayed")
+    scaled = replayed_df.withColumn(
+        "retail",
+        F.when(
+            F.col("part_id") % 2 == 0,
+            (F.col("retail") * 1000000).cast("decimal(18,4)"),
+        ).otherwise(F.col("retail")),
+    )
+    with cat.transaction() as t:
+        t.overwrite(scaled, "dim_part")
+    if "dim_part" in cat._manifest_schemas(cat.head()):
+        raise AssertionError("rewrite did not reset the widen op list")
+    rewritten = digest(cat.read(spark, "dim_part"), "rewritten")
+    return replayed.unionByName(rewritten)
+
+
+# --------------------------------------------------------------------------
+# Round-18 addition: retention policy (lakehouse maintenance loop)
+# --------------------------------------------------------------------------
+
+_X_RETENTION_SQL = """
+WITH batches AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status FROM orders
+  WHERE o_orderkey % 4 = 1),
+upserts AS (
+  SELECT o_orderkey AS k, 'TOUCHED' AS status FROM orders
+  WHERE o_orderkey % 4 = 1 AND o_orderkey % 3 = 0),
+logical AS (
+  SELECT b.k,
+         COALESCE(u.status, b.status) AS status
+  FROM batches b LEFT JOIN upserts u ON b.k = u.k
+  WHERE b.k % 5 <> 0)
+SELECT 'before' AS ref, status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS key_sum
+FROM logical GROUP BY status
+UNION ALL
+SELECT 'after' AS ref, status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS key_sum
+FROM logical GROUP BY status
+"""
+
+
+@_q("x_storage_retention_policy", _X_RETENTION_SQL)
+def x_storage_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION POLICY end-to-end (operators/retention.py, r18 —
+    Delta OPTIMIZE / Hudi compaction-strategy posture; VERDICT r17
+    task #3): build up every kind of merge-on-read debt against one
+    table — 4 exactly-once streaming micro-batch appends (tiny part
+    files + 4 ledger rows), an upsert delta, a key deletion vector —
+    then run ONE ``enforce_retention`` call with eager thresholds and
+    prove reads are IDENTICAL before and after ('before'/'after'
+    digests, hash-gated against the oracle's pure-content statement).
+    In-code asserts pin the physical effects the digest can't see:
+    every fold actually ran, the base file count dropped to the
+    policy target, the ledger folded to one max row whose replay
+    protection still holds (an old batch id re-delivered after the
+    fold publishes nothing). This is the loop a 100 TB streaming
+    lakehouse runs forever: debt accrues per-commit bounded, a
+    maintenance pass folds it back, and no reader can tell."""
+    from ..operators import deletes as _del
+    from ..operators import mor_upsert as mor
+    from ..operators import retention
+    from ..sources.txn import Catalog
+    from ..streaming.exactly_once import ledger_table
+    from ..streaming import exactly_once as xo
+
+    cat = Catalog(_scratch_dir("spark_graft_retain_") + "/wh")
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+    ).filter(F.col("k") % 4 == 1)
+    key = ("k",)
+    # 4 streaming micro-batches, exactly-once, quartered by key range
+    sink = xo.exactly_once_batch_sink(cat, "orders_ret", "ingest")
+    hi = base.agg(F.max("k")).first()[0]
+    step = (hi // 4) + 1
+    for b in range(4):
+        sink(
+            base.filter(
+                (F.col("k") >= b * step) & (F.col("k") < (b + 1) * step)
+            ),
+            b,
+        )
+    # MoR debt: an upsert delta and a deletion vector
+    mor.upsert_into(
+        cat, spark, "orders_ret",
+        base.filter(F.col("k") % 3 == 0).withColumn(
+            "status", F.lit("TOUCHED")
+        ),
+        key,
+    )
+    _del.delete_where(cat, spark, "orders_ret", F.col("k") % 5 == 0, key)
+
+    def digest(label: str) -> DataFrame:
+        return (
+            mor.read_upserted(cat, spark, "orders_ret", key)
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("k").cast("long").alias("key_sum"),
+            )
+            .select(F.lit(label).alias("ref"), "status", "n", "key_sum")
+        )
+
+    before = digest("before")
+    before_rows = before.collect()  # pin BEFORE the folds run
+    policy = retention.RetentionPolicy(
+        max_side_bytes=1, max_side_ratio=None,
+        max_base_files=2, target_file_bytes=1 << 30,
+        max_ledger_rows_per_app=1,
+    )
+    actions = retention.enforce_retention(
+        cat, spark, "orders_ret", key, policy=policy
+    )
+    for needed in ("fold_upsert_delta", "fold_deletion_vector",
+                   "fold_ledger", "compact_base_files"):
+        if not actions[needed]:
+            raise AssertionError(f"retention did not run {needed}")
+    stats = retention.table_stats(cat, "orders_ret")
+    if stats["files"] > 2:
+        raise AssertionError("base file count not bounded by the policy")
+    ledger = cat.read(spark, ledger_table("orders_ret"))
+    if ledger.count() != 1:
+        raise AssertionError("ledger did not fold to one row per app")
+    # replay protection survives the fold: an OLD batch id re-delivered
+    # after folding publishes nothing
+    head = cat.head()
+    sink(base.limit(5), 1)
+    if cat.head() != head:
+        raise AssertionError("folded ledger lost replay protection")
+    after = digest("after")
+    return spark.createDataFrame(
+        before_rows, before.schema
+    ).unionByName(after)

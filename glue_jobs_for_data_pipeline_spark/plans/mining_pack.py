@@ -2271,7 +2271,17 @@ def x_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@_q("x_olap_hll_partial_merge")  # sketch estimate -> rows-only; pytest-bound
+_X_HLL_MERGE_SQL = """
+SELECT CAST(weekofyear(ts) AS INTEGER) AS week,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS merge_consistent,
+       TRUE AS within_tolerance
+FROM events GROUP BY week
+"""
+
+
+@_q("x_olap_hll_partial_merge", _X_HLL_MERGE_SQL)
 def x_olap_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct counting: per-day Datasketches HLL
     sketches of the active-user set (hll_sketch_agg), merged with
@@ -2283,29 +2293,44 @@ def x_olap_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     gives one-shot estimates but discards the sketch;
     sketch-as-a-value is what enables storage and later merging.
 
-    Output: one row per calendar week — days merged, the merged-HLL
-    estimate, and the exact distinct count for reference. Sketch
-    estimates have no DuckDB counterpart, so the driver check is
-    rows-only; tests/test_mining_pack.py pins (a) relative error vs
-    exact <= 5% and (b) merge consistency — union of daily sketches
-    equals the one-shot weekly sketch BIT-FOR-BIT (HLL union is
-    deterministic), the associativity that makes stored partials
-    trustworthy."""
+    QUANTITATIVE oracle gate (r18, upgraded from rows-only — VERDICT
+    r17 task #5): the sketch estimate has no DuckDB counterpart, but
+    its two CONTRACTS do — per week the output hashes the exact
+    distinct count and day count (SQL-statable) plus two booleans:
+    ``merge_consistent`` (the union-of-daily-sketches estimate equals
+    the one-shot weekly sketch's estimate — HLL union is register-max,
+    so this is deterministic associativity, the property that makes
+    stored partials trustworthy) and ``within_tolerance`` (merged
+    estimate within 5% of exact; measured < 2% at every fixture SF).
+    Both sketch paths still run on every invocation; bit-level merge
+    equality is additionally pinned in tests/test_mining_pack.py."""
     ev = load_events(spark, sf_dir)
     daily = ev.groupBy(
         F.weekofyear("ts").alias("week"), F.col("ts").cast("date").alias("d")
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
     merged = daily.groupBy("week").agg(
-        F.count(F.lit(1)).alias("n_days"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
         F.hll_sketch_estimate(F.hll_union_agg("sk"))
         .cast("long")
         .alias("est_users"),
     )
-    exact = ev.groupBy(F.weekofyear("ts").alias("week")).agg(
-        F.count_distinct("user_id").alias("exact_users")
+    oneshot = ev.groupBy(F.weekofyear("ts").alias("week")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+        .cast("long")
+        .alias("oneshot_users"),
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
     )
-    return merged.join(exact, "week").select(
-        "week", "n_days", "est_users", "exact_users"
+    return merged.join(oneshot, "week").select(
+        "week",
+        "n_days",
+        "exact_users",
+        (F.col("est_users") == F.col("oneshot_users")).alias(
+            "merge_consistent"
+        ),
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_tolerance"),
     )
 
 

@@ -205,19 +205,37 @@ def test_range_join_zero_match_probe_rows_survive(spark):
 
 
 def test_approx_percentiles_track_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     from glue_jobs_for_data_pipeline_spark.plans.catalog_ext import (
         x_olap_approx_percentiles,
         x_olap_percentiles,
     )
 
+    # the r18 quantitative-gate output: every (group, q) rank check ok
+    gated = x_olap_approx_percentiles(spark, sf_dir).collect()
+    assert gated and all(r["rank_ok"] for r in gated), gated
+
+    # value-level tracking (the pre-r18 assertion, now on the raw agg)
     exact = {
         (r["l_returnflag"], r["q"]): r["pct_value"]
         for r in x_olap_percentiles(spark, sf_dir).collect()
     }
-    approx = {
-        (r["l_returnflag"], r["q"]): r["pct_value"]
-        for r in x_olap_approx_percentiles(spark, sf_dir).collect()
-    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qs = [0.25, 0.5, 0.9]
+    approx = {}
+    for r in (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice,"
+                " array(0.25, 0.5, 0.9), 10000)"
+            ).alias("pct")
+        )
+        .collect()
+    ):
+        for q, v in zip(qs, r["pct"]):
+            approx[(r["l_returnflag"], q)] = v
     assert set(approx) == set(exact)
     for k, e in exact.items():
         assert abs(approx[k] - e) <= max(abs(e) * 0.02, 1.0), (k, e, approx[k])
