@@ -4814,21 +4814,40 @@ def x_olap_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("x_olap_freq_items")  # single-pass sketch, partition-order-dependent -> rows-only
+_X_FREQ_ITEMS_SQL = """
+WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM events),
+counts AS (
+  SELECT 'event_type' AS column_name, CAST(event_type AS VARCHAR) AS item,
+         CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT 'user_id' AS column_name, CAST(user_id AS VARCHAR) AS item,
+         CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY user_id)
+SELECT column_name, item, exact_n, TRUE AS in_sketch
+FROM counts, n WHERE exact_n > 0.15 * n.n
+"""
+
+
+@_q("x_olap_freq_items", _X_FREQ_ITEMS_SQL)
 def x_olap_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via the single-pass frequent-items sketch
     (Karp-Shenker-Papadimitriou): one scan, per-partition candidate
     maps merged associatively — the 100 TB shape for "which values
-    exceed f% support" without a full groupBy. Guaranteed SUPERSET of
-    the truly frequent items (may include false positives, never
-    misses); the superset property is asserted against exact counts in
-    tests/test_plans.py.
+    exceed f% support" without a full groupBy.
 
-    Output is scalarized to one ``(column_name, item)`` row per
-    reported item — freqItems' native array<...> columns are not
-    hashable by the driver's pandas canonicalizer (r06 red), so the
-    arrays are turned into structs and exploded in the same select
-    (one sketch pass, no recompute)."""
+    QUANTITATIVE oracle gate (r18, upgraded from rows-only — VERDICT
+    r17 task #5): the sketch's reported SET is partition-order-
+    dependent (false positives vary run to run — the old rows-only
+    reason), but its GUARANTEE is deterministic: every item with
+    exact support > f x N is reported, on every run, whatever the
+    merge order (no false negatives). So the output is the truly
+    frequent items with their exact counts (SQL-statable) plus an
+    ``in_sketch`` boolean per item — TRUE iff the sketch honored its
+    contract. The sketch still runs on every invocation; the
+    unstable false-positive tail simply stays out of the hashed
+    output. Superset property additionally asserted in
+    tests/test_plans.py."""
     from ..sources.readers import load_events
 
     e = load_events(spark, sf_dir)
@@ -4851,8 +4870,26 @@ def x_olap_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    return sketch.select(F.explode(as_rows).alias("s")).select(
+    reported = sketch.select(F.explode(as_rows).alias("s")).select(
         "s.column_name", "s.item"
+    ).withColumn("in_sketch", F.lit(True))
+    n_total = e.count()
+    exact = (
+        e.groupBy(F.col("event_type").cast("string").alias("item"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .select(F.lit("event_type").alias("column_name"), "item", "exact_n")
+        .unionByName(
+            e.groupBy(F.col("user_id").cast("string").alias("item"))
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+            .select(F.lit("user_id").alias("column_name"), "item", "exact_n")
+        )
+        .filter(F.col("exact_n") > 0.15 * n_total)
+    )
+    return exact.join(
+        F.broadcast(reported), on=["column_name", "item"], how="left"
+    ).select(
+        "column_name", "item", "exact_n",
+        F.coalesce("in_sketch", F.lit(False)).alias("in_sketch"),
     )
 
 
