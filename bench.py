@@ -231,6 +231,24 @@ BENCH_QUERIES = [
     # r17: merge-on-read upsert — three delta commits + a dv commit +
     # merged read + atomic compaction (~2.7 s warm)
     "x_storage_mor_upsert",
+    # r18 batch, everything >0.7 s warm at sf0.1: positional deletes
+    # (two (file,pos) delete commits + an add-files append + merged
+    # reads + atomic compaction; ~3.9 s), the retention policy
+    # end-to-end (4 exactly-once micro-batch commits + upsert + delete
+    # debt, then ONE enforce_retention folding delta/dv/ledger and
+    # compacting base files — commit-machinery dominated like the
+    # stream lines; ~11.5 s), schema widening (two data commits + a
+    # metadata ALTER + conformed digests; ~0.9 s), and the two sketch
+    # keys whose r18 quantitative gates added an exact-count pass:
+    # approx percentiles (GK sketch + broadcast rank-check join;
+    # ~1.1 s) and approx distinct (HLL + exact count_distinct; ~2.0 s).
+    # x_olap_hll_partial_merge (0.59 s) and x_olap_freq_items (0.61 s)
+    # stay off the bill per the threshold.
+    "x_storage_positional_deletes",
+    "x_storage_retention_policy",
+    "x_storage_schema_widening",
+    "x_olap_approx_percentiles",
+    "x_olap_approx_distinct",
 ]
 
 # The host's recurring noise mode concentrates on the winnowing pair

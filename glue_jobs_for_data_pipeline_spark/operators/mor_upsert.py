@@ -167,6 +167,70 @@ def read_upserted(
     return base
 
 
+def compact_full(
+    cat: Catalog,
+    spark: SparkSession,
+    name: str,
+    key_cols: tuple[str, ...],
+    branch: str = "main",
+    n_files: int | None = None,
+) -> int | None:
+    """Fold the upsert delta AND the key deletion vector into the base
+    in ONE rewrite + ONE atomic manifest commit — the Hudi/Iceberg
+    compaction shape (apply every log file in a single pass) and the
+    reason retention runs this instead of compact_upserts followed by
+    compact_deletes: at 100 TB the base rewrite IS the cost, so two
+    sequential folds double it for nothing. The merged plan is the
+    read path itself — ((base ANTI delta-keys) ∪ delta) ANTI dv — so
+    reads are identical across the swap by construction. Optional
+    ``n_files`` repartitions the rewrite (retention folds file-count
+    debt in the same pass). Returns the commit's manifest id, or None
+    when neither side table has rows AND no repartition was requested."""
+    last: ConcurrentCommitError | None = None
+    for attempt in range(_COMMIT_RETRIES):
+        try:
+            with cat.transaction(branch=branch) as t:
+                try:
+                    delta = t.read_committed(spark, delta_table(name))
+                    if delta.isEmpty():
+                        delta = None
+                except FileNotFoundError:
+                    delta = None
+                try:
+                    dv = t.read_committed(spark, dv_table(name))
+                    if dv.isEmpty():
+                        dv = None
+                except FileNotFoundError:
+                    dv = None
+                if delta is None and dv is None and n_files is None:
+                    return None
+                merged = t.read_committed(spark, name)
+                if delta is not None:
+                    merged = merged.join(
+                        F.broadcast(delta.select(*key_cols)),
+                        on=list(key_cols),
+                        how="left_anti",
+                    ).unionByName(delta)
+                if dv is not None:
+                    merged = merged.join(
+                        F.broadcast(dv.select(*key_cols)),
+                        on=list(key_cols),
+                        how="left_anti",
+                    )
+                if n_files is not None:
+                    merged = merged.repartition(max(1, n_files))
+                t.overwrite(merged, name)
+                if delta is not None:
+                    t.overwrite(delta.limit(0), delta_table(name))
+                if dv is not None:
+                    t.overwrite(dv.limit(0), dv_table(name))
+            return t.committed_manifest
+        except ConcurrentCommitError as exc:
+            last = exc
+            time.sleep(0.02 * (attempt + 1))
+    raise last  # type: ignore[misc]
+
+
 def evolve_upserted_schema(
     cat: Catalog,
     name: str,

@@ -21,17 +21,18 @@ its existing atomic one-manifest compaction primitive:
 - positional deletes fold FIRST (``compact_positional_deletes``) —
   they anchor to physical files, so they must resolve before any
   rewrite invalidates them;
-- the upsert delta folds when it outgrows ``max_side_ratio`` x base
-  bytes (or ``max_side_bytes``) — read-side anti-join stays cheap;
-- the key deletion vector folds on the same thresholds;
 - the streaming ledger folds to ONE row per app_id (the max batch id —
   Delta keeps exactly this, the latest ``txn`` version per appId;
   Structured Streaming batch ids are monotonic per checkpoint, so the
   max is a complete replay test) when it exceeds
-  ``max_ledger_rows_per_app`` x apps;
-- finally the BASE rewrites into ~target-sized files when its file
-  count exceeds ``max_base_files`` (``Catalog.compact_table``) — after
-  the pdv fold, so no positional anchor is pending.
+  ``max_ledger_rows_per_app`` x apps — metadata-only;
+- everything REWRITE-shaped shares ONE pass: the upsert-delta fold
+  (due past ``max_side_ratio`` x base bytes or ``max_side_bytes``),
+  the key-dv fold (same thresholds), and the file-count compaction
+  (due past ``max_base_files``, repartitioned to ``target_file_bytes``)
+  all run as a single ``mor_upsert.compact_full`` rewrite + one atomic
+  commit — at 100 TB the base rewrite IS the cost, so sequential folds
+  would double or triple it.
 
 Reads are IDENTICAL before and after every step (each fold's own
 invariant, proven by the compaction primitives' tests and the
@@ -167,31 +168,7 @@ def enforce_retention(
         )
         base = table_stats(cat, name)
 
-    # 2) upsert delta
-    if _side_due(base, table_stats(cat, _mor.delta_table(name)), policy):
-        if not key_cols:
-            raise ValueError(
-                f"retention on {name!r}: delta fold due but no key_cols"
-            )
-        actions["fold_upsert_delta"] = (
-            _mor.compact_upserts(cat, spark, name, key_cols, branch)
-            is not None
-        )
-        base = table_stats(cat, name)
-
-    # 3) key deletion vector
-    if _side_due(base, table_stats(cat, _deletes.dv_table(name)), policy):
-        if not key_cols:
-            raise ValueError(
-                f"retention on {name!r}: dv fold due but no key_cols"
-            )
-        actions["fold_deletion_vector"] = (
-            _deletes.compact_deletes(cat, spark, name, key_cols, branch)
-            is not None
-        )
-        base = table_stats(cat, name)
-
-    # 4) streaming ledger
+    # 2) streaming ledger (metadata-only, independent of the rewrite)
     if policy.max_ledger_rows_per_app is not None:
         from ..streaming.exactly_once import ledger_table
 
@@ -211,21 +188,52 @@ def enforce_retention(
             except FileNotFoundError:
                 pass
 
-    # 5) base file-count compaction (pdv already folded above; key dv /
-    # delta survive a base rewrite — they match by key, not position)
-    if (
+    # 3) ONE combined rewrite for everything rewrite-shaped: the upsert
+    # delta fold, the key-dv fold, and the file-count compaction all
+    # cost a base rewrite, so whichever subset is due shares a single
+    # pass + a single atomic commit (mor_upsert.compact_full) — at
+    # 100 TB sequential folds would double or triple the round's
+    # dominant cost. Key-matched side tables survive a rewrite, so
+    # ordering vs the ledger/pdv steps above is free.
+    delta_due = _side_due(base, table_stats(cat, _mor.delta_table(name)), policy)
+    dv_due = _side_due(base, table_stats(cat, _deletes.dv_table(name)), policy)
+    files_due = (
         policy.max_base_files is not None
         and base is not None
         and base["files"] > policy.max_base_files
-    ):
-        pdv_stats = table_stats(cat, _pdel.pdv_table(name))
-        if pdv_stats is not None and pdv_stats["bytes"] > 0:
-            # sub-threshold positional deletes still pending: fold them
-            # now — a plain rewrite would strand their anchors
-            _pdel.compact_positional_deletes(cat, spark, name, branch)
-        cat.compact_table(
-            spark, name, target_file_bytes=policy.target_file_bytes
-        )
-        actions["compact_base_files"] = True
+    )
+    if delta_due or dv_due or files_due:
+        if (delta_due or dv_due) and not key_cols:
+            raise ValueError(
+                f"retention on {name!r}: delta/dv fold due but no key_cols"
+            )
+        n_files = None
+        if files_due:
+            import math
+
+            pdv_stats = table_stats(cat, _pdel.pdv_table(name))
+            if pdv_stats is not None and pdv_stats["bytes"] > 0:
+                # sub-threshold positional deletes still pending: fold
+                # them now — the rewrite would strand their anchors
+                _pdel.compact_positional_deletes(cat, spark, name, branch)
+                base = table_stats(cat, name)
+            n_files = max(
+                1, math.ceil(base["bytes"] / policy.target_file_bytes)
+            )
+        if key_cols:
+            ran = (
+                _mor.compact_full(
+                    cat, spark, name, key_cols, branch, n_files=n_files
+                )
+                is not None
+            )
+        else:  # files_due only, keyless table: plain sized rewrite
+            cat.compact_table(
+                spark, name, target_file_bytes=policy.target_file_bytes
+            )
+            ran = True
+        actions["fold_upsert_delta"] = delta_due and ran
+        actions["fold_deletion_vector"] = dv_due and ran
+        actions["compact_base_files"] = files_due and ran
 
     return actions

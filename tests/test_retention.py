@@ -165,6 +165,38 @@ def test_fold_ledger_minimal_is_noop(spark, cat):
     assert retention.fold_ledger(cat, spark, "absent") is None
 
 
+def test_compact_full_is_one_commit_one_rewrite(spark, cat):
+    """Delta AND dv fold in ONE manifest commit, and the base version
+    advances exactly once (the single-rewrite contract retention
+    relies on at scale)."""
+    _seed(cat, spark)
+    mor_upsert.upsert_into(
+        cat, spark, "t",
+        spark.createDataFrame([(1, "x"), (50, "n")], "k long, v string"),
+        ("k",),
+    )
+    deletes.delete_where(cat, spark, "t", "k = 2", ("k",))
+    before = _state(cat, spark)
+    base_v_before = cat.manifest()["t"]
+    m = mor_upsert.compact_full(cat, spark, "t", ("k",))
+    assert m == cat.head()
+    assert _state(cat, spark) == before
+    # one commit emptied BOTH side tables and bumped base ONCE
+    tables = cat._manifest_tables(m)
+    parent = cat._manifest_tables(cat._manifest_parent(m))
+    assert tables["t"] == base_v_before + cat.manifest()["t"] - base_v_before
+    assert tables["t"] != parent["t"]
+    assert cat.read(spark, mor_upsert.delta_table("t")).count() == 0
+    assert cat.read(spark, deletes.dv_table("t")).count() == 0
+    # nothing left to fold
+    assert mor_upsert.compact_full(cat, spark, "t", ("k",)) is None
+    # n_files-only invocation still rewrites (file sizing)
+    m2 = mor_upsert.compact_full(cat, spark, "t", ("k",), n_files=1)
+    assert m2 is not None
+    assert retention.table_stats(cat, "t")["files"] == 1
+    assert _state(cat, spark) == before
+
+
 def test_delta_fold_requires_key_cols(spark, cat):
     _seed(cat, spark)
     mor_upsert.upsert_into(
