@@ -249,6 +249,12 @@ BENCH_QUERIES = [
     "x_storage_schema_widening",
     "x_olap_approx_percentiles",
     "x_olap_approx_distinct",
+    # r18 late pair: snapshot rollback + history expiry (four commits,
+    # a CAS rollback, expire + reachability gc; ~2.3 s warm) and CHECK
+    # constraints (declare + conforming load + three rejected writes;
+    # ~2.0 s warm)
+    "x_storage_rollback_expire",
+    "x_storage_check_constraints",
 ]
 
 # The host's recurring noise mode concentrates on the winnowing pair

@@ -6485,3 +6485,171 @@ def x_storage_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         before_rows, before.schema
     ).unionByName(after)
+
+
+# --------------------------------------------------------------------------
+# Round-18 addition: snapshot rollback + history expiry (the remaining
+# Iceberg lifecycle ops)
+# --------------------------------------------------------------------------
+
+_X_ROLLBACK_SQL = """
+SELECT 'rolled_back' AS ref, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 'after_redo' AS ref, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT 'after_expire' AS ref, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderkey % 2 = 0
+"""
+
+
+@_q("x_storage_rollback_expire", _X_ROLLBACK_SQL)
+def x_storage_rollback_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot ROLLBACK + history EXPIRY end-to-end (sources/txn.py
+    rollback_to / expire_snapshots, r18 — Iceberg's
+    rollback_to_snapshot and expire_snapshots, the two lifecycle ops
+    the catalog still lacked): commit v1, commit a bad v2, roll the
+    ref back to v1 with one O(1) CAS pointer move ('rolled_back'
+    digest = v1's content — the undo is metadata-only, zero data
+    copied), then commit a corrective v3 whose parent is v1 — the
+    abandoned v2 is now unreachable (asserted in-code) and reclaimed
+    by gc. Finally expire_snapshots(keep_last=2) truncates history:
+    time travel to the expired manifest raises (asserted in-code)
+    while the head read is bit-identical ('after_expire' digest ==
+    'after_redo'). Together with retention this bounds an infinite
+    streaming run's METADATA growth, not just its data debt."""
+    from ..sources.txn import Catalog
+
+    cat = Catalog(_scratch_dir("spark_graft_rollb_") + "/wh")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    with cat.transaction() as t:
+        t.overwrite(base.filter(F.col("o_orderkey") % 3 == 0), "orders_rb")
+    m1 = cat.head()
+    with cat.transaction() as t:  # the "bad" commit
+        t.overwrite(base, "orders_rb")
+    m2 = cat.head()
+    cat.rollback_to(m1)
+
+    def digest(label: str) -> DataFrame:
+        return cat.read(spark, "orders_rb").agg(
+            F.lit(label).alias("ref"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        ).select("ref", "n", "key_sum")
+
+    rolled_back = digest("rolled_back")
+    rolled_rows = rolled_back.collect()  # pin BEFORE later commits
+    with cat.transaction() as t:  # corrective commit, parents onto m1
+        t.overwrite(base.filter(F.col("o_orderkey") % 2 == 0), "orders_rb")
+    m3 = cat.head()
+    if cat._manifest_parent(m3) != m1:
+        raise AssertionError("corrective commit did not parent onto m1")
+    if m2 in cat._reachable_manifests():
+        raise AssertionError("abandoned commit still reachable")
+    after_redo = digest("after_redo")
+    redo_rows = after_redo.collect()
+    report = cat.expire_snapshots(keep_last=2, grace_seconds=0.0)
+    if m2 not in report["expired_manifests"]:
+        raise AssertionError("abandoned manifest survived expiry")
+    try:
+        cat.read_asof(spark, "orders_rb", m2)
+    except FileNotFoundError:
+        pass
+    else:
+        raise AssertionError("expired manifest still time-travelable")
+    after_expire = digest("after_expire")
+    sch = rolled_back.schema
+    return (
+        spark.createDataFrame(rolled_rows, sch)
+        .unionByName(spark.createDataFrame(redo_rows, sch))
+        .unionByName(after_expire)
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-18 addition: CHECK constraints (write-side data contracts)
+# --------------------------------------------------------------------------
+
+_X_CONSTRAINTS_SQL = """
+WITH good AS (
+  SELECT o_orderkey AS k, o_totalprice AS amt FROM orders
+  WHERE o_totalprice > 0 AND o_orderkey % 2 = 0)
+SELECT 'committed' AS ref, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS key_sum
+FROM good
+UNION ALL
+SELECT 'after_rejects' AS ref, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS key_sum
+FROM good
+"""
+
+
+@_q("x_storage_check_constraints", _X_CONSTRAINTS_SQL)
+def x_storage_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints end-to-end (sources/txn.py add_constraint /
+    ConstraintViolationError, r18 — the Delta ALTER TABLE ADD
+    CONSTRAINT contract): declare ``amt > 0`` on an empty table
+    (declare-before-load), commit a conforming load, then prove the
+    gate by attempting THREE violating writes — a negative-amount
+    append, a NULL-amount append (NULL is a violation: every row must
+    evaluate TRUE), and a violating full overwrite — each of which
+    must raise and publish NOTHING (head asserted unchanged in-code).
+    Enforcement costs O(written rows): the check runs on the staged
+    batch, so a 100 TB table charges an appended micro-batch for its
+    own rows only. Digests before and after the rejected writes are
+    hash-gated to the same oracle statement — bad data is
+    unrepresentable in the committed catalog."""
+    from ..sources.txn import Catalog, ConstraintViolationError
+
+    cat = Catalog(_scratch_dir("spark_graft_chk_") + "/wh")
+    cat.add_constraint(spark, "orders_chk", "amt_positive", "amt > 0")
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("amt"),
+    ).filter(F.col("k") % 2 == 0)
+    with cat.transaction() as t:
+        t.overwrite(base, "orders_chk")
+
+    def digest(label: str) -> DataFrame:
+        return cat.read(spark, "orders_chk").agg(
+            F.lit(label).alias("ref"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("key_sum"),
+        ).select("ref", "n", "key_sum")
+
+    committed = digest("committed")
+    committed_rows = committed.collect()
+    head = cat.head()
+    attempts = [
+        lambda t: t.append(
+            spark.createDataFrame([(1_000_001, -5.0)], "k long, amt double"),
+            "orders_chk",
+        ),
+        lambda t: t.append(
+            spark.createDataFrame([(1_000_003, None)], "k long, amt double"),
+            "orders_chk",
+        ),
+        lambda t: t.overwrite(
+            base.withColumn("amt", -F.col("amt")), "orders_chk"
+        ),
+    ]
+    for stage in attempts:
+        try:
+            with cat.transaction() as t:
+                stage(t)
+        except ConstraintViolationError:
+            pass
+        else:
+            raise AssertionError("violating write was not rejected")
+        if cat.head() != head:
+            raise AssertionError("rejected write published a manifest")
+    after = digest("after_rejects")
+    return spark.createDataFrame(
+        committed_rows, committed.schema
+    ).unionByName(after)

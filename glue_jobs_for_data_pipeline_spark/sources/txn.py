@@ -564,6 +564,21 @@ class MergeConflictError(ValueError):
         self.tables = tables
 
 
+class ConstraintViolationError(ValueError):
+    """Raised when a write would commit rows that do not satisfy a
+    table's CHECK constraint (r18 — Delta CHECK-constraint semantics:
+    every row must evaluate the expression to TRUE; FALSE and NULL are
+    violations). The transaction rolls back and nothing publishes —
+    constraints make bad data unrepresentable in the committed
+    catalog, the write-side complement of the validation-gate
+    operators."""
+
+    def __init__(self, msg: str, table: str, constraint: str) -> None:
+        super().__init__(msg)
+        self.table = table
+        self.constraint = constraint
+
+
 def _fsync_dir(path: str) -> None:
     """fsync a DIRECTORY so a just-os.replace()d entry inside it is
     durable across power loss (POSIX: rename atomicity does not imply
@@ -712,21 +727,34 @@ class Catalog:
         # per entry — code-review r17)
         docs: dict[int, dict] = {}
 
-        def _doc(m: int | None) -> dict:
+        def _doc(m: int | None) -> dict | None:
+            """Manifest doc, or None when the FILE is gone — an
+            expire_snapshots truncation point (r18): the walk treats
+            the oldest surviving manifest as a root."""
             if m is None:
                 return {"tables": {}}
             if m not in docs:
                 path = os.path.join(self.root, _MANIFEST_DIR, f"m={m}.json")
-                with open(path) as f:
-                    docs[m] = json.load(f)
+                try:
+                    with open(path) as f:
+                        docs[m] = json.load(f)
+                except FileNotFoundError:
+                    return None
             return docs[m]
 
         cur = self.head(branch)
         while cur is not None:
             doc = _doc(cur)
+            if doc is None:  # pragma: no cover - head itself expired
+                break
             parent = doc.get("parent")
             parent = int(parent) if parent is not None else None
             pdoc = _doc(parent)
+            if pdoc is None:
+                # parent expired: this manifest is the surviving root —
+                # diff against empty and end the walk
+                parent, pdoc = None, {"tables": {}}
+                doc = {**doc, "parent": None}
             tables = {k: int(v) for k, v in doc["tables"].items()}
             ptables = {k: int(v) for k, v in pdoc["tables"].items()}
             schemas = doc.get("schemas", {})
@@ -838,6 +866,77 @@ class Catalog:
         path = os.path.join(self.root, _MANIFEST_DIR, f"m={m}.json")
         with open(path) as f:
             return json.load(f).get("schemas", {})
+
+    def _manifest_constraints(self, m: int | None) -> dict[str, dict[str, str]]:
+        """Table -> {constraint name -> SQL expr} of manifest ``m``
+        ({} for None and pre-r18 manifests)."""
+        if m is None:
+            return {}
+        path = os.path.join(self.root, _MANIFEST_DIR, f"m={m}.json")
+        with open(path) as f:
+            return json.load(f).get("constraints", {})
+
+    def add_constraint(
+        self,
+        spark: SparkSession,
+        name: str,
+        constraint: str,
+        expr: str,
+        branch: str = "main",
+    ) -> int:
+        """Attach a CHECK constraint to ``name`` (r18 — Delta
+        ALTER TABLE ADD CONSTRAINT semantics): committed EXISTING data
+        is validated first (one filtered scan; a table this constraint
+        would already break must be repaired before the rule can be
+        declared), then the (name, expr) pair lands as a metadata-only
+        commit and EVERY later write to the table — overwrite or
+        append, any transaction — must satisfy it or the commit raises
+        ConstraintViolationError and publishes nothing. Rows where the
+        expression is FALSE or NULL are violations (every row must
+        evaluate TRUE, the Delta contract).
+
+        Enforcement cost is O(written rows), not O(table): the check
+        runs on the staged DataFrame before it lands, so at 100 TB an
+        appended micro-batch pays for its own rows only."""
+        from pyspark.sql import functions as F
+
+        head = self.head(branch)
+        if name in self._manifest_tables(head):
+            bad = (
+                self._read_table(spark, name, head, f"branch {branch!r}")
+                .filter(~F.expr(expr).eqNullSafe(F.lit(True)))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ConstraintViolationError(
+                    f"existing rows of {name!r} violate CHECK "
+                    f"{constraint!r} ({expr}); repair before declaring",
+                    name,
+                    constraint,
+                )
+        cons = {k: dict(v) for k, v in self._manifest_constraints(head).items()}
+        cons.setdefault(name, {})[constraint] = expr
+        return self._commit(
+            {}, expected_head=head, branch=branch, constraints=cons
+        )
+
+    def drop_constraint(
+        self, name: str, constraint: str, branch: str = "main"
+    ) -> int:
+        """Remove a CHECK constraint — metadata-only commit."""
+        head = self.head(branch)
+        cons = {k: dict(v) for k, v in self._manifest_constraints(head).items()}
+        if constraint not in cons.get(name, {}):
+            raise ValueError(
+                f"no constraint {constraint!r} on table {name!r}"
+            )
+        del cons[name][constraint]
+        if not cons[name]:
+            del cons[name]
+        return self._commit(
+            {}, expected_head=head, branch=branch, constraints=cons
+        )
 
     def evolve_schema(
         self, name: str, ops: list[dict], branch: str = "main"
@@ -983,6 +1082,23 @@ class Catalog:
             mdoc: dict = {"tables": merged, "parent": o_head}
             if merged_s:
                 mdoc["schemas"] = merged_s
+            # constraints rebase three-way at TABLE granularity too:
+            # the branch's constraint state wins for tables whose map
+            # changed on the branch since the fork (conflicts with a
+            # simultaneous onto-side change are rare enough that
+            # last-declarer-wins is acceptable for a metadata rule set
+            # — the data itself re-validates on the next write)
+            base_c = self._manifest_constraints(base)
+            b_c = self._manifest_constraints(b_head)
+            merged_c = dict(self._manifest_constraints(o_head))
+            for k in set(base_c) | set(b_c):
+                if base_c.get(k, {}) != b_c.get(k, {}):
+                    if k in b_c:
+                        merged_c[k] = b_c[k]
+                    else:
+                        merged_c.pop(k, None)
+            if merged_c:
+                mdoc["constraints"] = merged_c
             mpath = os.path.join(self.root, _MANIFEST_DIR, f"m={m}.json")
             tmp = mpath + ".tmp"
             with open(tmp, "w") as f:
@@ -1000,6 +1116,91 @@ class Catalog:
             os.replace(rtmp, ref)
             _fsync_dir(os.path.dirname(ref))
             return m
+
+    def rollback_to(self, manifest: int, branch: str = "main") -> int:
+        """ROLL BACK ``branch`` to an ANCESTOR manifest (Iceberg's
+        rollback_to_snapshot): one O(1) CAS-guarded pointer move, zero
+        data copied — version dirs and manifests are immutable, so
+        "undo the last N commits" is just re-pointing the ref at the
+        older snapshot. Requires ``manifest`` to be an ancestor of (or
+        equal to) the branch's current head: re-pointing at an
+        unrelated manifest would be a fork wearing a rollback's name,
+        and a typo'd id must fail loudly, not rewrite history.
+
+        The abandoned descendant manifests stay on disk (a second
+        rollback_to at the newer id REDOES forward — the descendant
+        direction is accepted too, Iceberg's set_current_snapshot
+        within one lineage) until a NEW commit lands — its parent is
+        the rollback target, so the abandoned suffix becomes
+        unreachable and gc_uncommitted/expire_snapshots reclaims it.
+        A racing commit moves the ref and turns this into a retryable
+        ConcurrentCommitError (the _set_ref CAS)."""
+        cur = self.head(branch)
+        if cur is None:
+            raise ValueError(f"branch {branch!r} has no commits")
+
+        def _on_chain(frm: int, to: int) -> bool:
+            walk: int | None = frm
+            while walk is not None:
+                if walk == to:
+                    return True
+                walk = self._manifest_parent(walk)
+            return False
+
+        if not (_on_chain(cur, manifest) or _on_chain(manifest, cur)):
+            raise ValueError(
+                f"m={manifest} is not an ancestor of {branch!r}'s head "
+                f"(m={cur}) nor a descendant of it; rollback cannot "
+                "fork history"
+            )
+        if cur != manifest:
+            self._set_ref(branch, manifest, expected=cur)
+        return manifest
+
+    def expire_snapshots(
+        self, keep_last: int = 2, grace_seconds: float = 300.0
+    ) -> dict:
+        """TRUNCATE HISTORY (Iceberg's expire_snapshots): for every
+        ref, keep the newest ``keep_last`` manifests of its parent
+        chain; every other manifest FILE is deleted, then the standard
+        reachability gc reclaims any table version no surviving
+        manifest references. Time travel to an expired manifest raises
+        FileNotFoundError — the expiry contract — while the parent
+        walk from a kept manifest ends gracefully at the truncation
+        point (a missing parent reads as a root). This is what bounds
+        METADATA and orphaned-data growth over an infinite streaming
+        run: commit debt is folded by retention, history debt by
+        expiry.
+
+        ``grace_seconds`` passes through to gc_uncommitted so versions
+        being staged by in-flight writers are left alone (same
+        retention-window contract). Keeping at least the head is
+        enforced (keep_last >= 1). Returns {"expired_manifests": [...],
+        "reclaimed": gc report}."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the head must survive)")
+        mdir = os.path.join(self.root, _MANIFEST_DIR)
+        with self._locked():
+            keep: set[int] = set()
+            for head in self.branches().values():
+                cur, depth = head, 0
+                while cur is not None and depth < keep_last:
+                    keep.add(cur)
+                    depth += 1
+                    cur = self._manifest_parent(cur)
+            expired: list[int] = []
+            for f in os.listdir(mdir):
+                if not (f.startswith("m=") and f.endswith(".json")):
+                    continue
+                mid = f[len("m=") : -len(".json")]
+                if mid.isdigit() and int(mid) not in keep:
+                    os.unlink(os.path.join(mdir, f))
+                    expired.append(int(mid))
+        # reachable manifests now == the kept set, so the standard
+        # reachability gc (own lock acquisition — after ours releases)
+        # reclaims every version only expired manifests referenced
+        reclaimed = self.gc_uncommitted(grace_seconds=grace_seconds)
+        return {"expired_manifests": sorted(expired), "reclaimed": reclaimed}
 
     def _set_ref(
         self, branch: str, m: int, expected: int | None
@@ -1125,6 +1326,7 @@ class Catalog:
         branch: str = "main",
         schema_ops: dict[str, list[dict]] | None = None,
         keep_schema_ops: frozenset[str] | set[str] = frozenset(),
+        constraints: dict[str, dict[str, str]] | None = None,
     ) -> int:
         """Write the merged manifest (immutable file), then swap _HEAD —
         the ONLY publish point; everything before it is abortable.
@@ -1176,9 +1378,19 @@ class Catalog:
                     schemas.pop(tname, None)
             for tname, ops in (schema_ops or {}).items():
                 schemas[tname] = schemas.get(tname, []) + list(ops)
+            # CHECK constraints carry forward on every commit (unlike
+            # schema ops they survive rewrites — the rule outlives any
+            # one version); add/drop_constraint pass the full new map
+            cons = (
+                constraints
+                if constraints is not None
+                else self._manifest_constraints(parent)
+            )
             doc: dict = {"tables": merged, "parent": parent}
             if schemas:
                 doc["schemas"] = schemas
+            if cons:
+                doc["constraints"] = cons
             mpath = os.path.join(self.root, _MANIFEST_DIR, f"m={m}.json")
             tmp = mpath + ".tmp"
             with open(tmp, "w") as f:
@@ -1457,9 +1669,38 @@ class CatalogTransaction:
         # guards its own ref.
         self._expected_head = catalog.head(branch)
 
+    def _enforce_constraints(self, df: DataFrame, name: str) -> None:
+        """CHECK-constraint gate on the rows THIS write introduces
+        (r18): one filtered count per declared constraint, so an
+        appended micro-batch pays O(batch), never O(table). FALSE and
+        NULL are violations (every row must evaluate TRUE — Delta
+        semantics). Raising here aborts the bracket before anything
+        stages, so a violating write can never publish."""
+        cons = self._catalog._manifest_constraints(
+            self._expected_head
+        ).get(name)
+        if not cons:
+            return
+        from pyspark.sql import functions as F
+
+        for cname, expr in sorted(cons.items()):
+            bad = (
+                df.filter(~F.expr(expr).eqNullSafe(F.lit(True)))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ConstraintViolationError(
+                    f"write to {name!r} violates CHECK {cname!r} "
+                    f"({expr}); transaction rolled back",
+                    name,
+                    cname,
+                )
+
     def overwrite(
         self, df: DataFrame, name: str, partition_by: tuple[str, ...] = ()
     ) -> int:
+        self._enforce_constraints(df, name)
         version = stage_version(df, self._catalog.table_dir(name), partition_by)
         self._staged[name] = version
         # a rewrite supersedes any earlier append of the same table in
@@ -1483,8 +1724,9 @@ class CatalogTransaction:
         else:
             snap = self._catalog._manifest_tables(self._expected_head)
             if name not in snap:
-                return self.overwrite(df, name)
+                return self.overwrite(df, name)  # enforces constraints
             base_v = snap[name]
+        self._enforce_constraints(df, name)
         version = stage_version_append(
             df, self._catalog.table_dir(name), base_v
         )

@@ -1347,6 +1347,211 @@ def test_schema_widening_bigint_to_double_rejected(spark, tmp_path):
         cat.read(spark, "t")
 
 
+def test_rollback_moves_ref_and_redo_forward(spark, tmp_path):
+    """rollback_to re-points the ref at an ancestor (O(1), CAS'd);
+    the abandoned suffix is still readable until a new commit lands,
+    and a second rollback can redo forward."""
+    from glue_jobs_for_data_pipeline_spark.sources.txn import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(spark.range(3).selectExpr("id AS k"), "t")
+    m1 = cat.head()
+    with cat.transaction() as t:
+        t.overwrite(spark.range(9).selectExpr("id AS k"), "t")
+    m2 = cat.head()
+    assert cat.rollback_to(m1) == m1
+    assert cat.head() == m1
+    assert cat.read(spark, "t").count() == 3
+    # redo forward (m2 manifest still on disk)
+    assert cat.rollback_to(m2) == m2  # m2's parent chain includes m1...
+    assert cat.read(spark, "t").count() == 9
+
+
+def test_rollback_rejects_non_ancestor(spark, tmp_path):
+    from glue_jobs_for_data_pipeline_spark.sources.txn import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(spark.range(2).toDF("a"), "t")
+    with pytest.raises(ValueError, match="not an ancestor"):
+        cat.rollback_to(99999)
+
+
+def test_commit_after_rollback_abandons_suffix(spark, tmp_path):
+    """A commit on the rolled-back head parents onto the rollback
+    target; the abandoned manifests become unreachable and gc-able."""
+    from glue_jobs_for_data_pipeline_spark.sources.txn import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(spark.range(3).selectExpr("id AS k"), "t")
+    m1 = cat.head()
+    with cat.transaction() as t:
+        t.overwrite(spark.range(9).selectExpr("id AS k"), "t")
+    m2 = cat.head()
+    cat.rollback_to(m1)
+    with cat.transaction() as t:
+        t.overwrite(spark.range(5).selectExpr("id AS k"), "t")
+    m3 = cat.head()
+    assert cat._manifest_parent(m3) == m1
+    assert m2 not in cat._reachable_manifests()
+    reclaimed = cat.gc_uncommitted()
+    assert "t" in reclaimed  # m2's exclusive version swept
+    assert cat.read(spark, "t").count() == 5
+
+
+def test_expire_snapshots_truncates_history(spark, tmp_path):
+    """keep_last manifests survive per ref; older ones expire — time
+    travel to them raises, the head read is untouched, exclusive
+    versions are reclaimed, and the log walk ends at the truncation."""
+    from glue_jobs_for_data_pipeline_spark.sources.txn import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    heads = []
+    for n in (2, 4, 6, 8):
+        with cat.transaction() as t:
+            t.overwrite(spark.range(n).selectExpr("id AS k"), "t")
+        heads.append(cat.head())
+    report = cat.expire_snapshots(keep_last=2, grace_seconds=0.0)
+    assert report["expired_manifests"] == heads[:2]
+    assert cat.read(spark, "t").count() == 8
+    assert cat.read_asof(spark, "t", heads[2]).count() == 6  # kept
+    with pytest.raises(FileNotFoundError):
+        cat.read_asof(spark, "t", heads[0])
+    # expired manifests' exclusive versions were reclaimed
+    assert set(report["reclaimed"].get("t", [])) == {1, 2}
+    # the log walk ends gracefully at the truncation point
+    log = cat.log()
+    assert [e["manifest"] for e in log] == heads[2:]
+    # idempotent
+    again = cat.expire_snapshots(keep_last=2, grace_seconds=0.0)
+    assert again["expired_manifests"] == []
+
+
+def test_expire_snapshots_keeps_branch_pins(spark, tmp_path):
+    """A manifest inside ANOTHER ref's keep window survives even when
+    it is deep history for main."""
+    from glue_jobs_for_data_pipeline_spark.sources.txn import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(spark.range(3).selectExpr("id AS k"), "t")
+    pinned = cat.head()
+    cat.create_branch("exp")  # exp pins the first manifest
+    for n in (5, 7, 9):
+        with cat.transaction() as t:
+            t.overwrite(spark.range(n).selectExpr("id AS k"), "t")
+    cat.expire_snapshots(keep_last=1, grace_seconds=0.0)
+    # main kept only its head, but exp's pin survived
+    assert cat.read(spark, "t", branch="exp").count() == 3
+    assert cat.read(spark, "t").count() == 9
+    assert cat.read_asof(spark, "t", pinned).count() == 3
+
+
+def test_check_constraint_blocks_bad_writes(spark, tmp_path):
+    """CHECK constraints (r18, Delta semantics): a violating overwrite
+    or append raises, rolls the bracket back, and publishes nothing;
+    conforming writes land. NULL evaluates as a violation."""
+    from glue_jobs_for_data_pipeline_spark.sources.txn import (
+        Catalog,
+        ConstraintViolationError,
+    )
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(
+            spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, amt double"),
+            "t",
+        )
+    cat.add_constraint(spark, "t", "amt_positive", "amt > 0")
+    head = cat.head()
+    with pytest.raises(ConstraintViolationError, match="amt_positive"):
+        with cat.transaction() as t:
+            t.append(
+                spark.createDataFrame([(3, -5.0)], "k long, amt double"), "t"
+            )
+    assert cat.head() == head  # nothing published
+    with pytest.raises(ConstraintViolationError):  # NULL is a violation
+        with cat.transaction() as t:
+            t.overwrite(
+                spark.createDataFrame([(4, None)], "k long, amt double"), "t"
+            )
+    assert cat.head() == head
+    with cat.transaction() as t:  # conforming append lands
+        t.append(spark.createDataFrame([(3, 5.0)], "k long, amt double"), "t")
+    assert cat.read(spark, "t").count() == 3
+    # constraints survive rewrites (unlike schema ops)
+    with cat.transaction() as t:
+        t.overwrite(cat.read(spark, "t"), "t")
+    with pytest.raises(ConstraintViolationError):
+        with cat.transaction() as t:
+            t.overwrite(
+                spark.createDataFrame([(9, -1.0)], "k long, amt double"), "t"
+            )
+
+
+def test_add_constraint_validates_existing_data(spark, tmp_path):
+    from glue_jobs_for_data_pipeline_spark.sources.txn import (
+        Catalog,
+        ConstraintViolationError,
+    )
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(
+            spark.createDataFrame([(1, -3.0)], "k long, amt double"), "t"
+        )
+    with pytest.raises(ConstraintViolationError, match="existing rows"):
+        cat.add_constraint(spark, "t", "amt_positive", "amt > 0")
+    # declare-before-load: constraint on a not-yet-committed table
+    cat.add_constraint(spark, "t2", "k_small", "k < 100")
+    with pytest.raises(ConstraintViolationError):
+        with cat.transaction() as t:
+            t.overwrite(spark.createDataFrame([(500,)], "k long"), "t2")
+
+
+def test_drop_constraint_reopens_writes(spark, tmp_path):
+    from glue_jobs_for_data_pipeline_spark.sources.txn import (
+        Catalog,
+        ConstraintViolationError,
+    )
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(spark.createDataFrame([(1,)], "k long"), "t")
+    cat.add_constraint(spark, "t", "k_pos", "k > 0")
+    with pytest.raises(ConstraintViolationError):
+        with cat.transaction() as t:
+            t.append(spark.createDataFrame([(-1,)], "k long"), "t")
+    cat.drop_constraint("t", "k_pos")
+    with cat.transaction() as t:
+        t.append(spark.createDataFrame([(-1,)], "k long"), "t")
+    assert cat.read(spark, "t").count() == 2
+    with pytest.raises(ValueError, match="no constraint"):
+        cat.drop_constraint("t", "k_pos")
+
+
+def test_constraints_survive_rebase(spark, tmp_path):
+    from glue_jobs_for_data_pipeline_spark.sources.txn import (
+        Catalog,
+        ConstraintViolationError,
+    )
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(spark.createDataFrame([(1,)], "k long"), "t")
+    cat.create_branch("exp")
+    cat.add_constraint(spark, "t", "k_pos", "k > 0", branch="exp")
+    with cat.transaction() as t:  # main moves another table
+        t.overwrite(spark.range(2).toDF("id"), "other")
+    cat.rebase("exp")
+    cat.merge_ff("exp")
+    with pytest.raises(ConstraintViolationError):
+        with cat.transaction() as t:
+            t.append(spark.createDataFrame([(-1,)], "k long"), "t")
+
+
 def test_compact_table_folds_pending_schema_ops(spark, tmp_path):
     """compact_table reads CONFORMED and its rewrite resets the ops —
     the compacted files embody the evolution instead of undoing it."""
