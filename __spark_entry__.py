@@ -56,9 +56,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # (c) always-on m1/m2 core + m5;
 # (d) the carried r15 cohort (driver evidence r15 — the verdict's
 #     named leftovers first, then the rest of the cohort in its r15
-#     window order; x_storage_branch_isolation and
-#     x_emb_centroids_stage yielded their slots to the two late-r18
-#     keys in (a) and carry to r19);
+#     window order; x_storage_branch_isolation,
+#     x_emb_centroids_stage and x_split_group_kfold yielded their
+#     slots to the three late-r18 keys in (a) and carry to r19);
 # (e) the OLDEST parity tranche s1..p5 (driver evidence r14).
 # Carried to r19 (sweep-green at both SFs every round): parity
 # p6..l1 + f1..f11 + v1..v4 + m3/m1b/m4 (r17 evidence), the
@@ -76,12 +76,13 @@ def entry(spark: SparkSession) -> DataFrame:
 _WINDOW_ROWS_ONLY_OK: set[str] = set()  # r18: no rows-only keys seated
 
 _WINDOW_FIRST = [
-    # (a) new in r18 (5)
+    # (a) new in r18 (6)
     "x_storage_positional_deletes",
     "x_storage_schema_widening",
     "x_storage_retention_policy",
     "x_storage_rollback_expire",
     "x_storage_check_constraints",
+    "x_storage_partition_compaction",
     # (b) plan/gate changed in r18 (8)
     "x_storage_mor_upsert",
     "x_storage_deletion_vectors",
@@ -115,7 +116,6 @@ _WINDOW_FIRST = [
     "x_emb_cluster_quality",
     "x_olap_countmin_sketch",
     "x_emb_scatter_matrix",
-    "x_split_group_kfold",
     # (e) oldest parity tranche, r14 evidence (14)
     "s1_csv_bulk_load",
     "s2_truncate_and_load",

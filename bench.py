@@ -255,6 +255,10 @@ BENCH_QUERIES = [
     # ~2.0 s warm)
     "x_storage_rollback_expire",
     "x_storage_check_constraints",
+    # r18: partition-scoped compaction (partitioned load + 5 hot-
+    # partition appends + offender-only rewrite with inode asserts;
+    # ~2.3 s warm)
+    "x_storage_partition_compaction",
 ]
 
 # The host's recurring noise mode concentrates on the winnowing pair

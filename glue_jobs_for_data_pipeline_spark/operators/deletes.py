@@ -34,7 +34,12 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.txn import Catalog, ConcurrentCommitError
+from ..sources.txn import (
+    Catalog,
+    ConcurrentCommitError,
+    _detect_partition_cols,
+    _version_dir,
+)
 
 _DV_SUFFIX = "__dv"
 # CAS-retry budget: under N-way same-table contention the last writer
@@ -45,6 +50,22 @@ _COMMIT_RETRIES = 16
 
 def dv_table(name: str) -> str:
     return name + _DV_SUFFIX
+
+
+def base_partition_cols(
+    cat: Catalog, name: str, manifest: int | None
+) -> tuple[str, ...]:
+    """Partition layout of ``name``'s version in ``manifest`` — every
+    merge-on-read compaction passes this to its base rewrite so a
+    partitioned table STAYS partitioned across folds (r18: a fold that
+    silently flattened the layout broke partition pruning for every
+    later reader)."""
+    versions = cat._manifest_tables(manifest)
+    if name not in versions:
+        return ()
+    return _detect_partition_cols(
+        _version_dir(cat.table_dir(name), versions[name])
+    )
 
 
 def _read_dv_asof(
@@ -192,7 +213,10 @@ def compact_deletes(
                 merged = t.read_committed(spark, name).join(
                     F.broadcast(dv), on=list(key_cols), how="left_anti"
                 )
-                t.overwrite(merged, name)
+                t.overwrite(
+                    merged, name,
+                    base_partition_cols(cat, name, t._expected_head),
+                )
                 t.overwrite(dv.limit(0), dv_table(name))
             # this commit's own manifest id (ADVICE r16), not a head
             # re-read a racing writer could have advanced

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from ..sources.txn import Catalog, ConcurrentCommitError
-from .deletes import _read_dv_asof, dv_table
+from .deletes import _read_dv_asof, base_partition_cols, dv_table
 
 _DELTA_SUFFIX = "__delta"
 _COMMIT_RETRIES = 16
@@ -219,7 +219,10 @@ def compact_full(
                     )
                 if n_files is not None:
                     merged = merged.repartition(max(1, n_files))
-                t.overwrite(merged, name)
+                t.overwrite(
+                    merged, name,
+                    base_partition_cols(cat, name, t._expected_head),
+                )
                 if delta is not None:
                     t.overwrite(delta.limit(0), delta_table(name))
                 if dv is not None:
@@ -297,7 +300,10 @@ def compact_upserts(
                     )
                     .unionByName(delta)
                 )
-                t.overwrite(merged, name)
+                t.overwrite(
+                    merged, name,
+                    base_partition_cols(cat, name, t._expected_head),
+                )
                 t.overwrite(delta.limit(0), delta_table(name))
             return t.committed_manifest
         except ConcurrentCommitError as exc:

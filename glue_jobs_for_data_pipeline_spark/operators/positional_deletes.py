@@ -55,6 +55,7 @@ from ..sources.txn import (
     Catalog,
     ConcurrentCommitError,
     _apply_schema_ops,
+    _detect_partition_cols,
     _read_version_df,
     _version_dir,
 )
@@ -211,7 +212,11 @@ def compact_positional_deletes(
                     on=[_FILE_COL, _POS_COL],
                     how="left_anti",
                 ).select(*out_cols)
-                t.overwrite(merged, name)
+                versions = cat._manifest_tables(t._expected_head)
+                part_by = _detect_partition_cols(
+                    _version_dir(cat.table_dir(name), versions[name])
+                )
+                t.overwrite(merged, name, part_by)
                 t.overwrite(pdv.limit(0), pdv_table(name))
             return t.committed_manifest
         except ConcurrentCommitError as exc:

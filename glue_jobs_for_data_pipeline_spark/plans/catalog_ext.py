@@ -6653,3 +6653,115 @@ def x_storage_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         committed_rows, committed.schema
     ).unionByName(after)
+
+
+# --------------------------------------------------------------------------
+# Round-18 addition: partition-scoped file compaction (Iceberg
+# rewrite_data_files / Delta OPTIMIZE WHERE)
+# --------------------------------------------------------------------------
+
+_X_PART_COMPACT_SQL = """
+WITH final AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status FROM orders
+  UNION ALL
+  SELECT o_orderkey + 20000000 AS k, 'O' AS status FROM orders
+  WHERE o_orderkey % 100 < 5)
+SELECT 'before' AS ref, status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS key_sum
+FROM final GROUP BY status
+UNION ALL
+SELECT 'after' AS ref, status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS key_sum
+FROM final GROUP BY status
+"""
+
+
+@_q("x_storage_partition_compaction", _X_PART_COMPACT_SQL)
+def x_storage_partition_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION-SCOPED compaction end-to-end (sources/txn.py
+    compact_partitions, r18 — Iceberg rewrite_data_files / Delta
+    OPTIMIZE WHERE): a status-partitioned orders table takes 5
+    micro-batch appends into ONE hot partition ('O' — the streaming
+    today-partition pattern), building small-file debt there while the
+    other partitions stay healthy. compact_partitions then rewrites
+    ONLY the offender: in-code asserts pin that the hot partition's
+    file count drops to the bound, that a healthy partition's files
+    survive with IDENTICAL inodes (hard-linked, zero data moved — the
+    property that makes this the only sane compaction at 100 TB,
+    where 'rewrite the table' is not an option), and that a second
+    call is a no-op. Digests through the committed read before and
+    after are hash-gated to one oracle statement."""
+    import os as _os
+
+    from ..sources.txn import Catalog, _version_dir
+
+    cat = Catalog(_scratch_dir("spark_graft_pcomp_") + "/wh")
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    with cat.transaction() as t:
+        t.overwrite(base, "orders_part", partition_by=("status",))
+    hot = base.filter(F.col("k") % 100 < 5).select(
+        (F.col("k") + 20000000).alias("k"), F.lit("O").alias("status")
+    )
+    n_hot = 5
+    splits = hot.randomSplit([1.0] * n_hot, seed=7)
+    for b in splits:
+        with cat.transaction() as t:
+            t.append(b.coalesce(1), "orders_part")
+
+    def digest(label: str) -> DataFrame:
+        return cat.read(spark, "orders_part").groupBy("status").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("key_sum"),
+        ).select(F.lit(label).alias("ref"), "status", "n", "key_sum")
+
+    def part_files(vdir: str) -> dict[str, list[str]]:
+        out: dict[str, list[str]] = {}
+        for root, _, files in _os.walk(vdir):
+            parts = [f for f in files if f.endswith(".parquet")]
+            if parts:
+                out[_os.path.relpath(root, vdir)] = sorted(parts)
+        return out
+
+    before = digest("before")
+    before_rows = before.collect()
+    vdir_before = _version_dir(
+        cat.table_dir("orders_part"), cat.manifest()["orders_part"]
+    )
+    files_before = part_files(vdir_before)
+    healthy = next(p for p in sorted(files_before) if p != "status=O")
+    inodes_before = {
+        f: _os.stat(_os.path.join(vdir_before, healthy, f)).st_ino
+        for f in files_before[healthy]
+    }
+    m = cat.compact_partitions(
+        spark, "orders_part", max_files_per_partition=4
+    )
+    if m is None:
+        raise AssertionError("hot partition debt not detected")
+    vdir_after = _version_dir(
+        cat.table_dir("orders_part"), cat.manifest()["orders_part"]
+    )
+    files_after = part_files(vdir_after)
+    if len(files_after["status=O"]) > 4:
+        raise AssertionError("hot partition not compacted to the bound")
+    if files_after[healthy] != files_before[healthy] or any(
+        _os.stat(_os.path.join(vdir_after, healthy, f)).st_ino
+        != inodes_before[f]
+        for f in files_after[healthy]
+    ):
+        raise AssertionError(
+            "healthy partition was rewritten (should hard-link)"
+        )
+    if cat.compact_partitions(
+        spark, "orders_part", max_files_per_partition=4
+    ) is not None:
+        raise AssertionError("second compaction was not a no-op")
+    after = digest("after")
+    return spark.createDataFrame(
+        before_rows, before.schema
+    ).unionByName(after)

@@ -759,6 +759,8 @@ class Catalog:
             ptables = {k: int(v) for k, v in pdoc["tables"].items()}
             schemas = doc.get("schemas", {})
             pschemas = pdoc.get("schemas", {})
+            cons = doc.get("constraints", {})
+            pcons = pdoc.get("constraints", {})
             entries.append(
                 {
                     "manifest": cur,
@@ -772,6 +774,13 @@ class Catalog:
                         t
                         for t in set(schemas) | set(pschemas)
                         if pschemas.get(t, []) != schemas.get(t, [])
+                    ),
+                    # tables whose CHECK-constraint set changed in this
+                    # commit (r18 — audit surface for data contracts)
+                    "constraints_changed": sorted(
+                        t
+                        for t in set(cons) | set(pcons)
+                        if pcons.get(t, {}) != cons.get(t, {})
                     ),
                 }
             )
@@ -1504,6 +1513,142 @@ class Catalog:
         with self.transaction() as txn:
             txn.overwrite(compacted, name, partition_by or ())
         return self.head()
+
+    def compact_partitions(
+        self,
+        spark: SparkSession,
+        name: str,
+        max_files_per_partition: int = 8,
+        target_file_bytes: int = 128 << 20,
+        branch: str = "main",
+    ) -> int | None:
+        """PARTITION-SCOPED file compaction (r18 — the Iceberg
+        rewrite_data_files / Delta OPTIMIZE WHERE shape, and the only
+        compaction that makes sense at 100 TB): rewrite ONLY the
+        partitions whose small-file count exceeds the threshold;
+        every healthy partition's files HARD-LINK into the new version
+        unchanged (O(file count) metadata, zero data moved). A
+        streaming table that appends into today's partition never
+        pays to rewrite last year's — ``compact_table`` (whole-table)
+        is the fixture-scale tool, this is the production one.
+
+        The rewritten partitions are read RAW and written RAW, so the
+        new version carries the same file-level schema as the old and
+        the table's pending schema-evolution ops KEEP replaying over
+        it (keep_schema_ops — same contract as appends). Pending
+        POSITIONAL deletes on the table make this raise: rewriting a
+        partition strands its (file,pos) anchors — fold them first
+        (compact_positional_deletes). Key-based dv/delta side tables
+        are unaffected (they match by key, not position).
+
+        Returns the commit's manifest id, or None when no partition is
+        over the threshold (nothing staged, nothing published). CAS +
+        lock semantics are the standard commit bracket's."""
+        import math
+
+        head = self.head(branch)
+        versions = self._manifest_tables(head)
+        if name not in versions:
+            raise FileNotFoundError(f"table {name!r} not in branch {branch!r}")
+        pdv_name = name + "__pdv"
+        if pdv_name in versions:
+            pdv_dir = _version_dir(self.table_dir(pdv_name), versions[pdv_name])
+            has_rows = any(
+                f.endswith(".parquet") and os.path.getsize(
+                    os.path.join(root, f)
+                ) > 0
+                for root, _, files in os.walk(pdv_dir)
+                for f in files
+            )
+            if has_rows and not _read_version_df(spark, pdv_dir).isEmpty():
+                raise ValueError(
+                    f"table {name!r} has pending positional deletes; "
+                    "compact_positional_deletes() before rewriting "
+                    "partitions (a rewrite strands (file,pos) anchors)"
+                )
+        table_dir = self.table_dir(name)
+        vdir = _version_dir(table_dir, versions[name])
+        part_cols = _detect_partition_cols(vdir)
+        if not part_cols:
+            raise ValueError(
+                f"table {name!r} is unpartitioned; use compact_table"
+            )
+        # leaf partition dirs = dirs containing parquet files
+        leaves: list[str] = []  # relative paths
+        for root, _, files in os.walk(vdir):
+            if any(f.endswith(".parquet") for f in files):
+                leaves.append(os.path.relpath(root, vdir))
+        offenders = []
+        for rel in leaves:
+            full = os.path.join(vdir, rel)
+            parts = [f for f in os.listdir(full) if f.endswith(".parquet")]
+            if len(parts) > max_files_per_partition:
+                size = sum(
+                    os.path.getsize(os.path.join(full, f)) for f in parts
+                )
+                offenders.append((rel, math.ceil(size / target_file_bytes)))
+        if not offenders:
+            return None
+        offender_set = {rel for rel, _ in offenders}
+        version = _reserve_version(table_dir)
+        new_vdir = _version_dir(table_dir, version)
+        try:
+            # healthy partitions: hard-link, zero data moved
+            os.makedirs(new_vdir, exist_ok=True)
+            for rel in leaves:
+                if rel in offender_set:
+                    continue
+                src_root = os.path.join(vdir, rel)
+                dst_root = (
+                    new_vdir if rel == "." else os.path.join(new_vdir, rel)
+                )
+                os.makedirs(dst_root, exist_ok=True)
+                for f in os.listdir(src_root):
+                    if f.endswith(".parquet"):
+                        try:
+                            os.link(
+                                os.path.join(src_root, f),
+                                os.path.join(dst_root, f),
+                            )
+                        except OSError:
+                            shutil.copy2(
+                                os.path.join(src_root, f),
+                                os.path.join(dst_root, f),
+                            )
+            # offenders: raw read of JUST that partition's files,
+            # coalesced to ~target-size, written back under the same
+            # col=value path (the partition values live in the path,
+            # exactly as partitionBy laid them out)
+            for rel, n_files in offenders:
+                part_df = spark.read.parquet(os.path.join(vdir, rel))
+                dst_root = (
+                    new_vdir if rel == "." else os.path.join(new_vdir, rel)
+                )
+                part_df.coalesce(max(1, n_files)).write.mode(
+                    "append"
+                ).parquet(dst_root)
+            schema_path = os.path.join(vdir, "_SCHEMA.json")
+            if os.path.exists(schema_path):
+                shutil.copy2(
+                    schema_path, os.path.join(new_vdir, "_SCHEMA.json")
+                )
+            m = self._commit(
+                {name: version},
+                expected_head=head,
+                branch=branch,
+                # rewritten files carry the same pre-evolution schema
+                # as the old version: ops must keep replaying
+                keep_schema_ops={name},
+            )
+        except BaseException:
+            shutil.rmtree(new_vdir, ignore_errors=True)
+            raise
+        finally:
+            try:
+                os.unlink(os.path.join(table_dir, f"v={version}.claim"))
+            except FileNotFoundError:
+                pass
+        return m
 
     def _reachable_manifests(self) -> set[int]:
         """Manifest ids reachable from ANY ref by parent-walk — the

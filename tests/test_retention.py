@@ -197,6 +197,60 @@ def test_compact_full_is_one_commit_one_rewrite(spark, cat):
     assert _state(cat, spark) == before
 
 
+def test_mor_folds_preserve_partition_layout(spark, cat):
+    """Every MoR compaction rewrite keeps the base's col=value layout
+    (r18: a fold that flattened it broke partition pruning for every
+    later reader)."""
+    from glue_jobs_for_data_pipeline_spark.sources.txn import (
+        _detect_partition_cols,
+        _version_dir,
+    )
+
+    with cat.transaction() as t:
+        t.overwrite(
+            spark.createDataFrame(
+                [(k, k % 3, f"v{k}") for k in range(12)],
+                "k long, p int, v string",
+            ),
+            "t",
+            partition_by=("p",),
+        )
+    mor_upsert.upsert_into(
+        cat, spark, "t",
+        spark.createDataFrame([(1, 1, "x")], "k long, p int, v string"),
+        ("k",),
+    )
+    deletes.delete_where(cat, spark, "t", "k = 5", ("k",))
+    mor_upsert.compact_full(cat, spark, "t", ("k",))
+
+    def layout():
+        return _detect_partition_cols(
+            _version_dir(cat.table_dir("t"), cat.manifest()["t"])
+        )
+
+    assert layout() == ("p",)
+    pdel.delete_where_positional(cat, spark, "t", "k = 7")
+    pdel.compact_positional_deletes(cat, spark, "t")
+    assert layout() == ("p",)
+    deletes.delete_where(cat, spark, "t", "k = 8", ("k",))
+    deletes.compact_deletes(cat, spark, "t", ("k",))
+    assert layout() == ("p",)
+    mor_upsert.upsert_into(
+        cat, spark, "t",
+        spark.createDataFrame([(2, 2, "y")], "k long, p int, v string"),
+        ("k",),
+    )
+    mor_upsert.compact_upserts(cat, spark, "t", ("k",))
+    assert layout() == ("p",)
+    got = {
+        r["k"]: r["v"]
+        for r in mor_upsert.read_upserted(cat, spark, "t", ("k",)).collect()
+    }
+    assert got[1] == "x" and got[2] == "y"
+    assert 5 not in got and 7 not in got and 8 not in got
+    assert len(got) == 9
+
+
 def test_delta_fold_requires_key_cols(spark, cat):
     _seed(cat, spark)
     mor_upsert.upsert_into(

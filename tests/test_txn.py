@@ -1449,6 +1449,122 @@ def test_expire_snapshots_keeps_branch_pins(spark, tmp_path):
     assert cat.read_asof(spark, "t", pinned).count() == 3
 
 
+def _pp_cat(spark, tmp_path):
+    """Partitioned table with skewed small-file debt: partition p=0
+    accumulates many appended files, p=1 and p=2 stay healthy."""
+    from glue_jobs_for_data_pipeline_spark.sources.txn import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(
+            spark.createDataFrame(
+                [(k, k % 3) for k in range(30)], "k long, p int"
+            ).repartition(2),
+            "t",
+            partition_by=("p",),
+        )
+    for i in range(5):
+        with cat.transaction() as t:
+            t.append(
+                spark.createDataFrame([(100 + i, 0)], "k long, p int"), "t"
+            )
+    return cat
+
+
+def _files_per_partition(cat, name):
+    import os as _os
+
+    from glue_jobs_for_data_pipeline_spark.sources import txn as _t
+
+    vdir = _t._version_dir(cat.table_dir(name), cat.manifest()[name])
+    out = {}
+    for root, _, files in _os.walk(vdir):
+        parts = [f for f in files if f.endswith(".parquet")]
+        if parts:
+            out[_os.path.relpath(root, vdir)] = sorted(parts)
+    return vdir, out
+
+
+def test_compact_partitions_rewrites_only_offenders(spark, tmp_path):
+    import os as _os
+
+    cat = _pp_cat(spark, tmp_path)
+    before_rows = sorted(
+        (r["k"], r["p"]) for r in cat.read(spark, "t").collect()
+    )
+    vdir_before, before = _files_per_partition(cat, "t")
+    assert len(before["p=0"]) > 4  # debt built up
+    inode_p1 = {
+        f: _os.stat(_os.path.join(vdir_before, "p=1", f)).st_ino
+        for f in before["p=1"]
+    }
+    m = cat.compact_partitions(spark, "t", max_files_per_partition=4)
+    assert m == cat.head()
+    vdir_after, after = _files_per_partition(cat, "t")
+    assert vdir_after != vdir_before
+    # offender compacted, healthy partitions' files IDENTICAL (linked)
+    assert len(after["p=0"]) <= 4
+    assert after["p=1"] == before["p=1"]
+    for f in after["p=1"]:
+        assert (
+            _os.stat(_os.path.join(vdir_after, "p=1", f)).st_ino
+            == inode_p1[f]
+        )
+    # content identical
+    assert sorted(
+        (r["k"], r["p"]) for r in cat.read(spark, "t").collect()
+    ) == before_rows
+    # partition pruning still works on the new layout
+    assert cat.read(spark, "t").filter("p = 2").count() == 10
+    # below threshold now: a second call publishes nothing
+    head = cat.head()
+    assert cat.compact_partitions(spark, "t", max_files_per_partition=4) is None
+    assert cat.head() == head
+
+
+def test_compact_partitions_keeps_schema_ops(spark, tmp_path):
+    """Rewritten partition files carry the pre-evolution schema, so
+    the op list must keep replaying (the append contract)."""
+    cat = _pp_cat(spark, tmp_path)
+    cat.evolve_schema("t", [
+        {"op": "add", "col": "src", "type": "string", "default": "old"},
+        {"op": "widen", "col": "k", "type": "decimal(20,0)"},
+    ])
+    cat.compact_partitions(spark, "t", max_files_per_partition=4)
+    assert "t" in cat._manifest_schemas(cat.head())
+    df = cat.read(spark, "t")
+    assert dict(df.dtypes)["k"] == "decimal(20,0)"
+    assert df.filter("src = 'old'").count() == df.count()
+
+
+def test_compact_partitions_refuses_pending_positional_deletes(
+    spark, tmp_path
+):
+    from glue_jobs_for_data_pipeline_spark.operators import (
+        positional_deletes as pdel,
+    )
+
+    cat = _pp_cat(spark, tmp_path)
+    pdel.delete_where_positional(cat, spark, "t", "k = 5")
+    with pytest.raises(ValueError, match="positional deletes"):
+        cat.compact_partitions(spark, "t", max_files_per_partition=4)
+    # folding them first unblocks
+    pdel.compact_positional_deletes(cat, spark, "t")
+    assert cat.compact_partitions(spark, "t", max_files_per_partition=4)
+    got = sorted(r["k"] for r in cat.read(spark, "t").collect())
+    assert 5 not in got and len(got) == 34
+
+
+def test_compact_partitions_rejects_unpartitioned(spark, tmp_path):
+    from glue_jobs_for_data_pipeline_spark.sources.txn import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(spark.range(3).toDF("k"), "t")
+    with pytest.raises(ValueError, match="unpartitioned"):
+        cat.compact_partitions(spark, "t")
+
+
 def test_check_constraint_blocks_bad_writes(spark, tmp_path):
     """CHECK constraints (r18, Delta semantics): a violating overwrite
     or append raises, rolls the bracket back, and publishes nothing;
@@ -1530,6 +1646,20 @@ def test_drop_constraint_reopens_writes(spark, tmp_path):
     assert cat.read(spark, "t").count() == 2
     with pytest.raises(ValueError, match="no constraint"):
         cat.drop_constraint("t", "k_pos")
+
+
+def test_constraints_in_commit_log(spark, tmp_path):
+    from glue_jobs_for_data_pipeline_spark.sources.txn import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(spark.createDataFrame([(1,)], "k long"), "t")
+    cat.add_constraint(spark, "t", "k_pos", "k > 0")
+    log = cat.log()
+    assert log[-1]["constraints_changed"] == ["t"]
+    assert log[-2]["constraints_changed"] == []
+    cat.drop_constraint("t", "k_pos")
+    assert cat.log()[-1]["constraints_changed"] == ["t"]
 
 
 def test_constraints_survive_rebase(spark, tmp_path):
