@@ -96,7 +96,7 @@ _WINDOW_FIRST = [
     "m1_scd2_upsert",
     "m2_j2_fact_population",
     "m5_transactional_pipeline",
-    # (d) carried r15 cohort, r15 evidence (22)
+    # (d) carried r15 cohort, r15 evidence (19)
     "x_text_boilerplate_removal",
     "x_text_string_kernels",
     "x_ts_asof_forward",

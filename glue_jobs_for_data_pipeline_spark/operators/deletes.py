@@ -210,6 +210,13 @@ def compact_deletes(
                     # nothing to fold — rewriting a 100 TB base to
                     # apply zero deletes is not a no-op (r18)
                     return None
+                from .positional_deletes import (
+                    guard_no_pending_positional_deletes,
+                )
+
+                guard_no_pending_positional_deletes(
+                    cat, spark, name, t._expected_head
+                )
                 merged = t.read_committed(spark, name).join(
                     F.broadcast(dv), on=list(key_cols), how="left_anti"
                 )

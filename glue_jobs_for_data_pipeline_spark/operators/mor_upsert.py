@@ -93,6 +93,13 @@ def upsert_into(
         try:
             with cat.transaction(branch=branch) as t:
                 batch = _latest_per_key(updates, key_cols)
+                # CHECK constraints declared on the BASE table bind the
+                # logical rows this upsert introduces, even though the
+                # physical write targets the __delta side table —
+                # without this the delta was a constraint bypass whose
+                # violating rows later wedged every compaction
+                # (code-review r18)
+                t._enforce_constraints(batch, name)
                 if name not in cat._manifest_tables(t._expected_head):
                     # first write IS the initial load
                     t.overwrite(batch, name)
@@ -204,6 +211,13 @@ def compact_full(
                     dv = None
                 if delta is None and dv is None and n_files is None:
                     return None
+                from .positional_deletes import (
+                    guard_no_pending_positional_deletes,
+                )
+
+                guard_no_pending_positional_deletes(
+                    cat, spark, name, t._expected_head
+                )
                 merged = t.read_committed(spark, name)
                 if delta is not None:
                     merged = merged.join(
@@ -291,6 +305,13 @@ def compact_upserts(
                     # nothing to fold — never rewrite the base for an
                     # already-compacted delta (r18)
                     return None
+                from .positional_deletes import (
+                    guard_no_pending_positional_deletes,
+                )
+
+                guard_no_pending_positional_deletes(
+                    cat, spark, name, t._expected_head
+                )
                 merged = (
                     t.read_committed(spark, name)
                     .join(

@@ -70,6 +70,35 @@ def pdv_table(name: str) -> str:
     return name + _PDV_SUFFIX
 
 
+def has_pending_positional_deletes(
+    cat: Catalog, spark: SparkSession, name: str, manifest: int | None
+) -> bool:
+    """True iff ``name`` has a NON-EMPTY positional-delete table in
+    ``manifest``. Every base-rewrite primitive consults this and
+    refuses while it holds (code-review r18): a rewrite mints fresh
+    part files, the stale (file,pos) anchors then match nothing, and
+    the deletes silently resurrect — fold them first
+    (compact_positional_deletes)."""
+    versions = cat._manifest_tables(manifest)
+    if pdv_table(name) not in versions:
+        return False
+    vdir = _version_dir(
+        cat.table_dir(pdv_table(name)), versions[pdv_table(name)]
+    )
+    return not _read_version_df(spark, vdir).isEmpty()
+
+
+def guard_no_pending_positional_deletes(
+    cat: Catalog, spark: SparkSession, name: str, manifest: int | None
+) -> None:
+    if has_pending_positional_deletes(cat, spark, name, manifest):
+        raise ValueError(
+            f"table {name!r} has pending positional deletes; "
+            "compact_positional_deletes() before rewriting the base "
+            "(a rewrite strands (file,pos) anchors and resurrects rows)"
+        )
+
+
 def _scan_with_pos(
     cat: Catalog, spark: SparkSession, name: str, manifest: int
 ) -> DataFrame:

@@ -50,10 +50,14 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.txn import Catalog, _version_dir
+import time
+
+from ..sources.txn import Catalog, ConcurrentCommitError, _version_dir
 from . import deletes as _deletes
 from . import mor_upsert as _mor
 from . import positional_deletes as _pdel
+
+_COMMIT_RETRIES = 16
 
 
 @dataclass(frozen=True)
@@ -72,10 +76,12 @@ class RetentionPolicy:
     max_ledger_rows_per_app: int | None = 8
 
 
-def table_stats(cat: Catalog, name: str) -> dict | None:
-    """(files, bytes) of ``name``'s committed version directory — pure
-    filesystem metadata, no Spark scan. None when not committed."""
-    versions = cat.manifest()
+def table_stats(cat: Catalog, name: str, branch: str = "main") -> dict | None:
+    """(files, bytes) of ``name``'s committed version directory on
+    ``branch`` — pure filesystem metadata, no Spark scan. None when
+    not committed. (Branch-aware since r18 code-review: main-only
+    stats made enforce_retention's branch parameter a no-op.)"""
+    versions = cat.manifest(branch)
     if name not in versions:
         return None
     vdir = _version_dir(cat.table_dir(name), versions[name])
@@ -123,18 +129,28 @@ def fold_ledger(
     from ..streaming.exactly_once import ledger_table
 
     lname = ledger_table(name)
-    with cat.transaction(branch=branch) as t:
+    last: ConcurrentCommitError | None = None
+    for attempt in range(_COMMIT_RETRIES):
         try:
-            ledger = t.read_committed(spark, lname)
-        except FileNotFoundError:
-            return None
-        folded = ledger.groupBy("app_id").agg(
-            F.max("batch_id").alias("batch_id")
-        )
-        if ledger.count() == folded.count():
-            return None  # already one row per app — publish nothing
-        t.overwrite(folded, lname)
-    return t.committed_manifest
+            with cat.transaction(branch=branch) as t:
+                try:
+                    ledger = t.read_committed(spark, lname)
+                except FileNotFoundError:
+                    return None
+                folded = ledger.groupBy("app_id").agg(
+                    F.max("batch_id").alias("batch_id")
+                )
+                if ledger.count() == folded.count():
+                    return None  # already one row per app — no commit
+                t.overwrite(folded, lname)
+            return t.committed_manifest
+        except ConcurrentCommitError as exc:
+            # a streaming batch landed mid-fold: re-read, retry — the
+            # maintenance pass must serialize with live writers, not
+            # crash the cron job (code-review r18)
+            last = exc
+            time.sleep(0.02 * (attempt + 1))
+    raise last  # type: ignore[misc]
 
 
 def enforce_retention(
@@ -156,23 +172,44 @@ def enforce_retention(
         "fold_ledger": False,
         "compact_base_files": False,
     }
-    base = table_stats(cat, name)
+    base = table_stats(cat, name, branch)
     if base is None:
         return actions
 
-    # 1) positional deletes: must fold before any base rewrite
-    if _side_due(base, table_stats(cat, _pdel.pdv_table(name)), policy):
+    # Decide what is due FIRST — the pdv fold must run before ANY
+    # rewrite-shaped fold, not only before file compaction
+    # (code-review r18: a delta-only fold with a sub-threshold pdv
+    # stranded its anchors and resurrected the deleted rows).
+    delta_due = _side_due(
+        base, table_stats(cat, _mor.delta_table(name), branch), policy
+    )
+    dv_due = _side_due(
+        base, table_stats(cat, _deletes.dv_table(name), branch), policy
+    )
+    files_due = (
+        policy.max_base_files is not None
+        and base["files"] > policy.max_base_files
+    )
+    pdv_stats = table_stats(cat, _pdel.pdv_table(name), branch)
+    pdv_pending = pdv_stats is not None and _pdel.has_pending_positional_deletes(
+        cat, spark, name, cat.head(branch)
+    )
+    pdv_due = _side_due(base, pdv_stats, policy)
+
+    # 1) positional deletes: fold when due by size, OR (whatever their
+    # size) whenever a base rewrite is about to run
+    if pdv_pending and (pdv_due or delta_due or dv_due or files_due):
         actions["fold_positional_deletes"] = (
             _pdel.compact_positional_deletes(cat, spark, name, branch)
             is not None
         )
-        base = table_stats(cat, name)
+        base = table_stats(cat, name, branch)
 
     # 2) streaming ledger (metadata-only, independent of the rewrite)
     if policy.max_ledger_rows_per_app is not None:
         from ..streaming.exactly_once import ledger_table
 
-        lstats = table_stats(cat, ledger_table(name))
+        lstats = table_stats(cat, ledger_table(name), branch)
         if lstats is not None:
             try:
                 ledger = cat.read(spark, ledger_table(name), branch)
@@ -195,13 +232,6 @@ def enforce_retention(
     # 100 TB sequential folds would double or triple the round's
     # dominant cost. Key-matched side tables survive a rewrite, so
     # ordering vs the ledger/pdv steps above is free.
-    delta_due = _side_due(base, table_stats(cat, _mor.delta_table(name)), policy)
-    dv_due = _side_due(base, table_stats(cat, _deletes.dv_table(name)), policy)
-    files_due = (
-        policy.max_base_files is not None
-        and base is not None
-        and base["files"] > policy.max_base_files
-    )
     if delta_due or dv_due or files_due:
         if (delta_due or dv_due) and not key_cols:
             raise ValueError(
@@ -211,12 +241,6 @@ def enforce_retention(
         if files_due:
             import math
 
-            pdv_stats = table_stats(cat, _pdel.pdv_table(name))
-            if pdv_stats is not None and pdv_stats["bytes"] > 0:
-                # sub-threshold positional deletes still pending: fold
-                # them now — the rewrite would strand their anchors
-                _pdel.compact_positional_deletes(cat, spark, name, branch)
-                base = table_stats(cat, name)
             n_files = max(
                 1, math.ceil(base["bytes"] / policy.target_file_bytes)
             )
@@ -228,10 +252,23 @@ def enforce_retention(
                 is not None
             )
         else:  # files_due only, keyless table: plain sized rewrite
-            cat.compact_table(
-                spark, name, target_file_bytes=policy.target_file_bytes
-            )
-            ran = True
+            last: ConcurrentCommitError | None = None
+            ran = False
+            for attempt in range(_COMMIT_RETRIES):
+                try:
+                    cat.compact_table(
+                        spark,
+                        name,
+                        target_file_bytes=policy.target_file_bytes,
+                        branch=branch,
+                    )
+                    ran = True
+                    break
+                except ConcurrentCommitError as exc:
+                    last = exc
+                    time.sleep(0.02 * (attempt + 1))
+            if not ran:
+                raise last  # type: ignore[misc]
         actions["fold_upsert_delta"] = delta_due and ran
         actions["fold_deletion_vector"] = dv_due and ran
         actions["compact_base_files"] = files_due and ran

@@ -273,6 +273,30 @@ def stage_version(
     return version
 
 
+def _link_parquet_tree(src_dir: str, dst_dir: str) -> None:
+    """Hard-link every .parquet under ``src_dir`` into ``dst_dir``
+    preserving the relative layout (cross-device falls back to copy).
+    Never clobbers an existing destination file — the caller's fresh
+    part files must win loudly, not silently."""
+    for root, _, files in os.walk(src_dir):
+        rel = os.path.relpath(root, src_dir)
+        dst_root = dst_dir if rel == "." else os.path.join(dst_dir, rel)
+        os.makedirs(dst_root, exist_ok=True)
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            src = os.path.join(root, fname)
+            dst = os.path.join(dst_root, fname)
+            if os.path.exists(dst):
+                raise FileExistsError(
+                    f"linked part file collides with existing: {dst}"
+                )
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)  # cross-device fallback
+
+
 def stage_version_append(
     df: DataFrame, table_dir: str, base_version: int
 ) -> int:
@@ -329,23 +353,7 @@ def stage_version_append(
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.parquet(vdir)
-        for root, _, files in os.walk(base_dir):
-            rel = os.path.relpath(root, base_dir)
-            dst_root = vdir if rel == "." else os.path.join(vdir, rel)
-            os.makedirs(dst_root, exist_ok=True)
-            for fname in files:
-                if not fname.endswith(".parquet"):
-                    continue
-                src = os.path.join(root, fname)
-                dst = os.path.join(dst_root, fname)
-                if os.path.exists(dst):  # never clobber a new part file
-                    raise FileExistsError(
-                        f"appended part file collides with base: {dst}"
-                    )
-                try:
-                    os.link(src, dst)
-                except OSError:
-                    shutil.copy2(src, dst)  # cross-device fallback
+        _link_parquet_tree(base_dir, vdir)
         with open(os.path.join(vdir, "_SCHEMA.json"), "w") as f:
             f.write(base_schema_json or df.schema.json())
     except BaseException:
@@ -910,16 +918,25 @@ class Catalog:
         from pyspark.sql import functions as F
 
         head = self.head(branch)
-        if name in self._manifest_tables(head):
+        # validate the base AND any merge-on-read delta side table:
+        # delta rows are part of the table's logical state, and a
+        # constraint declared over a violating delta would wedge the
+        # next compaction (code-review r18)
+        tables = self._manifest_tables(head)
+        for scan_name in (name, name + "__delta"):
+            if scan_name not in tables:
+                continue
             bad = (
-                self._read_table(spark, name, head, f"branch {branch!r}")
+                self._read_table(
+                    spark, scan_name, head, f"branch {branch!r}"
+                )
                 .filter(~F.expr(expr).eqNullSafe(F.lit(True)))
                 .limit(1)
                 .count()
             )
             if bad:
                 raise ConstraintViolationError(
-                    f"existing rows of {name!r} violate CHECK "
+                    f"existing rows of {scan_name!r} violate CHECK "
                     f"{constraint!r} ({expr}); repair before declaring",
                     name,
                     constraint,
@@ -1190,13 +1207,37 @@ class Catalog:
             raise ValueError("keep_last must be >= 1 (the head must survive)")
         mdir = os.path.join(self.root, _MANIFEST_DIR)
         with self._locked():
+            heads = [
+                h for h in self.branches().values() if h is not None
+            ]
             keep: set[int] = set()
-            for head in self.branches().values():
+            for head in heads:
                 cur, depth = head, 0
                 while cur is not None and depth < keep_last:
                     keep.add(cur)
                     depth += 1
                     cur = self._manifest_parent(cur)
+            # DIVERGED refs additionally pin the path down to their
+            # merge base with every other ref (code-review r18):
+            # deleting a fork-point manifest — or any link on the walk
+            # to it — leaves _merge_base unable to find the common
+            # ancestor, and every later rebase/merge_ff of that branch
+            # spuriously conflicts. Linear history still truncates
+            # fully; only live forks retain their connecting spine.
+            for i, a in enumerate(heads):
+                for b in heads[i + 1 :]:
+                    if a == b:
+                        continue
+                    base = self._merge_base(a, b)
+                    if base is None:
+                        continue
+                    for h in (a, b):
+                        cur = h
+                        while cur is not None:
+                            keep.add(cur)
+                            if cur == base:
+                                break
+                            cur = self._manifest_parent(cur)
             expired: list[int] = []
             for f in os.listdir(mdir):
                 if not (f.startswith("m=") and f.endswith(".json")):
@@ -1481,15 +1522,27 @@ class Catalog:
         name: str,
         target_file_bytes: int = 128 << 20,
         partition_by: tuple[str, ...] | None = None,
+        branch: str = "main",
     ) -> int:
         """Rewrite one table into ~target-sized files and commit the
         result as a new manifest (same sizing/partition-detection rules
-        as compact(); atomic via the HEAD swap)."""
+        as compact(); atomic via the HEAD swap). Branch-aware since r18
+        (code-review: the main-only version compacted the wrong
+        branch's table when called from branch maintenance). Refuses
+        while positional deletes are pending — the rewrite would
+        strand their (file,pos) anchors."""
         import math
 
-        versions = self.manifest()
+        head = self.head(branch)
+        versions = self._manifest_tables(head)
         if name not in versions:
             raise FileNotFoundError(f"table {name!r} not in committed manifest")
+        if self._pdv_nonempty(spark, name, head):
+            raise ValueError(
+                f"table {name!r} has pending positional deletes; "
+                "compact_positional_deletes() before rewriting "
+                "(a rewrite strands (file,pos) anchors)"
+            )
         vdir = _version_dir(self.table_dir(name), versions[name])
         if partition_by is None:
             partition_by = _detect_partition_cols(vdir)
@@ -1504,15 +1557,29 @@ class Catalog:
         # resets the table's op list, so the compacted files must
         # already embody the current schema — compacting raw would
         # silently undo every pending evolution (code-review r17)
-        df = self.read(spark, name)
+        df = self._read_table(spark, name, head, f"branch {branch!r}")
         compacted = (
             df.repartition(n_files, *partition_by)
             if partition_by
             else df.repartition(n_files)
         )
-        with self.transaction() as txn:
+        with self.transaction(branch=branch) as txn:
             txn.overwrite(compacted, name, partition_by or ())
-        return self.head()
+        # this commit's own manifest id, never a racy head re-read
+        return txn.committed_manifest
+
+    def _pdv_nonempty(
+        self, spark: SparkSession, name: str, manifest: int | None
+    ) -> bool:
+        """Non-empty positional-delete side table check shared by the
+        rewrite primitives (the ``__pdv`` naming is the
+        operators/positional_deletes.py convention)."""
+        versions = self._manifest_tables(manifest)
+        pdv_name = name + "__pdv"
+        if pdv_name not in versions:
+            return False
+        pdv_dir = _version_dir(self.table_dir(pdv_name), versions[pdv_name])
+        return not _read_version_df(spark, pdv_dir).isEmpty()
 
     def compact_partitions(
         self,
@@ -1550,22 +1617,12 @@ class Catalog:
         versions = self._manifest_tables(head)
         if name not in versions:
             raise FileNotFoundError(f"table {name!r} not in branch {branch!r}")
-        pdv_name = name + "__pdv"
-        if pdv_name in versions:
-            pdv_dir = _version_dir(self.table_dir(pdv_name), versions[pdv_name])
-            has_rows = any(
-                f.endswith(".parquet") and os.path.getsize(
-                    os.path.join(root, f)
-                ) > 0
-                for root, _, files in os.walk(pdv_dir)
-                for f in files
+        if self._pdv_nonempty(spark, name, head):
+            raise ValueError(
+                f"table {name!r} has pending positional deletes; "
+                "compact_positional_deletes() before rewriting "
+                "partitions (a rewrite strands (file,pos) anchors)"
             )
-            if has_rows and not _read_version_df(spark, pdv_dir).isEmpty():
-                raise ValueError(
-                    f"table {name!r} has pending positional deletes; "
-                    "compact_positional_deletes() before rewriting "
-                    "partitions (a rewrite strands (file,pos) anchors)"
-                )
         table_dir = self.table_dir(name)
         vdir = _version_dir(table_dir, versions[name])
         part_cols = _detect_partition_cols(vdir)
@@ -1593,28 +1650,17 @@ class Catalog:
         version = _reserve_version(table_dir)
         new_vdir = _version_dir(table_dir, version)
         try:
-            # healthy partitions: hard-link, zero data moved
+            # healthy partitions: hard-link, zero data moved (shared
+            # helper with stage_version_append, incl. its
+            # never-clobber guard — code-review r18)
             os.makedirs(new_vdir, exist_ok=True)
             for rel in leaves:
                 if rel in offender_set:
                     continue
-                src_root = os.path.join(vdir, rel)
                 dst_root = (
                     new_vdir if rel == "." else os.path.join(new_vdir, rel)
                 )
-                os.makedirs(dst_root, exist_ok=True)
-                for f in os.listdir(src_root):
-                    if f.endswith(".parquet"):
-                        try:
-                            os.link(
-                                os.path.join(src_root, f),
-                                os.path.join(dst_root, f),
-                            )
-                        except OSError:
-                            shutil.copy2(
-                                os.path.join(src_root, f),
-                                os.path.join(dst_root, f),
-                            )
+                _link_parquet_tree(os.path.join(vdir, rel), dst_root)
             # offenders: raw read of JUST that partition's files,
             # coalesced to ~target-size, written back under the same
             # col=value path (the partition values live in the path,
@@ -1826,8 +1872,25 @@ class CatalogTransaction:
         ).get(name)
         if not cons:
             return
+        from functools import reduce
+
         from pyspark.sql import functions as F
 
+        # ONE pass over the write's plan regardless of how many
+        # constraints are declared (code-review r18: per-constraint
+        # passes recomputed a compaction's full merged plan N times);
+        # the per-constraint attribution pass runs only on failure
+        violated = [
+            ~F.expr(expr).eqNullSafe(F.lit(True))
+            for _, expr in sorted(cons.items())
+        ]
+        any_bad = (
+            df.filter(reduce(lambda a, b: a | b, violated))
+            .limit(1)
+            .count()
+        )
+        if not any_bad:
+            return
         for cname, expr in sorted(cons.items()):
             bad = (
                 df.filter(~F.expr(expr).eqNullSafe(F.lit(True)))
@@ -1841,6 +1904,11 @@ class CatalogTransaction:
                     name,
                     cname,
                 )
+        raise ConstraintViolationError(  # pragma: no cover - race only
+            f"write to {name!r} violates a CHECK constraint",
+            name,
+            "?",
+        )
 
     def overwrite(
         self, df: DataFrame, name: str, partition_by: tuple[str, ...] = ()

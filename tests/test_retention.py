@@ -251,6 +251,109 @@ def test_mor_folds_preserve_partition_layout(spark, cat):
     assert len(got) == 9
 
 
+def test_pdv_folds_before_any_rewrite_even_below_threshold(spark, cat):
+    """code-review r18: a delta-only fold with a tiny (sub-threshold)
+    pdv pending must fold the pdv FIRST — otherwise the rewrite
+    strands its anchors and resurrects the deleted rows. The rewrite
+    primitives themselves also refuse while a pdv is pending."""
+    _seed(cat, spark)
+    mor_upsert.upsert_into(
+        cat, spark, "t",
+        spark.createDataFrame([(1, "x")], "k long, v string"), ("k",),
+    )
+    pdel.delete_where_positional(cat, spark, "t", "k = 2")
+    # positional deletes are their own read surface (base physical
+    # rows); the MoR logical state folds them in only after the fold
+    assert 2 not in {
+        r["k"] for r in pdel.read_positional(cat, spark, "t").collect()
+    }
+    # direct rewrite primitives refuse while the pdv is pending
+    with pytest.raises(ValueError, match="positional deletes"):
+        mor_upsert.compact_full(cat, spark, "t", ("k",))
+    with pytest.raises(ValueError, match="positional deletes"):
+        mor_upsert.compact_upserts(cat, spark, "t", ("k",))
+    with pytest.raises(ValueError, match="positional deletes"):
+        cat.compact_table(spark, "t")
+    # policy: delta due by size, pdv below threshold — folds pdv first
+    policy = retention.RetentionPolicy(
+        max_side_bytes=1, max_side_ratio=None, max_base_files=None,
+        max_ledger_rows_per_app=None,
+    )
+    actions = retention.enforce_retention(
+        cat, spark, "t", ("k",), policy=policy
+    )
+    assert actions["fold_positional_deletes"]
+    assert actions["fold_upsert_delta"]
+    after = _state(cat, spark)
+    # delta row folded in, positionally deleted row gone, no
+    # resurrection of k=2 by the delta rewrite
+    assert after[1] == "x" and 2 not in after
+    assert len(after) == 19  # 20 seeded - 1 deleted (upsert hit k=1)
+
+
+def test_constraints_bind_mor_upserts(spark, cat):
+    """code-review r18: upsert_into writes to the __delta side table,
+    but base-table CHECK constraints must still bind the batch; and
+    add_constraint must refuse while a violating delta row exists."""
+    from glue_jobs_for_data_pipeline_spark.sources.txn import (
+        ConstraintViolationError,
+    )
+
+    _seed(cat, spark)
+    cat.add_constraint(spark, "t", "v_nonempty", "length(v) > 0")
+    head = cat.head()
+    with pytest.raises(ConstraintViolationError, match="v_nonempty"):
+        mor_upsert.upsert_into(
+            cat, spark, "t",
+            spark.createDataFrame([(1, "")], "k long, v string"), ("k",),
+        )
+    assert cat.head() == head  # nothing published
+    mor_upsert.upsert_into(
+        cat, spark, "t",
+        spark.createDataFrame([(1, "ok")], "k long, v string"), ("k",),
+    )
+    assert _state(cat, spark)[1] == "ok"
+    # declaring over a violating delta refuses (would wedge compaction)
+    mor_upsert.upsert_into(
+        cat, spark, "t",
+        spark.createDataFrame([(2, "xx")], "k long, v string"), ("k",),
+    )
+    with pytest.raises(ConstraintViolationError, match="__delta"):
+        cat.add_constraint(spark, "t", "no_xx", "v <> 'xx'")
+    # compaction still possible (no violating rows ever landed)
+    assert mor_upsert.compact_full(cat, spark, "t", ("k",)) is not None
+
+
+def test_retention_is_branch_aware(spark, cat):
+    """code-review r18: thresholds must be evaluated against the
+    TARGET branch's versions, and the folds must commit there."""
+    _seed(cat, spark)
+    cat.create_branch("exp")
+    mor_upsert.upsert_into(
+        cat, spark, "t",
+        spark.createDataFrame([(1, "exp-only")], "k long, v string"),
+        ("k",), branch="exp",
+    )
+    main_head = cat.head()
+    actions = retention.enforce_retention(
+        cat, spark, "t", ("k",), policy=EAGER, branch="exp",
+    )
+    assert actions["fold_upsert_delta"]
+    assert cat.head() == main_head  # main untouched
+    exp_state = {
+        r["k"]: r["v"]
+        for r in mor_upsert.read_upserted(
+            cat, spark, "t", ("k",), branch="exp"
+        ).collect()
+    }
+    assert exp_state[1] == "exp-only"
+    # main never saw the delta: nothing due there
+    actions_main = retention.enforce_retention(
+        cat, spark, "t", ("k",), policy=EAGER
+    )
+    assert not any(actions_main.values())
+
+
 def test_delta_fold_requires_key_cols(spark, cat):
     _seed(cat, spark)
     mor_upsert.upsert_into(

@@ -1429,6 +1429,30 @@ def test_expire_snapshots_truncates_history(spark, tmp_path):
     assert again["expired_manifests"] == []
 
 
+def test_expire_snapshots_preserves_fork_paths_for_rebase(spark, tmp_path):
+    """code-review r18: expiring the fork-point manifest (or any link
+    on the walk to it) made _merge_base return None and every later
+    rebase spuriously conflict. Diverged refs pin their connecting
+    spine; the rebase must still succeed after expiry."""
+    from glue_jobs_for_data_pipeline_spark.sources.txn import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(spark.range(3).selectExpr("id AS k"), "t")
+    cat.create_branch("exp")
+    with cat.transaction(branch="exp") as t:
+        t.overwrite(spark.range(4).selectExpr("id AS k"), "branch_t")
+    for n in (5, 6, 7, 8):  # main moves on past keep_last
+        with cat.transaction() as t:
+            t.overwrite(spark.range(n).selectExpr("id AS k"), "other")
+    cat.expire_snapshots(keep_last=2, grace_seconds=0.0)
+    # the fork point and the spine survived: rebase + ff still work
+    cat.rebase("exp")
+    cat.merge_ff("exp")
+    assert cat.read(spark, "branch_t").count() == 4
+    assert cat.read(spark, "other").count() == 8
+
+
 def test_expire_snapshots_keeps_branch_pins(spark, tmp_path):
     """A manifest inside ANOTHER ref's keep window survives even when
     it is deep history for main."""
