@@ -52,13 +52,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #     error/rank/merge-consistency booleans — VERDICT r17 task #5),
 #     x_stream_exactly_once / x_stream_incremental_mv /
 #     x_corpus_stream_ingest_dedup (replay test is now MAX-based so
-#     the ledger can fold under retention);
+#     the ledger can fold under retention),
+#     x_dedup_minhash_lsh / x_dedup_simhash / x_corpus_prep_neardup
+#     (late r18: upgraded from rows-only to quantitative contract
+#     gates — exact-count anchors from the staged scored pair table
+#     plus deterministic recall/completeness/consistency booleans;
+#     x_dedup_pairs_stage itself now hash-checks (inter, jaccard)
+#     scores too but is NOT re-seated, same carry rule as r17's
+#     bound tightening);
 # (c) always-on m1/m2 core + m5;
 # (d) the carried r15 cohort (driver evidence r15 — the verdict's
 #     named leftovers first, then the rest of the cohort in its r15
 #     window order; x_storage_branch_isolation,
 #     x_emb_centroids_stage and x_split_group_kfold yielded their
-#     slots to the three late-r18 keys in (a) and carry to r19);
+#     slots to the three late-r18 keys in (a), and
+#     x_emb_cluster_quality, x_olap_countmin_sketch and
+#     x_emb_scatter_matrix to the three upgraded sketch gates in
+#     (b) — all six carry to r19);
 # (e) the OLDEST parity tranche s1..p5 (driver evidence r14).
 # Carried to r19 (sweep-green at both SFs every round): parity
 # p6..l1 + f1..f11 + v1..v4 + m3/m1b/m4 (r17 evidence), the
@@ -67,12 +77,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # evidence). x_dedup_pairs_stage's candidate-mass bound tightened in
 # r18 (per-doc ceil(len/2) sum) but the switch is output-identical
 # and it was driver-seated r17 — carried, not re-seated.
-# Permanently rows-only by design (weaker driver check only; each got
-# its one seated driver row in r15): x_dedup_minhash_lsh,
-# x_dedup_simhash, x_corpus_prep_neardup, x_olap_freq_items — kept
-# OUT; their exact twins stay hash-gated. (x_olap_approx_distinct,
-# x_olap_approx_percentiles and x_olap_hll_partial_merge left this
-# set in r18 via their quantitative gates.)
+# Rows-only keys: NONE as of late r18 — the last four
+# (x_dedup_minhash_lsh, x_dedup_simhash, x_corpus_prep_neardup,
+# x_olap_freq_items) all moved to quantitative hash gates, so every
+# registered key is oracle-checked.
 _WINDOW_ROWS_ONLY_OK: set[str] = set()  # r18: no rows-only keys seated
 
 _WINDOW_FIRST = [
@@ -83,7 +91,7 @@ _WINDOW_FIRST = [
     "x_storage_rollback_expire",
     "x_storage_check_constraints",
     "x_storage_partition_compaction",
-    # (b) plan/gate changed in r18 (8)
+    # (b) plan/gate changed in r18 (11)
     "x_storage_mor_upsert",
     "x_storage_deletion_vectors",
     "x_olap_approx_distinct",
@@ -92,11 +100,14 @@ _WINDOW_FIRST = [
     "x_stream_exactly_once",
     "x_stream_incremental_mv",
     "x_corpus_stream_ingest_dedup",
+    "x_dedup_minhash_lsh",
+    "x_dedup_simhash",
+    "x_corpus_prep_neardup",
     # (c) always-on core (3)
     "m1_scd2_upsert",
     "m2_j2_fact_population",
     "m5_transactional_pipeline",
-    # (d) carried r15 cohort, r15 evidence (19)
+    # (d) carried r15 cohort, r15 evidence (16)
     "x_text_boilerplate_removal",
     "x_text_string_kernels",
     "x_ts_asof_forward",
@@ -113,9 +124,6 @@ _WINDOW_FIRST = [
     "x_market_basket_lift",
     "x_graph_pagerank",
     "x_text_dsir_weights",
-    "x_emb_cluster_quality",
-    "x_olap_countmin_sketch",
-    "x_emb_scatter_matrix",
     # (e) oldest parity tranche, r14 evidence (14)
     "s1_csv_bulk_load",
     "s2_truncate_and_load",

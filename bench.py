@@ -49,6 +49,11 @@ BENCH_QUERIES = [
     "j1_inner_equijoin",
     "m3_dim_dates",
     "x_dedup_exact",
+    # r18: the pair-table stage moved UP here — the sketch contract
+    # gates (minhash/simhash/prep-neardup) consume its exact scores,
+    # and stage lines must run before their consumers so the build
+    # cost lands on the stage line, not the first consumer's
+    "x_dedup_pairs_stage",
     "x_dedup_minhash_lsh",
     "x_dedup_ngram_jaccard",
     "x_sim_bruteforce_topk",
@@ -67,12 +72,8 @@ BENCH_QUERIES = [
     "x_decontam_report",
     "x_olap_range_frame",
     "x_sample_shard_positions",
-    # r15: the near-dup pair-table staging itself — the shingle
-    # inverted-index self-join every dedup-CC policy consumer
-    # (cc-clusters, corpus-dedup, quality-keep, split-leakage) now
-    # reads instead of rebuilding; runs before its consumers so the
-    # build cost lands on THIS line (the edge-stage pattern)
-    "x_dedup_pairs_stage",
+    # (r15's near-dup pair-table stage line moved up next to
+    # x_dedup_minhash_lsh in r18 — see above)
     # r06 additions: iterative connected-component clustering (the
     # pairs->clusters closure), token-budget fill (domain window),
     # CDC changelog apply (key window + tombstone filter)
@@ -259,6 +260,16 @@ BENCH_QUERIES = [
     # partition appends + offender-only rewrite with inode asserts;
     # ~2.3 s warm)
     "x_storage_partition_compaction",
+    # r18 late pair: the last two rows-only keys upgraded to
+    # quantitative contract gates, which now cross exact ground truth
+    # (staged scored pairs / a second prepared-corpus pass) with the
+    # sketch output: simhash recall+completeness gate (~2.6 s warm,
+    # ONE cached signature pass for 4 consumers), corpus-prep near-dup
+    # survivor audit (~4.2 s warm — the audited pipeline plus its
+    # independent prepared-corpus recompute). x_dedup_minhash_lsh's
+    # gate rides its existing bill line (+0.3 s for the trues join).
+    "x_dedup_simhash",
+    "x_corpus_prep_neardup",
 ]
 
 # The host's recurring noise mode concentrates on the winnowing pair
