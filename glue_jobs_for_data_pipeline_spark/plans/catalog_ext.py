@@ -6889,17 +6889,6 @@ def x_storage_partition_compaction(
     hot = base.filter(F.col("k") % 100 < 5).select(
         (F.col("k") + 20000000).alias("k"), F.lit("O").alias("status")
     )
-    n_hot = 5
-    splits = hot.randomSplit([1.0] * n_hot, seed=7)
-    for b in splits:
-        with cat.transaction() as t:
-            t.append(b.coalesce(1), "orders_part")
-
-    def digest(label: str) -> DataFrame:
-        return cat.read(spark, "orders_part").groupBy("status").agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("k").cast("long").alias("key_sum"),
-        ).select(F.lit(label).alias("ref"), "status", "n", "key_sum")
 
     def part_files(vdir: str) -> dict[str, list[str]]:
         out: dict[str, list[str]] = {}
@@ -6908,6 +6897,35 @@ def x_storage_partition_compaction(
             if parts:
                 out[_os.path.relpath(root, vdir)] = sorted(parts)
         return out
+
+    # Append enough single-file micro-batches that the hot partition
+    # EXCEEDS every healthy partition's file count whatever layout the
+    # base write produced (code-review r18: with a fixed count, a base
+    # layout where a healthy partition happens to carry >= that many
+    # more files than status=O would leave the hot partition inside
+    # the derived bound and abort debt detection). Modulo slices, not
+    # randomSplit: every slice is provably non-empty at the fixture
+    # sizes, and an empty append would publish nothing (r17 semantics)
+    # and silently shrink the debt.
+    base_layout = part_files(
+        _version_dir(cat.table_dir("orders_part"), cat.manifest()["orders_part"])
+    )
+    healthy_max = max(
+        len(fs) for p, fs in base_layout.items() if p != "status=O"
+    )
+    n_hot = max(5, healthy_max - len(base_layout.get("status=O", [])) + 1)
+    for i in range(n_hot):
+        with cat.transaction() as t:
+            t.append(
+                hot.filter(F.col("k") % n_hot == i).coalesce(1),
+                "orders_part",
+            )
+
+    def digest(label: str) -> DataFrame:
+        return cat.read(spark, "orders_part").groupBy("status").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("key_sum"),
+        ).select(F.lit(label).alias("ref"), "status", "n", "key_sum")
 
     before = digest("before")
     before_rows = before.collect()
