@@ -197,7 +197,15 @@ def compact_deletes(
     Concurrency: a delete batch landing between this compaction's read
     and its commit would be silently resurrected if the commit won —
     the CAS makes the commit LOSE instead, and the retry re-reads the
-    (now larger) dv and compacts it too."""
+    (now larger) dv and compacts it too.
+
+    Composition with merge-on-read upserts (ADVICE r18): a deleted
+    key whose CURRENT value lives in ``name__delta`` is invisible to
+    the base-ANTI-dv rewrite — emptying the dv alone would let
+    ``read_upserted`` re-surface it from the delta. The delta is
+    therefore rewritten as delta ANTI dv in the SAME atomic commit,
+    so the logical row set ((base ANTI delta) ∪ delta) ANTI dv is
+    identical on both sides of the swap."""
     last: ConcurrentCommitError | None = None
     for attempt in range(_COMMIT_RETRIES):
         try:
@@ -224,6 +232,21 @@ def compact_deletes(
                     merged, name,
                     base_partition_cols(cat, name, t._expected_head),
                 )
+                try:
+                    # lazy import: mor_upsert imports this module
+                    from .mor_upsert import delta_table
+
+                    delta = t.read_committed(spark, delta_table(name))
+                    t.overwrite(
+                        delta.join(
+                            F.broadcast(dv.select(*key_cols)),
+                            on=list(key_cols),
+                            how="left_anti",
+                        ),
+                        delta_table(name),
+                    )
+                except FileNotFoundError:
+                    pass
                 t.overwrite(dv.limit(0), dv_table(name))
             # this commit's own manifest id (ADVICE r16), not a head
             # re-read a racing writer could have advanced

@@ -111,13 +111,22 @@ def _scan_with_pos(
     if name not in versions:
         raise FileNotFoundError(f"table {name!r} not in manifest m={manifest}")
     vdir = _version_dir(cat.table_dir(name), versions[name])
-    # one regex anchored on this version dir's own marker: everything
-    # after ".../v=<N>/" identifies the file within ANY later version
-    # that hard-links it
+    # one regex anchored on THIS version dir's own marker — greedy
+    # ``^.*`` with the scan's exact version number, so the match is
+    # the LAST (deepest) "/v=<this version>/" component: everything
+    # after it identifies the file within ANY later version that
+    # hard-links it. (ADVICE r18: the old non-greedy ``/v=\\d+/``
+    # matched the FIRST such segment of the absolute path — a
+    # warehouse root that itself contains one, e.g. .../v=3/wh,
+    # embedded a version-dependent path remnant in the anchor and
+    # recorded deletes silently stopped matching after the next
+    # append.)
     df = _read_version_df(spark, vdir).withColumns(
         {
             _FILE_COL: F.regexp_replace(
-                F.col("_metadata.file_path"), r"^.*?/v=\d+/", ""
+                F.col("_metadata.file_path"),
+                rf"^.*/v={versions[name]}/",
+                "",
             ),
             _POS_COL: F.col("_metadata.row_index"),
         }

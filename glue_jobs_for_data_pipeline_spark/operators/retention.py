@@ -244,15 +244,39 @@ def enforce_retention(
             n_files = max(
                 1, math.ceil(base["bytes"] / policy.target_file_bytes)
             )
+        # A positional delete can land BETWEEN the pdv fold above and
+        # this rewrite (they are separate transactions); the rewrite
+        # primitives then refuse via guard_no_pending_positional_
+        # deletes. Re-fold the fresh pdv and retry, bounded — the
+        # maintenance pass must serialize with live writers, not crash
+        # the cron job (ADVICE r18).
+        _PDV_RACE_RETRIES = 4
         if key_cols:
-            ran = (
-                _mor.compact_full(
-                    cat, spark, name, key_cols, branch, n_files=n_files
-                )
-                is not None
-            )
+            ran = False
+            for pdv_attempt in range(_PDV_RACE_RETRIES):
+                try:
+                    ran = (
+                        _mor.compact_full(
+                            cat, spark, name, key_cols, branch,
+                            n_files=n_files,
+                        )
+                        is not None
+                    )
+                    break
+                except ValueError as exc:
+                    if "pending positional deletes" not in str(exc) or (
+                        pdv_attempt == _PDV_RACE_RETRIES - 1
+                    ):
+                        raise
+                    if (
+                        _pdel.compact_positional_deletes(
+                            cat, spark, name, branch
+                        )
+                        is not None
+                    ):
+                        actions["fold_positional_deletes"] = True
         else:  # files_due only, keyless table: plain sized rewrite
-            last: ConcurrentCommitError | None = None
+            last: Exception | None = None
             ran = False
             for attempt in range(_COMMIT_RETRIES):
                 try:
@@ -267,6 +291,17 @@ def enforce_retention(
                 except ConcurrentCommitError as exc:
                     last = exc
                     time.sleep(0.02 * (attempt + 1))
+                except ValueError as exc:
+                    if "pending positional deletes" not in str(exc):
+                        raise
+                    last = exc
+                    if (
+                        _pdel.compact_positional_deletes(
+                            cat, spark, name, branch
+                        )
+                        is not None
+                    ):
+                        actions["fold_positional_deletes"] = True
             if not ran:
                 raise last  # type: ignore[misc]
         actions["fold_upsert_delta"] = delta_due and ran

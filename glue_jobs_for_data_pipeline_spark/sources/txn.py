@@ -1016,7 +1016,12 @@ class Catalog:
             cur = self._manifest_parent(cur)
         return None
 
-    def rebase(self, branch: str, onto: str = "main") -> int:
+    def rebase(
+        self,
+        branch: str,
+        onto: str = "main",
+        spark: SparkSession | None = None,
+    ) -> int:
         """REBASE a diverged branch onto ``onto``'s current head — the
         non-fast-forward story merge_ff refuses by design: a three-way
         manifest merge at TABLE granularity. The branch's change set is
@@ -1039,7 +1044,15 @@ class Catalog:
 
         Runs under the commit lock with CAS semantics on BOTH refs: if
         either ``onto`` or ``branch`` moves between the read and the
-        swap, ConcurrentCommitError — re-read and retry."""
+        swap, ConcurrentCommitError — re-read and retry.
+
+        ``spark`` (optional): when provided, any table whose data
+        version and CHECK-constraint set are paired FOR THE FIRST TIME
+        by this merge (branch data under an onto-declared constraint,
+        or vice versa) is re-validated before the swap, raising
+        ConstraintViolationError on violation (ADVICE r18). Without a
+        session the merged data is only re-validated on the next write
+        to each table."""
         b_head = self.head(branch)
         o_head = self.head(onto)
         if b_head is None:
@@ -1091,6 +1104,83 @@ class Catalog:
                 "branch's transactions on a fresh fork",
                 conflicts,
             )
+        merged = {**self._manifest_tables(o_head), **b_changed}
+        merged_s = dict(o_s)
+        for k in b_changed_s:  # branch's op state wins for its set
+            if k in b_s:
+                merged_s[k] = b_s[k]
+            else:
+                merged_s.pop(k, None)  # cleared by a branch rewrite
+        # constraints rebase three-way at TABLE granularity too:
+        # the branch's constraint state wins for tables whose map
+        # changed on the branch since the fork (conflicts with a
+        # simultaneous onto-side change are rare enough that
+        # last-declarer-wins is acceptable for a metadata rule set)
+        base_c = self._manifest_constraints(base)
+        b_c = self._manifest_constraints(b_head)
+        o_c = self._manifest_constraints(o_head)
+        merged_c = dict(o_c)
+        for k in set(base_c) | set(b_c):
+            if base_c.get(k, {}) != b_c.get(k, {}):
+                if k in b_c:
+                    merged_c[k] = b_c[k]
+                else:
+                    merged_c.pop(k, None)
+        # The merge can pair a table's DATA with a constraint set the
+        # data was never validated under — branch data meeting an
+        # onto-side constraint, or onto data meeting a branch-declared
+        # one (ADVICE r18: without this a branch whose data violates a
+        # constraint added on the onto side merged cleanly, committing
+        # a manifest whose data breaks its own declared rules). With a
+        # ``spark`` session the novel pairings re-validate here, one
+        # add_constraint-style existence probe per (table, constraint);
+        # without one the merged data is only re-validated on the next
+        # write to each table (documented fallback — callers that
+        # declare constraints should pass spark).
+        if spark is not None:
+            for k, rules in merged_c.items():
+                validated = b_c.get(k, {}) if k in b_changed else o_c.get(k, {})
+                novel = {
+                    c: e for c, e in rules.items()
+                    if validated.get(c) != e
+                }
+                if not novel:
+                    continue
+                from pyspark.sql import functions as _F
+
+                # probe the base AND any merge-on-read delta (delta
+                # rows are part of the logical state — same rule as
+                # add_constraint)
+                for scan_name in (k, k + "__delta"):
+                    if scan_name not in merged:
+                        continue
+                    df = _read_version_df(
+                        spark,
+                        _version_dir(
+                            self.table_dir(scan_name), merged[scan_name]
+                        ),
+                    )
+                    ops = merged_s.get(scan_name)
+                    if ops:
+                        df = _apply_schema_ops(df, ops)
+                    for cname, expr in sorted(novel.items()):
+                        bad = (
+                            df.filter(
+                                ~_F.expr(expr).eqNullSafe(_F.lit(True))
+                            )
+                            .limit(1)
+                            .count()
+                        )
+                        if bad:
+                            raise ConstraintViolationError(
+                                f"rebase {branch!r} onto {onto!r}: rows "
+                                f"of {scan_name!r} violate CHECK "
+                                f"{cname!r} ({expr}) carried across the "
+                                "merge; repair the branch before "
+                                "rebasing",
+                                k,
+                                cname,
+                            )
         with self._locked():
             if self.head(branch) != b_head or self.head(onto) != o_head:
                 raise ConcurrentCommitError(
@@ -1098,31 +1188,9 @@ class Catalog:
                     "re-read and retry"
                 )
             m = self._next_manifest()
-            merged = {**self._manifest_tables(o_head), **b_changed}
-            merged_s = dict(o_s)
-            for k in b_changed_s:  # branch's op state wins for its set
-                if k in b_s:
-                    merged_s[k] = b_s[k]
-                else:
-                    merged_s.pop(k, None)  # cleared by a branch rewrite
             mdoc: dict = {"tables": merged, "parent": o_head}
             if merged_s:
                 mdoc["schemas"] = merged_s
-            # constraints rebase three-way at TABLE granularity too:
-            # the branch's constraint state wins for tables whose map
-            # changed on the branch since the fork (conflicts with a
-            # simultaneous onto-side change are rare enough that
-            # last-declarer-wins is acceptable for a metadata rule set
-            # — the data itself re-validates on the next write)
-            base_c = self._manifest_constraints(base)
-            b_c = self._manifest_constraints(b_head)
-            merged_c = dict(self._manifest_constraints(o_head))
-            for k in set(base_c) | set(b_c):
-                if base_c.get(k, {}) != b_c.get(k, {}):
-                    if k in b_c:
-                        merged_c[k] = b_c[k]
-                    else:
-                        merged_c.pop(k, None)
             if merged_c:
                 mdoc["constraints"] = merged_c
             mpath = os.path.join(self.root, _MANIFEST_DIR, f"m={m}.json")

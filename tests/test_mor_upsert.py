@@ -245,3 +245,31 @@ def test_upsert_keys_only_batch(spark, cat):
         for r in mor_upsert.read_upserted(cat, spark, "t", ("k",)).collect()
     )
     assert got == [0, 1, 2, 7]
+
+
+def test_compact_deletes_purges_delta_in_same_commit(spark, cat):
+    """upsert k -> delete_where matching k -> compact_deletes: the
+    standalone dv fold must ALSO purge k from the __delta side table
+    in the same atomic commit — emptying the dv alone lets
+    read_upserted re-surface k from the untouched delta (ADVICE r18:
+    observed {1:a, 2:zap, 3:c} after compacting a delete of k=2)."""
+    _seed(cat, spark)  # {1: a, 2: b, 3: c}
+    mor_upsert.upsert_into(cat, spark, "t", _df(spark, [(2, "zap")]), ("k",))
+    deletes.delete_where(cat, spark, "t", "v = 'zap'", ("k",))
+    assert _state(cat, spark) == {1: "a", 3: "c"}
+    m = deletes.compact_deletes(cat, spark, "t", ("k",))
+    assert cat.head() == m
+    assert _state(cat, spark) == {1: "a", 3: "c"}  # no resurrection
+    # the delta purge and the dv reset landed in ONE manifest
+    assert cat.read(spark, deletes.dv_table("t")).count() == 0
+    assert cat.read(spark, mor_upsert.delta_table("t")).count() == 0
+    old = cat._manifest_tables(cat._manifest_parent(m))
+    new = cat._manifest_tables(m)
+    assert old[mor_upsert.delta_table("t")] < new[mor_upsert.delta_table("t")]
+    # untouched delta keys survive the purge
+    mor_upsert.upsert_into(
+        cat, spark, "t", _df(spark, [(1, "A1"), (5, "e")]), ("k",)
+    )
+    deletes.delete_where(cat, spark, "t", "k = 5", ("k",))
+    deletes.compact_deletes(cat, spark, "t", ("k",))
+    assert _state(cat, spark) == {1: "A1", 3: "c"}

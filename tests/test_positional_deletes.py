@@ -151,3 +151,33 @@ def test_read_positional_with_schema_evolution(spark, cat):
         int(r["k"])
         for r in pd_.read_positional(cat, spark, "t").collect()
     ) == [1]
+
+
+def test_anchor_survives_versioned_warehouse_root(spark, tmp_path):
+    """A warehouse ROOT that itself contains a /v=<digits>/ segment
+    must not poison positional-delete anchors (ADVICE r18: the old
+    non-greedy regex matched the FIRST such segment of the absolute
+    path, so anchors embedded a version-dependent remnant and deletes
+    silently resurrected after the next append)."""
+    root = tmp_path / "v=3" / "wh"
+    cat = txn.Catalog(str(root))
+    with cat.transaction() as t:
+        t.overwrite(
+            spark.range(6).selectExpr("id AS k"), "t"
+        )
+    pd_.delete_where_positional(cat, spark, "t", "k % 2 = 0")
+    assert sorted(
+        r["k"] for r in pd_.read_positional(cat, spark, "t").collect()
+    ) == [1, 3, 5]
+    # an append hard-links the base files into a NEW version dir; the
+    # recorded anchors must still resolve against the linked files
+    with cat.transaction() as t:
+        t.append(spark.createDataFrame([(100,)], "k long"), "t")
+    assert sorted(
+        r["k"] for r in pd_.read_positional(cat, spark, "t").collect()
+    ) == [1, 3, 5, 100]
+    # and the fold applies them, not silently no-ops
+    pd_.compact_positional_deletes(cat, spark, "t")
+    assert sorted(
+        r["k"] for r in cat.read(spark, "t").collect()
+    ) == [1, 3, 5, 100]

@@ -362,3 +362,40 @@ def test_delta_fold_requires_key_cols(spark, cat):
     )
     with pytest.raises(ValueError, match="key_cols"):
         retention.enforce_retention(cat, spark, "t", policy=EAGER)
+
+
+def test_rewrite_retries_when_positional_delete_races_the_fold(
+    spark, cat, monkeypatch
+):
+    """A positional delete landing between the pdv fold and the
+    combined rewrite (separate transactions) made compact_full raise
+    the pending-pdv guard and crash the maintenance pass (ADVICE r18
+    — the docstring promises 'safe to run from cron while writers
+    stream'). enforce_retention must catch the guard, re-fold the
+    fresh pdv, and retry the rewrite."""
+    _seed(cat, spark)
+    mor_upsert.upsert_into(
+        cat, spark, "t",
+        spark.createDataFrame([(1, "x"), (25, "new")], "k long, v string"),
+        ("k",),
+    )
+    real_compact_full = mor_upsert.compact_full
+    raced = {"done": False}
+
+    def racing_compact_full(*args, **kwargs):
+        if not raced["done"]:
+            raced["done"] = True
+            # the racing writer: a positional delete lands just before
+            # the rewrite commits -> the guard inside trips
+            pdel.delete_where_positional(cat, spark, "t", "k = 3")
+        return real_compact_full(*args, **kwargs)
+
+    monkeypatch.setattr(retention._mor, "compact_full", racing_compact_full)
+    actions = retention.enforce_retention(
+        cat, spark, "t", key_cols=("k",), policy=EAGER
+    )
+    assert actions["fold_upsert_delta"]
+    assert actions["fold_positional_deletes"]  # the mid-pass re-fold
+    state = _state(cat, spark)
+    assert state[1] == "x" and state[25] == "new" and 3 not in state
+    assert not pdel.has_pending_positional_deletes(cat, spark, "t", cat.head())

@@ -1716,3 +1716,41 @@ def test_compact_table_folds_pending_schema_ops(spark, tmp_path):
     cat.compact_table(spark, "t")
     assert "t" not in cat._manifest_schemas(cat.head())
     assert cat.read(spark, "t").columns == ["k", "label"]
+
+
+def test_rebase_revalidates_carried_constraints(spark, tmp_path):
+    """A branch whose data violates a CHECK constraint added on the
+    onto side must NOT merge cleanly when the caller passes a session
+    (ADVICE r18: the three-way constraint carry never re-validated the
+    moved data, committing a manifest whose data violates its own
+    declared rules). Without a session the documented fallback applies
+    — the merge lands and re-validation waits for the next write."""
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 1), "dim")
+        t.overwrite(_df(spark, 1), "fact")
+    cat.create_branch("exp")
+    with cat.transaction(branch="exp") as t:
+        t.overwrite(_df(spark, -7), "dim")  # violates the rule below
+    # onto side declares the constraint AFTER the fork (its own data
+    # passes) and moves another table so the rebase is non-trivial
+    cat.add_constraint(spark, "dim", "tag_positive", "tag > 0")
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 5), "fact")
+    b_head, o_head = cat.head("exp"), cat.head()
+    with pytest.raises(
+        txn.ConstraintViolationError, match="tag_positive"
+    ):
+        cat.rebase("exp", spark=spark)
+    # a refused rebase is a pure no-op on both refs
+    assert (cat.head("exp"), cat.head()) == (b_head, o_head)
+    # clean branch data + carried constraint: rebase with a session OK
+    with cat.transaction(branch="exp") as t:
+        t.overwrite(_df(spark, 9), "dim")
+    m = cat.rebase("exp", spark=spark)
+    assert cat.head("exp") == m
+    cat.merge_ff("exp")
+    # the constraint survived the merge and still binds writers
+    with pytest.raises(txn.ConstraintViolationError):
+        with cat.transaction() as t:
+            t.overwrite(_df(spark, -1), "dim")
