@@ -235,15 +235,21 @@ def pagerank(
     grouped by dst; the ranks->edges join is a join on src against a
     node-sized table, sharing the edges' src layout cached once). The
     dangling mass rides the SAME job as a broadcast 1-row aggregate
-    (anti-join + scalar agg cross-joined into the update expression) —
-    since r10 there is NO per-iteration driver collect; the only
-    per-round action is the localCheckpoint that truncates the
-    otherwise linearly-growing lineage, exactly as in
-    connected_components. No convergence check — fixed iteration
-    count, the common production contract. Ranks are doubles; per-node
-    sums depend on partial-agg order, so PageRank is rows-only under
-    the driver's value-hash gate — its numerics are pinned by the
-    pure-Python differential test instead (tests/test_graph.py).
+    cross-joined into the update expression — since r10 there is NO
+    per-iteration driver collect, and since r19 no per-iteration JOIN
+    either: the node table is annotated ONCE with an is-dangling flag
+    that the rank table carries forward, so the mass is a plain
+    filter-aggregate over the already-checkpointed ranks (the old
+    anti-join against ``deg`` re-derived the degree table from its
+    source — a full edge rescan + exchange + broadcast build EVERY
+    round; guide §2.4). The only per-round action is the
+    localCheckpoint that truncates the otherwise linearly-growing
+    lineage, exactly as in connected_components. No convergence check
+    — fixed iteration count, the common production contract. Ranks
+    are doubles; per-node sums depend on partial-agg order, so
+    PageRank is rows-only under the driver's value-hash gate — its
+    numerics are pinned by the pure-Python differential test instead
+    (tests/test_graph.py).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
@@ -253,38 +259,46 @@ def pagerank(
     )
     from . import ckpt
 
-    nodes = nodes.localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # node table carries the dangling flag from birth (no out-edges):
+    # every iteration's rank table inherits it through the update join
+    nodes = (
+        nodes.join(
+            deg.select(F.col("src").alias("node"), "deg"),
+            "node",
+            "left_outer",
+        )
+        .select("node", F.col("deg").isNull().alias("_dang"))
+        .localCheckpoint(eager=True)
+    )
     n = nodes.count()
     if n == 0:
         # empty edge list -> empty ranking (not a ZeroDivisionError at
         # plan-build time)
         ckpt.register(nodes)
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # edges annotated with out-degree once, cached partitioned on src —
     # every iteration's join reuses this layout instead of recomputing
     ed = e.join(deg, "src").localCheckpoint(eager=True)
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"), "_dang")
     prev_ranks = None
     for _ in range(iterations):
-        out = ranks.withColumnRenamed("node", "src")
+        out = ranks.select(F.col("node").alias("src"), "rank")
         contribs = (
             ed.join(out, "src")
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        # dangling mass = rank held by nodes with NO out-edges: an
-        # anti-join + scalar agg that rides the SAME job as the update
-        # via a broadcast 1-row cross join — no driver round-trip per
-        # iteration. Arithmetic order matches the previous driver-side
-        # fold ((1-d)/n + (d*m)/n, then + d*contrib) so the pure-Python
-        # differential stays bit-tight.
-        dangling_df = (
-            ranks.join(
-                deg.select(F.col("src").alias("node")), "node", "left_anti"
-            )
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        # dangling mass = rank held by nodes with NO out-edges: a
+        # filter-aggregate over the checkpointed ranks (the flag rode
+        # in), broadcast into the update as a 1-row cross join — no
+        # join, no rescan, no driver round-trip. Arithmetic order
+        # matches the previous driver-side fold ((1-d)/n + (d*m)/n,
+        # then + d*contrib) so the pure-Python differential stays
+        # bit-tight.
+        dangling_df = ranks.filter(F.col("_dang")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
         ranks = (
             nodes.join(
@@ -298,6 +312,7 @@ def pagerank(
                     + F.lit(damping) * F.col("_dm") / F.lit(float(n))
                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
+                "_dang",
             )
             .localCheckpoint(eager=True)
         )
@@ -312,7 +327,7 @@ def pagerank(
     else:  # iterations == 0: ranks still reads nodes' blocks
         ckpt.register(nodes)
         ckpt.free(ed)
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def pagerank_int_grid(
@@ -358,31 +373,43 @@ def pagerank_int_grid(
     )
     from . import ckpt
 
-    nodes = nodes.localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # dangling flag attached once, carried through every rank table —
+    # the per-iteration mass becomes a filter-aggregate over the
+    # checkpointed ranks instead of an anti-join that re-derived deg
+    # from a full edge rescan each round (r19; see pagerank)
+    nodes = (
+        nodes.join(
+            deg.select(F.col("src").alias("node"), "deg"),
+            "node",
+            "left_outer",
+        )
+        .select("node", F.col("deg").isNull().alias("_dang"))
+        .localCheckpoint(eager=True)
+    )
     n = nodes.count()
     if n == 0:
         ckpt.register(nodes)
         return nodes.select(
             "node", F.lit(0).cast("long").alias("rank_scaled")
         )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = e.join(deg, "src").localCheckpoint(eager=True)
     tele = (3 * scale) // (20 * n)
     ranks = nodes.select(
-        "node", F.lit(scale // n).cast("long").alias("r")
+        "node", F.lit(scale // n).cast("long").alias("r"), "_dang"
     )
     prev_ranks = None
     for _ in range(iterations):
-        out = ranks.withColumnRenamed("node", "src")
+        out = ranks.select(F.col("node").alias("src"), "r")
         contribs = (
             ed.join(out, "src")
             .select("dst", F.expr("r div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        dangling_df = ranks.join(
-            deg.select(F.col("src").alias("node")), "node", "left_anti"
-        ).agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_dm"))
+        dangling_df = ranks.filter(F.col("_dang")).agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_dm")
+        )
         ranks = (
             nodes.join(
                 contribs.withColumnRenamed("dst", "node"), "node", "left_outer"
@@ -396,6 +423,7 @@ def pagerank_int_grid(
                         f"(17 * ((_dm div {n}) + coalesce(contrib, 0L))) div 20"
                     )
                 ).alias("r"),
+                "_dang",
             )
             .localCheckpoint(eager=True)
         )

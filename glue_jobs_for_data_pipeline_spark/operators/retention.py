@@ -133,16 +133,28 @@ def fold_ledger(
     for attempt in range(_COMMIT_RETRIES):
         try:
             with cat.transaction(branch=branch) as t:
+                # the ledger is metadata-sized by contract (one row per
+                # micro-batch per app) — fold it driver-side in ONE
+                # read job and write the result back as a local
+                # relation, instead of three jobs (count, folded count,
+                # groupBy rewrite) over a table of a few rows (r19)
                 try:
-                    ledger = t.read_committed(spark, lname)
+                    rows = t.read_committed(spark, lname).collect()
                 except FileNotFoundError:
                     return None
-                folded = ledger.groupBy("app_id").agg(
-                    F.max("batch_id").alias("batch_id")
-                )
-                if ledger.count() == folded.count():
+                folded: dict[str, int] = {}
+                for r in rows:
+                    a, b = r["app_id"], int(r["batch_id"])
+                    folded[a] = max(folded.get(a, b), b)
+                if len(rows) == len(folded):
                     return None  # already one row per app — no commit
-                t.overwrite(folded, lname)
+                t.overwrite(
+                    spark.createDataFrame(
+                        sorted(folded.items()),
+                        "app_id string, batch_id long",
+                    ),
+                    lname,
+                )
             return t.committed_manifest
         except ConcurrentCommitError as exc:
             # a streaming batch landed mid-fold: re-read, retry — the
