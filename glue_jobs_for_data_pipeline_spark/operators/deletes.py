@@ -212,9 +212,12 @@ def compact_deletes(
             with cat.transaction(branch=branch) as t:
                 try:
                     dv = t.read_committed(spark, dv_table(name))
+                    # footer-count fast path (no Spark job); falls back
+                    # to a scan when footers cannot answer (r19)
+                    nrows = t.committed_rows(dv_table(name))
                 except FileNotFoundError:
                     return None
-                if dv.isEmpty():
+                if nrows == 0 or (nrows is None and dv.isEmpty()):
                     # nothing to fold — rewriting a 100 TB base to
                     # apply zero deletes is not a no-op (r18)
                     return None
@@ -247,7 +250,7 @@ def compact_deletes(
                     )
                 except FileNotFoundError:
                     pass
-                t.overwrite(dv.limit(0), dv_table(name))
+                t.truncate(dv, dv_table(name))
             # this commit's own manifest id (ADVICE r16), not a head
             # re-read a racing writer could have advanced
             return t.committed_manifest

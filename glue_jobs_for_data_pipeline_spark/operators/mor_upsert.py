@@ -197,18 +197,21 @@ def compact_full(
     for attempt in range(_COMMIT_RETRIES):
         try:
             with cat.transaction(branch=branch) as t:
-                try:
-                    delta = t.read_committed(spark, delta_table(name))
-                    if delta.isEmpty():
-                        delta = None
-                except FileNotFoundError:
-                    delta = None
-                try:
-                    dv = t.read_committed(spark, dv_table(name))
-                    if dv.isEmpty():
-                        dv = None
-                except FileNotFoundError:
-                    dv = None
+
+                def _side(side_name: str) -> DataFrame | None:
+                    # footer-count fast path for the emptiness test
+                    # (no Spark job; falls back to a scan — r19)
+                    try:
+                        df = t.read_committed(spark, side_name)
+                        nrows = t.committed_rows(side_name)
+                    except FileNotFoundError:
+                        return None
+                    if nrows == 0 or (nrows is None and df.isEmpty()):
+                        return None
+                    return df
+
+                delta = _side(delta_table(name))
+                dv = _side(dv_table(name))
                 if delta is None and dv is None and n_files is None:
                     return None
                 from .positional_deletes import (
@@ -238,9 +241,9 @@ def compact_full(
                     base_partition_cols(cat, name, t._expected_head),
                 )
                 if delta is not None:
-                    t.overwrite(delta.limit(0), delta_table(name))
+                    t.truncate(delta, delta_table(name))
                 if dv is not None:
-                    t.overwrite(dv.limit(0), dv_table(name))
+                    t.truncate(dv, dv_table(name))
             return t.committed_manifest
         except ConcurrentCommitError as exc:
             last = exc
@@ -299,9 +302,10 @@ def compact_upserts(
             with cat.transaction(branch=branch) as t:
                 try:
                     delta = t.read_committed(spark, delta_table(name))
+                    nrows = t.committed_rows(delta_table(name))
                 except FileNotFoundError:
                     return None
-                if delta.isEmpty():
+                if nrows == 0 or (nrows is None and delta.isEmpty()):
                     # nothing to fold — never rewrite the base for an
                     # already-compacted delta (r18)
                     return None
@@ -325,7 +329,7 @@ def compact_upserts(
                     merged, name,
                     base_partition_cols(cat, name, t._expected_head),
                 )
-                t.overwrite(delta.limit(0), delta_table(name))
+                t.truncate(delta, delta_table(name))
             return t.committed_manifest
         except ConcurrentCommitError as exc:
             last = exc

@@ -82,6 +82,16 @@ def has_pending_positional_deletes(
     versions = cat._manifest_tables(manifest)
     if pdv_table(name) not in versions:
         return False
+    from ..sources.txn import version_rows
+
+    # footer-count fast path — this guard runs inside EVERY rewrite
+    # primitive, so a Spark isEmpty job here taxed every compaction
+    # whether or not positional deletes were in play (r19)
+    nrows = version_rows(
+        cat.table_dir(pdv_table(name)), versions[pdv_table(name)]
+    )
+    if nrows is not None:
+        return nrows > 0
     vdir = _version_dir(
         cat.table_dir(pdv_table(name)), versions[pdv_table(name)]
     )
@@ -231,9 +241,10 @@ def compact_positional_deletes(
             with cat.transaction(branch=branch) as t:
                 try:
                     pdv = t.read_committed(spark, pdv_table(name))
+                    nrows = t.committed_rows(pdv_table(name))
                 except FileNotFoundError:
                     return None
-                if pdv.isEmpty():
+                if nrows == 0 or (nrows is None and pdv.isEmpty()):
                     return None
                 base = _scan_with_pos(cat, spark, name, t._expected_head)
                 out_cols = [
@@ -255,7 +266,7 @@ def compact_positional_deletes(
                     _version_dir(cat.table_dir(name), versions[name])
                 )
                 t.overwrite(merged, name, part_by)
-                t.overwrite(pdv.limit(0), pdv_table(name))
+                t.truncate(pdv, pdv_table(name))
             return t.committed_manifest
         except ConcurrentCommitError as exc:
             last = exc

@@ -25,6 +25,39 @@ from ..sources.readers import scratch_dir as _scratch_dir
 from ..streaming.events import run_stream_to_batch, sessionize_stateful
 from .catalog import _M1_DELTA_SQL, _q
 
+
+def _pq_rows(sf_dir: str, table: str) -> int | None:
+    """EXACT row count of a source fixture parquet from its footer(s) —
+    driver-side metadata, no Spark job (~0.3 s of collect-path overhead
+    saved per .count(); r19). None on any failure — callers fall back
+    to a Spark count."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_rows
+        n = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+        return n
+    except Exception:  # noqa: BLE001 — optional fast path only
+        return None
+
+
+def _cat_rows(cat, spark, name: str) -> int:
+    """Committed row count of a catalog table: parquet-footer fast path
+    (Catalog.table_rows), Spark count fallback. Exact either way —
+    schema ops never change row counts."""
+    n = cat.table_rows(name)
+    return n if n is not None else cat.read(spark, name).count()
+
 # _scratch_dir: per-invocation, SPARK_GRAFT_SCRATCH_ROOT-rooted staging
 # (sources/readers.py::scratch_dir — the single primitive; a fixed path
 # races, ADVICE r04/r14; cleanup deferred to atexit, ADVICE r05)
@@ -1343,7 +1376,8 @@ def x_emb_centroids_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     emb = load_table(spark, sf_dir, "embeddings")
-    kd = max(32, math.floor(math.sqrt(float(emb.count()))))
+    _n = _pq_rows(sf_dir, "embeddings")
+    kd = max(32, math.floor(math.sqrt(float(_n if _n is not None else emb.count()))))
     rows = []
     for n_cells in (8, kd):
         for cell, vec in _staged_grid_centroids(spark, sf_dir, n_cells):
@@ -1664,7 +1698,8 @@ def x_dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Training staged once per process (r15); see _staged_grid_centroids
     import math
 
-    k = max(32, math.floor(math.sqrt(float(emb.count()))))
+    _n = _pq_rows(sf_dir, "embeddings")
+    k = max(32, math.floor(math.sqrt(float(_n if _n is not None else emb.count()))))
     cents = _staged_grid_centroids(spark, sf_dir, k)
     cells = similarity.assign_ivf_cells_int(
         emb.select(
@@ -3629,7 +3664,10 @@ def x_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink(events.limit(50), max(done))
     if cat.head() != head_before:
         raise AssertionError("replayed micro-batch minted a commit")
-    if cat.read(spark, "events_raw").count() != events.count():
+    _n_src = _pq_rows(sf_dir, "events")
+    if _cat_rows(cat, spark, "events_raw") != (
+        _n_src if _n_src is not None else events.count()
+    ):
         raise AssertionError("raw sink diverged from the source")
     return cat.read(spark, "events_mv")
 
@@ -3687,8 +3725,8 @@ def x_corpus_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    n_corpus = cat.read(spark, "corpus").count()
-    n_fp = cat.read(spark, "corpus__fp").count()
+    n_corpus = _cat_rows(cat, spark, "corpus")
+    n_fp = _cat_rows(cat, spark, "corpus__fp")
     if n_corpus != n_fp:
         raise AssertionError("corpus and fingerprint table diverged")
     done = committed_batch_ids(cat, spark, "corpus", "ingest")
@@ -6009,7 +6047,7 @@ def x_storage_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.read(spark, deletes.dv_table("orders_mor")), "dv"
     )
     deletes.compact_deletes(cat, spark, "orders_mor", key)
-    if cat.read(spark, deletes.dv_table("orders_mor")).count() != 0:
+    if _cat_rows(cat, spark, deletes.dv_table("orders_mor")) != 0:
         raise AssertionError("deletion vector not emptied by compaction")
     compacted = digest(
         deletes.read_merged(cat, spark, "orders_mor", key), "compacted"
@@ -6189,7 +6227,7 @@ def x_storage_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         mor.read_upserted(cat, spark, "dim_seg", key), "merged"
     )
     mor.compact_upserts(cat, spark, "dim_seg", key)
-    if cat.read(spark, mor.delta_table("dim_seg")).count() != 0:
+    if _cat_rows(cat, spark, mor.delta_table("dim_seg")) != 0:
         raise AssertionError("delta not emptied by compaction")
     compacted = digest(
         mor.read_upserted(cat, spark, "dim_seg", key), "compacted"
@@ -6442,7 +6480,7 @@ def x_storage_positional_deletes(
         pdel.read_positional(cat, spark, "orders_pos"), "merged"
     )
     pdel.compact_positional_deletes(cat, spark, "orders_pos")
-    if cat.read(spark, pdel.pdv_table("orders_pos")).count() != 0:
+    if _cat_rows(cat, spark, pdel.pdv_table("orders_pos")) != 0:
         raise AssertionError("pdv not emptied by compaction")
     compacted = digest(
         pdel.read_positional(cat, spark, "orders_pos"), "compacted"
@@ -6654,8 +6692,7 @@ def x_storage_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = retention.table_stats(cat, "orders_ret")
     if stats["files"] > 2:
         raise AssertionError("base file count not bounded by the policy")
-    ledger = cat.read(spark, ledger_table("orders_ret"))
-    if ledger.count() != 1:
+    if _cat_rows(cat, spark, ledger_table("orders_ret")) != 1:
         raise AssertionError("ledger did not fold to one row per app")
     # replay protection survives the fold: an OLD batch id re-delivered
     # after folding publishes nothing

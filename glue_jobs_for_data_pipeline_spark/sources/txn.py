@@ -273,6 +273,59 @@ def stage_version(
     return version
 
 
+def stage_empty_version(table_dir: str, schema_json: str) -> int:
+    """Stage a ZERO-ROW version as PURE METADATA: the version directory
+    holds only ``_SCHEMA.json`` and no part files — readers resolve it
+    through the sidecar schema as an empty table (Spark's parquet
+    source returns an empty relation for a fileless path when the
+    schema is explicit, verified in tests/test_txn.py). Truncating a
+    side table (an emptied deletion vector / upsert delta after a
+    fold) previously paid a full Spark write job to produce one
+    zero-row part file — ~0.5 s of fixed job+committer cost per
+    compaction for no bytes (r19, guide §1.2)."""
+    os.makedirs(table_dir, exist_ok=True)
+    version = _reserve_version(table_dir)
+    vdir = _version_dir(table_dir, version)
+    try:
+        os.makedirs(vdir, exist_ok=True)
+        with open(os.path.join(vdir, "_SCHEMA.json"), "w") as f:
+            f.write(schema_json)
+    finally:
+        try:
+            os.unlink(os.path.join(table_dir, f"v={version}.claim"))
+        except FileNotFoundError:
+            pass
+    return version
+
+
+def version_rows(table_dir: str, version: int) -> int | None:
+    """EXACT row count of a version directory from its parquet FOOTERS
+    — driver-side metadata reads (~0.1 ms/file), no Spark job. None
+    when pyarrow is unavailable or any footer is unreadable (callers
+    fall back to a Spark scan). Schema-evolution ops never change row
+    counts, so this equals ``read``'s count for any snapshot. The
+    isEmpty()-class Spark actions this replaces cost ~0.3 s of fixed
+    collect-path overhead per call on the compaction hot paths (r19)."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # noqa: BLE001 — optional fast path only
+        return None
+    vdir = _version_dir(table_dir, version)
+    if not os.path.isdir(vdir):
+        return None
+    n = 0
+    try:
+        for root, _, files in os.walk(vdir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+    except Exception:  # noqa: BLE001 — fall back to a Spark scan
+        return None
+    return n
+
+
 def _link_parquet_tree(src_dir: str, dst_dir: str) -> None:
     """Hard-link every .parquet under ``src_dir`` into ``dst_dir``
     preserving the relative layout (cross-device falls back to copy).
@@ -717,6 +770,20 @@ class Catalog:
         Raises FileNotFoundError when the table is not in that
         snapshot."""
         return self._read_table(spark, name, manifest, f"manifest m={manifest}")
+
+    def table_rows(self, name: str, branch: str = "main") -> int | None:
+        """EXACT committed row count of ``name`` on ``branch`` from
+        parquet footers — driver-side metadata, no Spark job (see
+        version_rows; schema-evolution ops never change row counts).
+        None when footers cannot answer (fall back to read().count()).
+        Raises FileNotFoundError when the table is not committed,
+        mirroring read()."""
+        versions = self._manifest_tables(self.head(branch))
+        if name not in versions:
+            raise FileNotFoundError(
+                f"table {name!r} not in committed manifest of {branch!r}"
+            )
+        return version_rows(self.table_dir(name), versions[name])
 
     def log(self, branch: str = "main") -> list[dict]:
         """The branch's COMMIT LOG, oldest first — the audit/lineage
@@ -1646,6 +1713,10 @@ class Catalog:
         pdv_name = name + "__pdv"
         if pdv_name not in versions:
             return False
+        # footer-count fast path, Spark scan fallback (r19)
+        nrows = version_rows(self.table_dir(pdv_name), versions[pdv_name])
+        if nrows is not None:
+            return nrows > 0
         pdv_dir = _version_dir(self.table_dir(pdv_name), versions[pdv_name])
         return not _read_version_df(spark, pdv_dir).isEmpty()
 
@@ -1989,6 +2060,34 @@ class CatalogTransaction:
         self._append_staged.discard(name)
         self._rewrite_base.add(name)
         return version
+
+    def truncate(self, df: DataFrame, name: str) -> int:
+        """Stage an EMPTY version of ``name`` carrying ``df``'s schema —
+        the metadata-only form of ``overwrite(df.limit(0), name)``: no
+        Spark job runs (see stage_empty_version). The compaction
+        primitives use this to reset folded side tables (dv/delta/pdv)
+        inside their atomic commit. Zero rows satisfy any CHECK
+        constraint vacuously, so no enforcement pass is needed."""
+        version = stage_empty_version(
+            self._catalog.table_dir(name), df.schema.json()
+        )
+        self._staged[name] = version
+        self._append_staged.discard(name)
+        self._rewrite_base.add(name)
+        return version
+
+    def committed_rows(self, name: str) -> int | None:
+        """Row count of ``name`` at THIS transaction's snapshot from
+        parquet footers (no Spark job; see version_rows), or None when
+        the footers cannot answer — callers fall back to a scan.
+        Raises FileNotFoundError when the table is not in the
+        snapshot, mirroring read_committed."""
+        snap = self._catalog._manifest_tables(self._expected_head)
+        if name not in snap:
+            raise FileNotFoundError(
+                f"table {name!r} not in snapshot m={self._expected_head}"
+            )
+        return version_rows(self._catalog.table_dir(name), snap[name])
 
     def append(self, df: DataFrame, name: str) -> int:
         """Stage base + new rows as a new version WITHOUT rewriting the

@@ -1754,3 +1754,36 @@ def test_rebase_revalidates_carried_constraints(spark, tmp_path):
     with pytest.raises(txn.ConstraintViolationError):
         with cat.transaction() as t:
             t.overwrite(_df(spark, -1), "dim")
+
+
+def test_truncate_stages_fileless_empty_version(spark, tmp_path):
+    """r19 compaction fast paths: truncate() stages a ZERO-ROW version
+    as pure metadata (a version dir holding only _SCHEMA.json, no part
+    files — no Spark write job), readers resolve it as an empty table
+    with the recorded schema, appends chain onto it, and version_rows/
+    committed_rows answer row counts from parquet footers without a
+    scan."""
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    df = _df(spark, 1)
+    with cat.transaction() as t:
+        t.overwrite(df, "t")
+    with cat.transaction() as t:
+        assert t.committed_rows("t") == 5  # footers, no scan
+        t.truncate(df, "t")
+    import os
+
+    vdir = txn._version_dir(cat.table_dir("t"), cat.manifest()["t"])
+    assert os.listdir(vdir) == ["_SCHEMA.json"]  # no part files
+    got = cat.read(spark, "t")
+    assert got.columns == df.columns and got.count() == 0
+    assert txn.version_rows(cat.table_dir("t"), cat.manifest()["t"]) == 0
+    # an append chains onto the fileless version (link tree is empty)
+    with cat.transaction() as t:
+        t.append(_df(spark, 7), "t")
+    assert cat.read(spark, "t").count() == 5
+    with cat.transaction() as t:
+        assert t.committed_rows("t") == 5
+        import pytest as _pt
+
+        with _pt.raises(FileNotFoundError):
+            t.committed_rows("absent")
