@@ -3537,6 +3537,30 @@ FROM events GROUP BY event_type
 """
 
 
+# staged streaming SOURCE fixture (events split into 3 files so the
+# file source delivers 3 micro-batches at maxFilesPerTrigger=1), one
+# per (process, sf_dir): the exactly-once and incremental-mv queries
+# consume the IDENTICAL immutable source directory, so staging it once
+# (r19) removes a redundant fixture write from the second consumer —
+# the same stage-then-consume pattern as _staged_pair_weights. Each
+# query invocation still uses its OWN catalog + checkpoint dirs; only
+# the read-only source is shared.
+_EVENTS_SRC_CACHE: dict[str, str] = register_stage_cache({}, paths=True)
+
+
+def _staged_events_src(spark: SparkSession, sf_dir: str) -> str:
+    from ..sources.readers import load_events
+
+    path = _EVENTS_SRC_CACHE.get(sf_dir)
+    if path is None:
+        path = _scratch_dir("spark_graft_events_src_") + "/src"
+        load_events(spark, sf_dir).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _EVENTS_SRC_CACHE[sf_dir] = path
+    return path
+
+
 @_q("x_stream_exactly_once", _X_STREAM_XO_SQL)
 def x_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once streaming ingest THROUGH THE CATALOG
@@ -3561,14 +3585,14 @@ def x_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _scratch_dir("spark_graft_xo_")
     events = load_events(spark, sf_dir)
-    # split the fixture into several files so the file source genuinely
-    # delivers several micro-batches (maxFilesPerTrigger=1)
-    events.repartition(3).write.mode("overwrite").parquet(f"{root}/src")
+    # staged 3-file source (one file per micro-batch; shared with the
+    # incremental-mv query — see _staged_events_src)
+    src = _staged_events_src(spark, sf_dir)
     cat = Catalog(f"{root}/wh")
     stream = (
-        spark.readStream.schema(spark.read.parquet(f"{root}/src").schema)
+        spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{root}/src")
+        .parquet(src)
     )
     stream_append_exactly_once(
         stream, cat, "events_ingest", f"{root}/ckpt", app_id="ingest"
@@ -3620,7 +3644,7 @@ def x_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _scratch_dir("spark_graft_mv_")
     events = load_events(spark, sf_dir)
-    events.repartition(3).write.mode("overwrite").parquet(f"{root}/src")
+    src = _staged_events_src(spark, sf_dir)
     cat = Catalog(f"{root}/wh")
 
     def mv_update(batch_df: DataFrame, cur: DataFrame | None) -> DataFrame:
@@ -3642,9 +3666,9 @@ def x_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = exactly_once_mv_sink(cat, "events_raw", "events_mv", mv_update,
                                 app_id="mv")
     q = (
-        spark.readStream.schema(spark.read.parquet(f"{root}/src").schema)
+        spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{root}/src")
+        .parquet(src)
         .writeStream.foreachBatch(sink)
         .option("checkpointLocation", f"{root}/ckpt")
         .trigger(availableNow=True)
