@@ -240,14 +240,21 @@ def compact_deletes(
                     from .mor_upsert import delta_table
 
                     delta = t.read_committed(spark, delta_table(name))
-                    t.overwrite(
-                        delta.join(
-                            F.broadcast(dv.select(*key_cols)),
-                            on=list(key_cols),
-                            how="left_anti",
-                        ),
-                        delta_table(name),
-                    )
+                    # an EMPTY delta needs no rewrite — delta ANTI dv
+                    # is still empty, and the anti-join write job is
+                    # exactly the fixed per-commit cost this fold
+                    # exists to avoid (ADVICE r19; footer count, no
+                    # Spark job — falls through to the rewrite when
+                    # footers cannot answer)
+                    if t.committed_rows(delta_table(name)) != 0:
+                        t.overwrite(
+                            delta.join(
+                                F.broadcast(dv.select(*key_cols)),
+                                on=list(key_cols),
+                                how="left_anti",
+                            ),
+                            delta_table(name),
+                        )
                 except FileNotFoundError:
                     pass
                 t.truncate(dv, dv_table(name))

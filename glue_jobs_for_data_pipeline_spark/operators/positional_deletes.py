@@ -121,21 +121,22 @@ def _scan_with_pos(
     if name not in versions:
         raise FileNotFoundError(f"table {name!r} not in manifest m={manifest}")
     vdir = _version_dir(cat.table_dir(name), versions[name])
-    # one regex anchored on THIS version dir's own marker — greedy
-    # ``^.*`` with the scan's exact version number, so the match is
-    # the LAST (deepest) "/v=<this version>/" component: everything
-    # after it identifies the file within ANY later version that
-    # hard-links it. (ADVICE r18: the old non-greedy ``/v=\\d+/``
-    # matched the FIRST such segment of the absolute path — a
-    # warehouse root that itself contains one, e.g. .../v=3/wh,
-    # embedded a version-dependent path remnant in the anchor and
-    # recorded deletes silently stopped matching after the next
-    # append.)
+    # one regex anchored on THE SCAN'S OWN ABSOLUTE VERSION DIRECTORY,
+    # quoted literally (\Q...\E), so the anchor is exactly the path
+    # after ".../<table>/v=<N>/" whatever the surrounding layout.
+    # History: the r18 non-greedy ``/v=\\d+/`` matched the FIRST such
+    # segment (a warehouse root like .../v=3/wh poisoned every
+    # anchor); the r19 greedy ``^.*/v=<N>/`` matched the LAST, which a
+    # partition directory literally named v=<same N> INSIDE the
+    # version dir would over-strip (ADVICE r19). Matching the known
+    # absolute vdir has neither failure mode: the absolute prefix
+    # cannot recur inside the relative remainder (partition values
+    # escape '/', and part-file names embed a writer UUID).
     df = _read_version_df(spark, vdir).withColumns(
         {
             _FILE_COL: F.regexp_replace(
                 F.col("_metadata.file_path"),
-                rf"^.*/v={versions[name]}/",
+                rf"^.*\Q{vdir}\E/",
                 "",
             ),
             _POS_COL: F.col("_metadata.row_index"),

@@ -39,6 +39,12 @@ def _pq_rows(sf_dir: str, table: str) -> int | None:
         path = os.path.join(sf_dir, f"{table}.parquet")
         if os.path.isfile(path):
             return pq.ParquetFile(path).metadata.num_rows
+        if not os.path.isdir(path):
+            # a missing fixture must be None (unknown), not a
+            # confident 0 — os.walk on a missing path yields nothing
+            # and a wrong 0 would corrupt k / row-count assertions
+            # (ADVICE r19)
+            return None
         n = 0
         for root, _, files in os.walk(path):
             for f in files:

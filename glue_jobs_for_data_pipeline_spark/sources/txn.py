@@ -38,6 +38,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -252,7 +253,19 @@ def stage_version(
     (``_SCHEMA.json``) so later readers — compact() especially — can
     reapply the EXACT column types instead of re-inferring partition
     column types from ``col=value`` directory names (inference would
-    silently turn a string partition value like '0042' into int 42)."""
+    silently turn a string partition value like '0042' into int 42).
+
+    ``v`` is a RESERVED partition-column name: version directories are
+    themselves named ``v=<N>``, so a partition column ``v`` writes
+    ``.../v=<N>/v=<value>/...`` — partition detection
+    (_detect_partition_cols) must skip ``v=`` dirs to walk the layout,
+    which would silently flatten such a table on the next append
+    (ADVICE r19). Refuse loudly instead."""
+    if "v" in partition_by:
+        raise ValueError(
+            "partition column 'v' collides with the catalog's "
+            "version-directory naming (v=<N>); rename the column"
+        )
     os.makedirs(table_dir, exist_ok=True)
     version = _reserve_version(table_dir)
     vdir = _version_dir(table_dir, version)
@@ -324,6 +337,125 @@ def version_rows(table_dir: str, version: int) -> int | None:
     except Exception:  # noqa: BLE001 — fall back to a Spark scan
         return None
     return n
+
+
+def _small_pa_schema(schema):
+    """Spark StructType -> pyarrow schema for the driver-side small-
+    table write path, or None when any field's type is outside the
+    supported scalar set (callers fall back to a Spark write)."""
+    try:
+        import pyarrow as pa
+        from pyspark.sql import types as T
+    except Exception:  # noqa: BLE001 — optional fast path only
+        return None
+    type_map = {
+        T.StringType: pa.string,
+        T.LongType: pa.int64,
+        T.IntegerType: pa.int32,
+        T.DoubleType: pa.float64,
+        T.BooleanType: pa.bool_,
+    }
+    fields = []
+    for f in schema.fields:
+        factory = type_map.get(type(f.dataType))
+        if factory is None:
+            return None
+        fields.append(pa.field(f.name, factory(), nullable=f.nullable))
+    return pa.schema(fields)
+
+
+def stage_small_version(table_dir: str, rows, schema) -> int | None:
+    """Stage a version from DRIVER-MATERIALIZED rows: one parquet file
+    written via pyarrow plus the ``_SCHEMA.json`` sidecar — NO Spark
+    job (a staged write job costs ~0.5 s of fixed committer overhead
+    however few rows it carries; r20, guide §1.2/§5 — the driver does
+    metadata work, executors data work). This is the catalog's analog
+    of a lakehouse transaction log entry (Delta writes _delta_log JSON
+    driver-side): intended for METADATA-SIZED tables only — the
+    exactly-once commit ledger above all — whose row count is bounded
+    by contract, never for data tables. Returns the staged version, or
+    None when pyarrow is unavailable or the schema maps outside the
+    supported scalar types (callers fall back to stage_version).
+
+    ``rows`` is a sequence of tuples in ``schema`` field order;
+    ``schema`` is the Spark StructType recorded in the sidecar, so
+    readers resolve exactly the schema a Spark write of the same frame
+    would have recorded. The part-file name embeds a fresh UUID — the
+    same non-collision contract as Spark's part files, so later
+    hard-linked appends compose."""
+    pa_schema = _small_pa_schema(schema)
+    if pa_schema is None:
+        return None
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+    except Exception:  # noqa: BLE001
+        return None
+    os.makedirs(table_dir, exist_ok=True)
+    version = _reserve_version(table_dir)
+    vdir = _version_dir(table_dir, version)
+    try:
+        os.makedirs(vdir, exist_ok=True)
+        cols = [
+            pa.array([r[i] for r in rows], type=pa_schema.field(i).type)
+            for i in range(len(pa_schema))
+        ]
+        pq.write_table(
+            pa.Table.from_arrays(cols, schema=pa_schema),
+            os.path.join(vdir, f"part-00000-{uuid.uuid4().hex}.parquet"),
+        )
+        with open(os.path.join(vdir, "_SCHEMA.json"), "w") as f:
+            f.write(schema.json())
+    except BaseException:
+        shutil.rmtree(vdir, ignore_errors=True)
+        raise
+    finally:
+        try:
+            os.unlink(os.path.join(table_dir, f"v={version}.claim"))
+        except FileNotFoundError:
+            pass
+    return version
+
+
+def version_values(
+    table_dir: str, version: int, max_rows: int | None = None
+) -> list[dict] | None:
+    """ALL ROWS of a version directory as driver-side dicts via
+    pyarrow — no Spark job (the collect-path fixed cost this replaces
+    is ~0.3 s per call on the stream-commit hot paths; r20). The
+    read-side twin of stage_small_version, same contract: METADATA-
+    SIZED tables only. None — callers fall back to a Spark scan —
+    when pyarrow is unavailable, a footer is unreadable, the layout
+    is partitioned (values live in dir names, not the files), or the
+    footer row count exceeds ``max_rows`` (the growth guard: a table
+    past metadata size must not be collected to the driver)."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # noqa: BLE001 — optional fast path only
+        return None
+    vdir = _version_dir(table_dir, version)
+    if not os.path.isdir(vdir):
+        return None
+    files: list[str] = []
+    try:
+        for root, _, names in os.walk(vdir):
+            if root != vdir and "=" in os.path.basename(root):
+                return None  # partitioned layout
+            files.extend(
+                os.path.join(root, f)
+                for f in sorted(names)
+                if f.endswith(".parquet")
+            )
+        if max_rows is not None:
+            total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            if total > max_rows:
+                return None
+        out: list[dict] = []
+        for f in files:
+            out.extend(pq.read_table(f).to_pylist())
+        return out
+    except Exception:  # noqa: BLE001 — fall back to a Spark scan
+        return None
 
 
 def _link_parquet_tree(src_dir: str, dst_dir: str) -> None:
@@ -785,6 +917,28 @@ class Catalog:
             )
         return version_rows(self.table_dir(name), versions[name])
 
+    def table_values(
+        self, name: str, branch: str = "main", max_rows: int | None = None
+    ) -> list[dict] | None:
+        """ALL committed rows of a METADATA-SIZED table on ``branch``
+        as driver-side dicts — no Spark job (see version_values; the
+        exactly-once ledger consumers use this for their replay
+        tests, r20). None when the fast path cannot answer — pyarrow
+        missing, partitioned layout, pending schema-evolution ops
+        (replayed only by the Spark reader), or more than ``max_rows``
+        rows (the growth guard) — callers fall back to read().
+        Raises FileNotFoundError when the table is not committed,
+        mirroring read()."""
+        head = self.head(branch)
+        versions = self._manifest_tables(head)
+        if name not in versions:
+            raise FileNotFoundError(
+                f"table {name!r} not in committed manifest of {branch!r}"
+            )
+        if self._manifest_schemas(head).get(name):
+            return None
+        return version_values(self.table_dir(name), versions[name], max_rows)
+
     def log(self, branch: str = "main") -> list[dict]:
         """The branch's COMMIT LOG, oldest first — the audit/lineage
         surface every lakehouse exposes (Delta DESCRIBE HISTORY,
@@ -1205,21 +1359,31 @@ class Catalog:
         # write to each table (documented fallback — callers that
         # declare constraints should pass spark).
         if spark is not None:
-            for k, rules in merged_c.items():
-                validated = b_c.get(k, {}) if k in b_changed else o_c.get(k, {})
-                novel = {
-                    c: e for c, e in rules.items()
-                    if validated.get(c) != e
-                }
-                if not novel:
-                    continue
-                from pyspark.sql import functions as _F
+            from pyspark.sql import functions as _F
 
+            for k, rules in merged_c.items():
                 # probe the base AND any merge-on-read delta (delta
                 # rows are part of the logical state — same rule as
                 # add_constraint)
                 for scan_name in (k, k + "__delta"):
                     if scan_name not in merged:
+                        continue
+                    # "validated" is the constraint set THIS SCAN's data
+                    # was last written under — decided per scan_name,
+                    # not per base table (ADVICE r19): a branch that
+                    # rewrote base k while onto appended to k__delta
+                    # merges delta rows that only ever saw the ONTO
+                    # side's rules, even though k itself is b_changed.
+                    validated = (
+                        b_c.get(k, {})
+                        if scan_name in b_changed
+                        else o_c.get(k, {})
+                    )
+                    novel = {
+                        c: e for c, e in rules.items()
+                        if validated.get(c) != e
+                    }
+                    if not novel:
                         continue
                     df = _read_version_df(
                         spark,
@@ -2088,6 +2252,52 @@ class CatalogTransaction:
                 f"table {name!r} not in snapshot m={self._expected_head}"
             )
         return version_rows(self._catalog.table_dir(name), snap[name])
+
+    def committed_values(
+        self, name: str, max_rows: int | None = None
+    ) -> list[dict] | None:
+        """ALL rows of a METADATA-SIZED table at THIS transaction's
+        snapshot as driver-side dicts — no Spark job (the read half of
+        the driver-side ledger commit path; see version_values for the
+        None conditions, which include the ``max_rows`` growth guard
+        and pending schema-evolution ops). Raises FileNotFoundError
+        when the table is not in the snapshot, mirroring
+        read_committed."""
+        snap = self._catalog._manifest_tables(self._expected_head)
+        if name not in snap:
+            raise FileNotFoundError(
+                f"table {name!r} not in snapshot m={self._expected_head}"
+            )
+        if self._catalog._manifest_schemas(self._expected_head).get(name):
+            return None
+        return version_values(
+            self._catalog.table_dir(name), snap[name], max_rows
+        )
+
+    def overwrite_small(self, spark, rows, schema_ddl: str, name: str) -> int:
+        """Overwrite ``name`` with DRIVER-MATERIALIZED rows: a direct
+        pyarrow parquet stage when the schema maps (stage_small_version
+        — no Spark job), the ordinary Spark overwrite otherwise. The
+        write half of the driver-side ledger commit path (r20): the
+        exactly-once sinks rewrite a by-contract metadata-sized table
+        once per micro-batch, and the staged write job was pure fixed
+        cost. Tables with declared CHECK constraints take the Spark
+        path so enforcement semantics are untouched."""
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromDDL(schema_ddl)
+        if not (
+            self._catalog._manifest_constraints(self._expected_head).get(name)
+        ):
+            version = stage_small_version(
+                self._catalog.table_dir(name), rows, schema
+            )
+            if version is not None:
+                self._staged[name] = version
+                self._append_staged.discard(name)
+                self._rewrite_base.add(name)
+                return version
+        return self.overwrite(spark.createDataFrame(rows, schema_ddl), name)
 
     def append(self, df: DataFrame, name: str) -> int:
         """Stage base + new rows as a new version WITHOUT rewriting the

@@ -273,3 +273,21 @@ def test_compact_deletes_purges_delta_in_same_commit(spark, cat):
     deletes.delete_where(cat, spark, "t", "k = 5", ("k",))
     deletes.compact_deletes(cat, spark, "t", ("k",))
     assert _state(cat, spark) == {1: "A1", 3: "c"}
+
+
+def test_compact_deletes_skips_rewrite_of_an_empty_delta(spark, cat):
+    """An EMPTY __delta table must not be rewritten by compact_deletes
+    — delta ANTI dv is still empty, and the anti-join write job is
+    avoidable fixed per-commit cost (ADVICE r19). The dv fold itself
+    and the logical state are unaffected."""
+    _seed(cat, spark)  # {1: a, 2: b, 3: c}
+    mor_upsert.upsert_into(cat, spark, "t", _df(spark, [(2, "B2")]), ("k",))
+    # fold the delta: it is now an EMPTY (truncate-staged) side table
+    mor_upsert.compact_upserts(cat, spark, "t", ("k",))
+    delta_v = cat.manifest()[mor_upsert.delta_table("t")]
+    deletes.delete_where(cat, spark, "t", "k = 3", ("k",))
+    m = deletes.compact_deletes(cat, spark, "t", ("k",))
+    assert m is not None
+    # the empty delta's version did NOT move in the fold's commit
+    assert cat._manifest_tables(m)[mor_upsert.delta_table("t")] == delta_v
+    assert _state(cat, spark) == {1: "a", 2: "B2"}

@@ -309,3 +309,17 @@ def test_rfm_has_no_single_partition_window(spark, sf_dir):
             assert "__mk_pid" in ln, ln
     assert "SinglePartition" not in plan
     assert "hashpartitioning(__mk_dim" in plan
+
+
+def test_pq_rows_missing_fixture_is_none(tmp_path):
+    """_pq_rows must answer None (unknown) for a fixture that does not
+    exist — not a confident 0 that would corrupt k / row-count
+    assertions (ADVICE r19) — and the exact footer count otherwise."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    assert cx._pq_rows(str(tmp_path), "no_such_table") is None
+    pq.write_table(
+        pa.table({"x": [1, 2, 3]}), str(tmp_path / "t.parquet")
+    )
+    assert cx._pq_rows(str(tmp_path), "t") == 3

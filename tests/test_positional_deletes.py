@@ -181,3 +181,50 @@ def test_anchor_survives_versioned_warehouse_root(spark, tmp_path):
     assert sorted(
         r["k"] for r in cat.read(spark, "t").collect()
     ) == [1, 3, 5, 100]
+
+
+def test_partition_column_named_v_is_refused(spark, tmp_path):
+    """``v`` is a reserved partition-column name: version directories
+    are themselves ``v=<N>``, so a partition column ``v`` writes
+    .../v=<N>/v=<value>/... — partition detection must skip ``v=``
+    dirs, which silently flattened such a table on its next append and
+    over-stripped positional-delete anchors (ADVICE r19). The write
+    must refuse loudly instead."""
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(k, k % 2 + 1) for k in range(8)], "k long, v long"
+    )
+    with pytest.raises(ValueError, match="version-directory"):
+        with cat.transaction() as t:
+            t.overwrite(df, "t", partition_by=("v",))
+    assert cat.head() is None  # nothing committed
+
+
+def test_anchor_is_relative_to_the_scans_version_dir(spark, tmp_path):
+    """Anchors on a PARTITIONED table are the path relative to the
+    scan's own version directory — partition dirs included — and
+    survive hard-linked appends and the fold (the anchor is matched
+    against the scan's absolute vdir, quoted literally; ADVICE r19)."""
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(k, k % 2 + 1) for k in range(8)], "k long, p long"
+    )
+    with cat.transaction() as t:
+        t.overwrite(df, "t", partition_by=("p",))
+    pd_.delete_where_positional(cat, spark, "t", "k >= 6")
+    anchors = [r["file"] for r in cat.read(spark, "t__pdv").collect()]
+    assert anchors and all(a.startswith("p=") for a in anchors)
+    assert sorted(
+        r["k"] for r in pd_.read_positional(cat, spark, "t").collect()
+    ) == [0, 1, 2, 3, 4, 5]
+    # anchors survive a hard-linked append (same relative paths)
+    with cat.transaction() as t:
+        t.append(spark.createDataFrame([(100, 1)], "k long, p long"), "t")
+    assert sorted(
+        r["k"] for r in pd_.read_positional(cat, spark, "t").collect()
+    ) == [0, 1, 2, 3, 4, 5, 100]
+    # and the fold applies them against the real files
+    pd_.compact_positional_deletes(cat, spark, "t")
+    assert sorted(
+        r["k"] for r in cat.read(spark, "t").collect()
+    ) == [0, 1, 2, 3, 4, 5, 100]

@@ -1756,6 +1756,35 @@ def test_rebase_revalidates_carried_constraints(spark, tmp_path):
             t.overwrite(_df(spark, -1), "dim")
 
 
+def test_rebase_revalidates_delta_written_on_the_other_side(spark, tmp_path):
+    """The re-validation baseline is per SCAN, not per base table
+    (ADVICE r19): when the branch rewrote base k AND declared a
+    constraint while the onto side appended violating rows to
+    k__delta after the fork, the delta's data comes from the ONTO
+    side — it was never validated under the branch's rule, so the
+    rebase must probe it and refuse."""
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, 1), "dim")
+        t.overwrite(_df(spark, 1), "dim__delta")
+    cat.create_branch("exp")
+    # branch: rewrite the BASE (clean under the rule) and declare it
+    with cat.transaction(branch="exp") as t:
+        t.overwrite(_df(spark, 9), "dim")
+    cat.add_constraint(spark, "dim", "tag_positive", "tag > 0",
+                       branch="exp")
+    # onto: violating rows land in the DELTA after the fork — under
+    # the per-base-table baseline these merged unvalidated, because
+    # "dim" is in b_changed and the branch's own constraint set
+    # already contains the rule
+    with cat.transaction() as t:
+        t.overwrite(_df(spark, -7), "dim__delta")
+    b_head, o_head = cat.head("exp"), cat.head()
+    with pytest.raises(txn.ConstraintViolationError, match="tag_positive"):
+        cat.rebase("exp", spark=spark)
+    assert (cat.head("exp"), cat.head()) == (b_head, o_head)
+
+
 def test_truncate_stages_fileless_empty_version(spark, tmp_path):
     """r19 compaction fast paths: truncate() stages a ZERO-ROW version
     as pure metadata (a version dir holding only _SCHEMA.json, no part
