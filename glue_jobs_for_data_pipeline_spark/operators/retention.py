@@ -126,7 +126,11 @@ def fold_ledger(
     monotonic Structured Streaming batch ids — the Delta txn-action
     retention). Returns the fold's manifest id, or None when the
     ledger is absent or already minimal."""
-    from ..streaming.exactly_once import ledger_table
+    from ..streaming.exactly_once import (
+        _LEDGER_SCHEMA,
+        LEDGER_GUARD_ROWS,
+        ledger_table,
+    )
 
     lname = ledger_table(name)
     last: ConcurrentCommitError | None = None
@@ -134,27 +138,43 @@ def fold_ledger(
         try:
             with cat.transaction(branch=branch) as t:
                 # the ledger is metadata-sized by contract (one row per
-                # micro-batch per app) — fold it driver-side in ONE
-                # read job and write the result back as a local
-                # relation, instead of three jobs (count, folded count,
-                # groupBy rewrite) over a table of a few rows (r19)
+                # micro-batch per app) — fold it driver-side with ZERO
+                # Spark jobs (direct parquet read + driver-written
+                # stage, r20; r19 had already collapsed the old three
+                # jobs to one read). A ledger past the growth guard —
+                # the very debt this fold repairs when the contract
+                # was ignored — folds through the distributed groupBy
+                # instead of materializing on the driver.
                 try:
-                    rows = t.read_committed(spark, lname).collect()
+                    vals = t.committed_values(
+                        lname, max_rows=LEDGER_GUARD_ROWS
+                    )
                 except FileNotFoundError:
                     return None
-                folded: dict[str, int] = {}
-                for r in rows:
-                    a, b = r["app_id"], int(r["batch_id"])
-                    folded[a] = max(folded.get(a, b), b)
-                if len(rows) == len(folded):
-                    return None  # already one row per app — no commit
-                t.overwrite(
-                    spark.createDataFrame(
-                        sorted(folded.items()),
-                        "app_id string, batch_id long",
-                    ),
-                    lname,
-                )
+                if vals is not None:
+                    folded: dict[str, int] = {}
+                    for v in vals:
+                        a, b = v["app_id"], int(v["batch_id"])
+                        folded[a] = max(folded.get(a, b), b)
+                    if len(vals) == len(folded):
+                        return None  # already one row per app
+                    t.overwrite_small(
+                        spark, sorted(folded.items()), _LEDGER_SCHEMA,
+                        lname,
+                    )
+                else:
+                    led = t.read_committed(spark, lname)
+                    napps, nrows = led.agg(
+                        F.countDistinct("app_id"), F.count(F.lit(1))
+                    ).first()
+                    if nrows == napps:
+                        return None  # already one row per app
+                    t.overwrite(
+                        led.groupBy("app_id").agg(
+                            F.max("batch_id").alias("batch_id")
+                        ),
+                        lname,
+                    )
             return t.committed_manifest
         except ConcurrentCommitError as exc:
             # a streaming batch landed mid-fold: re-read, retry — the
@@ -219,17 +239,28 @@ def enforce_retention(
 
     # 2) streaming ledger (metadata-only, independent of the rewrite)
     if policy.max_ledger_rows_per_app is not None:
-        from ..streaming.exactly_once import ledger_table
+        from ..streaming.exactly_once import LEDGER_GUARD_ROWS, ledger_table
 
         lstats = table_stats(cat, ledger_table(name), branch)
         if lstats is not None:
             try:
-                ledger = cat.read(spark, ledger_table(name), branch)
-                napps, nrows = (
-                    ledger.agg(
-                        F.countDistinct("app_id"), F.count(F.lit(1))
-                    ).first()
+                # due-test from a driver-side parquet read when the
+                # ledger is metadata-sized (no Spark job, r20); the
+                # Spark aggregate only runs past the growth guard —
+                # where the fold is certainly due anyway
+                vals = cat.table_values(
+                    ledger_table(name), branch, max_rows=LEDGER_GUARD_ROWS
                 )
+                if vals is not None:
+                    napps = len({v["app_id"] for v in vals})
+                    nrows = len(vals)
+                else:
+                    ledger = cat.read(spark, ledger_table(name), branch)
+                    napps, nrows = (
+                        ledger.agg(
+                            F.countDistinct("app_id"), F.count(F.lit(1))
+                        ).first()
+                    )
                 if nrows > policy.max_ledger_rows_per_app * max(napps, 1):
                     actions["fold_ledger"] = (
                         fold_ledger(cat, spark, name, branch) is not None

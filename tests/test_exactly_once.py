@@ -279,3 +279,68 @@ def test_exactly_once_sink_into_partitioned_table(spark, cat, tmp_path):
     assert sorted(
         r["k"] for r in got.filter("p = 0").collect()
     ) == [0, 2, 10, 12]
+
+
+def test_ledger_growth_guard_falls_back_and_warns(
+    spark, cat, monkeypatch
+):
+    """A ledger past LEDGER_GUARD_ROWS (a caller that never runs the
+    retention fold) must not be materialized on the driver: the sink
+    warns that the fold is overdue and commits through the distributed
+    replay test + a 1-row append — content-identical to the driver-
+    side path, replay protection intact (r20; VERDICT r19 #6)."""
+    import warnings as w
+
+    monkeypatch.setattr(xo, "LEDGER_GUARD_ROWS", 2)
+    sink = xo.exactly_once_batch_sink(cat, "t", "app")
+    for b in range(3):  # rows 0..2: the third commit crosses the guard
+        sink(spark.createDataFrame([(b,)], "k long"), b)
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        sink(spark.createDataFrame([(3,)], "k long"), 3)
+    assert any("retention fold" in str(c.message) for c in caught)
+    assert _rows(cat, spark, "t") == [0, 1, 2, 3]
+    ledger = sorted(
+        (r["app_id"], r["batch_id"])
+        for r in cat.read(spark, xo.ledger_table("t")).collect()
+    )
+    assert ledger == [("app", 0), ("app", 1), ("app", 2), ("app", 3)]
+    # replay protection holds on the guarded path too
+    head = cat.head()
+    sink(spark.createDataFrame([(99,)], "k long"), 2)
+    assert cat.head() == head
+    assert xo.latest_batch_id(cat, spark, "t", "app") == 3
+    assert xo.committed_batch_ids(cat, spark, "t", "app") == {0, 1, 2, 3}
+    # the retention fold repairs the debt through the distributed path
+    from glue_jobs_for_data_pipeline_spark.operators import retention
+
+    assert retention.fold_ledger(cat, spark, "t") is not None
+    ledger = [
+        (r["app_id"], r["batch_id"])
+        for r in cat.read(spark, xo.ledger_table("t")).collect()
+    ]
+    assert ledger == [("app", 3)]
+
+
+def test_ledger_writes_are_driver_side_without_a_spark_job(spark, cat):
+    """The happy-path ledger commit stages a DRIVER-WRITTEN parquet
+    file (stage_small_version), not a Spark write: one part file, no
+    _SUCCESS marker, footer counts and Spark reads agree (r20)."""
+    sink = xo.exactly_once_batch_sink(cat, "t", "app")
+    sink(spark.createDataFrame([(1,)], "k long"), 0)
+    sink(spark.createDataFrame([(2,)], "k long"), 1)
+    lv = cat.manifest()[xo.ledger_table("t")]
+    vdir = txn._version_dir(cat.table_dir(xo.ledger_table("t")), lv)
+    names = sorted(os.listdir(vdir))
+    assert [n for n in names if n.endswith(".parquet")] and (
+        "_SUCCESS" not in names
+    )
+    assert txn.version_rows(cat.table_dir(xo.ledger_table("t")), lv) == 2
+    got = sorted(
+        (r["app_id"], r["batch_id"])
+        for r in cat.read(spark, xo.ledger_table("t")).collect()
+    )
+    assert got == [("app", 0), ("app", 1)]
+    assert cat.read(
+        spark, xo.ledger_table("t")
+    ).schema.simpleString() == "struct<app_id:string,batch_id:bigint>"

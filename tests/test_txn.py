@@ -1816,3 +1816,55 @@ def test_truncate_stages_fileless_empty_version(spark, tmp_path):
 
         with _pt.raises(FileNotFoundError):
             t.committed_rows("absent")
+
+
+def test_small_version_roundtrip_and_fallbacks(spark, tmp_path):
+    """r20 driver-side metadata I/O: overwrite_small stages a pyarrow-
+    written version (no Spark job) that Spark reads under the recorded
+    schema; committed_values/table_values answer rows driver-side and
+    refuse (None) past max_rows or under pending schema ops; declared
+    CHECK constraints force the Spark path so enforcement is intact."""
+    cat = txn.Catalog(str(tmp_path / "wh"))
+    with cat.transaction() as t:
+        t.overwrite_small(
+            spark, [("a", 1), ("b", 2)], "app_id string, batch_id long",
+            "led",
+        )
+    got = sorted(
+        (r["app_id"], r["batch_id"]) for r in cat.read(spark, "led").collect()
+    )
+    assert got == [("a", 1), ("b", 2)]
+    assert cat.read(spark, "led").schema.simpleString() == (
+        "struct<app_id:string,batch_id:bigint>"
+    )
+    assert cat.table_rows("led") == 2
+    vals = cat.table_values("led")
+    assert [(v["app_id"], v["batch_id"]) for v in vals] == got
+    assert cat.table_values("led", max_rows=1) is None  # growth guard
+    with pytest.raises(FileNotFoundError):
+        cat.table_values("nope")
+    # appends chain onto the driver-written file set
+    with cat.transaction() as t:
+        t.append(
+            spark.createDataFrame([("c", 3)], "app_id string, batch_id long"),
+            "led",
+        )
+        assert t.committed_rows("led") == 2  # snapshot, not staged
+    assert len(cat.table_values("led")) == 3
+    # a pending schema op disables the driver-side read (the op replays
+    # only through the Spark reader)
+    cat.evolve_schema("led", [
+        {"op": "rename", "old": "app_id", "new": "app"},
+    ])
+    assert cat.table_values("led") is None
+    assert {r["app"] for r in cat.read(spark, "led").collect()} == {
+        "a", "b", "c"
+    }
+    # declared constraints force the Spark write path and still enforce
+    with cat.transaction() as t:
+        t.overwrite_small(spark, [(5,)], "x long", "cons")
+    cat.add_constraint(spark, "cons", "x_pos", "x > 0")
+    with pytest.raises(txn.ConstraintViolationError):
+        with cat.transaction() as t:
+            t.overwrite_small(spark, [(-1,)], "x long", "cons")
+    assert [r["x"] for r in cat.read(spark, "cons").collect()] == [5]
