@@ -353,31 +353,49 @@ def jaccard_prefix_pairs(
     # and the pair join) and an expensive lineage — cache it so the
     # prefix self-join runs once
     cand = _cached(cand)
-    # exact verification scaled to the CANDIDATE count, not the corpus:
-    # broadcast the tiny candidate list into doc_a's postings (map-side
-    # over the cache), then count shared shingles by joining doc_b's
-    # postings on shingle — which REUSES the cache's
-    # hashpartitioning(shingle), so verification adds no corpus-wide
-    # shuffle (a full-corpus collect_set-to-arrays build would)
+    # exact verification scaled to the CANDIDATE count, not the corpus
     docs_involved = (
         cand.select(F.col("doc_a").alias("doc"))
         .unionByName(cand.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
     # postings restricted to candidate docs (map-side broadcast filter
-    # over the cache) — BOTH verify sides use this, so a hot shared
-    # shingle fans out over candidate docs only, never the corpus
+    # over the cache) — the verify arrays and the size table both read
+    # this, so a hot shared shingle fans out over candidate docs only,
+    # never the corpus
     posts_cand = _cached(posts.join(F.broadcast(docs_involved), "doc"))
-    inter = (
-        posts_cand.select(F.col("doc").alias("doc_a"), "shingle")
-        .join(F.broadcast(cand), "doc_a")
-        .join(
-            posts_cand.select(F.col("doc").alias("_vb"), "shingle"),
-            "shingle",
+    # per-CANDIDATE-doc sorted shingle arrays, then one array_intersect
+    # per pair (r20, guide §2.3/§2.4): the old posting×posting join on
+    # shingle re-exploded every shared shingle through a shuffle and a
+    # groupBy — verify was ~50% of the query's bill (measured 4.1 s ->
+    # 2.1-3.4 s at sf0.1, output-identical). The full-corpus arrays
+    # build that ngram_jaccard_pairs measured 40% SLOWER does not apply:
+    # this one groups only candidate docs, a broadcast-filtered sliver
+    # of the corpus. Counts agree with the join formulation because
+    # per-doc postings are DISTINCT (shingles() dedups gram strings;
+    # an intra-doc xxhash64 collision — the accepted ~2^-64 risk noted
+    # at the hashing step — would perturb either formulation).
+    arrs = _cached(
+        posts_cand.groupBy("doc").agg(
+            F.array_sort(F.collect_list("shingle")).alias("_sh")
         )
-        .filter(F.col("_vb") == F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    inter = (
+        cand.join(
+            arrs.select(F.col("doc").alias("doc_a"), F.col("_sh").alias("_sha")),
+            "doc_a",
+        )
+        .join(
+            arrs.select(F.col("doc").alias("doc_b"), F.col("_sh").alias("_shb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_sha", "_shb")).cast("long").alias("inter"),
+        )
+        # the join formulation only emitted pairs sharing >= 1 shingle
+        .filter(F.col("inter") > 0)
     )
     # sizes only for docs in some candidate pair — broadcastable at any
     # corpus scale (the unfiltered per-doc size table would not be)

@@ -31,9 +31,13 @@ O(log d).
 Scale shape per iteration: two shuffles (edge join + min-groupBy on
 node; halving self-join on label) and one O(1) driver action (the
 converged? check — an exact label-sum aggregate compared across
-iterations, valid because labels only decrease; no diff join). ``localCheckpoint`` after
-every iteration truncates the lineage — iterative plans otherwise grow
-the DAG linearly and re-execute the whole history each action. The
+iterations, valid because labels only decrease; no diff join). A LAZY
+``localCheckpoint`` after every iteration truncates the lineage —
+iterative plans otherwise grow the DAG linearly and re-execute the
+whole history each action — and the convergence sum is the action
+that materializes it, so each round is ONE Spark job, not a
+checkpoint job followed by a sum job (r20; the kcore/coreness
+pattern, guide §1.2 — fixed per-job cost dominates the small rounds). The
 halving join's key is the label, which a giant component concentrates
 onto one value — AQE's skew-join split handles that at scale (the
 right-hand side is the full label table, so a broadcast is not an
@@ -78,11 +82,15 @@ def connected_components(
     # subsequent plan.
     from . import ckpt
 
-    sym = sym.localCheckpoint(eager=True)
+    # LAZY checkpoints throughout (r20): the convergence sum below is
+    # the action that materializes lab (and transitively sym — its
+    # blocks persist during that same job), so the init pays one job,
+    # not three.
+    sym = sym.localCheckpoint(eager=False)
     lab = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    lab = lab.localCheckpoint(eager=True)
+    lab = lab.localCheckpoint(eager=False)
     # Convergence watch: labels start at self and can only DECREASE
     # (min-propagation), so the label-sum is strictly monotone across a
     # changing iteration and constant exactly at the fixpoint. Comparing
@@ -112,10 +120,12 @@ def connected_components(
             ),
             "label",
         ).select("node", F.col("_ll").alias("label"))
-        halved = halved.localCheckpoint(eager=True)
+        # lazy: the convergence sum is the materializing action — one
+        # job per round instead of checkpoint + sum
+        halved = halved.localCheckpoint(eager=False)
         cur_sum = _sum(halved)
         # round N's labels are superseded the moment round N+1 is
-        # materialized (eager checkpoint above) — free the blocks NOW
+        # materialized (by the sum above) — free the blocks NOW
         # instead of letting dead copies pile up across iterations and
         # queries (operators/ckpt.py module doc: the r10 bench
         # regression). The FINAL table is registered for release at
@@ -244,8 +254,15 @@ def pagerank(
     source — a full edge rescan + exchange + broadcast build EVERY
     round; guide §2.4). The only per-round action is the
     localCheckpoint that truncates the otherwise linearly-growing
-    lineage, exactly as in connected_components. No convergence check
-    — fixed iteration count, the common production contract. Ranks
+    lineage, exactly as in connected_components — except the FINAL
+    round's checkpoint, which is LAZY (r20, guide §1.2): the caller's
+    own first action materializes it, so the last iteration never pays
+    a separate materialization job whose output would be read exactly
+    once. Everything the lazy plan reads (nodes, ed, the second-to-
+    last ranks) is registered for release_checkpoints() instead of
+    freed eagerly — the caller contract (materialize, then release)
+    already guarantees the blocks outlive the plan. No convergence
+    check — fixed iteration count, the common production contract. Ranks
     are doubles; per-node sums depend on partial-agg order, so
     PageRank is rows-only under the driver's value-hash gate — its
     numerics are pinned by the pure-Python differential test instead
@@ -282,7 +299,8 @@ def pagerank(
     ed = e.join(deg, "src").localCheckpoint(eager=True)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"), "_dang")
     prev_ranks = None
-    for _ in range(iterations):
+    for it in range(iterations):
+        last = it == iterations - 1
         out = ranks.select(F.col("node").alias("src"), "rank")
         contribs = (
             ed.join(out, "src")
@@ -314,15 +332,24 @@ def pagerank(
                 ).alias("rank"),
                 "_dang",
             )
-            .localCheckpoint(eager=True)
+            # final round LAZY: the caller's first action materializes
+            # it (docstring; one fewer full-pass job per call)
+            .localCheckpoint(eager=not last)
         )
-        # the new eager checkpoint no longer reads last round's blocks
         if prev_ranks is not None:
-            ckpt.free(prev_ranks)
+            if not last:
+                # the new eager checkpoint no longer reads last
+                # round's blocks
+                ckpt.free(prev_ranks)
+            else:
+                # the final LAZY plan still reads them — keep alive
+                # until the caller materializes, then release
+                ckpt.register(prev_ranks)
         prev_ranks = ranks
     if prev_ranks is not None:  # iterations >= 1: ranks is a checkpoint
-        ckpt.free(nodes)
-        ckpt.free(ed)
+        # nodes and ed feed the final lazy plan: release, don't free
+        ckpt.register(nodes)
+        ckpt.register(ed)
         ckpt.register(ranks)
     else:  # iterations == 0: ranks still reads nodes' blocks
         ckpt.register(nodes)
@@ -359,7 +386,9 @@ def pagerank_int_grid(
     integer sums are order-insensitive. Iteration/shuffle shape is
     identical to the float tier: one fact-sized contribution shuffle
     per round, the dangling scalar rides a broadcast 1-row cross join,
-    no per-round driver collect beyond the localCheckpoint.
+    no per-round driver collect beyond the localCheckpoint — and the
+    final round's checkpoint is LAZY, materialized by the caller's
+    first action (r20; see pagerank).
 
     Returns (node, rank_scaled BIGINT); divide by 2^40 for the float
     rank. Ordering agreement with the float tier is asserted in
@@ -399,7 +428,8 @@ def pagerank_int_grid(
         "node", F.lit(scale // n).cast("long").alias("r"), "_dang"
     )
     prev_ranks = None
-    for _ in range(iterations):
+    for it in range(iterations):
+        last = it == iterations - 1
         out = ranks.select(F.col("node").alias("src"), "r")
         contribs = (
             ed.join(out, "src")
@@ -425,14 +455,18 @@ def pagerank_int_grid(
                 ).alias("r"),
                 "_dang",
             )
-            .localCheckpoint(eager=True)
+            # final round LAZY — caller's first action materializes
+            .localCheckpoint(eager=not last)
         )
         if prev_ranks is not None:
-            ckpt.free(prev_ranks)
+            if not last:
+                ckpt.free(prev_ranks)
+            else:  # the final lazy plan reads them (see pagerank)
+                ckpt.register(prev_ranks)
         prev_ranks = ranks
     if prev_ranks is not None:
-        ckpt.free(nodes)
-        ckpt.free(ed)
+        ckpt.register(nodes)
+        ckpt.register(ed)
         ckpt.register(ranks)
     else:
         ckpt.register(nodes)

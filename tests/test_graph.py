@@ -402,3 +402,31 @@ def test_pagerank_int_grid_tracks_float_on_random_graphs(spark, edges):
     tol = 4 * (len(es) + len(flt) + 2) * 2**-40 + 1e-9
     for u in flt:
         assert abs(grid[u] - flt[u]) <= tol, (u, grid[u], flt[u], tol)
+
+
+def test_pagerank_single_iteration_survives_two_actions(spark):
+    """r20: the FINAL iteration's localCheckpoint is LAZY (the caller's
+    first action materializes it). iterations=1 makes it the ONLY
+    checkpoint — the boundary where prev_ranks/nodes/ed lifecycle all
+    route through the lazy path — and a second action must read the
+    now-materialized blocks, not a freed lineage."""
+    from glue_jobs_for_data_pipeline_spark.operators.graph import (
+        pagerank,
+        pagerank_int_grid,
+    )
+
+    e = spark.createDataFrame([(1, 2), (2, 1), (3, 1)], "src long, dst long")
+    df = pagerank(e, iterations=1)
+    df.write.format("noop").mode("overwrite").save()  # materializes
+    got = {r["node"]: r["rank"] for r in df.collect()}  # reads blocks
+    # hand-computed: n=3, no dangling, unit out-degrees; contribs
+    # 2<-1/3, 1<-2/3: r = 0.05 + 0.85 * contrib
+    assert got[1] == pytest.approx(0.05 + 0.85 * (2 / 3), abs=1e-12)
+    assert got[2] == pytest.approx(0.05 + 0.85 * (1 / 3), abs=1e-12)
+    assert got[3] == pytest.approx(0.05, abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    g = pagerank_int_grid(e, iterations=1)
+    g.write.format("noop").mode("overwrite").save()
+    grid = {r["node"]: r["rank_scaled"] / float(1 << 40) for r in g.collect()}
+    for u in got:
+        assert abs(grid[u] - got[u]) <= 8 * 2**-40 + 1e-9
