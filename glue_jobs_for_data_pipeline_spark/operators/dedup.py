@@ -360,10 +360,10 @@ def jaccard_prefix_pairs(
         .distinct()
     )
     # postings restricted to candidate docs (map-side broadcast filter
-    # over the cache) — the verify arrays and the size table both read
-    # this, so a hot shared shingle fans out over candidate docs only,
-    # never the corpus
-    posts_cand = _cached(posts.join(F.broadcast(docs_involved), "doc"))
+    # over the cache) — consumed exactly once (the arrays build), so
+    # not cached; a hot shared shingle fans out over candidate docs
+    # only, never the corpus
+    posts_cand = posts.join(F.broadcast(docs_involved), "doc")
     # per-CANDIDATE-doc sorted shingle arrays, then one array_intersect
     # per pair (r20, guide §2.3/§2.4): the old posting×posting join on
     # shingle re-exploded every shared shingle through a shuffle and a
@@ -380,7 +380,12 @@ def jaccard_prefix_pairs(
             F.array_sort(F.collect_list("shingle")).alias("_sh")
         )
     )
-    inter = (
+    # per-doc SIZES ride the same arrays (size(_sh) == the posting
+    # count per doc exactly — collect_list keeps multiplicity just as
+    # count(*) did), so the old separate size aggregation and its two
+    # broadcast joins are gone; |A u B| = |A| + |B| - |A n B| computes
+    # in the same select as the intersection (r20, guide §2.4).
+    return (
         cand.join(
             arrs.select(F.col("doc").alias("doc_a"), F.col("_sh").alias("_sha")),
             "doc_a",
@@ -393,22 +398,14 @@ def jaccard_prefix_pairs(
             "doc_a",
             "doc_b",
             F.size(F.array_intersect("_sha", "_shb")).cast("long").alias("inter"),
+            (F.size("_sha") + F.size("_shb")).alias("_szsum"),
         )
-        # the join formulation only emitted pairs sharing >= 1 shingle
+        # the old join formulation only emitted pairs sharing >= 1 shingle
         .filter(F.col("inter") > 0)
-    )
-    # sizes only for docs in some candidate pair — broadcastable at any
-    # corpus scale (the unfiltered per-doc size table would not be)
-    sizes = posts_cand.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    sz_a = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(F.broadcast(sz_a), "doc_a")
-        .join(F.broadcast(sz_b), "doc_b")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+            / (F.col("_szsum") - F.col("inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= float(t_num) / float(t_den))
         .select("doc_a", "doc_b", "inter", "jaccard")
